@@ -1,0 +1,356 @@
+"""Avro Object Container File format.
+
+Spec-based rebuild of the reference's datafile layer
+(/root/reference/python-udf/avro/datafile.py:20-409): magic ``Obj\\x01``,
+header metadata map (``avro.schema``, ``avro.codec``), 16-byte sync
+marker, blocks of ``(datum count, compressed byte length, payload,
+sync)``. The writer flushes a block when the buffered encoded size
+reaches ``sync_interval`` (default 64,000 bytes — datafile.py:39).
+
+Beyond the reference, this module adds what a distributed engine needs:
+``scan_to_sync`` + ``iter_block_spans`` let independent tasks read
+disjoint byte ranges of one file by re-synchronizing on the sync marker
+— the same trick Hadoop's Avro input format uses — so a 100 TB Avro
+dataset splits across executors instead of one reader per file.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+from dataclasses import dataclass
+from typing import Any, BinaryIO, Iterable, Iterator, Optional, Union
+
+from .binary import (
+    AvroDecodeError,
+    BinaryReader,
+    BinaryWriter,
+    compile_decoder,
+    compile_encoder,
+    compile_resolver,
+)
+from .block_codecs import get_codec
+from .schema_model import AvroSchema, parse_schema
+
+MAGIC = b"Obj\x01"
+SYNC_SIZE = 16
+DEFAULT_SYNC_INTERVAL = 4000 * SYNC_SIZE  # 64,000 B (reference datafile.py:39)
+
+SCHEMA_KEY = "avro.schema"
+CODEC_KEY = "avro.codec"
+
+
+@dataclass
+class ContainerHeader:
+    schema_json: str
+    codec: str
+    sync: bytes
+    meta: dict[str, bytes]
+    header_len: int
+
+    _schema: Optional[AvroSchema] = None
+
+    @property
+    def schema(self) -> AvroSchema:
+        if self._schema is None:
+            self._schema = parse_schema(self.schema_json)
+        return self._schema
+
+
+def read_header(data: bytes) -> ContainerHeader:
+    """Parse the container header from the head of ``data``."""
+    if data[:4] != MAGIC:
+        raise AvroDecodeError(f"not an Avro container file (magic {data[:4]!r})")
+    r = BinaryReader(data, 4)
+    meta: dict[str, bytes] = {}
+    n = r.read_long()
+    while n != 0:
+        if n < 0:
+            n = -n
+            r.read_long()
+        for _ in range(n):
+            k = r.read_utf8()
+            meta[k] = r.read_bytes()
+        n = r.read_long()
+    sync = r.read_fixed(SYNC_SIZE)
+    schema_json = meta.get(SCHEMA_KEY)
+    if schema_json is None:
+        raise AvroDecodeError("container header missing avro.schema")
+    codec = meta.get(CODEC_KEY, b"null").decode("utf-8")
+    return ContainerHeader(
+        schema_json=schema_json.decode("utf-8"),
+        codec=codec,
+        sync=sync,
+        meta=meta,
+        header_len=r.pos,
+    )
+
+
+def iter_raw_blocks(data: bytes, pos: int, sync: bytes) -> Iterator[tuple[int, bytes]]:
+    """Yield (datum_count, compressed_payload) for each block from ``pos``."""
+    end = len(data)
+    r = BinaryReader(data, pos)
+    while r.pos < end:
+        count = r.read_long()
+        size = r.read_long()
+        payload = r.read_fixed(size)
+        marker = r.read_fixed(SYNC_SIZE)
+        if marker != sync:
+            raise AvroDecodeError("sync marker mismatch (corrupt container block)")
+        yield count, payload
+
+
+def iter_container(
+    data: bytes,
+    reader_schema: Optional[AvroSchema] = None,
+) -> Iterator[Any]:
+    """Decode every datum of an in-memory container file.
+
+    This is the engine's equivalent of the reference's
+    ``DataFileReader(BytesIO(bytes), DatumReader())`` loop
+    (avro-file-udf/lambda_function.py:17-21).
+    """
+    header = read_header(data)
+    writer_schema = header.schema
+    decode = (
+        compile_resolver(writer_schema, reader_schema)
+        if reader_schema is not None
+        else compile_decoder(writer_schema)
+    )
+    codec = get_codec(header.codec)
+    for count, payload in iter_raw_blocks(data, header.header_len, header.sync):
+        block = codec.decompress(payload)
+        br = BinaryReader(block)
+        for _ in range(count):
+            yield decode(br)
+
+
+class ContainerReader:
+    """Iterator façade matching the reference's DataFileReader shape."""
+
+    def __init__(self, source: Union[bytes, BinaryIO], reader_schema: Optional[AvroSchema] = None):
+        data = source if isinstance(source, bytes) else source.read()
+        self.header = read_header(data)
+        self._it = iter_container(data, reader_schema)
+
+    @property
+    def writer_schema(self) -> AvroSchema:
+        return self.header.schema
+
+    def __iter__(self) -> Iterator[Any]:
+        return self._it
+
+    def __next__(self) -> Any:
+        return next(self._it)
+
+    def __enter__(self) -> "ContainerReader":
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Writer
+# ---------------------------------------------------------------------------
+
+
+class ContainerWriter:
+    """Block-buffered container writer (reference datafile.py:140-289)."""
+
+    def __init__(
+        self,
+        sink: BinaryIO,
+        schema: Union[AvroSchema, str, dict],
+        codec: str = "null",
+        sync_interval: int = DEFAULT_SYNC_INTERVAL,
+        sync_marker: Optional[bytes] = None,
+        extra_meta: Optional[dict[str, bytes]] = None,
+    ) -> None:
+        if not isinstance(schema, AvroSchema):
+            schema = parse_schema(schema)
+        self.schema = schema
+        self._encode = compile_encoder(schema)
+        self._codec = get_codec(codec)
+        self._codec_name = codec
+        self._sink = sink
+        self._sync_interval = sync_interval
+        self.sync = sync_marker if sync_marker is not None else os.urandom(SYNC_SIZE)
+        if len(self.sync) != SYNC_SIZE:
+            raise ValueError(f"sync marker must be {SYNC_SIZE} bytes")
+        self._parts: list[bytes] = []
+        self._buffered_count = 0
+        self._buffered_size = 0
+        self._write_header(extra_meta or {})
+
+    def _write_header(self, extra_meta: dict[str, bytes]) -> None:
+        meta = {
+            SCHEMA_KEY: json.dumps(self.schema.to_json()).encode("utf-8"),
+            CODEC_KEY: self._codec_name.encode("utf-8"),
+            **extra_meta,
+        }
+        w = BinaryWriter()
+        w.write(MAGIC)
+        w.write_long(len(meta))
+        for k, v in meta.items():
+            w.write_utf8(k)
+            w.write_bytes(v)
+        w.write_long(0)
+        w.write(self.sync)
+        self._sink.write(w.getvalue())
+
+    def append(self, datum: Any) -> None:
+        w = BinaryWriter()
+        self._encode(w, datum)
+        encoded = w.getvalue()
+        self._parts.append(encoded)
+        self._buffered_size += len(encoded)
+        self._buffered_count += 1
+        if self._buffered_size >= self._sync_interval:
+            self.flush_block()
+
+    def flush_block(self) -> None:
+        if self._buffered_count == 0:
+            return
+        raw = b"".join(self._parts)
+        payload = self._codec.compress(raw)
+        w = BinaryWriter()
+        w.write_long(self._buffered_count)
+        w.write_long(len(payload))
+        w.write(payload)
+        w.write(self.sync)
+        self._sink.write(w.getvalue())
+        self._parts = []
+        self._buffered_count = 0
+        self._buffered_size = 0
+
+    def close(self) -> None:
+        self.flush_block()
+
+    def __enter__(self) -> "ContainerWriter":
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        self.close()
+
+
+def write_container(
+    datums: Iterable[Any],
+    schema: Union[AvroSchema, str, dict],
+    codec: str = "null",
+    sync_interval: int = DEFAULT_SYNC_INTERVAL,
+    sync_marker: Optional[bytes] = None,
+) -> bytes:
+    """One-shot: encode ``datums`` into container-file bytes."""
+    buf = io.BytesIO()
+    with ContainerWriter(buf, schema, codec, sync_interval, sync_marker) as w:
+        for d in datums:
+            w.append(d)
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Split-aware reading (for the distributed file source)
+# ---------------------------------------------------------------------------
+
+
+def scan_to_sync(fobj: BinaryIO, start: int, sync: bytes, chunk_size: int = 1 << 20) -> Optional[int]:
+    """Find the first position AFTER a sync marker at/after ``start``.
+
+    Returns the absolute offset where a block header begins, or None if
+    no sync marker occurs at/after ``start``.
+    """
+    fobj.seek(start)
+    overlap = b""
+    pos = start
+    while True:
+        chunk = fobj.read(chunk_size)
+        if not chunk:
+            return None
+        window = overlap + chunk
+        idx = window.find(sync)
+        if idx != -1:
+            return pos - len(overlap) + idx + SYNC_SIZE
+        overlap = window[-(SYNC_SIZE - 1) :]
+        pos += len(chunk)
+
+
+def _read_varint_from(fobj: BinaryIO) -> Optional[int]:
+    """Zigzag varint from a file object; None at clean EOF."""
+    first = fobj.read(1)
+    if not first:
+        return None
+    b = first[0]
+    n = b & 0x7F
+    shift = 7
+    while b & 0x80:
+        nxt = fobj.read(1)
+        if not nxt:
+            raise AvroDecodeError("truncated varint")
+        b = nxt[0]
+        n |= (b & 0x7F) << shift
+        shift += 7
+    return (n >> 1) ^ -(n & 1)
+
+
+def iter_block_spans(
+    fobj: BinaryIO,
+    header: ContainerHeader,
+    split_start: int,
+    split_end: int,
+) -> Iterator[tuple[int, bytes]]:
+    """Yield (datum_count, decompressed block bytes) for every block whose
+    first byte lies in [split_start, split_end).
+
+    Blocks straddling ``split_end`` belong to this split (they started in
+    it); blocks before the first sync at/after ``split_start`` belong to
+    the previous split. This is the standard sync-marker split protocol,
+    so N tasks can read one huge container file without coordination.
+    """
+    if split_start <= header.header_len:
+        pos: Optional[int] = header.header_len
+    else:
+        pos = scan_to_sync(fobj, split_start - SYNC_SIZE, header.sync)
+        # ``- SYNC_SIZE``: a sync ending exactly at split_start means the
+        # block starting AT split_start is ours.
+    codec = get_codec(header.codec)
+    while pos is not None and pos < split_end:
+        fobj.seek(pos)
+        count = _read_varint_from(fobj)
+        if count is None:
+            return
+        size = _read_varint_from(fobj)
+        if size is None:
+            raise AvroDecodeError("truncated block header")
+        payload = fobj.read(size)
+        if len(payload) != size:
+            raise AvroDecodeError("truncated block payload")
+        marker = fobj.read(SYNC_SIZE)
+        if marker != header.sync:
+            raise AvroDecodeError("sync marker mismatch (corrupt container block)")
+        yield count, codec.decompress(payload)
+        pos = fobj.tell()
+
+
+def iter_file_split(
+    path: str,
+    split_start: int,
+    split_end: int,
+    reader_schema: Optional[AvroSchema] = None,
+    header: Optional[ContainerHeader] = None,
+) -> Iterator[Any]:
+    """Decode every datum in one byte-range split of a container file."""
+    with open(path, "rb") as fobj:
+        if header is None:
+            head = fobj.read(1 << 16)
+            header = read_header(head)
+        decode = (
+            compile_resolver(header.schema, reader_schema)
+            if reader_schema is not None
+            else compile_decoder(header.schema)
+        )
+        for count, block in iter_block_spans(fobj, header, split_start, split_end):
+            br = BinaryReader(block)
+            for _ in range(count):
+                yield decode(br)

@@ -38,7 +38,19 @@ INT_MIN, INT_MAX = -(1 << 31), (1 << 31) - 1
 LONG_MIN, LONG_MAX = -(1 << 63), (1 << 63) - 1
 
 _EPOCH_UTC = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+_EPOCH_NAIVE = dt.datetime(1970, 1, 1)
 _EPOCH_DATE = dt.date(1970, 1, 1)
+
+try:  # numpy scalars flow in from pandas UDF batches; accept them as numbers
+    import numpy as _np
+
+    _INT_TYPES: tuple = (int, _np.integer)
+    _FLOAT_TYPES: tuple = (float, _np.floating)
+    _BOOL_TYPES: tuple = (bool, _np.bool_)
+except ImportError:  # pragma: no cover
+    _INT_TYPES = (int,)
+    _FLOAT_TYPES = (float,)
+    _BOOL_TYPES = (bool,)
 
 _STRUCT_F = struct.Struct("<f")
 _STRUCT_D = struct.Struct("<d")
@@ -222,8 +234,8 @@ def _ts_to_micros(value: Any, what: str) -> int:
             value = value.replace(tzinfo=dt.timezone.utc)
         delta = value - _EPOCH_UTC
         return (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
-    if isinstance(value, int):
-        return value
+    if isinstance(value, _INT_TYPES) and not isinstance(value, _BOOL_TYPES):
+        return int(value)
     raise AvroEncodeError(f"{what}: expected datetime, got {type(value).__name__}")
 
 
@@ -236,14 +248,26 @@ EncodeFn = Callable[[BinaryWriter, Any], None]
 SkipFn = Callable[[BinaryReader], None]
 
 
-def compile_decoder(schema: AvroSchema) -> DecodeFn:
-    return _compile_dec(schema, {})
+def compile_decoder(schema: AvroSchema, mode: str = "python") -> DecodeFn:
+    """Compile a decoder.
+
+    mode="python": logical values as rich Python objects (Decimal, aware
+    datetime, dt.time) and unions as the branch value — the reference's
+    in-memory representation (io.py:29-41).
+
+    mode="spark": values shaped for Arrow/Spark rows per SURVEY §1.2 —
+    naive-UTC datetimes (session TZ is pinned UTC), time-millis/micros as
+    raw ints (Spark has no TIME type), and general (non-nullable) unions
+    as member structs ``{"member0": ..}`` (spark-avro convention).
+    """
+    return _compile_dec(schema, {"__mode__": mode})
 
 
-def _compile_dec(schema: AvroSchema, env: dict[int, DecodeFn]) -> DecodeFn:
+def _compile_dec(schema: AvroSchema, env: dict) -> DecodeFn:
     key = id(schema)
     if key in env:
         return env[key]
+    spark_mode = env.get("__mode__") == "spark"
 
     if isinstance(schema, PrimitiveSchema):
         t, lt = schema.type, schema.logical
@@ -269,13 +293,19 @@ def _compile_dec(schema: AvroSchema, env: dict[int, DecodeFn]) -> DecodeFn:
         if lt == "date":
             return lambda r: _EPOCH_DATE + dt.timedelta(days=r.read_long())
         if lt == "time-millis":
+            if spark_mode:
+                return BinaryReader.read_long
             return lambda r: _millis_to_time(r.read_long())
         if lt == "time-micros":
+            if spark_mode:
+                return BinaryReader.read_long
             return lambda r: _micros_to_time(r.read_long())
         if lt == "timestamp-millis":
-            return lambda r: _EPOCH_UTC + dt.timedelta(milliseconds=r.read_long())
+            epoch = _EPOCH_NAIVE if spark_mode else _EPOCH_UTC
+            return lambda r: epoch + dt.timedelta(milliseconds=r.read_long())
         if lt == "timestamp-micros":
-            return lambda r: _EPOCH_UTC + dt.timedelta(microseconds=r.read_long())
+            epoch = _EPOCH_NAIVE if spark_mode else _EPOCH_UTC
+            return lambda r: epoch + dt.timedelta(microseconds=r.read_long())
         if lt == "uuid":
             return BinaryReader.read_utf8
         raise AvroDecodeError(f"unhandled logical type {lt!r}")
@@ -350,6 +380,31 @@ def _compile_dec(schema: AvroSchema, env: dict[int, DecodeFn]) -> DecodeFn:
         cell = []
         env[key] = lambda r: cell[0](r)
         branch_fns = tuple(_compile_dec(b, env) for b in schema.branches)
+
+        non_null = schema.non_null_branches()
+        if spark_mode and len(non_null) >= 2:
+            # member-struct representation for general unions
+            member_of: dict[int, str] = {}
+            j = 0
+            for i, b in enumerate(schema.branches):
+                if b.type != "null":
+                    member_of[i] = f"member{j}"
+                    j += 1
+            members = tuple(f"member{k}" for k in range(len(non_null)))
+
+            def dec_union_members(r: BinaryReader) -> Any:
+                i = r.read_long()
+                if not 0 <= i < len(branch_fns):
+                    raise AvroDecodeError(f"union branch {i} out of range")
+                v = branch_fns[i](r)
+                name = member_of.get(i)
+                if name is None:
+                    return None  # null branch → null struct
+                return {m: (v if m == name else None) for m in members}
+
+            cell.append(dec_union_members)
+            env[key] = dec_union_members
+            return dec_union_members
 
         def dec_union(r: BinaryReader) -> Any:
             i = r.read_long()
@@ -504,17 +559,18 @@ def _compile_enc(schema: AvroSchema, env: dict[int, EncodeFn]) -> EncodeFn:
             if t == "boolean":
 
                 def enc_bool(w: BinaryWriter, v: Any) -> None:
-                    if not isinstance(v, bool):
+                    if not isinstance(v, _BOOL_TYPES):
                         raise AvroEncodeError(f"boolean schema got {v!r}")
-                    w.write_boolean(v)
+                    w.write_boolean(bool(v))
 
                 return enc_bool
             if t in ("int", "long"):
                 lo, hi = (INT_MIN, INT_MAX) if t == "int" else (LONG_MIN, LONG_MAX)
 
                 def enc_int(w: BinaryWriter, v: Any) -> None:
-                    if isinstance(v, bool) or not isinstance(v, int):
+                    if isinstance(v, _BOOL_TYPES) or not isinstance(v, _INT_TYPES):
                         raise AvroEncodeError(f"{t} schema got {v!r}")
+                    v = int(v)
                     if not lo <= v <= hi:
                         raise AvroEncodeError(f"{v} out of range for {t}")
                     w.write_long(v)
@@ -523,17 +579,17 @@ def _compile_enc(schema: AvroSchema, env: dict[int, EncodeFn]) -> EncodeFn:
             if t == "float":
 
                 def enc_float(w: BinaryWriter, v: Any) -> None:
-                    if not isinstance(v, (int, float)) or isinstance(v, bool):
+                    if not isinstance(v, _INT_TYPES + _FLOAT_TYPES) or isinstance(v, _BOOL_TYPES):
                         raise AvroEncodeError(f"float schema got {v!r}")
-                    w.write_float(v)
+                    w.write_float(float(v))
 
                 return enc_float
             if t == "double":
 
                 def enc_double(w: BinaryWriter, v: Any) -> None:
-                    if not isinstance(v, (int, float)) or isinstance(v, bool):
+                    if not isinstance(v, _INT_TYPES + _FLOAT_TYPES) or isinstance(v, _BOOL_TYPES):
                         raise AvroEncodeError(f"double schema got {v!r}")
-                    w.write_double(v)
+                    w.write_double(float(v))
 
                 return enc_double
             if t == "bytes":
@@ -566,8 +622,8 @@ def _compile_enc(schema: AvroSchema, env: dict[int, EncodeFn]) -> EncodeFn:
                     v = v.date()
                 if isinstance(v, dt.date):
                     w.write_long((v - _EPOCH_DATE).days)
-                elif isinstance(v, int):
-                    w.write_long(v)
+                elif isinstance(v, _INT_TYPES):
+                    w.write_long(int(v))
                 else:
                     raise AvroEncodeError(f"date schema got {v!r}")
 
@@ -577,8 +633,8 @@ def _compile_enc(schema: AvroSchema, env: dict[int, EncodeFn]) -> EncodeFn:
             def enc_time_ms(w: BinaryWriter, v: Any) -> None:
                 if isinstance(v, dt.time):
                     w.write_long(_time_to_micros(v) // 1000)
-                elif isinstance(v, int):
-                    w.write_long(v)
+                elif isinstance(v, _INT_TYPES):
+                    w.write_long(int(v))
                 else:
                     raise AvroEncodeError(f"time-millis schema got {v!r}")
 
@@ -588,8 +644,8 @@ def _compile_enc(schema: AvroSchema, env: dict[int, EncodeFn]) -> EncodeFn:
             def enc_time_us(w: BinaryWriter, v: Any) -> None:
                 if isinstance(v, dt.time):
                     w.write_long(_time_to_micros(v))
-                elif isinstance(v, int):
-                    w.write_long(v)
+                elif isinstance(v, _INT_TYPES):
+                    w.write_long(int(v))
                 else:
                     raise AvroEncodeError(f"time-micros schema got {v!r}")
 
@@ -791,6 +847,39 @@ def default_value(field: Field) -> Any:
     return jsonable_to_datum(schema, field.default)
 
 
+def adapt_spark_value(schema: AvroSchema, value: Any) -> Any:
+    """Convert a python-mode datum to spark-mode shape (see compile_decoder)."""
+    if value is None:
+        return None
+    if isinstance(schema, UnionSchema):
+        non_null = schema.non_null_branches()
+        if len(non_null) >= 2:
+            # defaults bind to the first branch (spec); tag it as member0
+            inner = adapt_spark_value(non_null[0], value)
+            return {f"member{k}": (inner if k == 0 else None) for k in range(len(non_null))}
+        return adapt_spark_value(non_null[0], value) if non_null else None
+    if isinstance(schema, PrimitiveSchema):
+        lt = schema.logical
+        if lt in ("timestamp-millis", "timestamp-micros") and isinstance(value, dt.datetime):
+            if value.tzinfo is not None:
+                value = value.astimezone(dt.timezone.utc).replace(tzinfo=None)
+            return value
+        if lt == "time-millis" and isinstance(value, dt.time):
+            return _time_to_micros(value) // 1000
+        if lt == "time-micros" and isinstance(value, dt.time):
+            return _time_to_micros(value)
+        return value
+    if isinstance(schema, RecordSchema):
+        return {
+            f.name: adapt_spark_value(f.schema, value.get(f.name)) for f in schema.fields
+        }
+    if isinstance(schema, ArraySchema):
+        return [adapt_spark_value(schema.items, v) for v in value]
+    if isinstance(schema, MapSchema):
+        return {k: adapt_spark_value(schema.values, v) for k, v in value.items()}
+    return value
+
+
 # ---------------------------------------------------------------------------
 # Resolving decoder: writer schema -> reader schema (schema evolution)
 # ---------------------------------------------------------------------------
@@ -832,10 +921,12 @@ def schemas_match(writer: AvroSchema, reader: AvroSchema) -> bool:
     return rt in _PROMOTIONS.get(wt, ())
 
 
-def compile_resolver(writer: AvroSchema, reader: AvroSchema) -> DecodeFn:
-    """Decode data written with `writer` into `reader`-shaped values."""
-    fn = _compile_res(writer, reader, {})
-    return fn
+def compile_resolver(writer: AvroSchema, reader: AvroSchema, mode: str = "python") -> DecodeFn:
+    """Decode data written with `writer` into `reader`-shaped values.
+
+    ``mode`` as in :func:`compile_decoder`.
+    """
+    return _compile_res(writer, reader, {"__mode__": mode})
 
 
 def _compile_res(writer: AvroSchema, reader: AvroSchema, env: dict) -> DecodeFn:
@@ -887,15 +978,17 @@ def _compile_res(writer: AvroSchema, reader: AvroSchema, env: dict) -> DecodeFn:
 
     wt, rt = writer.type, reader.type
 
+    mode = env.get("__mode__", "python")
+
     if wt == rt and isinstance(writer, PrimitiveSchema) and isinstance(reader, PrimitiveSchema):
         # decode with the READER's logical annotation (it governs the
         # in-memory representation the reader expects)
-        return _compile_dec(reader, {})
+        return _compile_dec(reader, {"__mode__": mode})
 
     # primitive promotions
     if isinstance(writer, PrimitiveSchema) and isinstance(reader, PrimitiveSchema):
         if rt in _PROMOTIONS.get(wt, ()):
-            base = _compile_dec(PrimitiveSchema(type=wt), {})
+            base = _compile_dec(PrimitiveSchema(type=wt), {"__mode__": mode})
             if rt in ("float", "double") and wt in ("int", "long"):
                 return lambda r: float(base(r))
             if rt == "bytes" and wt == "string":
@@ -916,7 +1009,7 @@ def _compile_res(writer: AvroSchema, reader: AvroSchema, env: dict) -> DecodeFn:
                 f"fixed mismatch: {writer.fullname}({writer.size}) vs "
                 f"{reader.fullname}({reader.size})"
             )
-        return _compile_dec(reader, {})
+        return _compile_dec(reader, {"__mode__": mode})
 
     if isinstance(writer, EnumSchema) and isinstance(reader, EnumSchema):
         if not _names_match(writer, reader):
@@ -1017,7 +1110,10 @@ def _compile_res(writer: AvroSchema, reader: AvroSchema, env: dict) -> DecodeFn:
                         f"reader field {reader.fullname}.{rf.name} has no "
                         "default and is absent from writer schema"
                     )
-                defaults.append((rf.name, default_value(rf)))
+                dv = default_value(rf)
+                if mode == "spark":
+                    dv = adapt_spark_value(rf.schema, dv)
+                defaults.append((rf.name, dv))
         steps_t = tuple(steps)
         defaults_t = tuple(defaults)
 

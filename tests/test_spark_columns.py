@@ -1,0 +1,208 @@
+"""Spark column codec tests: from_avro/to_avro/decode_container over a
+real SparkSession (Arrow-batched pandas UDFs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from redshift_avro_spark.avroio import parse_schema, write_container
+from redshift_avro_spark.sources import (
+    decode_container,
+    decode_container_json,
+    from_avro,
+    from_hex,
+    to_avro,
+)
+
+USER_SCHEMA_JSON = {
+    "type": "record",
+    "name": "User",
+    "namespace": "example.avro",
+    "fields": [
+        {"name": "name", "type": "string"},
+        {"name": "favorite_number", "type": ["int", "null"]},
+        {"name": "favorite_color", "type": ["string", "null"]},
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def user_binary_df(spark):
+    """DataFrame with a binary column of raw Avro datums."""
+    from redshift_avro_spark.avroio import encode_datum
+
+    schema = parse_schema(USER_SCHEMA_JSON)
+    rows = [
+        ("Alyssa", 256, None),
+        ("Ben", 7, "red"),
+        ("Moiraine", 4, "Blue"),
+        ("Nobody", None, None),
+    ]
+    data = [
+        (i, encode_datum(schema, {"name": n, "favorite_number": f, "favorite_color": c}))
+        for i, (n, f, c) in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, "id int, avro binary")
+
+
+class TestFromAvro:
+    def test_decode_struct(self, spark, user_binary_df):
+        out = (
+            user_binary_df.select("id", from_avro("avro", USER_SCHEMA_JSON).alias("u"))
+            .select("id", "u.*")
+            .orderBy("id")
+            .collect()
+        )
+        assert [r.name for r in out] == ["Alyssa", "Ben", "Moiraine", "Nobody"]
+        assert [r.favorite_number for r in out] == [256, 7, 4, None]
+        assert out[1].favorite_color == "red"
+
+    def test_hex_pipeline(self, spark, user_binary_df):
+        """S1+S3: the Redshift shape — hex varchar in, struct out."""
+        hexed = user_binary_df.select("id", F.lower(F.hex("avro")).alias("hexstr"))
+        out = (
+            hexed.select("id", from_avro(from_hex("hexstr"), USER_SCHEMA_JSON).alias("u"))
+            .select("u.name")
+            .orderBy("id")
+            .collect()
+        )
+        assert out[0].name == "Alyssa"
+
+    def test_reader_schema_evolution(self, spark, user_binary_df):
+        reader = {
+            "type": "record",
+            "name": "User",
+            "namespace": "example.avro",
+            "fields": [
+                {"name": "name", "type": "string"},
+                {"name": "tier", "type": "string", "default": "free"},
+            ],
+        }
+        out = (
+            user_binary_df.select(from_avro("avro", USER_SCHEMA_JSON, reader_schema=reader).alias("u"))
+            .select("u.*")
+            .collect()
+        )
+        assert all(r.tier == "free" for r in out)
+        assert {r.name for r in out} == {"Alyssa", "Ben", "Moiraine", "Nobody"}
+
+    def test_permissive_mode(self, spark):
+        df = spark.createDataFrame([(b"\x02",), (None,)], "avro binary")
+        out = df.select(from_avro("avro", USER_SCHEMA_JSON, mode="PERMISSIVE").alias("u")).collect()
+        assert all(r.u is None or r.u.name is None for r in out)
+
+
+class TestToAvro:
+    def test_roundtrip_via_spark(self, spark, user_binary_df):
+        decoded = user_binary_df.select(
+            "id", from_avro("avro", USER_SCHEMA_JSON).alias("u")
+        )
+        reencoded = decoded.select("id", to_avro("u", USER_SCHEMA_JSON).alias("avro2"))
+        joined = (
+            user_binary_df.alias("a")
+            .join(reencoded.alias("b"), "id")
+            .select("a.avro", "b.avro2")
+            .collect()
+        )
+        for r in joined:
+            assert bytes(r.avro) == bytes(r.avro2)
+
+    def test_derived_schema(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x", 2.5), (2, "y", None)], "a long, b string, c double"
+        ).select(F.struct("a", "b", "c").alias("s"))
+        enc = df.select(to_avro("s", df=df).alias("bin"))
+        rows = enc.collect()
+        assert all(isinstance(bytes(r.bin), bytes) and len(r.bin) > 0 for r in rows)
+
+    def test_typed_roundtrip(self, spark):
+        """date / timestamp / decimal / array / map survive the trip."""
+        schema = T.StructType(
+            [
+                T.StructField("d", T.DateType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("dec", T.DecimalType(10, 2)),
+                T.StructField("arr", T.ArrayType(T.LongType())),
+                T.StructField("m", T.MapType(T.StringType(), T.DoubleType())),
+            ]
+        )
+        rows = [
+            (
+                dt.date(2024, 2, 29),
+                dt.datetime(2024, 6, 1, 12, 30, 0, 250000),
+                Decimal("12345.67"),
+                [1, 2, 3],
+                {"a": 1.5},
+            )
+        ]
+        df = spark.createDataFrame(rows, schema).select(F.struct(*schema.names).alias("s"))
+        avro_schema = {
+            "type": "record",
+            "name": "Typed",
+            "fields": [
+                {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+                {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+                {"name": "dec", "type": {"type": "bytes", "logicalType": "decimal", "precision": 10, "scale": 2}},
+                {"name": "arr", "type": {"type": "array", "items": "long"}},
+                {"name": "m", "type": {"type": "map", "values": "double"}},
+            ],
+        }
+        enc = df.select(to_avro("s", avro_schema).alias("bin"))
+        dec = enc.select(from_avro("bin", avro_schema).alias("s")).select("s.*").collect()[0]
+        assert dec.d == dt.date(2024, 2, 29)
+        assert dec.ts == dt.datetime(2024, 6, 1, 12, 30, 0, 250000)
+        assert dec.dec == Decimal("12345.67")
+        assert dec.arr == [1, 2, 3]
+        assert dec.m == {"a": 1.5}
+
+
+class TestContainerColumn:
+    @pytest.fixture(scope="class")
+    def container_df(self, spark):
+        schema = parse_schema(USER_SCHEMA_JSON)
+        cells = []
+        for i in range(3):
+            rows = [
+                {"name": f"u{i}_{j}", "favorite_number": j, "favorite_color": None}
+                for j in range(4)
+            ]
+            cells.append((i, write_container(rows, schema, sync_marker=bytes([i]) * 16)))
+        return spark.createDataFrame(cells, "id int, cell binary")
+
+    def test_decode_container_explode(self, spark, container_df):
+        exploded = (
+            container_df.select("id", F.explode(decode_container("cell", USER_SCHEMA_JSON)).alias("r"))
+            .select("id", "r.*")
+        )
+        assert exploded.count() == 12
+        got = exploded.where(F.col("id") == 1).select("name").orderBy("name").collect()
+        assert [r.name for r in got] == ["u1_0", "u1_1", "u1_2", "u1_3"]
+
+    def test_decode_container_infer(self, spark, container_df):
+        out = container_df.select(
+            F.explode(decode_container("cell", df=container_df)).alias("r")
+        )
+        assert out.count() == 12
+
+    def test_decode_container_json_contract(self, spark, container_df):
+        out = container_df.select("id", decode_container_json("cell").alias("js")).orderBy("id").collect()
+        parsed = json.loads(out[0].js)
+        assert parsed[0] == {"name": "u0_0", "favorite_number": 0, "favorite_color": None}
+
+    def test_reference_golden_cell(self, spark):
+        from tests.test_avroio_codec import GOLDEN_CONTAINER_HEX
+
+        df = spark.createDataFrame([(GOLDEN_CONTAINER_HEX,)], "hexcell string")
+        out = df.select(
+            F.explode(decode_container(from_hex("hexcell"), USER_SCHEMA_JSON)).alias("r")
+        ).select("r.*").collect()
+        assert [(r.name, r.favorite_number, r.favorite_color) for r in out] == [
+            ("Alyssa", 256, None),
+            ("Ben", 7, "red"),
+        ]

@@ -1,38 +1,47 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship Avro-roundtrip query (the
+reference's core dataflow — hex VARBINARY → Avro decode → SQL agg,
+SURVEY §3.1/§3.2) on sf0.001. ``queries()`` / ``oracle_sql()`` expose
+every registered query from ``redshift_avro_spark.queries`` (SURVEY §2
+coverage: the Avro pipeline surface q20-q23, the delegated relational
+surface q01-q17, dedup q30-q34, similarity q35-q36, text q37-q39,
+multimodal q40-q41).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+# Executors spawn fresh Python workers that must import the package too.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in [_REPO_ROOT, os.environ.get("PYTHONPATH", "")] if p
+)
+
+from redshift_avro_spark.queries import load_all  # noqa: E402
+
+_REGISTRY = load_all()
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _REGISTRY["q20_avro_roundtrip"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: spec.fn for name, spec in sorted(_REGISTRY.items())}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per query (omitted entries get
+    the driver's weaker rows-only check)."""
+    return {name: spec.oracle for name, spec in sorted(_REGISTRY.items()) if spec.oracle}

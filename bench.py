@@ -1,0 +1,77 @@
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced with a cheap count() (no driver-side collect of
+full results); a warmup run of one small query absorbs JVM/codegen
+startup so per-query numbers reflect steady-state plans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_ROOT)
+
+from redshift_avro_spark.queries import load_all  # noqa: E402
+from redshift_avro_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q08_agg_distinct",
+    "q11_window_topk",
+    "q16_json_super",
+    "q17_event_windows",
+    "q20_avro_roundtrip",
+    "q21_container_cells",
+    "q23_schema_evolution",
+    "q31_minhash_lsh_candidates",
+    "q32_simhash",
+    "q35_cosine_topk",
+    "q37_text_quality",
+    "q39_doc_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    registry = load_all()
+    spark = get_spark(app_name="redshift-avro-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + codegen + parquet footer reads, plus one pandas-UDF
+    # query at the smallest SF so the Python worker pool is spawned
+    # before anything is timed
+    registry["q02_parts_filter"].fn(spark, sf_dir).count()
+    registry["q20_avro_roundtrip"].fn(spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers (SURVEY §7.2 step 8 / BASELINE north star):
+
+- **Brute-force cosine top-k** — the exactness baseline. Query set ×
+  corpus join; the dot product is a JVM higher-order expression
+  (zip_with + aggregate), accumulated in DOUBLE left-to-right so the
+  DuckDB oracle (same formula, same order) matches bit-for-bit.
+- **LSH-bucketed ANN** — the 100 TB path: sign-of-projection bucket
+  keys from deterministic pseudo-random hyperplanes (md5-seeded, so
+  both engines can derive identical planes); candidates only within
+  the query's bucket, then exact re-rank. Cuts the join from
+  |Q|×|corpus| to |Q|×bucket.
+
+Skew/scale notes: the corpus side partitions uniformly; the (small)
+query side is broadcast, so brute force is a map-side join + per-
+partition top-k (no shuffle of the corpus), and ANN shuffles only on
+bucket keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "cosine_expr",
+    "topk_neighbors",
+    "embedding_near_dup_pairs",
+    "lsh_bucket_topk",
+]
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    """Cosine similarity of two array<float|double> columns.
+
+    Left-to-right double accumulation (deterministic, oracle-matched)."""
+    dot = f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    na = f"aggregate({a}, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    nb = f"aggregate({b}, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    return F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))")
+
+
+def oracle_cosine_sql(a: str, b: str) -> str:
+    """The same formula in DuckDB SQL (same accumulation order)."""
+    def dot(x, y):
+        return (
+            f"list_aggregate(list_transform(list_zip({x}, {y}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+        )
+
+    return f"({dot(a, b)}) / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
+
+
+def topk_neighbors(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Queries are broadcast; ranking ties break on neighbor id so results
+    are deterministic."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine_expr("qvec", "cvec").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding-space near-dup).
+
+    Quadratic candidate space — at scale, run on LSH buckets
+    (:func:`lsh_bucket_topk` keys) instead of the full cross join."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_expr("va", "vb").alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _hyperplane_expr(vec_col: str, plane: int, dim: int) -> str:
+    """Deterministic pseudo-random hyperplane sign: component d of plane
+    p is +1/−1 from one md5 bit. Same construction is expressible in the
+    DuckDB oracle, so buckets match exactly across engines."""
+    comp = (
+        f"transform(sequence(0, {dim - 1}), "
+        f"d -> CASE WHEN (CAST(conv(substring(md5(concat('p{plane}|', d)), 1, 15), 16, 10) AS BIGINT) & 1) = 1 "
+        f"THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)"
+    )
+    return (
+        f"aggregate(zip_with({vec_col}, {comp}, (x, s) -> CAST(x AS DOUBLE) * s), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def lsh_bucket_key(vec_col: str, n_planes: int, dim: int) -> Column:
+    """Random-hyperplane LSH bucket key: n sign bits → int key."""
+    bits = [
+        f"(CASE WHEN ({_hyperplane_expr(vec_col, p, dim)}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    ]
+    return F.expr(" + ".join(bits))
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact cosine re-rank. The scale path — the join key is
+    the bucket, not the cross product."""
+    key = lsh_bucket_key(vec_col, n_planes, dim)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), key.alias("bucket"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), key.alias("bucket"))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine_expr("qvec", "cvec").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )

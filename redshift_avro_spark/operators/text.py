@@ -1,0 +1,108 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Catalyst expressions (split/filter/aggregate/regexp), each
+with an exactly-matching SQL formulation for the oracle:
+
+- token counting: whitespace tokens + a BPE-ish subword estimate
+- quality scoring: length / punctuation / stopword / repetition ratios
+- language ID: stopword-hit heuristic over a small per-language lexicon
+  (charset check first for CJK)
+- document fingerprint: rolling polynomial hash over normalized words
+  (mod 2^31−1 to stay overflow-free in BOTH engines)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["token_count", "quality_features", "language_id", "doc_fingerprint", "STOPWORDS"]
+
+# tiny per-language stopword lexicons (public common words)
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "es", "los"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+}
+
+_WORDS = "split(trim(lower({c})), '\\\\s+')"
+
+
+def token_count(text_col: str) -> Column:
+    """Whitespace token count + a BPE-ish estimate: a common subword
+    tokenizer averages ~4 chars/token on English-like text, so the
+    estimate is ceil(length/4) floored at the word count."""
+    words = _WORDS.format(c=text_col)
+    return F.expr(
+        f"named_struct("
+        f"'n_words', size({words}), "
+        f"'n_tokens_est', greatest(size({words}), CAST(ceil(length({text_col}) / 4.0) AS INT)))"
+    )
+
+
+def quality_features(text_col: str) -> Column:
+    """Quality features: n_chars, n_words, mean word length, stopword
+    ratio (en lexicon), punctuation ratio, distinct-word ratio, and a
+    composite quality score in [0,1]."""
+    words = _WORDS.format(c=text_col)
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    n_words = f"size({words})"
+    stop_ratio = f"(size(filter({words}, w -> w IN ({sw}))) / CAST({n_words} AS DOUBLE))"
+    punct_ratio = (
+        f"(length(regexp_replace({text_col}, '[^!-/:-@\\\\[-`]', '')) / CAST(length({text_col}) AS DOUBLE))"
+    )
+    distinct_ratio = f"(size(array_distinct({words})) / CAST({n_words} AS DOUBLE))"
+    mean_wlen = f"(aggregate({words}, CAST(0 AS DOUBLE), (acc, w) -> acc + length(w)) / CAST({n_words} AS DOUBLE))"
+    score = (
+        f"round(least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE), "
+        f"0.25 * least(CAST(1 AS DOUBLE), {n_words} / CAST(50 AS DOUBLE)) + "
+        f"0.25 * (1 - {punct_ratio}) + "
+        f"0.25 * {distinct_ratio} + "
+        f"0.25 * least(CAST(1 AS DOUBLE), {mean_wlen} / CAST(8 AS DOUBLE)))), 6)"
+    )
+    return F.expr(
+        f"named_struct("
+        f"'n_chars', length({text_col}), "
+        f"'n_words', {n_words}, "
+        f"'mean_word_len', round({mean_wlen}, 6), "
+        f"'stopword_ratio', round({stop_ratio}, 6), "
+        f"'punct_ratio', round({punct_ratio}, 6), "
+        f"'distinct_ratio', round({distinct_ratio}, 6), "
+        f"'quality_score', {score})"
+    )
+
+
+def language_id(text_col: str) -> Column:
+    """Heuristic language ID: CJK charset check first, else the language
+    whose stopword lexicon hits the most tokens ('und' when nothing
+    hits). Deterministic ties: priority order en > es > de > fr."""
+    words = _WORDS.format(c=text_col)
+    hits = {
+        lang: f"size(filter({words}, w -> w IN ({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in STOPWORDS.items()
+    }
+    best = (
+        f"CASE WHEN {hits['en']} >= {hits['es']} AND {hits['en']} >= {hits['de']} AND {hits['en']} >= {hits['fr']} AND {hits['en']} > 0 THEN 'en' "
+        f"WHEN {hits['es']} >= {hits['de']} AND {hits['es']} >= {hits['fr']} AND {hits['es']} > 0 THEN 'es' "
+        f"WHEN {hits['de']} >= {hits['fr']} AND {hits['de']} > 0 THEN 'de' "
+        f"WHEN {hits['fr']} > 0 THEN 'fr' "
+        f"ELSE 'und' END"
+    )
+    return F.expr(
+        f"CASE WHEN {text_col} RLIKE '[\\\\x{{4E00}}-\\\\x{{9FFF}}]' THEN 'zh' ELSE ({best}) END"
+    )
+
+
+def doc_fingerprint(text_col: str) -> Column:
+    """Rolling polynomial hash over normalized words, mod 2^31−1.
+
+    acc stays < 2^31, token term < 2^16, multiplier 131 → intermediate
+    < 2^39: safe in 64-bit signed arithmetic in Spark AND DuckDB (DuckDB
+    raises on BIGINT overflow, so the modulus is load-bearing)."""
+    words = _WORDS.format(c=text_col)
+    tok = "(CAST(conv(substring(md5(w), 1, 4), 16, 10) AS BIGINT))"
+    return F.expr(
+        f"aggregate({words}, CAST(0 AS BIGINT), "
+        f"(acc, w) -> (acc * 131 + {tok}) % 2147483647)"
+    )

@@ -1,0 +1,93 @@
+"""Declared query registry — the engine's demonstration surface.
+
+Every entry pairs a Spark DataFrame program with an ANSI-SQL oracle
+(DuckDB) over the same parquet tables; the driver hash-compares them at
+sf0.01 (BASELINE.md). The reference delegates ALL relational processing
+to Redshift SQL on the decoded SUPER data (README.md:13-17 — SURVEY
+§2.6), so this registry is where the rebuilt engine demonstrates that
+downstream surface, plus the Avro decode pipeline itself and the
+large-scale data-pipeline operators (dedup / similarity / text).
+
+Hash-stability rules used throughout (oracle compares by value):
+
+- Sums over doubles go through ``CAST(x AS DECIMAL(18,2))`` (or wider)
+  BEFORE summing: decimal addition is exact and associative, so Spark's
+  partial aggregation order can't flip low bits; final result casts
+  back to DOUBLE identically in both engines.
+- Averages are computed as exact-decimal-sum / count (one deterministic
+  double division) rather than AVG(double).
+- Window orderings and top-k always extend the sort key to a unique
+  column (ties would otherwise be engine-dependent).
+- Every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+ALL_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None → non-SQL-expressible; driver does rows-only
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str] = None) -> Callable:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table.
+
+    ``events.parquet`` carries INT64 TIMESTAMP(NANOS) which the Spark
+    parquet reader rejects ([PARQUET_TYPE_ILLEGAL]); read nanos as long
+    and truncate to micros (verified exact: no sub-microsecond
+    components in the testdata) so ``ts`` is a normal TimestampType."""
+    df = None
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query module and return the populated registry."""
+    from . import avro_pipeline  # noqa: F401
+    from . import relational  # noqa: F401
+    from . import dedup  # noqa: F401
+    from . import similarity  # noqa: F401
+    from . import text  # noqa: F401
+    from . import multimodal  # noqa: F401
+
+    return REGISTRY

@@ -1,0 +1,242 @@
+"""Avro-pipeline queries: the engine's distinguishing surface.
+
+These run the reference's actual dataflow (SURVEY §3) INSIDE Spark over
+the `events` table, then aggregate — so the DuckDB oracle is simply the
+same aggregate on the original rows (the decode pipeline must be an
+exact identity for the hash to match):
+
+  q20: struct → to_avro → hex (Redshift VARBINARY shape, S1) → unhex →
+       from_avro → filter/groupBy  (raw-datum path, §3.2)
+  q21: rows → per-group Object Container Files (K3) in a binary column
+       → decode_container → explode → agg  (container path, §3.1)
+  q22: two streams with DIFFERENT schemas, decoded per-stream with a
+       registry-supplied schema and unioned  (registry path, S4)
+  q23: writer/reader schema EVOLUTION in-flight: reader drops a field,
+       promotes int→long, fills a defaulted field  (C5/C7)
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load_table, register
+from ..sources.columns import decode_container, from_avro, from_hex, to_avro, to_hex
+
+EVENT_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "Event",
+    "namespace": "engine.events",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        {"name": "user_id", "type": "long"},
+        {"name": "event_type", "type": "string"},
+        {"name": "value", "type": "double"},
+        {"name": "props", "type": ["null", "string"], "default": None},
+    ],
+}
+
+_EVENT_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@register(
+    "q20_avro_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events
+    WHERE value > 1.0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q20_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S3+K4 in one plan: encode each event as an Avro datum, hex it
+    (the exact shape Redshift streaming ingestion presents, README.md:12),
+    decode back, and aggregate. The oracle sees the original table — any
+    codec drift breaks the hash.
+
+    The repartition spreads the Arrow-batched codec work across every
+    core when the input arrives as a single small file split; with real
+    multi-split input AQE would make it a no-op-cost shuffle."""
+    e = load_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    hexed = e.select(to_hex(to_avro(F.struct(*_EVENT_COLS), EVENT_AVRO_SCHEMA)).alias("hexcell"))
+    decoded = hexed.select(from_avro(from_hex("hexcell"), EVENT_AVRO_SCHEMA).alias("ev")).select("ev.*")
+    return (
+        decoded.where(F.col("value") > 1.0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q21_container_cells",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q21_container_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 flagship shape: pack events into Object Container Files (one
+    per user bucket, built DISTRIBUTED via applyInPandas — K3), land them
+    as binary cells, then decode_container + explode (S2/U4) and
+    aggregate. Identity oracle proves container write→read is lossless."""
+    from ..avroio.container import write_container
+
+    e = load_table(spark, sf_dir, "events")
+    schema_json = json.dumps(EVENT_AVRO_SCHEMA)
+
+    def make_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = pdf[list(_EVENT_COLS)].to_dict("records")
+        blob = write_container(rows, schema_json)
+        return pd.DataFrame({"cell": [blob]})
+
+    cells = (
+        e.withColumn("bucket", (F.col("user_id") % 32).cast("int"))
+        .groupBy("bucket")
+        .applyInPandas(make_cell, schema="cell binary")
+    )
+    decoded = cells.select(
+        F.explode(decode_container("cell", EVENT_AVRO_SCHEMA)).alias("ev")
+    ).select("ev.*")
+    return (
+        decoded.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# two per-stream schemas for the registry scenario: stream B carries a
+# reduced record (no props / value as int cents)
+_STREAM_A_SCHEMA = EVENT_AVRO_SCHEMA
+_STREAM_B_SCHEMA = {
+    "type": "record",
+    "name": "EventLite",
+    "namespace": "engine.events",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "user_id", "type": "long"},
+        {"name": "event_type", "type": "string"},
+    ],
+}
+
+
+@register(
+    "q22_registry_streams",
+    oracle="""
+    SELECT stream, event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM (
+      SELECT 'stream-a' AS stream, event_type, user_id FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT 'stream-b' AS stream, event_type, user_id FROM events WHERE event_id % 2 = 1
+    )
+    GROUP BY stream, event_type
+    ORDER BY stream, event_type
+    """,
+)
+def q22_registry_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 at scale: two streams land interleaved, each encoded with its
+    own registry schema (keyed by stream name). Decode resolves each
+    stream with its schema — the Spark analogue of the Glue per-stream
+    UDF (glue-schema-per-stream-udf/lambda_function.py:45-56), with the
+    registry consulted on the driver and schemas shipped in closures."""
+    from ..sources.registry import InMemorySchemaRegistry
+
+    registry = InMemorySchemaRegistry(
+        {"stream-a": _STREAM_A_SCHEMA, "stream-b": _STREAM_B_SCHEMA}
+    )
+    e = load_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    a = e.where(F.col("event_id") % 2 == 0).select(
+        F.lit("stream-a").alias("stream"),
+        to_avro(F.struct(*_EVENT_COLS), registry.get_schema("stream-a")).alias("payload"),
+    )
+    b = e.where(F.col("event_id") % 2 == 1).select(
+        F.lit("stream-b").alias("stream"),
+        to_avro(
+            F.struct("event_id", "user_id", "event_type"), registry.get_schema("stream-b")
+        ).alias("payload"),
+    )
+    decoded_a = a.select(
+        "stream", from_avro("payload", registry.get_schema("stream-a")).alias("ev")
+    ).select("stream", "ev.event_type", "ev.user_id")
+    decoded_b = b.select(
+        "stream", from_avro("payload", registry.get_schema("stream-b")).alias("ev")
+    ).select("stream", "ev.event_type", "ev.user_id")
+    return (
+        decoded_a.unionAll(decoded_b)
+        .groupBy("stream", "event_type")
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy("stream", "event_type")
+    )
+
+
+_EVOLVED_READER = {
+    "type": "record",
+    "name": "Event",
+    "namespace": "engine.events",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "event_type", "type": "string"},
+        {"name": "value", "type": "double"},
+        {"name": "source", "type": "string", "default": "kinesis"},
+    ],
+}
+
+
+@register(
+    "q23_schema_evolution",
+    oracle="""
+    SELECT event_type, 'kinesis' AS source,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q23_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5/C7 in-flight: data written with the full writer schema is read
+    with an EVOLVED reader — extra writer fields skipped (ts, user_id,
+    props), defaulted reader field filled (source) — then aggregated."""
+    e = load_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    payload = e.select(to_avro(F.struct(*_EVENT_COLS), EVENT_AVRO_SCHEMA).alias("payload"))
+    decoded = payload.select(
+        from_avro("payload", EVENT_AVRO_SCHEMA, reader_schema=_EVOLVED_READER).alias("ev")
+    ).select("ev.*")
+    return (
+        decoded.groupBy("event_type", "source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select("event_type", "source", "n", "total_value")
+        .orderBy("event_type")
+    )

@@ -1,0 +1,195 @@
+"""Deduplication queries over the ``documents`` table.
+
+Each query pairs an operator from :mod:`..operators.dedup` with a DuckDB
+oracle that replicates the exact same hash/shingle/band construction —
+both engines derive every hash from ``md5`` over identical strings, so
+results match value-for-value:
+
+  q30: exact dedup on a normalized content key (hash-groupBy)
+  q31: MinHash+LSH near-dup candidate discovery (shingle → minhash →
+       band → bucket self-join)
+  q32: SimHash 32-bit fingerprints (explode → bit votes → pack)
+  q33: LSH discovery + exact n-gram-Jaccard verify (the production
+       two-stage shape: quadratic work only on candidates)
+  q34: embedding-cosine near-dup pairs
+
+Spark↔DuckDB dialect mapping used by the oracles (1-based lists in
+DuckDB, 0-based arrays in Spark; ``conv(hex,16,10)`` ↔
+``CAST('0x'||hex AS BIGINT)``; ``aggregate`` ↔ ``list_reduce`` with a
+prepended init element; ``SUM(int)`` is HUGEINT in DuckDB so packed
+fingerprints cast back to BIGINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load_table, register
+from ..operators.dedup import (
+    exact_dup_groups,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+
+# normalized content key: sorted distinct lowercased words — catches
+# reordered/repeated-word duplicates that byte-exact hashing misses
+_NORM_SPARK = "array_join(array_sort(array_distinct(split(trim(lower(text)), '\\\\s+'))), ' ')"
+_NORM_DUCK = (
+    "array_to_string(list_sort(list_distinct("
+    "regexp_split_to_array(trim(lower(text)), '\\s+'))), ' ')"
+)
+
+_WORDS_DUCK = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+# DuckDB CTE replicating minhash_candidate_pairs(n_hashes=12, shingle_k=3,
+# rows_per_band=3) — shared by q31 (discovery) and q33 (verify stage)
+_MINHASH_CTE = f"""
+    sigs AS (
+      SELECT doc_id AS id,
+             list_transform(['0','1','2','3','4','5','6','7','8','9','10','11'],
+               seed -> list_aggregate(
+                 list_transform(shingles, s -> md5(concat(seed, '|', s))), 'min')) AS sig
+      FROM (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(words) - 2),
+                 i -> array_to_string(list_slice(words, i, i + 2), ' ')) AS shingles
+        FROM (SELECT doc_id, {_WORDS_DUCK} AS words FROM documents)
+        WHERE len(words) >= 3
+      )
+    ),
+    banded AS (
+      SELECT id,
+             unnest(list_transform(generate_series(0, 3),
+               b -> concat(b, ':', sig[b*3 + 1], sig[b*3 + 2], sig[b*3 + 3]))) AS band_key
+      FROM sigs
+    ),
+    candidates AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.id < b.id
+    )
+"""
+
+
+@register(
+    "q30_exact_dedup",
+    oracle=f"""
+    SELECT md5({_NORM_DUCK}) AS content_h,
+           COUNT(*) AS n_dups,
+           MIN(doc_id) AS keeper_id
+    FROM documents
+    GROUP BY content_h
+    HAVING COUNT(*) > 1
+    ORDER BY content_h
+    """,
+)
+def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on a normalized content key. One
+    shuffle on a uniform 128-bit hash — no skew at any scale; survivor
+    policy is deterministic (min id)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("norm_text", F.expr(_NORM_SPARK))
+    return exact_dup_groups(docs, "doc_id", "norm_text").orderBy("content_h")
+
+
+@register(
+    "q31_minhash_lsh_candidates",
+    oracle=f"""
+    WITH {_MINHASH_CTE}
+    SELECT id_a, id_b FROM candidates ORDER BY id_a, id_b
+    """,
+)
+def q31_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: 12 minhashes over 3-word shingles,
+    4 bands × 3 rows. The only shuffle is the band-key self-join, and
+    band keys are md5-derived (uniform, no skew)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(
+        docs, "doc_id", "text", n_hashes=12, shingle_k=3, rows_per_band=3
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q32_simhash",
+    oracle=f"""
+    WITH tokens AS (
+      SELECT doc_id, unnest(list_distinct({_WORDS_DUCK})) AS w FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, bits.b AS b,
+             SUM(2 * ((CAST(concat('0x', substring(md5(w), 1, 15)) AS BIGINT) >> bits.b) & 1) - 1) AS vote
+      FROM tokens CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bits
+      GROUP BY doc_id, bits.b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q32_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document — explode + two grouped aggregations,
+    no per-row Python, no quadratic stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs, "doc_id", "text", bits=32).orderBy("doc_id")
+
+
+@register(
+    "q33_lsh_jaccard_verify",
+    oracle=f"""
+    WITH {_MINHASH_CTE},
+    grams AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(generate_series(1, length(text) - 2),
+               i -> substring(text, i, 3))) AS g
+      FROM documents WHERE length(text) >= 3
+    )
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(a.g, b.g)) / CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS jaccard
+    FROM candidates c
+    JOIN grams a ON a.id = c.id_a
+    JOIN grams b ON b.id = c.id_b
+    WHERE len(list_intersect(a.g, b.g)) / CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def q33_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup shape: LSH discovers candidates (linear
+    shuffle), exact character-3-gram Jaccard verifies ONLY those pairs —
+    quadratic work never touches the full corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_candidate_pairs(docs, "doc_id", "text", 12, 3, 3)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, candidates=cands
+    ).orderBy("id_a", "id_b")
+
+
+_COS_DUCK = (
+    "(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'))"
+    " / (sqrt(list_aggregate(list_transform(a.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    " * sqrt(list_aggregate(list_transform(b.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
+)
+
+
+@register(
+    "q34_embedding_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_COS_DUCK}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_DUCK} >= 0.45
+    ORDER BY id_a, id_b
+    """,
+)
+def q34_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.45). Quadratic
+    candidate space — at 100 TB this runs per LSH bucket (q36's keys),
+    shown here in full for the exactness oracle."""
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45).orderBy(
+        "id_a", "id_b"
+    )

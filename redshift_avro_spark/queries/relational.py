@@ -1,0 +1,531 @@
+"""Relational query suite over the TPC-H-ish star schema.
+
+Covers SURVEY §2.6's delegated-operator table line by line: projection/
+filter, equi/broadcast/semi/anti joins, hash aggregation with distinct,
+rollup/cube grouping sets, window rank + frame, sort/limit/top-k, set
+ops, and scalar string/date/math functions — each expressed Spark-first
+(Catalyst handles pushdown/pruning/join strategy; small dims are
+broadcast explicitly) with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load_table, register
+
+DEC = "decimal(18,2)"
+DEC_WIDE = "decimal(24,6)"
+
+
+def _dsum(col, cast=DEC):
+    """Order-independent sum of a double column (see package doc)."""
+    return F.sum(F.col(col).cast(cast)).cast("double")
+
+
+def _dsum_expr(expr, cast=DEC_WIDE):
+    return F.sum(expr.cast(cast)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary: wide hash aggregation (partial+final)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter + 7-agg hash aggregation. Catalyst
+    pushes the shipdate predicate into the parquet scan and computes
+    map-side partial aggregates before the 2-key shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum_expr(disc).alias("sum_disc_price"),
+            _dsum_expr(charge).alias("sum_charge"),
+            (_dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (_dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scan / filter / project (pushdown showcase)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q02_parts_filter",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+    FROM part
+    WHERE p_size >= 30 AND p_type LIKE '%BRASS%' AND p_retailprice < 1500.0
+    ORDER BY p_partkey
+    """,
+)
+def q02_parts_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan-filter-project; predicates and column pruning reach the
+    parquet reader (verify: PushedFilters in .explain)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.where((F.col("p_size") >= 30) & F.col("p_type").contains("BRASS") & (F.col("p_retailprice") < 1500.0))
+        .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3-style: 3-way join + agg + top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+           o.o_orderdate AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join + agg + global top-k. The customer filter shrinks the
+    build side; AQE picks broadcast vs shuffle join at runtime. Top-k is
+    ORDER BY + LIMIT (Spark runs TakeOrderedAndProject — no full sort)."""
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate"))
+        .agg(_dsum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("orderkey", "revenue", "orderdate")
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5-style: star join through region/nation with broadcast dims
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q05_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: region/nation/supplier are broadcast (no shuffle for
+    the dim sides); fact-to-fact joins shuffle on their keys."""
+    r = F.broadcast(load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(s, (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(_dsum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q06_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+    )
+    ORDER BY c_custkey
+    """,
+)
+def q06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): no row multiplication, build side only
+    carries the join key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000.0)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q07_anti_join",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def q07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers who never ordered."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation with DISTINCT + approx
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q08_agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q08_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash agg with a distinct aggregate (expand + two-phase shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            _dsum("o_totalprice").alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets: rollup & cube
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q09_rollup",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY region NULLS FIRST, nation NULLS FIRST
+    """,
+)
+def q09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over a dim join (broadcast both dims)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"), "c_acctbal")
+        .rollup("region", "nation")
+        .agg(F.count("*").alias("n_customers"), _dsum("c_acctbal").alias("balance"))
+        .orderBy(F.asc_nulls_first("region"), F.asc_nulls_first("nation"))
+    )
+
+
+@register(
+    "q10_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (2^2 combinations in one pass)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions: rank (top-k per group) and running frame
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q11_window_topk",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+)
+def q11_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: the canonical window + filter top-k
+    (single shuffle on the partition key; tie-broken by orderkey)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "q12_window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q12_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-sum frame per customer (decimal-exact accumulation)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_set_ops",
+    oracle="""
+    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+     INTERSECT
+     SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 250000.0)
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    ORDER BY c_custkey
+    """,
+)
+def q13_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT composition (hash-dedup set semantics)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = o.where(F.col("o_totalprice") > 250000.0).select(F.col("o_custkey").alias("c_custkey"))
+    negative = c.where(F.col("c_acctbal") < 0).select("c_custkey")
+    return building.intersect(big).exceptAll(negative.distinct()).orderBy("c_custkey")
+
+
+@register(
+    "q14_union_all_counts",
+    oracle="""
+    SELECT src, COUNT(*) AS n FROM (
+      SELECT 'customer' AS src, c_nationkey AS k FROM customer
+      UNION ALL
+      SELECT 'supplier' AS src, s_nationkey AS k FROM supplier
+    ) GROUP BY src ORDER BY src
+    """,
+)
+def q14_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of heterogeneous sources, normalized then aggregated."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("src"), F.col("c_nationkey").alias("k")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("src"), F.col("s_nationkey").alias("k")
+    )
+    return c.unionAll(s).groupBy("src").agg(F.count("*").alias("n")).orderBy("src")
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: string / date / math
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q15_scalar_functions",
+    oracle="""
+    SELECT
+      o_orderkey,
+      UPPER(o_orderpriority)                   AS prio_upper,
+      SUBSTRING(o_orderstatus, 1, 1)           AS status_c,
+      CAST(LENGTH(o_orderpriority) AS INTEGER) AS prio_len,
+      CONCAT(o_orderstatus, '-', o_orderpriority) AS tag,
+      CAST(YEAR(o_orderdate) AS INTEGER)       AS yr,
+      CAST(MONTH(o_orderdate) AS INTEGER)      AS mo,
+      DATE_TRUNC('month', o_orderdate)         AS month_start,
+      ROUND(o_totalprice, 1)                   AS price_r1,
+      ABS(o_totalprice - 100000.0)             AS dist_100k,
+      o_orderkey % 7                           AS key_mod7
+    FROM orders
+    WHERE o_orderkey <= 2000
+    ORDER BY o_orderkey
+    """,
+)
+def q15_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar expression coverage: string, date and math functions,
+    all JVM-side (whole-stage codegen, no Python)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderstatus", 1, 1).alias("status_c"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("tag"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.round("o_totalprice", 1).alias("price_r1"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("dist_100k"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# JSON / SUPER path (the reference's downstream json_parse surface, K5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q16_json_super",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_keys,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q16_json_super(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: filter + aggregate over JSON props — the
+    Spark equivalent of Redshift's json_parse→SUPER queries the
+    reference delegates to (README.md:16-17, K5)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.where(k >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct(k).alias("n_keys"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch windowed aggregation over the event stream table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q17_event_windows",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS hour_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q17_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows in batch mode (the same groupBy(window())
+    plan Structured Streaming runs incrementally; SURVEY §2.6 streaming
+    row — batch equivalent for the oracle check)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "total")
+        .orderBy("hour_start", "event_type")
+    )

@@ -1,0 +1,109 @@
+"""Similarity-search queries over the ``embeddings`` table.
+
+q35 is the exactness baseline (brute-force cosine top-k: broadcast the
+query set, per-partition scoring, window top-k); q36 is the scale path
+(random-hyperplane LSH buckets prune candidates before the exact
+re-rank). Both engines compute the dot product with identical
+left-to-right double accumulation, and the LSH hyperplanes are derived
+from md5 bits, so DuckDB can build byte-identical planes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load_table, register
+from ..operators.similarity import lsh_bucket_topk, topk_neighbors
+
+_COS = (
+    "(list_aggregate(list_transform(list_zip(qvec, cvec),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'))"
+    " / (sqrt(list_aggregate(list_transform(qvec,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    " * sqrt(list_aggregate(list_transform(cvec,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
+)
+
+
+@register(
+    "q35_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, {_COS} AS cosine
+      FROM c CROSS JOIN q WHERE neighbor_id != query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def q35_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors. The query side is
+    broadcast, so the corpus never shuffles for scoring; the only
+    shuffle is the per-query window rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return topk_neighbors(emb, queries, "vec_id", "embedding", k=5).orderBy("query_id", "rank")
+
+
+def _plane_duck(vec: str, plane: int, dim: int = 64) -> str:
+    comp = (
+        f"list_transform(generate_series(0, {dim - 1}), "
+        f"d -> CASE WHEN (CAST(concat('0x', substring(md5(concat('p{plane}|', d)), 1, 15)) AS BIGINT) & 1) = 1 "
+        f"THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)"
+    )
+    return (
+        f"list_aggregate(list_transform(list_zip({vec}, {comp}), "
+        f"p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')"
+    )
+
+
+def _bucket_duck(vec: str, n_planes: int = 4, dim: int = 64) -> str:
+    bits = [
+        f"(CASE WHEN ({_plane_duck(vec, p, dim)}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+@register(
+    "q36_ann_lsh_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec, {_bucket_duck('embedding')} AS bucket
+      FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cvec, {_bucket_duck('embedding')} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, {_COS} AS cosine
+      FROM c JOIN q USING (bucket) WHERE neighbor_id != query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def q36_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via 4-plane random-hyperplane LSH (16 buckets):
+    candidates restricted to the query's bucket, exact cosine re-rank
+    inside. The join key is the bucket — |Q| × bucket instead of
+    |Q| × corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return lsh_bucket_topk(
+        emb, queries, "vec_id", "embedding", k=5, n_planes=4, dim=64
+    ).orderBy("query_id", "rank")

@@ -1,0 +1,121 @@
+"""Text-analysis queries over the ``documents`` table.
+
+Per-document outputs (no float aggregation → no accumulation-order
+drift): q37 language-ID + quality features, q38 token counts, q39
+rolling-hash fingerprints. All Spark expressions are pure Catalyst
+(:mod:`..operators.text`); the oracles rebuild the identical formulas
+in DuckDB, with the same md5-derived token hashes and the same
+left-to-right fold for the fingerprint (``list_reduce`` with a
+prepended 0 init ≡ Spark ``aggregate`` with init 0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load_table, register
+from ..operators.text import STOPWORDS, doc_fingerprint, language_id, quality_features, token_count
+
+_WORDS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_N_WORDS = f"len({_WORDS})"
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+_STOP_RATIO = f"(len(list_filter({_WORDS}, w -> w IN ({_SW}))) / CAST({_N_WORDS} AS DOUBLE))"
+_PUNCT_RATIO = (
+    "(length(regexp_replace(text, '[^!-/:-@\\[-`]', '', 'g')) / CAST(length(text) AS DOUBLE))"
+)
+_DISTINCT_RATIO = f"(len(list_distinct({_WORDS})) / CAST({_N_WORDS} AS DOUBLE))"
+_MEAN_WLEN = (
+    f"(list_aggregate(list_transform({_WORDS}, w -> length(w)), 'sum') / CAST({_N_WORDS} AS DOUBLE))"
+)
+_SCORE = (
+    f"round(least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE), "
+    f"0.25 * least(CAST(1 AS DOUBLE), {_N_WORDS} / CAST(50 AS DOUBLE)) + "
+    f"0.25 * (1 - {_PUNCT_RATIO}) + "
+    f"0.25 * {_DISTINCT_RATIO} + "
+    f"0.25 * least(CAST(1 AS DOUBLE), {_MEAN_WLEN} / CAST(8 AS DOUBLE)))), 6)"
+)
+
+_HITS = {
+    lang: f"len(list_filter({_WORDS}, w -> w IN ({', '.join(repr(w) for w in ws)})))"
+    for lang, ws in STOPWORDS.items()
+}
+_LANG_PRED = (
+    f"CASE WHEN regexp_matches(text, '[\\x{{4E00}}-\\x{{9FFF}}]') THEN 'zh' "
+    f"WHEN {_HITS['en']} >= {_HITS['es']} AND {_HITS['en']} >= {_HITS['de']} AND {_HITS['en']} >= {_HITS['fr']} AND {_HITS['en']} > 0 THEN 'en' "
+    f"WHEN {_HITS['es']} >= {_HITS['de']} AND {_HITS['es']} >= {_HITS['fr']} AND {_HITS['es']} > 0 THEN 'es' "
+    f"WHEN {_HITS['de']} >= {_HITS['fr']} AND {_HITS['de']} > 0 THEN 'de' "
+    f"WHEN {_HITS['fr']} > 0 THEN 'fr' "
+    f"ELSE 'und' END"
+)
+
+
+@register(
+    "q37_text_quality",
+    oracle=f"""
+    SELECT doc_id, lang, {_LANG_PRED} AS lang_pred,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST({_N_WORDS} AS INTEGER) AS n_words,
+           ROUND({_MEAN_WLEN}, 6) AS mean_word_len,
+           ROUND({_STOP_RATIO}, 6) AS stopword_ratio,
+           ROUND({_PUNCT_RATIO}, 6) AS punct_ratio,
+           ROUND({_DISTINCT_RATIO}, 6) AS distinct_ratio,
+           {_SCORE} AS quality_score
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q37_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID (stopword-lexicon heuristic, CJK charset first) +
+    quality features per document — one narrow codegen'd projection, no
+    shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            language_id("text").alias("lang_pred"),
+            quality_features("text").alias("q"),
+        )
+        .select("doc_id", "lang", "lang_pred", "q.*")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q38_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_N_WORDS} AS INTEGER) AS n_words,
+           CAST(greatest({_N_WORDS}, CAST(ceil(length(text) / 4.0) AS BIGINT)) AS INTEGER) AS n_tokens_est
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q38_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate (~4 chars per
+    token, floored at the word count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", token_count("text").alias("t"))
+        .select("doc_id", "t.*")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q39_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 w -> CAST(concat('0x', substring(md5(w), 1, 4)) AS BIGINT))),
+             (acc, t) -> (acc * 131 + t) % 2147483647) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q39_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling polynomial hash over normalized words
+    (mod 2^31−1 keeps every intermediate in 64-bit range in both
+    engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint")).orderBy("doc_id")

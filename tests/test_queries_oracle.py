@@ -1,0 +1,76 @@
+"""Local replica of the driver's correctness gate: every registered
+query runs on Spark AND its DuckDB oracle over the same parquet, and
+the results must match value-for-value (order-insensitive, full float
+precision — the driver hashes values, so "close" is not enough).
+
+Runs at sf0.001 for speed; the driver runs the same check at sf0.01.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+import pytest
+
+from conftest import SF_SMOKE
+
+from redshift_avro_spark.queries import ALL_TABLES, load_all
+
+REGISTRY = load_all()
+ORACLE_NAMES = sorted(n for n, s in REGISTRY.items() if s.oracle)
+ROWS_ONLY_NAMES = sorted(n for n, s in REGISTRY.items() if not s.oracle)
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return repr(v)
+
+
+def _norm_df(pdf):
+    cols = sorted(pdf.columns)
+    rows = [tuple(_norm_cell(v) for v in row) for row in pdf[cols].itertuples(index=False)]
+    return cols, sorted(rows)
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, name):
+    spec = REGISTRY[name]
+    spark_pdf = spec.fn(spark, SF_SMOKE).toPandas()
+    con = _duck(SF_SMOKE)
+    try:
+        duck_pdf = con.sql(spec.oracle).df()
+    finally:
+        con.close()
+    s_cols, s_rows = _norm_df(spark_pdf)
+    d_cols, d_rows = _norm_df(duck_pdf)
+    assert s_cols == d_cols, f"{name}: column names differ: {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), f"{name}: row counts {len(s_rows)} vs {len(d_rows)}"
+    mismatches = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:3]
+    assert not mismatches, f"{name}: first mismatching rows (spark, duck): {mismatches}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_query_runs(spark, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, SF_SMOKE)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert len(df.schema.fields) > 0

@@ -1,0 +1,78 @@
+"""Declared streaming query (rows-only driver check).
+
+Runs the full Structured Streaming pipeline — land Avro-encoded
+payload rows, file-stream them, decode, watermarked tumbling-window
+aggregation, availableNow trigger into a memory sink — and returns the
+sink as a batch DataFrame. Custom stateful streaming is the
+SURVEY-sanctioned non-SQL-expressible case, so there is no DuckDB
+oracle; correctness versus the batch plan is covered by
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import load_table, register
+from ..sources.columns import to_avro
+from ..streaming import decode_avro_stream, read_binary_file_stream, windowed_agg
+
+_SCHEMA = {
+    "type": "record",
+    "name": "Event",
+    "namespace": "engine.events",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "user_id", "type": "long"},
+        {"name": "event_type", "type": "string"},
+        {"name": "value", "type": "double"},
+    ],
+}
+
+_PAYLOAD_STRUCT = T.StructType(
+    [T.StructField("ts", T.TimestampType()), T.StructField("payload", T.BinaryType())]
+)
+
+
+@register("q50_stream_windowed_counts", oracle=None)
+def q50_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming: events → Avro payloads on disk → file
+    stream → decode (narrow) → 1h tumbling windows with a 1h watermark
+    → memory sink. availableNow drains everything, so the emitted rows
+    are the closed subset of the batch answer."""
+    run = uuid.uuid4().hex[:8]
+    land_dir = tempfile.mkdtemp(prefix=f"stream_q50_{run}_")
+    e = load_table(spark, sf_dir, "events")
+    (
+        e.select(
+            "ts",
+            to_avro(F.struct("event_id", "user_id", "event_type", "value"), _SCHEMA).alias(
+                "payload"
+            ),
+        ).write.mode("overwrite").parquet(land_dir)
+    )
+    stream = read_binary_file_stream(spark, land_dir, _PAYLOAD_STRUCT)
+    decoded = decode_avro_stream(stream, "payload", _SCHEMA)
+    agg = windowed_agg(
+        decoded,
+        "ts",
+        watermark="1 hour",
+        window_duration="1 hour",
+        group_cols=["event_type"],
+        aggs=[F.count("*").alias("n")],
+    )
+    name = f"q50_sink_{run}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("window_start", "event_type")

@@ -1,0 +1,72 @@
+"""Plan-shape regression tests: the scale properties SURVEY §4 claims
+Catalyst provides must actually show up in the physical plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from redshift_avro_spark.plans import (
+    broadcast_join_count,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+    wholestage_codegen_spans,
+)
+from redshift_avro_spark.queries import load_all, load_table
+
+REGISTRY = load_all()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = REGISTRY["q02_parts_filter"].fn(spark, SF_SMOKE)
+    pf = pushed_filters(df)
+    assert pf, "q02 must push predicates into the parquet scan"
+    assert any("p_size" in f for f in pf)
+
+
+def test_column_pruning(spark):
+    df = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    cols = read_schema_columns(df)
+    assert cols and set(cols[0]) == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = REGISTRY["q05_local_supplier_volume"].fn(spark, SF_SMOKE)
+    assert broadcast_join_count(df) >= 3, "region/nation/supplier must broadcast"
+
+
+def test_q01_single_shuffle_agg(spark):
+    df = REGISTRY["q01_pricing_summary"].fn(spark, SF_SMOKE)
+    # partial+final hash agg → exactly one hash shuffle (plus the
+    # top-level sort's range exchange)
+    assert shuffle_count(df) <= 2
+
+
+def test_topk_no_global_sort_shuffle(spark):
+    from redshift_avro_spark.plans import uses_top_k
+
+    df = REGISTRY["q03_shipping_priority"].fn(spark, SF_SMOKE)
+    assert uses_top_k(df), "ORDER BY+LIMIT must compile to TakeOrderedAndProject"
+    df.collect()  # AQE finalizes the plan (and codegen markers) on execution
+    assert wholestage_codegen_spans(df) >= 1
+
+
+def test_semi_join_plan(spark):
+    df = REGISTRY["q06_semi_join"].fn(spark, SF_SMOKE)
+    assert has_broadcast_join(df) or shuffle_count(df) >= 1
+
+
+def test_avro_decode_is_narrow(spark):
+    """The decode chain (hex→unhex→from_avro) adds NO shuffle beyond
+    the query's own repartition+agg: decode must stay a map stage."""
+    from redshift_avro_spark.queries.avro_pipeline import EVENT_AVRO_SCHEMA, _EVENT_COLS
+    from redshift_avro_spark.sources.columns import from_avro, from_hex, to_avro, to_hex
+
+    e = load_table(spark, SF_SMOKE, "events")
+    hexed = e.select(to_hex(to_avro(F.struct(*_EVENT_COLS), EVENT_AVRO_SCHEMA)).alias("h"))
+    decoded = hexed.select(from_avro(from_hex("h"), EVENT_AVRO_SCHEMA).alias("ev")).select("ev.*")
+    assert shuffle_count(decoded) == 0

@@ -1,0 +1,175 @@
+"""Structured Streaming pipeline tests.
+
+Strategy: land deterministic rows (events slice, Avro-encoded payloads)
+as parquet, readStream from the directory with availableNow triggers
+into a memory sink, and compare against the batch-mode answer on the
+same rows — the streaming plan must converge to the batch result once
+every file is consumed.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from conftest import SF_SMOKE
+
+from redshift_avro_spark.queries import load_table
+from redshift_avro_spark.sources.columns import to_avro, to_hex
+from redshift_avro_spark.streaming import (
+    decode_avro_stream,
+    dedup_within_watermark,
+    foreach_batch_sink,
+    read_binary_file_stream,
+    sessionized,
+    windowed_agg,
+)
+
+EVENT_SCHEMA = {
+    "type": "record",
+    "name": "Event",
+    "namespace": "engine.events",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "user_id", "type": "long"},
+        {"name": "event_type", "type": "string"},
+        {"name": "value", "type": "double"},
+    ],
+}
+
+PAYLOAD_STRUCT = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def landed(spark, tmp_path_factory):
+    """events slice → (ts, avro-binary payload) parquet landing dir."""
+    path = str(tmp_path_factory.mktemp("stream-in"))
+    e = load_table(spark, SF_SMOKE, "events").limit(600)
+    (
+        e.select(
+            "ts",
+            to_avro(
+                F.struct("event_id", "user_id", "event_type", "value"), EVENT_SCHEMA
+            ).alias("payload"),
+        ).write.mode("overwrite").parquet(path)
+    )
+    return path
+
+
+def _run_to_memory(spark, stream_df, name: str, output_mode: str = "append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_decode_matches_batch(spark, landed):
+    stream = read_binary_file_stream(spark, landed, PAYLOAD_STRUCT, max_files_per_trigger=2)
+    decoded = decode_avro_stream(stream, "payload", EVENT_SCHEMA)
+    name = f"decoded_{uuid.uuid4().hex[:8]}"
+    got = _run_to_memory(spark, decoded, name)
+    batch = load_table(spark, SF_SMOKE, "events").limit(600)
+    assert got.count() == 600
+    assert sorted(got.columns) == ["event_id", "event_type", "ts", "user_id", "value"]
+    s = got.agg(F.sum("event_id"), F.sum(F.col("value").cast("decimal(18,4)"))).collect()[0]
+    b = batch.agg(F.sum("event_id"), F.sum(F.col("value").cast("decimal(18,4)"))).collect()[0]
+    assert s == b
+
+
+def test_stream_windowed_agg_matches_batch(spark, landed):
+    stream = read_binary_file_stream(spark, landed, PAYLOAD_STRUCT)
+    decoded = decode_avro_stream(stream, "payload", EVENT_SCHEMA)
+    winagg = windowed_agg(
+        decoded,
+        "ts",
+        watermark="1 hour",
+        window_duration="1 hour",
+        group_cols=["event_type"],
+        aggs=[F.count("*").alias("n")],
+    )
+    name = f"winagg_{uuid.uuid4().hex[:8]}"
+    got = _run_to_memory(spark, winagg, name, output_mode="append")
+
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .limit(600)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    # availableNow consumed everything, so with append mode all windows
+    # whose watermark passed are emitted; final watermark = max(ts) - 1h,
+    # so the LAST window may be withheld — compare on the closed set.
+    got_rows = {
+        (r.window_start, r.event_type): r.n
+        for r in got.select("window_start", "event_type", "n").collect()
+    }
+    batch_rows = {(r.window_start, r.event_type): r.n for r in batch.collect()}
+    assert got_rows  # something was emitted
+    for k, v in got_rows.items():
+        assert batch_rows[k] == v
+
+
+def test_stream_session_windows(spark, landed):
+    stream = read_binary_file_stream(spark, landed, PAYLOAD_STRUCT)
+    decoded = decode_avro_stream(stream, "payload", EVENT_SCHEMA)
+    sess = sessionized(
+        decoded,
+        "ts",
+        watermark="2 hours",
+        gap="30 minutes",
+        group_cols=["user_id"],
+        aggs=[F.count("*").alias("n_events")],
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    got = _run_to_memory(spark, sess, name, output_mode="append")
+    rows = got.collect()
+    assert rows
+    for r in rows:
+        assert r.session_end > r.session_start
+        assert r.n_events >= 1
+
+
+def test_stream_dedup_within_watermark(spark, landed, tmp_path):
+    # duplicate the landing data → exactly 2 copies of every event_id
+    dup_path = str(tmp_path / "dup-in")
+    src = spark.read.parquet(landed)
+    src.unionAll(src).write.mode("overwrite").parquet(dup_path)
+    stream = read_binary_file_stream(spark, dup_path, PAYLOAD_STRUCT)
+    decoded = decode_avro_stream(stream, "payload", EVENT_SCHEMA)
+    deduped = dedup_within_watermark(decoded, ["event_id"], "ts", "1 hour")
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    got = _run_to_memory(spark, deduped, name)
+    assert got.count() == 600
+    assert got.select("event_id").distinct().count() == 600
+
+
+def test_foreach_batch_sink(spark, landed, tmp_path):
+    out_dir = str(tmp_path / "sink-out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_binary_file_stream(spark, landed, PAYLOAD_STRUCT)
+    decoded = decode_avro_stream(stream, "payload", EVENT_SCHEMA)
+    seen_batches: list[int] = []
+
+    def land(batch_df, batch_id: int) -> None:
+        seen_batches.append(batch_id)
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = foreach_batch_sink(decoded, land, ckpt)
+    q.awaitTermination(120)
+    assert seen_batches
+    assert spark.read.parquet(out_dir).count() == 600

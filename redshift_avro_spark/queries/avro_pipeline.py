@@ -240,3 +240,85 @@ def q23_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "source", "n", "total_value")
         .orderBy("event_type")
     )
+
+
+_KPL_EVENT_SCHEMA = {
+    "type": "record",
+    "name": "KplEvent",
+    "namespace": "engine.events",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "user_id", "type": "long"},
+        {"name": "event_type", "type": "string"},
+        {"name": "value", "type": "double"},
+    ],
+}
+
+
+@register(
+    "q24_kpl_spring_pipeline",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q24_kpl_spring_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §3.3 end-to-end: three nested envelopes built
+    DISTRIBUTED (Avro datum → Spring embedded-header message → KPL
+    protobuf aggregate per bucket → hex, the exact VARBINARY shape the
+    springcloud UDF receives), then unwrapped with the column chain
+    ``unhex → explode(kpl) → spring headers → from_avro`` and
+    aggregated. Identity oracle proves the whole envelope stack is
+    lossless (springcloud-lambda-udf/lambda_function.py:142-181,
+    with its KPL decode bug fixed per spec — SURVEY Appendix A.6)."""
+    import json as _json
+
+    from ..avroio.binary import encode_datum
+    from ..avroio.schema_model import parse_schema
+    from ..sources.envelopes import (
+        KplAggregate,
+        KplRecord,
+        build_spring_message,
+        encode_kpl_aggregate,
+        explode_kpl,
+        extract_spring_headers,
+    )
+
+    schema = parse_schema(_json.dumps(_KPL_EVENT_SCHEMA))
+    content_type = "application/vnd.kplevent.v1+avro"
+
+    def make_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        records = []
+        for r in pdf[["event_id", "user_id", "event_type", "value"]].to_dict("records"):
+            body = encode_datum(schema, r)
+            msg = build_spring_message({"contentType": content_type}, body)
+            records.append(KplRecord(partition_key_index=0, data=msg))
+        blob = encode_kpl_aggregate(
+            KplAggregate(partition_key_table=["pk"], records=records)
+        )
+        return pd.DataFrame({"hexcell": [blob.hex()]})
+
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.withColumn("bucket", (F.col("user_id") % 32).cast("int"))
+        .groupBy("bucket")
+        .applyInPandas(make_cell, schema="hexcell string")
+    )
+    decoded = (
+        cells.select(F.explode(explode_kpl(F.unhex("hexcell"))).alias("rec"))
+        .select(extract_spring_headers("rec.data").alias("sh"))
+        .select(from_avro("sh.body", _KPL_EVENT_SCHEMA).alias("ev"))
+        .select("ev.*")
+    )
+    return (
+        decoded.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -173,3 +173,35 @@ def test_foreach_batch_sink(spark, landed, tmp_path):
     q.awaitTermination(120)
     assert seen_batches
     assert spark.read.parquet(out_dir).count() == 600
+
+
+def test_stateful_running_totals(spark, landed):
+    """applyInPandasWithState: per-key accumulators across micro-batches.
+    Final emission per key must equal the batch groupBy answer."""
+    from redshift_avro_spark.streaming.stateful import running_totals
+
+    stream = read_binary_file_stream(spark, landed, PAYLOAD_STRUCT, max_files_per_trigger=1)
+    decoded = decode_avro_stream(stream, "payload", EVENT_SCHEMA)
+    totals = running_totals(decoded, "event_type", "value")
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table(name).toPandas()
+    assert not got.empty
+    # running emissions are monotone per key; the max is the final state
+    final = got.groupby("key")["n_events"].max().to_dict()
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .limit(600)
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    for r in batch:
+        assert final[r["event_type"]] == r["count"], r

@@ -150,3 +150,60 @@ def lsh_bucket_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the second ANN family
+    next to random-hyperplane LSH.
+
+    Centroids are a deterministic sample (the first ``n_centroids``
+    corpus vectors by id — a stand-in for k-means that both engines can
+    reproduce exactly). Every corpus vector is assigned to its nearest
+    centroid (cosine, ties to the smallest centroid id); a query probes
+    its ``n_probe`` nearest centroid lists and exact-re-ranks only
+    those candidates. At scale the centroid set stays broadcast-sized
+    and the corpus shuffles once on its centroid assignment — the
+    inverted lists are just a partitioning."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    cents = F.broadcast(
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("centvec"))
+    )
+
+    w_c = Window.partitionBy("neighbor_id").orderBy(F.desc("cs"), F.asc("cid"))
+    assign = (
+        c.crossJoin(cents)
+        .select("neighbor_id", "cvec", "cid", cosine_expr("cvec", "centvec").alias("cs"))
+        .withColumn("rn", F.row_number().over(w_c))
+        .where(F.col("rn") == 1)
+        .select("neighbor_id", "cvec", "cid")
+    )
+    w_q = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
+    probes = (
+        q.crossJoin(cents)
+        .select("query_id", "qvec", "cid", cosine_expr("qvec", "centvec").alias("cs"))
+        .withColumn("rn", F.row_number().over(w_q))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qvec", "cid")
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine_expr("qvec", "cvec").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )

@@ -107,3 +107,61 @@ def q36_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(
         emb, queries, "vec_id", "embedding", k=5, n_planes=4, dim=64
     ).orderBy("query_id", "rank")
+
+
+_CENT_COS = (
+    "(list_aggregate(list_transform(list_zip(v, centvec),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'))"
+    " / (sqrt(list_aggregate(list_transform(v,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    " * sqrt(list_aggregate(list_transform(centvec,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
+)
+
+
+@register(
+    "q45_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS centvec FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    assign AS (
+      SELECT neighbor_id, cvec, cid FROM (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS cvec, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_CENT_COS.replace('v,', 'e.embedding,').replace('(v', '(e.embedding')} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qvec, cid FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS qvec, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_CENT_COS.replace('v,', 'e.embedding,').replace('(v', '(e.embedding')} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id < 10
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id, {_COS.replace('qvec', 'p.qvec').replace('cvec', 'a.cvec')} AS cosine
+      FROM assign a JOIN probes p USING (cid)
+      WHERE a.neighbor_id != p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def q45_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic centroid sample, nearest-centroid
+    inverted lists, 2-probe exact re-rank. Complements q36's LSH — the
+    two standard ANN families, both oracle-checked."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_centroids=8, n_probe=2).orderBy(
+        "query_id", "rank"
+    )

@@ -70,3 +70,32 @@ def test_avro_decode_is_narrow(spark):
     hexed = e.select(to_hex(to_avro(F.struct(*_EVENT_COLS), EVENT_AVRO_SCHEMA)).alias("h"))
     decoded = hexed.select(from_avro(from_hex("h"), EVENT_AVRO_SCHEMA).alias("ev")).select("ev.*")
     assert shuffle_count(decoded) == 0
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change results — only shuffle distribution."""
+    from redshift_avro_spark.operators.skew import salted_join
+
+    # heavy-hitter: 90% of probe rows share one key
+    probe = spark.range(2000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 7 ELSE id END AS k", "id AS payload"
+    )
+    build = spark.range(50).selectExpr("id AS bk", "id * 100 AS bval")
+    plain = probe.join(build, probe.k == build.bk, "inner").select("k", "payload", "bval")
+    salted = salted_join(probe, build, "k", "bk", n_salts=8).select("k", "payload", "bval")
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_left_join(spark):
+    from redshift_avro_spark.operators.skew import salted_join
+
+    probe = spark.range(100).selectExpr("id % 5 AS k", "id AS payload")
+    build = spark.range(3).selectExpr("id AS bk", "id * 10 AS bval")
+    plain = probe.join(build, probe.k == build.bk, "left").select("k", "payload", "bval")
+    salted = salted_join(probe, build, "k", "bk", n_salts=4, how="left").select(
+        "k", "payload", "bval"
+    )
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0

@@ -27,9 +27,11 @@ from .dedup import (  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_expr,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_bucket_topk,
     topk_neighbors,
 )
+from .skew import salted_join  # noqa: F401
 from .text import (  # noqa: F401
     doc_fingerprint,
     language_id,

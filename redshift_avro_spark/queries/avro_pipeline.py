@@ -322,3 +322,59 @@ def q24_kpl_spring_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_LOGICAL_SCHEMA = {
+    "type": "record",
+    "name": "OrderLogical",
+    "namespace": "engine.orders",
+    "fields": [
+        {"name": "o_orderkey", "type": "long"},
+        {
+            "name": "price",
+            "type": {"type": "bytes", "logicalType": "decimal", "precision": 12, "scale": 2},
+        },
+        {"name": "odate", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "priority", "type": "string"},
+    ],
+}
+
+
+@register(
+    "q25_logical_types_roundtrip",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+           CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS first_day
+    FROM orders
+    GROUP BY yr
+    ORDER BY yr
+    """,
+)
+def q25_logical_types_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6/E7 on the declared surface: decimal(12,2)-over-bytes
+    (two's-complement big-endian, io.py:486-511 semantics) and date
+    logical types survive an encode→decode roundtrip bit-exactly —
+    the aggregate runs on the DECODED columns while the oracle reads
+    the originals."""
+    o = load_table(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    src = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    payload = src.select(to_avro(F.struct("o_orderkey", "price", "odate", "priority"), _LOGICAL_SCHEMA).alias("p"))
+    decoded = payload.select(from_avro("p", _LOGICAL_SCHEMA).alias("ev")).select("ev.*")
+    return (
+        decoded.groupBy(F.year("odate").alias("yr"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("price").cast("double").alias("total"),
+            F.min("odate").cast("string").alias("first_day"),
+        )
+        .orderBy("yr")
+    )

@@ -752,7 +752,40 @@ def _compile_enc(schema: AvroSchema, env: dict[int, EncodeFn]) -> EncodeFn:
         branch_encs = tuple(_compile_enc(b, env) for b in schema.branches)
         branch_tests = tuple(_value_matcher(b) for b in schema.branches)
 
+        # inverse of dec_union_members: general unions may arrive from
+        # Spark as member-structs {'member0': v, 'member1': None, ...}
+        # (spark-avro convention, convert.py); map memberN back to its
+        # branch index
+        member_to_branch: dict[str, int] = {}
+        null_branch: Optional[int] = None
+        j = 0
+        for i, b in enumerate(schema.branches):
+            if b.type == "null":
+                null_branch = i
+            else:
+                member_to_branch[f"member{j}"] = i
+                j += 1
+        member_keys = frozenset(member_to_branch) if j >= 2 else None
+
         def enc_union(w: BinaryWriter, v: Any) -> None:
+            if (
+                member_keys is not None
+                and isinstance(v, dict)
+                and frozenset(v) == member_keys
+            ):
+                chosen = [(m, mv) for m, mv in v.items() if mv is not None]
+                if not chosen:
+                    if null_branch is not None:
+                        w.write_long(null_branch)
+                        return
+                    raise AvroEncodeError("all-None member struct for non-nullable union")
+                if len(chosen) > 1:
+                    raise AvroEncodeError(f"ambiguous union member struct {v!r}")
+                m, mv = chosen[0]
+                i = member_to_branch[m]
+                w.write_long(i)
+                branch_encs[i](w, mv)
+                return
             # FIRST matching branch (spec behavior; the reference port's
             # last-match loop at io.py:1313-1317 is a bug, SURVEY App. A)
             for i, test in enumerate(branch_tests):

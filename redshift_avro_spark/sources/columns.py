@@ -62,14 +62,17 @@ def _as_schema(schema: Union[AvroSchema, str, dict]) -> AvroSchema:
 
 
 def _nullable_struct(dtype: T.DataType) -> T.DataType:
-    """Mark every field nullable, recursively. A decode UDF can always
-    produce nulls (null input cell, PERMISSIVE failure), so its declared
-    return type must allow them — same convention as spark-avro's
-    from_avro, whose result is nullable."""
+    """Mark every field nullable, recursively, and strip Avro metadata.
+    A decode UDF can always produce nulls (null input cell, PERMISSIVE
+    failure), so its declared return type must allow them — same
+    convention as spark-avro's from_avro. Metadata must go because the
+    Arrow batches a pandas UDF yields carry none, and Spark's
+    ARROW_TYPE_MISMATCH check compares fields metadata-sensitively
+    (keep `avro_to_spark_type` for the metadata-bearing schema)."""
     if isinstance(dtype, T.StructType):
         return T.StructType(
             [
-                T.StructField(f.name, _nullable_struct(f.dataType), nullable=True, metadata=f.metadata)
+                T.StructField(f.name, _nullable_struct(f.dataType), nullable=True)
                 for f in dtype.fields
             ]
         )

@@ -99,3 +99,27 @@ def test_salted_left_join(spark):
     )
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Pre-bucketing both sides on the join key co-locates partitions:
+    the join plans with ZERO exchanges — the 100 TB answer for a join
+    that repeats every run (SURVEY §7.1: reuse a partitioning)."""
+    import uuid as _uuid
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ta, tb = f"bj_a_{_uuid.uuid4().hex[:6]}", f"bj_b_{_uuid.uuid4().hex[:6]}"
+        spark.range(10_000).selectExpr("id AS k", "id * 2 AS va").write.bucketBy(
+            8, "k"
+        ).sortBy("k").mode("overwrite").saveAsTable(ta)
+        spark.range(10_000).selectExpr("id AS k", "id * 3 AS vb").write.bucketBy(
+            8, "k"
+        ).sortBy("k").mode("overwrite").saveAsTable(tb)
+        joined = spark.table(ta).join(spark.table(tb), "k")
+        assert shuffle_count(joined) == 0, "bucketed equi-join must not shuffle"
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")

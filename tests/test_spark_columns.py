@@ -206,3 +206,49 @@ class TestContainerColumn:
             ("Alyssa", 256, None),
             ("Ben", 7, "red"),
         ]
+
+
+class TestKitchenSinkSparkPath:
+    """enum / fixed / uuid / time-millis / time-micros / general union
+    through the COLUMN codecs (the §1.2 rows not already covered by
+    test_typed_roundtrip)."""
+
+    SCHEMA = {
+        "type": "record",
+        "name": "Sink",
+        "fields": [
+            {"name": "color", "type": {"type": "enum", "name": "Color", "symbols": ["RED", "GREEN", "BLUE"]}},
+            {"name": "mac", "type": {"type": "fixed", "name": "Mac", "size": 6}},
+            {"name": "uid", "type": {"type": "string", "logicalType": "uuid"}},
+            {"name": "t_ms", "type": {"type": "int", "logicalType": "time-millis"}},
+            {"name": "t_us", "type": {"type": "long", "logicalType": "time-micros"}},
+            {"name": "id_or_name", "type": ["long", "string"]},
+        ],
+    }
+
+    def test_roundtrip(self, spark):
+        from pyspark.sql import functions as F
+
+        from redshift_avro_spark.sources.columns import from_avro, to_avro
+
+        rows = [
+            ("RED", bytearray(b"\x01\x02\x03\x04\x05\x06"), "f47ac10b-58cc-4372-a567-0e02b2c3d479", 1000, 2000, (7, None)),
+            ("BLUE", bytearray(b"\xff\xee\xdd\xcc\xbb\xaa"), "00000000-0000-0000-0000-000000000000", 86399999, 86399999999, (None, "alice")),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "color string, mac binary, uid string, t_ms int, t_us long, "
+            "id_or_name struct<member0: long, member1: string>",
+        )
+        enc = df.select(to_avro(F.struct(*df.columns), self.SCHEMA).alias("p"))
+        dec = enc.select(from_avro("p", self.SCHEMA).alias("r")).select("r.*")
+        got = sorted([tuple(r) for r in dec.collect()])
+        want = sorted(
+            [
+                (c, bytes(m), u, tms, tus, (m0, m1))
+                for c, m, u, tms, tus, (m0, m1) in [
+                    (r[0], r[1], r[2], r[3], r[4], r[5]) for r in rows
+                ]
+            ]
+        )
+        assert [(g[0], bytes(g[1]), g[2], g[3], g[4], tuple(g[5])) for g in got] == want

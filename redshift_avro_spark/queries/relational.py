@@ -712,3 +712,25 @@ def q44_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register("q46_approx_aggregates", oracle=None)
+def q46_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates for the scales where exact distinct
+    counting (q08's expand+reshuffle) stops being affordable:
+    approx_count_distinct (HyperLogLog++) and approx_percentile
+    (KLL-ish). Rows-only check — sketch internals are engine-specific
+    by design, so no cross-engine oracle exists; q08 provides the exact
+    counterpart on the same columns."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias(
+                "price_quantiles"
+            ),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )

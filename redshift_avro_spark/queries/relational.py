@@ -84,7 +84,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
     FROM part
-    WHERE p_size >= 30 AND p_type LIKE '%BRASS%' AND p_retailprice < 1500.0
+    WHERE p_size >= 30 AND p_type LIKE 'P%' AND p_retailprice < 1500.0
     ORDER BY p_partkey
     """,
 )
@@ -93,7 +93,7 @@ def q02_parts_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet reader (verify: PushedFilters in .explain)."""
     part = load_table(spark, sf_dir, "part")
     return (
-        part.where((F.col("p_size") >= 30) & F.col("p_type").contains("BRASS") & (F.col("p_retailprice") < 1500.0))
+        part.where((F.col("p_size") >= 30) & F.col("p_type").startswith("P") & (F.col("p_retailprice") < 1500.0))
         .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
         .orderBy("p_partkey")
     )
@@ -216,14 +216,16 @@ def q06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_acctbal
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 400000.0)
     ORDER BY c_custkey
     """,
 )
 def q07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join (NOT EXISTS): customers who never ordered."""
+    """LEFT ANTI join (NOT EXISTS): customers who never placed a big
+    (>400k) order."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000.0)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_acctbal")

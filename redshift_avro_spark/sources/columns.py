@@ -50,9 +50,11 @@ __all__ = [
     "from_hex",
     "to_hex",
     "from_avro",
+    "from_avro_with_errors",
     "to_avro",
     "decode_container",
     "decode_container_json",
+    "explode_containers",
     "infer_container_struct",
 ]
 
@@ -317,3 +319,131 @@ def decode_container_json(col: Union[str, Column], mode: str = "FAILFAST") -> Co
             yield pd.Series(out, dtype=object)
 
     return _decode(col)
+
+
+def from_avro_with_errors(
+    col: Union[str, Column],
+    schema: Union[AvroSchema, str, dict],
+    reader_schema: Union[AvroSchema, str, dict, None] = None,
+) -> Column:
+    """Per-row error-channel decode: ``struct<record, _error string>``.
+
+    The reference's Lambda UDF fails the WHOLE Redshift batch when any
+    row is undecodable (one try/except around the loop, avro-file-udf/
+    lambda_function.py:9-30, K2). This is the per-row upgrade: good
+    rows decode, poison rows carry their exception text in ``_error``
+    and null record fields — so a quarantine sink can
+    ``.filter("r._error IS NOT NULL")`` while the clean path continues.
+    """
+    writer_json = _schema_json(schema)
+    reader_json = _schema_json(reader_schema) if reader_schema is not None else None
+    out_schema = _as_schema(reader_schema if reader_schema is not None else schema)
+    struct_type = _nullable_struct(avro_to_spark_type(out_schema))
+    if not isinstance(struct_type, T.StructType):
+        raise TypeError("from_avro_with_errors requires a record schema at top level")
+    names = [f.name for f in struct_type.fields]
+    wrapped = T.StructType(
+        [T.StructField("record", struct_type, True), T.StructField("_error", T.StringType(), True)]
+    )
+
+    @pandas_udf(returnType=wrapped)
+    def _decode(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        writer = parse_schema(writer_json)
+        if reader_json is not None:
+            fn = compile_resolver(writer, parse_schema(reader_json), mode="spark")
+        else:
+            fn = compile_decoder(writer, mode="spark")
+        for series in batches:
+            recs, errs = [], []
+            for blob in series:
+                if blob is None:
+                    recs.append(None)
+                    errs.append("null input cell")
+                    continue
+                try:
+                    recs.append(fn(BinaryReader(bytes(blob))))
+                    errs.append(None)
+                except Exception as ex:  # noqa: BLE001 — error channel
+                    recs.append(None)
+                    errs.append(f"{type(ex).__name__}: {ex}")
+            yield pd.DataFrame({"record": recs, "_error": errs})
+
+    return _decode(col)
+
+
+def explode_containers(
+    df: DataFrame,
+    col: str,
+    schema: Union[AvroSchema, str, dict, None] = None,
+    reader_schema: Union[AvroSchema, str, dict, None] = None,
+    keep_cols: Optional[list[str]] = None,
+) -> DataFrame:
+    """Whole-partition container decode: one row per datum, streamed
+    via ``mapInPandas`` (SURVEY §7.4's mitigation for
+    container-in-column at scale).
+
+    Unlike ``decode_container`` + ``explode`` — which materializes each
+    cell's full record ARRAY as one value before exploding —
+    this streams record batches out as it walks the blocks, so a
+    multi-GB container cell never becomes a single in-memory array.
+    ``keep_cols`` are carried through (repeated per datum)."""
+    if schema is None:
+        schema_json_str, struct_type = infer_container_struct(df, col)
+    else:
+        schema_json_str = _schema_json(schema)
+        struct_type = avro_to_spark_type(_as_schema(schema))
+    if reader_schema is not None:
+        schema_json_str = _schema_json(reader_schema)
+        struct_type = avro_to_spark_type(_as_schema(reader_schema))
+    struct_type = _nullable_struct(struct_type)
+    if not isinstance(struct_type, T.StructType):
+        raise TypeError("container record schema required")
+    keep = list(keep_cols or [])
+    out_type = T.StructType(
+        [f for f in df.select(*keep).schema.fields] + list(struct_type.fields)
+        if keep
+        else list(struct_type.fields)
+    )
+    names = [f.name for f in struct_type.fields]
+    batch_rows = 10_000
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..avroio.block_codecs import get_codec
+        from ..avroio.container import iter_raw_blocks
+
+        target = parse_schema(schema_json_str)
+        resolvers: dict[str, object] = {}
+        for pdf in batches:
+            buf: list[dict] = []
+            kept: list[tuple] = []
+            for row in pdf.itertuples(index=False):
+                rowd = dict(zip(pdf.columns, row))
+                blob = rowd[col]
+                if blob is None:
+                    continue
+                blob = bytes(blob)
+                header = read_header(blob)
+                fn = resolvers.get(header.schema_json)
+                if fn is None:
+                    fn = compile_resolver(header.schema, target, mode="spark")
+                    resolvers[header.schema_json] = fn
+                codec = get_codec(header.codec)
+                kv = tuple(rowd[k] for k in keep)
+                for count, payload in iter_raw_blocks(blob, header.header_len, header.sync):
+                    br = BinaryReader(codec.decompress(payload))
+                    for _ in range(count):
+                        buf.append(fn(br))
+                        kept.append(kv)
+                        if len(buf) >= batch_rows:
+                            out = pd.DataFrame(buf, columns=names)
+                            for i, k in enumerate(keep):
+                                out.insert(i, k, [t[i] for t in kept])
+                            yield out
+                            buf, kept = [], []
+            if buf:
+                out = pd.DataFrame(buf, columns=names)
+                for i, k in enumerate(keep):
+                    out.insert(i, k, [t[i] for t in kept])
+                yield out
+
+    return df.select(*keep, col).mapInPandas(decode, out_type)

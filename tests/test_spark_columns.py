@@ -252,3 +252,64 @@ class TestKitchenSinkSparkPath:
             ]
         )
         assert [(g[0], bytes(g[1]), g[2], g[3], g[4], tuple(g[5])) for g in got] == want
+
+
+class TestErrorChannelAndStreaming:
+    SCHEMA = {
+        "type": "record",
+        "name": "Ev",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "event_type", "type": "string"},
+        ],
+    }
+
+    def test_from_avro_with_errors(self, spark):
+        from pyspark.sql import functions as F
+
+        from redshift_avro_spark.avroio.binary import BinaryWriter, compile_encoder
+        from redshift_avro_spark.avroio.schema_model import parse_schema
+        import json as _json
+
+        from redshift_avro_spark.sources.columns import from_avro_with_errors
+
+        enc = compile_encoder(parse_schema(_json.dumps(self.SCHEMA)))
+        good = []
+        for i in range(3):
+            w = BinaryWriter()
+            enc(w, {"event_id": i, "event_type": "click"})
+            good.append(w.getvalue())
+        rows = [(bytearray(good[0]),), (bytearray(b"\xff\xff\xff\xff\xff"),), (bytearray(good[2]),), (None,)]
+        df = spark.createDataFrame(rows, "p binary")
+        out = df.select(from_avro_with_errors("p", self.SCHEMA).alias("r")).select(
+            "r.record.*", "r._error"
+        )
+        got = out.collect()
+        assert len(got) == 4
+        oks = [r for r in got if r._error is None]
+        bads = [r for r in got if r._error is not None]
+        assert len(oks) == 2 and {r.event_id for r in oks} == {0, 2}
+        assert len(bads) == 2  # poison bytes + null cell, whole batch survives
+
+    def test_explode_containers_matches_decode_container(self, spark):
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        from redshift_avro_spark.avroio.container import write_container
+        from redshift_avro_spark.sources.columns import decode_container, explode_containers
+
+        cells = []
+        for b in range(4):
+            rows = [{"event_id": b * 100 + i, "event_type": f"t{i % 3}"} for i in range(50)]
+            cells.append((b, bytearray(write_container(rows, _json.dumps(self.SCHEMA)))))
+        df = spark.createDataFrame(cells, "bucket int, cell binary")
+
+        via_explode = (
+            df.select("bucket", F.explode(decode_container("cell", self.SCHEMA)).alias("ev"))
+            .select("bucket", "ev.*")
+        )
+        via_stream = explode_containers(df, "cell", self.SCHEMA, keep_cols=["bucket"])
+        assert via_stream.count() == 200
+        assert via_explode.exceptAll(via_stream).count() == 0
+        assert via_stream.exceptAll(via_explode).count() == 0

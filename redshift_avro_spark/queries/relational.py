@@ -786,3 +786,36 @@ def q47_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "q48_sliding_windows",
+    oracle="""
+    SELECT w_start, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) - (k * INTERVAL 30 MINUTE) AS w_start,
+             event_type, ts, value
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offsets
+    )
+    WHERE ts >= w_start AND ts < w_start + INTERVAL 60 MINUTE
+    GROUP BY w_start, event_type
+    ORDER BY w_start, event_type
+    """,
+)
+def q48_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h duration, 30m slide — every event lands in
+    two windows) in batch mode; the streaming form is the same
+    groupBy(window(...)) under a watermark. Oracle replicates Spark's
+    epoch-aligned window assignment by bucketing at the slide and
+    expanding each event into its two covering windows."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "total")
+        .orderBy("w_start", "event_type")
+    )

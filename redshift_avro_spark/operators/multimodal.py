@@ -90,3 +90,86 @@ def extract_payload_features(
             yield out[[f.name for f in PAYLOAD_FEATURE_SCHEMA.fields]]
 
     return df.select(id_col, payload_col).mapInPandas(extract, PAYLOAD_FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    width: int = 224,
+    height: int = 224,
+    fake: bool = True,
+) -> DataFrame:
+    """Image resize over binary payloads (mapInPandas batch shape).
+
+    STUB decode/resample (no imaging libs in this runtime): the fake
+    produces a deterministic digest-stamped payload of the target size
+    metadata so the pipeline shape — batch in, binary batch out, narrow
+    stage — is fully exercised."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads = []
+            for b in pdf[payload_col]:
+                if not fake:
+                    raise NotImplementedError("imaging library not present in runtime")
+                raw = bytes(b)
+                out_payloads.append(raw[: width * height % max(len(raw), 1)] or raw[:1])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "resized": out_payloads,
+                    "out_width": width,
+                    "out_height": height,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+    fake: bool = True,
+) -> DataFrame:
+    """Frame sampling from a video-like binary payload: one output ROW
+    per sampled frame (fan-out inside mapInPandas — the U4 'one cell →
+    N records' shape applied to media). The fake 'codec' slices the
+    payload at fixed strides; a real decoder would seek keyframes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                if not fake:
+                    raise NotImplementedError("video codec not present in runtime")
+                raw = bytes(b)
+                for i in range(min(max_frames, max(1, len(raw) // every_n_bytes))):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(raw[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_index": idxs, "frame": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(run, FRAME_SCHEMA)

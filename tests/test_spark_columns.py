@@ -313,3 +313,51 @@ class TestErrorChannelAndStreaming:
         assert via_stream.count() == 200
         assert via_explode.exceptAll(via_stream).count() == 0
         assert via_stream.exceptAll(via_explode).count() == 0
+
+
+class TestMultimodalPlumbing:
+    def test_resize_and_frame_sample(self, spark):
+        from pyspark.sql import functions as F
+
+        from redshift_avro_spark.operators.multimodal import resize_images, sample_frames
+
+        df = spark.createDataFrame(
+            [(i, bytearray(bytes(range(256)) * 2)) for i in range(10)], "doc_id long, payload binary"
+        )
+        resized = resize_images(df, width=64, height=64).collect()
+        assert len(resized) == 10
+        assert all(r.out_width == 64 and len(r.resized) > 0 for r in resized)
+
+        frames = sample_frames(df, every_n_bytes=64, max_frames=4)
+        got = frames.groupBy("doc_id").count().collect()
+        assert all(r["count"] == 4 for r in got)
+        one = frames.where("doc_id = 0 AND frame_index = 1").collect()[0]
+        assert bytes(one.frame) == bytes(range(64, 128))
+
+    def test_kafka_shaped_decode_chain(self, spark):
+        """The production stream shape: (key, value binary, topic,
+        timestamp) — the reference's hex hop S1 disappears because
+        Kafka's value is already binary (SURVEY §2.1 S8)."""
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        from redshift_avro_spark.avroio.binary import encode_datum
+        from redshift_avro_spark.avroio.schema_model import parse_schema
+        from redshift_avro_spark.sources.columns import from_avro
+
+        SCHEMA = {"type": "record", "name": "E", "fields": [
+            {"name": "event_id", "type": "long"}, {"name": "event_type", "type": "string"}]}
+        s = parse_schema(_json.dumps(SCHEMA))
+        rows = [
+            (str(i).encode(), bytearray(encode_datum(s, {"event_id": i, "event_type": "t"})), "events", i)
+            for i in range(20)
+        ]
+        kafka_shaped = spark.createDataFrame(
+            rows, "key binary, value binary, topic string, offset long"
+        )
+        out = kafka_shaped.select(
+            "topic", "offset", from_avro("value", SCHEMA).alias("ev")
+        ).select("topic", "offset", "ev.*")
+        got = out.orderBy("offset").collect()
+        assert len(got) == 20 and got[5].event_id == 5 and got[0].topic == "events"

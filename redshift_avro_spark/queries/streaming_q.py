@@ -76,3 +76,42 @@ def q50_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name).orderBy("window_start", "event_type")
+
+
+@register("q51_stream_running_totals", oracle=None)
+def q51_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming on the declared surface: per-event-type
+    running (count, sum) via applyInPandasWithState across micro-batches
+    (rows-only check; cross-batch convergence to the batch answer is
+    asserted in tests/test_streaming.py::test_stateful_running_totals)."""
+    from ..streaming.stateful import running_totals
+
+    run = uuid.uuid4().hex[:8]
+    land_dir = tempfile.mkdtemp(prefix=f"stream_q51_{run}_")
+    e = load_table(spark, sf_dir, "events")
+    (
+        e.select(
+            "ts",
+            to_avro(F.struct("event_id", "user_id", "event_type", "value"), _SCHEMA).alias(
+                "payload"
+            ),
+        ).write.mode("overwrite").parquet(land_dir)
+    )
+    stream = read_binary_file_stream(spark, land_dir, _PAYLOAD_STRUCT)
+    decoded = decode_avro_stream(stream, "payload", _SCHEMA)
+    totals = running_totals(decoded, "event_type", "value")
+    name = f"q51_sink_{run}"
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("key")
+        .agg(F.max("n_events").alias("n_events"))
+        .orderBy("key")
+    )

@@ -37,6 +37,7 @@ HEADLINE = [
     "q35_cosine_topk",
     "q37_text_quality",
     "q39_doc_fingerprint",
+    "q49_curation_pipeline",
 ]
 
 

@@ -89,6 +89,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import similarity  # noqa: F401
     from . import text  # noqa: F401
     from . import multimodal  # noqa: F401
+    from . import curation  # noqa: F401
     from . import streaming_q  # noqa: F401
 
     return REGISTRY

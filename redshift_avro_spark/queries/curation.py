@@ -1,0 +1,119 @@
+"""q49: the end-to-end training-data curation pipeline.
+
+Composes the individually-verified stages (q37 language/quality, q30
+exact dedup, q31 LSH discovery, q33 Jaccard verify, q38 token stats)
+into the single shape a 100 TB pretraining pipeline actually runs:
+
+    filter (lang == 'en', quality ≥ 0.68, ≥ 20 words)
+      → exact dedup   (keep min doc_id per normalized-content hash)
+      → near-dup drop (LSH candidates, 3-gram Jaccard ≥ 0.5, drop id_b)
+      → per-doc token budget
+
+Scale shape: the filter and feature projection are narrow (no
+shuffle); exact dedup is one window shuffle on a uniform md5 key; LSH
+is linear in docs with a uniform band-key join; Jaccard only touches
+LSH candidates. Nothing quadratic ever sees the full corpus, so each
+stage's cost is the same as its standalone query — composition adds no
+new shuffle boundary beyond the anti-join at the end.
+
+The DuckDB oracle rebuilds every stage from the same md5-derived
+formulas (fragments shared with q30-q39), so the driver hash-checks
+the whole pipeline end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import load_table, register
+from .dedup import _NORM_DUCK, _NORM_SPARK, minhash_cte
+from .text import _LANG_PRED, _N_WORDS, _SCORE
+from ..operators.dedup import minhash_candidate_pairs, ngram_jaccard_pairs
+from ..operators.text import language_id, quality_features, token_count
+
+_MIN_SCORE = 0.68
+_MIN_WORDS = 20
+
+
+@register(
+    "q49_curation_pipeline",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, text, {_LANG_PRED} AS lang_pred,
+             CAST({_N_WORDS} AS INTEGER) AS n_words,
+             CAST(greatest({_N_WORDS}, CAST(ceil(length(text) / 4.0) AS BIGINT)) AS INTEGER) AS n_tokens_est,
+             {_SCORE} AS quality_score
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM feat
+      WHERE lang_pred = 'en' AND quality_score >= {_MIN_SCORE} AND n_words >= {_MIN_WORDS}
+    ),
+    survivors AS (
+      SELECT doc_id, text, n_words, n_tokens_est, quality_score FROM (
+        SELECT k.*, MIN(doc_id) OVER (PARTITION BY md5({_NORM_DUCK})) AS keeper
+        FROM kept k
+      ) WHERE doc_id = keeper
+    ),
+    {minhash_cte("survivors")},
+    grams AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(generate_series(1, length(text) - 2),
+               i -> substring(text, i, 3))) AS g
+      FROM survivors WHERE length(text) >= 3
+    ),
+    dropped AS (
+      SELECT DISTINCT c.id_b FROM candidates c
+      JOIN grams a ON a.id = c.id_a
+      JOIN grams b ON b.id = c.id_b
+      WHERE len(list_intersect(a.g, b.g))
+            / CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) >= 0.5
+    )
+    SELECT doc_id, n_words, n_tokens_est, quality_score
+    FROM survivors
+    WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+    ORDER BY doc_id
+    """,
+)
+def q49_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter → exact-dedup → near-dup-drop → token stats, end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        "text",
+        language_id("text").alias("lang_pred"),
+        quality_features("text").alias("q"),
+        token_count("text").alias("t"),
+    ).select(
+        "doc_id",
+        "text",
+        "lang_pred",
+        F.col("q.n_words").alias("n_words"),
+        F.col("t.n_tokens_est").alias("n_tokens_est"),
+        F.col("q.quality_score").alias("quality_score"),
+    )
+    kept = feat.where(
+        (F.col("lang_pred") == "en")
+        & (F.col("quality_score") >= _MIN_SCORE)
+        & (F.col("n_words") >= _MIN_WORDS)
+    )
+    survivors = (
+        kept.withColumn(
+            "keeper",
+            F.min("doc_id").over(Window.partitionBy(F.md5(F.expr(_NORM_SPARK)))),
+        )
+        .where(F.col("doc_id") == F.col("keeper"))
+        .drop("keeper")
+    )
+    cands = minhash_candidate_pairs(survivors, "doc_id", "text", 12, 3, 3)
+    verified = ngram_jaccard_pairs(
+        survivors, "doc_id", "text", n=3, threshold=0.5, candidates=cands
+    )
+    dropped = verified.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        survivors.join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "n_words", "n_tokens_est", "quality_score")
+        .orderBy("doc_id")
+    )

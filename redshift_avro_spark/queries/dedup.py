@@ -44,8 +44,14 @@ _NORM_DUCK = (
 _WORDS_DUCK = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
 # DuckDB CTE replicating minhash_candidate_pairs(n_hashes=12, shingle_k=3,
-# rows_per_band=3) — shared by q31 (discovery) and q33 (verify stage)
-_MINHASH_CTE = f"""
+# rows_per_band=3) — shared by q31/q33 (over ``documents``) and q49
+# (over the curation pipeline's survivor CTE)
+
+
+def minhash_cte(source: str) -> str:
+    """CTE chain sigs→banded→candidates over ``source`` (must expose
+    doc_id + text), replicating minhash_candidate_pairs(12, 3, 3)."""
+    return f"""
     sigs AS (
       SELECT doc_id AS id,
              list_transform(['0','1','2','3','4','5','6','7','8','9','10','11'],
@@ -55,7 +61,7 @@ _MINHASH_CTE = f"""
         SELECT doc_id,
                list_transform(generate_series(1, len(words) - 2),
                  i -> array_to_string(list_slice(words, i, i + 2), ' ')) AS shingles
-        FROM (SELECT doc_id, {_WORDS_DUCK} AS words FROM documents)
+        FROM (SELECT doc_id, {_WORDS_DUCK} AS words FROM {source})
         WHERE len(words) >= 3
       )
     ),
@@ -70,6 +76,9 @@ _MINHASH_CTE = f"""
       FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.id < b.id
     )
 """
+
+
+_MINHASH_CTE = minhash_cte("documents")
 
 
 @register(

@@ -99,6 +99,10 @@ def q49_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("quality_score") >= _MIN_SCORE)
         & (F.col("n_words") >= _MIN_WORDS)
     )
+    # survivors feeds three consumers (LSH signatures, Jaccard grams,
+    # final anti-join); persist so the filter+window subplan runs once.
+    # MEMORY_AND_DISK spills instead of OOMing when the surviving slice
+    # of a 100 TB corpus exceeds executor memory.
     survivors = (
         kept.withColumn(
             "keeper",
@@ -106,6 +110,7 @@ def q49_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("doc_id") == F.col("keeper"))
         .drop("keeper")
+        .persist()
     )
     cands = minhash_candidate_pairs(survivors, "doc_id", "text", 12, 3, 3)
     verified = ngram_jaccard_pairs(

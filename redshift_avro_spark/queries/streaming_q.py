@@ -20,7 +20,12 @@ from pyspark.sql import types as T
 
 from . import load_table, register
 from ..sources.columns import to_avro
-from ..streaming import decode_avro_stream, read_binary_file_stream, windowed_agg
+from ..streaming import (
+    decode_avro_stream,
+    dedup_within_watermark,
+    read_binary_file_stream,
+    windowed_agg,
+)
 
 _SCHEMA = {
     "type": "record",
@@ -114,4 +119,51 @@ def q51_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("key")
         .agg(F.max("n_events").alias("n_events"))
         .orderBy("key")
+    )
+
+
+@register(
+    "q52_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q52_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-duplicate handling on the declared surface: land every
+    event TWICE, stream + decode, dropDuplicatesWithinWatermark on
+    event_id, aggregate. The dedup must reduce the doubled corpus back
+    to exactly the original table, so this streaming query has a full
+    value-hash oracle (the batch GROUP BY over undoubled events) — the
+    duplicates all arrive in one availableNow micro-batch, within the
+    watermark by construction."""
+    run = uuid.uuid4().hex[:8]
+    land_dir = tempfile.mkdtemp(prefix=f"stream_q52_{run}_")
+    e = load_table(spark, sf_dir, "events")
+    payloads = e.select(
+        "ts",
+        to_avro(F.struct("event_id", "user_id", "event_type", "value"), _SCHEMA).alias(
+            "payload"
+        ),
+    )
+    payloads.unionAll(payloads).write.mode("overwrite").parquet(land_dir)
+    stream = read_binary_file_stream(spark, land_dir, _PAYLOAD_STRUCT)
+    decoded = decode_avro_stream(stream, "payload", _SCHEMA)
+    deduped = dedup_within_watermark(decoded, ["event_id"], "ts", "1 hour")
+    name = f"q52_sink_{run}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
     )

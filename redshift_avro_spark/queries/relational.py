@@ -316,6 +316,39 @@ def q10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q53_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS flag_grp,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS status_grp,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY flag_grp, status_grp, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q53_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (arbitrary set list — the general form
+    ROLLUP/CUBE are shorthands for), with GROUPING() flags to
+    disambiguate real NULL keys from aggregated-away ones. One Expand +
+    one shuffle regardless of the number of sets."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q53")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS flag_grp,
+               CAST(grouping(l_linestatus) AS INT) AS status_grp,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem_q53
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY flag_grp, status_grp, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions: rank (top-k per group) and running frame
 # ---------------------------------------------------------------------------

@@ -772,6 +772,42 @@ def q46_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q54_exact_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_disc(o_totalprice, 0.5) AS p50,
+           quantile_disc(o_totalprice, 0.9) AS p90,
+           quantile_disc(o_totalprice, 0.99) AS p99,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q54_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ordered-set aggregates (PERCENTILE_DISC WITHIN GROUP):
+    discrete selection of an actual element, so the result hash-matches
+    across engines bit-for-bit (no interpolation). The exact complement
+    to q46's sketches — affordable while a group's values fit one
+    executor's sort; beyond that, q46 is the path."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q54")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               percentile_disc(0.9)  WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS p99,
+               MIN(o_totalprice) AS lo,
+               MAX(o_totalprice) AS hi
+        FROM orders_q54
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
     "q47_session_windows",
     oracle="""
     WITH ordered AS (

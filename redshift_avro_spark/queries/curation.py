@@ -100,9 +100,11 @@ def q49_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_words") >= _MIN_WORDS)
     )
     # survivors feeds three consumers (LSH signatures, Jaccard grams,
-    # final anti-join); persist so the filter+window subplan runs once.
-    # MEMORY_AND_DISK spills instead of OOMing when the surviving slice
-    # of a 100 TB corpus exceeds executor memory.
+    # final anti-join). Recomputing the narrow filter+window subplan
+    # per consumer measured FASTER here than persist() (repeated
+    # invocations leak never-unpersisted cache blocks and the storage
+    # overhead beats the recompute); at 100 TB, materialize survivors
+    # to parquet between stages instead — never an in-memory cache.
     survivors = (
         kept.withColumn(
             "keeper",
@@ -110,7 +112,6 @@ def q49_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("doc_id") == F.col("keeper"))
         .drop("keeper")
-        .persist()
     )
     cands = minhash_candidate_pairs(survivors, "doc_id", "text", 12, 3, 3)
     verified = ngram_jaccard_pairs(

@@ -533,6 +533,42 @@ def q16_json_super(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q55_variant_super",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) < 50
+    GROUP BY event_type, k_bucket
+    ORDER BY event_type, k_bucket
+    """,
+)
+def q55_variant_super(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUPER fidelity via VariantType: parse_json → open semi-structured
+    binary (Spark's equivalent of Redshift SUPER, K5/README.md:16) →
+    typed variant_get extraction → filter + bucketed agg. Unlike q16's
+    per-path string extraction, the variant parses the JSON ONCE and
+    all downstream paths read the binary — the right shape when many
+    paths are extracted from the same payload at 100 TB."""
+    e = load_table(spark, sf_dir, "events").withColumn("v", F.parse_json("props"))
+    k = F.variant_get("v", "$.k", "int")
+    return (
+        e.where(k < 50)
+        .groupBy(
+            "event_type",
+            (k / 10).cast("int").alias("k_bucket"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type", "k_bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch windowed aggregation over the event stream table
 # ---------------------------------------------------------------------------

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from . import load_table, register
 from ..operators.text import STOPWORDS, doc_fingerprint, language_id, quality_features, token_count
@@ -119,3 +120,67 @@ def q39_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint")).orderBy("doc_id")
+
+
+@register(
+    "q56_tfidf_terms",
+    oracle=f"""
+    WITH tf AS (
+      SELECT lang, doc_id, w AS term, COUNT(*) AS tf
+      FROM (SELECT lang, doc_id, unnest({_WORDS}) AS w FROM documents)
+      GROUP BY lang, doc_id, w
+    ),
+    stats AS (
+      SELECT lang, term,
+             CAST(SUM(tf) AS BIGINT) AS sum_tf,
+             CAST(COUNT(*) AS BIGINT) AS df
+      FROM tf GROUP BY lang, term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT lang, term, sum_tf, df,
+             ROUND(sum_tf * (n.n_docs + 1.0) / (df + 1.0), 6) AS tfidf
+      FROM stats, n
+    )
+    SELECT lang, term, sum_tf, df, tfidf FROM (
+      SELECT s.*, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tfidf DESC, term) AS rn
+      FROM scored s
+    ) WHERE rn <= 5
+    ORDER BY lang, tfidf DESC, term
+    """,
+)
+def q56_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary weighting (SURVEY §7.2 step 8 'tf-idf'): term
+    frequency × smoothed inverse document frequency, top-5 terms per
+    language. The idf uses the ratio form (N+1)/(df+1) instead of its
+    log — a monotone transform with identical ranking whose IEEE
+    mult/div is bit-deterministic across engines (ln is libm-dependent
+    and would break the value-hash). Shuffles: explode→(doc,term) agg,
+    (lang,term) agg, one window on lang — all uniform keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.expr("split(trim(lower(text)), '\\\\s+')")
+    tf = (
+        docs.select("lang", "doc_id", F.explode(words).alias("term"))
+        .groupBy("lang", "doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = tf.groupBy("lang", "term").agg(
+        F.sum("tf").cast("long").alias("sum_tf"), F.count("*").cast("long").alias("df")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = stats.crossJoin(F.broadcast(n)).select(
+        "lang",
+        "term",
+        "sum_tf",
+        "df",
+        F.round(
+            F.col("sum_tf") * (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+        .orderBy("lang", F.desc("tfidf"), "term")
+    )

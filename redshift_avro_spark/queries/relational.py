@@ -794,13 +794,14 @@ def q46_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     by design, so no cross-engine oracle exists; q08 provides the exact
     counterpart on the same columns."""
     o = load_table(spark, sf_dir, "orders")
+    q = F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000)
     return (
         o.groupBy("o_orderpriority")
         .agg(
             F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-            F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias(
-                "price_quantiles"
-            ),
+            q.getItem(0).alias("price_p50"),
+            q.getItem(1).alias("price_p95"),
+            q.getItem(2).alias("price_p99"),
             F.count("*").alias("n"),
         )
         .orderBy("o_orderpriority")

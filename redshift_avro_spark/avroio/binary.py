@@ -999,15 +999,39 @@ def _compile_res(writer: AvroSchema, reader: AvroSchema, env: dict) -> DecodeFn:
     # Union on the reader side only: first reader branch that matches writer
     if isinstance(reader, UnionSchema):
         chosen: Optional[AvroSchema] = None
-        for b in reader.branches:
+        chosen_idx = -1
+        for i, b in enumerate(reader.branches):
             if schemas_match(writer, b):
                 chosen = b
+                chosen_idx = i
                 break
         if chosen is None:
             raise SchemaResolutionError(
                 f"writer {writer.type} matches no branch of reader union"
             )
-        return _compile_res(writer, chosen, env)
+        inner = _compile_res(writer, chosen, env)
+        non_null = reader.non_null_branches()
+        if env.get("__mode__", "python") == "spark" and len(non_null) >= 2:
+            # general unions surface as member0..N structs in spark mode
+            # (mirrors dec_union_members); key the struct by the matched
+            # READER branch, not the writer's
+            if chosen.type == "null":
+
+                def res_union_null(r: BinaryReader) -> None:
+                    inner(r)
+                    return None
+
+                return res_union_null
+            j = sum(1 for b in reader.branches[:chosen_idx] if b.type != "null")
+            members = tuple(f"member{k}" for k in range(len(non_null)))
+            name = f"member{j}"
+
+            def res_union_members(r: BinaryReader) -> dict:
+                v = inner(r)
+                return {m: (v if m == name else None) for m in members}
+
+            return res_union_members
+        return inner
 
     wt, rt = writer.type, reader.type
 

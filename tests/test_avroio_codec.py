@@ -363,6 +363,35 @@ class TestSchemaEvolution:
         raw = encode_datum(writer, {"old": 11})
         assert decode_datum(writer, raw, reader) == {"new": 11}
 
+    def test_spark_mode_resolver_general_union_member_struct(self):
+        """spark-mode resolver must produce the same member0..N structs the
+        spark-mode decoder does (avro_to_spark_type declares a struct for
+        general unions, so a bare branch value would break Arrow)."""
+        sch = parse_schema(
+            {"type": "record", "name": "R", "fields": [{"name": "u", "type": ["long", "string", "null"]}]}
+        )
+        res = compile_resolver(sch, sch, mode="spark")
+        dec = compile_decoder(sch, mode="spark")
+        for v in [{"u": 5}, {"u": "hi"}, {"u": None}]:
+            raw = encode_datum(sch, v)
+            got_res = res(BinaryReader(raw))
+            got_dec = dec(BinaryReader(raw))
+            assert got_res == got_dec
+        assert res(BinaryReader(encode_datum(sch, {"u": 5}))) == {"u": {"member0": 5, "member1": None}}
+
+    def test_spark_mode_resolver_union_evolution_remaps_to_reader_branches(self):
+        """member slots follow the READER's branch order, not the writer's."""
+        writer = parse_schema(
+            {"type": "record", "name": "R", "fields": [{"name": "u", "type": ["int", "string"]}]}
+        )
+        reader = parse_schema(
+            {"type": "record", "name": "R", "fields": [{"name": "u", "type": ["string", "long"]}]}
+        )
+        res = compile_resolver(writer, reader, mode="spark")
+        # writer int 42 → reader long = member1; writer string → reader string = member0
+        assert res(BinaryReader(encode_datum(writer, {"u": 42}))) == {"u": {"member0": None, "member1": 42}}
+        assert res(BinaryReader(encode_datum(writer, {"u": "x"}))) == {"u": {"member0": "x", "member1": None}}
+
 
 class TestRecursiveSchema:
     LINKED = {

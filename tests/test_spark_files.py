@@ -65,6 +65,40 @@ class TestRead:
         )
         assert len(out) == 10 and all(r.n == 3 for r in out)
 
+    def test_general_union_through_read_avro(self, spark, tmp_path):
+        """read_avro always goes through the resolver (files.py target_json);
+        general unions must surface as member0..N structs there too, matching
+        the plain-decoder representation (ADVICE r1: resolver returned bare
+        branch values and broke Arrow against the declared struct type)."""
+        sch = {
+            "type": "record",
+            "name": "U",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "u", "type": ["long", "string", "null"]},
+            ],
+        }
+        rows = [{"id": 0, "u": 7}, {"id": 1, "u": "alice"}, {"id": 2, "u": None}]
+        d = tmp_path / "union_avro"
+        d.mkdir()
+        (d / "part-0.avro").write_bytes(write_container(rows, sch))
+
+        df = read_avro(spark, str(d))
+        got = {r.id: (None if r.u is None else (r.u.member0, r.u.member1)) for r in df.collect()}
+        assert got == {0: (7, None), 1: (None, "alice"), 2: None}
+
+        # same data through decode_container with an explicit reader schema
+        from redshift_avro_spark.sources.columns import decode_container
+
+        cell_df = spark.createDataFrame([(bytearray((d / "part-0.avro").read_bytes()),)], "cell binary")
+        out = (
+            cell_df.select(F.explode(decode_container("cell", sch, reader_schema=sch)).alias("r"))
+            .select("r.*")
+            .collect()
+        )
+        got2 = {r.id: (None if r.u is None else (r.u.member0, r.u.member1)) for r in out}
+        assert got2 == got
+
     def test_reader_schema_evolution(self, spark, avro_dir):
         reader = {
             "type": "record",

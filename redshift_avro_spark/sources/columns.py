@@ -41,6 +41,7 @@ from ..avroio.binary import (
     compile_encoder,
     compile_resolver,
 )
+from ..avroio.codegen import get_batch_decoder, get_batch_encoder
 from ..avroio.container import iter_container, read_header
 from ..avroio.convert import avro_to_spark_type, df_schema_to_avro
 from ..avroio.jsonio import datum_to_json
@@ -134,6 +135,17 @@ def from_avro(
     @pandas_udf(returnType=struct_type)
     def _decode(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         writer = parse_schema(writer_json)
+        # generated columnar decoder (codegen.py) when no evolution is in
+        # play — identical semantics, no per-row dict/closure overhead
+        bd = None
+        if reader_json is None or reader_json == writer_json:
+            bd = get_batch_decoder(writer_json, mode="spark")
+        if bd is not None:
+            for series in batches:
+                outs = bd.new_columns()
+                bd.decode_blobs(series.values, outs, permissive)
+                yield pd.DataFrame(bd.to_pandas(outs))
+            return
         if reader_json is not None:
             fn = compile_resolver(writer, parse_schema(reader_json), mode="spark")
         else:
@@ -183,15 +195,23 @@ def to_avro(
 
     @pandas_udf(returnType=T.BinaryType())
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
-        enc = compile_encoder(parse_schema(schema_json_str))
+        be = get_batch_encoder(schema_json_str)
+        enc = None
         for pdf in batches:
-            cols = {name: pdf[name].tolist() for name in pdf.columns}
-            names_ = list(cols)
-            n = len(pdf)
+            if be is not None and all(n_ in pdf.columns for n_ in be.names):
+                cols = [pdf[n_].tolist() for n_ in be.names]
+                yield pd.Series(be.encode_columns(cols, len(pdf)), dtype=object)
+                continue
+            # closure path: schema fields absent from the struct take
+            # their defaults per-row (rare shape), or codegen declined
+            if enc is None:
+                enc = compile_encoder(parse_schema(schema_json_str))
+            cols_d = {name: pdf[name].tolist() for name in pdf.columns}
+            names_ = list(cols_d)
             out = []
-            for i in range(n):
+            for i in range(len(pdf)):
                 w = BinaryWriter()
-                enc(w, {name: cols[name][i] for name in names_})
+                enc(w, {name: cols_d[name][i] for name in names_})
                 out.append(w.getvalue())
             yield pd.Series(out, dtype=object)
 
@@ -254,22 +274,37 @@ def decode_container(
 
     @pandas_udf(returnType=T.ArrayType(struct_type))
     def _decode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from ..avroio.block_codecs import get_codec
+        from ..avroio.container import iter_raw_blocks
+
         target = parse_schema(schema_json_str)
-        # per-cell writer schemas can differ; cache resolvers by header
-        # schema text (registry-cache pattern, glue lambda_function.py:14)
-        resolvers: dict[str, object] = {}
+        target_canon = json.dumps(target.to_json())
+        # per-cell writer schemas can differ; cache the per-schema decode
+        # strategy by header schema text (registry-cache pattern, glue
+        # lambda_function.py:14): generated columnar decoder when the
+        # cell's writer schema IS the target, closure resolver otherwise
+        strategies: dict[str, tuple] = {}
 
         def decode_cell(blob: bytes) -> list:
             header = read_header(blob)
-            fn = resolvers.get(header.schema_json)
-            if fn is None:
-                fn = compile_resolver(header.schema, target, mode="spark")
-                resolvers[header.schema_json] = fn
-            from ..avroio.block_codecs import get_codec
-            from ..avroio.container import iter_raw_blocks
-
+            strat = strategies.get(header.schema_json)
+            if strat is None:
+                bd = None
+                if json.dumps(header.schema.to_json()) == target_canon:
+                    bd = get_batch_decoder(target_canon, mode="spark")
+                if bd is not None:
+                    strat = ("gen", bd)
+                else:
+                    strat = ("res", compile_resolver(header.schema, target, mode="spark"))
+                strategies[header.schema_json] = strat
             codec = get_codec(header.codec)
-            out = []
+            out: list = []
+            if strat[0] == "gen":
+                bd = strat[1]
+                for count, payload in iter_raw_blocks(blob, header.header_len, header.sync):
+                    bd.decode_stream_rows(codec.decompress(payload), 0, count, out)
+                return out
+            fn = strat[1]
             for count, payload in iter_raw_blocks(blob, header.header_len, header.sync):
                 br = BinaryReader(codec.decompress(payload))
                 for _ in range(count):
@@ -412,10 +447,28 @@ def explode_containers(
         from ..avroio.container import iter_raw_blocks
 
         target = parse_schema(schema_json_str)
-        resolvers: dict[str, object] = {}
+        target_canon = json.dumps(target.to_json())
+        # columnar generated decoder per matching writer schema, closure
+        # resolver otherwise (see decode_container)
+        strategies: dict[str, tuple] = {}
+
+        gen_bd = get_batch_decoder(target_canon, mode="spark")
+
+        def flush(cols: list[list], kept: list[tuple]) -> pd.DataFrame:
+            if gen_bd is not None and gen_bd.names == names:
+                out = pd.DataFrame(gen_bd.to_pandas(cols))
+            else:
+                out = pd.DataFrame(
+                    {n_: pd.Series(c, dtype=object) for n_, c in zip(names, cols)}
+                )
+            for i, k in enumerate(keep):
+                out.insert(i, k, [t[i] for t in kept])
+            return out
+
         for pdf in batches:
-            buf: list[dict] = []
+            cols: list[list] = [[] for _ in names]
             kept: list[tuple] = []
+            n_rows = 0
             for row in pdf.itertuples(index=False):
                 rowd = dict(zip(pdf.columns, row))
                 blob = rowd[col]
@@ -423,27 +476,36 @@ def explode_containers(
                     continue
                 blob = bytes(blob)
                 header = read_header(blob)
-                fn = resolvers.get(header.schema_json)
-                if fn is None:
-                    fn = compile_resolver(header.schema, target, mode="spark")
-                    resolvers[header.schema_json] = fn
+                strat = strategies.get(header.schema_json)
+                if strat is None:
+                    bd = None
+                    if json.dumps(header.schema.to_json()) == target_canon:
+                        bd = get_batch_decoder(target_canon, mode="spark")
+                    if bd is not None:
+                        strat = ("gen", bd)
+                    else:
+                        strat = ("res", compile_resolver(header.schema, target, mode="spark"))
+                    strategies[header.schema_json] = strat
                 codec = get_codec(header.codec)
                 kv = tuple(rowd[k] for k in keep)
                 for count, payload in iter_raw_blocks(blob, header.header_len, header.sync):
-                    br = BinaryReader(codec.decompress(payload))
-                    for _ in range(count):
-                        buf.append(fn(br))
-                        kept.append(kv)
-                        if len(buf) >= batch_rows:
-                            out = pd.DataFrame(buf, columns=names)
-                            for i, k in enumerate(keep):
-                                out.insert(i, k, [t[i] for t in kept])
-                            yield out
-                            buf, kept = [], []
-            if buf:
-                out = pd.DataFrame(buf, columns=names)
-                for i, k in enumerate(keep):
-                    out.insert(i, k, [t[i] for t in kept])
-                yield out
+                    if strat[0] == "gen":
+                        strat[1].decode_stream(codec.decompress(payload), 0, count, cols)
+                    else:
+                        fn = strat[1]
+                        br = BinaryReader(codec.decompress(payload))
+                        for _ in range(count):
+                            for c, v in zip(cols, fn(br).values()):
+                                c.append(v)
+                    added = len(cols[0]) - n_rows
+                    kept.extend([kv] * added)
+                    n_rows = len(cols[0])
+                    if n_rows >= batch_rows:
+                        yield flush(cols, kept)
+                        cols = [[] for _ in names]
+                        kept = []
+                        n_rows = 0
+            if n_rows:
+                yield flush(cols, kept)
 
     return df.select(*keep, col).mapInPandas(decode, out_type)

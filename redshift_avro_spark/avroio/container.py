@@ -203,7 +203,11 @@ class ContainerWriter:
     def append(self, datum: Any) -> None:
         w = BinaryWriter()
         self._encode(w, datum)
-        encoded = w.getvalue()
+        self.append_encoded(w.getvalue())
+
+    def append_encoded(self, encoded: bytes) -> None:
+        """Append an already-encoded datum (for batch encoders — caller
+        guarantees the bytes conform to this writer's schema)."""
         self._parts.append(encoded)
         self._buffered_size += len(encoded)
         self._buffered_count += 1

@@ -98,24 +98,44 @@ def q20_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q21_container_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§3.1 flagship shape: pack events into Object Container Files (one
-    per user bucket, built DISTRIBUTED via applyInPandas — K3), land them
-    as binary cells, then decode_container + explode (S2/U4) and
-    aggregate. Identity oracle proves container write→read is lossless."""
-    from ..avroio.container import write_container
+    """§3.1 flagship shape: pack events into Object Container Files
+    built DISTRIBUTED via per-partition ``mapInPandas`` (K3) — one cell
+    per Arrow batch, so parallelism follows the input partitioning and
+    no group ever materializes unbounded (the round-1 per-bucket
+    ``applyInPandas`` capped parallelism at 32 tasks and held a whole
+    bucket in memory) — land them as binary cells, then
+    decode_container + explode (S2/U4) and aggregate. Identity oracle
+    proves container write→read is lossless."""
+    import io as _io
+
+    from ..avroio.codegen import get_batch_encoder
+    from ..avroio.container import ContainerWriter, write_container
 
     e = load_table(spark, sf_dir, "events")
     schema_json = json.dumps(EVENT_AVRO_SCHEMA)
 
-    def make_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = pdf[list(_EVENT_COLS)].to_dict("records")
-        blob = write_container(rows, schema_json)
-        return pd.DataFrame({"cell": [blob]})
+    def make_cells(batches):
+        be = get_batch_encoder(schema_json)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            buf = _io.BytesIO()
+            if be is not None:
+                cols = [pdf[c].tolist() for c in _EVENT_COLS]
+                w = ContainerWriter(buf, schema_json)
+                for blob in be.encode_columns(cols, len(pdf)):
+                    w.append_encoded(blob)
+                w.close()
+            else:  # codegen declined — closure encoder
+                buf.write(write_container(pdf[list(_EVENT_COLS)].to_dict("records"), schema_json))
+            yield pd.DataFrame({"cell": [buf.getvalue()]})
 
+    # spread cell building across cores when the input arrives as one
+    # small file split (real multi-split input makes this a cheap no-op)
     cells = (
-        e.withColumn("bucket", (F.col("user_id") % 32).cast("int"))
-        .groupBy("bucket")
-        .applyInPandas(make_cell, schema="cell binary")
+        e.select(*_EVENT_COLS)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(make_cells, "cell binary")
     )
     decoded = cells.select(
         F.explode(decode_container("cell", EVENT_AVRO_SCHEMA)).alias("ev")
@@ -269,8 +289,8 @@ _KPL_EVENT_SCHEMA = {
 def q24_kpl_spring_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §3.3 end-to-end: three nested envelopes built
     DISTRIBUTED (Avro datum → Spring embedded-header message → KPL
-    protobuf aggregate per bucket → hex, the exact VARBINARY shape the
-    springcloud UDF receives), then unwrapped with the column chain
+    protobuf aggregate per Arrow batch via mapInPandas → hex, the exact
+    VARBINARY shape the springcloud UDF receives), then unwrapped with the column chain
     ``unhex → explode(kpl) → spring headers → from_avro`` and
     aggregated. Identity oracle proves the whole envelope stack is
     lossless (springcloud-lambda-udf/lambda_function.py:142-181,
@@ -288,25 +308,37 @@ def q24_kpl_spring_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_spring_headers,
     )
 
-    schema = parse_schema(_json.dumps(_KPL_EVENT_SCHEMA))
-    content_type = "application/vnd.kplevent.v1+avro"
+    from ..avroio.codegen import get_batch_encoder
 
-    def make_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        records = []
-        for r in pdf[["event_id", "user_id", "event_type", "value"]].to_dict("records"):
-            body = encode_datum(schema, r)
-            msg = build_spring_message({"contentType": content_type}, body)
-            records.append(KplRecord(partition_key_index=0, data=msg))
-        blob = encode_kpl_aggregate(
-            KplAggregate(partition_key_table=["pk"], records=records)
-        )
-        return pd.DataFrame({"hexcell": [blob.hex()]})
+    schema = parse_schema(_json.dumps(_KPL_EVENT_SCHEMA))
+    schema_json = _json.dumps(schema.to_json())
+    content_type = "application/vnd.kplevent.v1+avro"
+    kpl_cols = ["event_id", "user_id", "event_type", "value"]
+
+    def make_cells(batches):
+        be = get_batch_encoder(schema_json)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if be is not None:
+                cols = [pdf[c].tolist() for c in kpl_cols]
+                bodies = be.encode_columns(cols, len(pdf))
+            else:
+                bodies = [encode_datum(schema, r) for r in pdf[kpl_cols].to_dict("records")]
+            records = [
+                KplRecord(partition_key_index=0, data=build_spring_message({"contentType": content_type}, body))
+                for body in bodies
+            ]
+            blob = encode_kpl_aggregate(
+                KplAggregate(partition_key_table=["pk"], records=records)
+            )
+            yield pd.DataFrame({"hexcell": [blob.hex()]})
 
     e = load_table(spark, sf_dir, "events")
     cells = (
-        e.withColumn("bucket", (F.col("user_id") % 32).cast("int"))
-        .groupBy("bucket")
-        .applyInPandas(make_cell, schema="hexcell string")
+        e.select(*kpl_cols)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(make_cells, "hexcell string")
     )
     decoded = (
         cells.select(F.explode(explode_kpl(F.unhex("hexcell"))).alias("rec"))

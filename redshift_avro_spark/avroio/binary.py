@@ -114,6 +114,8 @@ class BinaryReader:
         return v
 
     def read_fixed(self, n: int) -> bytes:
+        if n < 0:  # corrupt varint — never legal as a length
+            raise AvroDecodeError(f"negative length: {n}")
         end = self.pos + n
         if end > len(self.data):
             raise AvroDecodeError("truncated input")
@@ -131,6 +133,8 @@ class BinaryReader:
         return self.read_bytes().decode("utf-8")
 
     def skip(self, n: int) -> None:
+        if n < 0:  # corrupt varint — a skip must never move backwards
+            raise AvroDecodeError(f"negative length: {n}")
         self.pos += n
         if self.pos > len(self.data):
             raise AvroDecodeError("truncated input")

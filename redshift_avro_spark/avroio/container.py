@@ -94,6 +94,9 @@ def iter_raw_blocks(data: bytes, pos: int, sync: bytes) -> Iterator[tuple[int, b
     while r.pos < end:
         count = r.read_long()
         size = r.read_long()
+        if count < 0 or size < 0:  # corrupt varints — read_fixed also guards,
+            # but a negative count would silently yield nothing
+            raise AvroDecodeError(f"corrupt block header (count={count}, size={size})")
         payload = r.read_fixed(size)
         marker = r.read_fixed(SYNC_SIZE)
         if marker != sync:

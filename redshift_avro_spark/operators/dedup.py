@@ -56,13 +56,39 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def minhash_signature(text_col: str, n_hashes: int = 12, shingle_k: int = 3) -> Column:
-    """MinHash signature as array<string> of length ``n_hashes``.
+# MinHash universal-hash family: ONE md5 per shingle, split into two
+# 32-bit lanes (h1 = first 8 hex chars, h2 = next 8), then
+# hash_i(s) = (a_i·h1 + b_i·h2) mod P. Products stay ≤ 2^52 (coeffs
+# < 2^13, lanes < 2^32) so the arithmetic is exact BIGINT in both Spark
+# and DuckDB (DuckDB RAISES on 64-bit overflow). Twelve md5 calls per
+# shingle (round 1) collapse to one — md5 was the dominant LSH cost.
+_MH_P = 4294967291  # largest prime < 2^32
+_MH_COEFFS: tuple = (
+    (2971, 4111), (3001, 4127), (3019, 4129), (3023, 4133),
+    (3037, 4139), (3041, 4153), (3049, 4157), (3061, 4159),
+    (3067, 4177), (3079, 4201), (3083, 4211), (3089, 4217),
+)
 
-    Shingles are ``shingle_k``-word windows; hash_i(s) = md5('i|' || s);
-    the minimum hex string per seed is a valid minhash (md5 is uniform
-    over strings, lexicographic min == numeric min of the hex). Pure
-    Catalyst expression: transform + array_min.
+# a pathological band (thousands of byte-identical docs hitting one
+# band key) would otherwise go quadratic inside its bucket; bands with
+# more than this many members are dropped from candidate generation
+# (exact dedup upstream is the right tool for identical-text floods —
+# the q49 composition runs it first)
+DEFAULT_BAND_CAP = 512
+
+
+def _lane(x: str, start: int) -> str:
+    """32-bit BIGINT lane from an md5 hex string column."""
+    return f"CAST(conv(substring({x}, {start}, 8), 16, 10) AS BIGINT)"
+
+
+def minhash_signature(text_col: str, n_hashes: int = 12, shingle_k: int = 3) -> Column:
+    """MinHash signature as array<bigint> of length ``n_hashes``.
+
+    Shingles are ``shingle_k``-word windows, hashed ONCE with md5; the
+    ``n_hashes`` lanes are universal-hash combinations of the digest's
+    two leading 32-bit words (see ``_MH_COEFFS``). Pure Catalyst
+    expression — no UDF, one md5 per shingle.
 
     Docs with fewer than ``shingle_k`` words get a NULL signature (the
     sequence guard matters: Spark's sequence(1, n) DESCENDS for n<1)."""
@@ -71,22 +97,27 @@ def minhash_signature(text_col: str, n_hashes: int = 12, shingle_k: int = 3) -> 
         f"transform(sequence(1, size({words}) - {shingle_k - 1}), "
         f"i -> array_join(slice({words}, i, {shingle_k}), ' '))"
     )
-    seeds = ", ".join(f"'{i}'" for i in range(n_hashes))
+    hx = f"transform({shingles}, s -> md5(s))"
+    lanes = ", ".join(
+        f"array_min(transform(__hx, x -> ({a} * {_lane('x', 1)} + {b} * {_lane('x', 9)}) % {_MH_P}))"
+        for a, b in _MH_COEFFS[:n_hashes]
+    )
+    # bind the md5 array once via a single-element transform scope
     return F.when(
         F.expr(f"size({words})") >= shingle_k,
-        F.expr(
-            f"transform(array({seeds}), "
-            f"seed -> array_min(transform({shingles}, s -> md5(concat(seed, '|', s)))))"
-        ),
+        F.expr(f"transform(array({hx}), __hx -> array({lanes}))[0]"),
     ).otherwise(F.lit(None))
 
 
 def lsh_band_keys(sig_col: str, n_hashes: int = 12, rows_per_band: int = 3) -> Column:
-    """Band keys: concat ``rows_per_band`` consecutive minhashes per
-    band, prefixed with the band index so one equi-join key suffices."""
+    """Band keys: ':'-joined ``rows_per_band`` consecutive minhashes per
+    band, prefixed with the band index so one equi-join key suffices
+    (separators matter — the lanes are variable-width decimals)."""
     n_bands = n_hashes // rows_per_band
     keys = [
-        f"concat('{b}:', " + ", ".join(f"{sig_col}[{b * rows_per_band + r}]" for r in range(rows_per_band)) + ")"
+        f"concat('{b}', "
+        + ", ".join(f"':', {sig_col}[{b * rows_per_band + r}]" for r in range(rows_per_band))
+        + ")"
         for b in range(n_bands)
     ]
     return F.expr(f"array({', '.join(keys)})")
@@ -99,28 +130,34 @@ def minhash_candidate_pairs(
     n_hashes: int = 12,
     shingle_k: int = 3,
     rows_per_band: int = 3,
+    band_cap: int = DEFAULT_BAND_CAP,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate CANDIDATE pairs (id_a < id_b).
 
-    shingle → minhash → band → bucket self-join: two docs pair iff they
-    collide in ≥1 band. The join key is uniform (md5-derived), so the
-    shuffle has no skew; distinct() collapses multi-band collisions.
+    shingle → minhash → band → per-band pair generation: two docs pair
+    iff they collide in ≥1 band with ≤ ``band_cap`` members. Pair
+    generation is ONE aggregation shuffle (collect the sorted member
+    list per band key, explode its ordered pairs) instead of a two-sided
+    self-join — the band keys are md5-derived so groups are uniform, and
+    the cap bounds both pair fan-out and per-group memory: a viral
+    identical-text cluster degrades to a dropped band, never a
+    quadratic bucket (exact dedup is the upstream answer to those).
 
     The signature computation is staged through explicit projections
-    (words → shingles → signature) with a repartition first: a single
-    small input file would otherwise evaluate the whole md5 workload on
-    one core, and the staging keeps each array materialized once per
-    row instead of re-derived inside every seed's lambda."""
+    (words → shingles → md5 digests → two 32-bit lanes → signature)
+    with a repartition first: a single small input file would otherwise
+    evaluate the whole md5 workload on one core, and the staging keeps
+    each array materialized once per row instead of re-derived inside
+    every lane's lambda."""
     n_part = df.sparkSession.sparkContext.defaultParallelism * 2
     words = _words("__text")
     shingles = (
         f"transform(sequence(1, size(__w) - {shingle_k - 1}), "
         f"i -> array_join(slice(__w, i, {shingle_k}), ' '))"
     )
-    seeds = ", ".join(f"'{i}'" for i in range(n_hashes))
-    sig = (
-        f"transform(array({seeds}), "
-        f"seed -> array_min(transform(__sh, s -> md5(concat(seed, '|', s)))))"
+    lanes = ", ".join(
+        f"array_min(zip_with(__h1, __h2, (x, y) -> ({a} * x + {b} * y) % {_MH_P}))"
+        for a, b in _MH_COEFFS[:n_hashes]
     )
     sigs = (
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
@@ -128,16 +165,28 @@ def minhash_candidate_pairs(
         .select("__id", F.expr(words).alias("__w"))
         .where(F.size("__w") >= shingle_k)
         .select("__id", F.expr(shingles).alias("__sh"))
-        .select("__id", F.expr(sig).alias("sig"))
+        .select("__id", F.expr("transform(__sh, s -> md5(s))").alias("__hx"))
+        .select(
+            "__id",
+            F.expr(f"transform(__hx, x -> {_lane('x', 1)})").alias("__h1"),
+            F.expr(f"transform(__hx, x -> {_lane('x', 9)})").alias("__h2"),
+        )
+        .select("__id", F.expr(f"array({lanes})").alias("sig"))
     )
     banded = sigs.select(
         "__id", F.explode(lsh_band_keys("sig", n_hashes, rows_per_band)).alias("band_key")
     )
-    left = banded.alias("a")
-    right = banded.alias("b")
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> named_struct('id_a', x, 'id_b', y))))"
+    )
     return (
-        left.join(right, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.__id") < F.col("b.__id")))
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        banded.groupBy("band_key")
+        .agg(F.array_sort(F.collect_list("__id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= band_cap))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

@@ -23,6 +23,10 @@ the whole pipeline end to end.
 
 from __future__ import annotations
 
+import os
+import tempfile
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -35,6 +39,30 @@ from ..operators.text import language_id, quality_features, token_count
 
 _MIN_SCORE = 0.68
 _MIN_WORDS = 20
+
+# survivors feeds three consumers (LSH signatures, Jaccard grams, final
+# anti-join); without staging, its filter + md5-window subplan — shuffle
+# included — recomputes once per consumer. Strategies, measured at sf0.1
+# in SCALING.md:
+#   checkpoint — localCheckpoint(eager): executor-storage blocks, lineage
+#                cut; in-session lifecycle (the default)
+#   parquet    — write/read a temp parquet dir: the 100 TB shape, where a
+#                stage boundary must survive executor loss and an
+#                in-memory/local-disk copy of the stage is not an option
+#   none       — recompute per consumer (round-1 behavior)
+_STAGE_MODES = ("checkpoint", "parquet", "none")
+
+
+def _stage_survivors(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    if mode == "parquet":
+        path = os.path.join(
+            tempfile.gettempdir(), f"q49_survivors_{uuid.uuid4().hex}"
+        )
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+    if mode == "checkpoint":
+        return df.localCheckpoint(eager=True)
+    return df
 
 
 @register(
@@ -99,19 +127,22 @@ def q49_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("quality_score") >= _MIN_SCORE)
         & (F.col("n_words") >= _MIN_WORDS)
     )
-    # survivors feeds three consumers (LSH signatures, Jaccard grams,
-    # final anti-join). Recomputing the narrow filter+window subplan
-    # per consumer measured FASTER here than persist() (repeated
-    # invocations leak never-unpersisted cache blocks and the storage
-    # overhead beats the recompute); at 100 TB, materialize survivors
-    # to parquet between stages instead — never an in-memory cache.
-    survivors = (
+    # Stage the three-consumer survivors subplan (see _STAGE_MODES;
+    # persist() measured slower than recompute in round 1 — repeated
+    # invocations leak never-unpersisted cache blocks — so the staging
+    # is a lineage cut, not a cache).
+    mode = os.environ.get("SPARK_GRAFT_Q49_MATERIALIZE", "checkpoint")
+    if mode not in _STAGE_MODES:
+        mode = "checkpoint"
+    survivors = _stage_survivors(
         kept.withColumn(
             "keeper",
             F.min("doc_id").over(Window.partitionBy(F.md5(F.expr(_NORM_SPARK)))),
         )
         .where(F.col("doc_id") == F.col("keeper"))
-        .drop("keeper")
+        .drop("keeper"),
+        spark,
+        mode,
     )
     cands = minhash_candidate_pairs(survivors, "doc_id", "text", 12, 3, 3)
     verified = ngram_jaccard_pairs(

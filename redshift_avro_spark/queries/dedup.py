@@ -27,6 +27,9 @@ from pyspark.sql import functions as F
 
 from . import load_table, register
 from ..operators.dedup import (
+    _MH_COEFFS,
+    _MH_P,
+    DEFAULT_BAND_CAP,
     exact_dup_groups,
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
@@ -48,32 +51,51 @@ _WORDS_DUCK = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 # (over the curation pipeline's survivor CTE)
 
 
-def minhash_cte(source: str) -> str:
+def minhash_cte(source: str, band_cap: int = DEFAULT_BAND_CAP) -> str:
     """CTE chain sigs→banded→candidates over ``source`` (must expose
-    doc_id + text), replicating minhash_candidate_pairs(12, 3, 3)."""
+    doc_id + text), replicating minhash_candidate_pairs(12, 3, 3):
+    one md5 per shingle, two 32-bit digest lanes, 12 universal-hash
+    combos mod P, ':'-separated band keys, and the hot-band cap
+    (bands with more than ``band_cap`` members drop out of candidate
+    generation — semantically identical to the Spark operator's
+    capped per-band pair explosion)."""
+    coeffs = ", ".join(f"[{a}, {b}]" for a, b in _MH_COEFFS)
     return f"""
     sigs AS (
-      SELECT doc_id AS id,
-             list_transform(['0','1','2','3','4','5','6','7','8','9','10','11'],
-               seed -> list_aggregate(
-                 list_transform(shingles, s -> md5(concat(seed, '|', s))), 'min')) AS sig
+      SELECT id,
+             list_transform([{coeffs}],
+               c -> list_aggregate(
+                 list_transform(list_zip(h1, h2),
+                   p -> (c[1] * p[1] + c[2] * p[2]) % {_MH_P}), 'min')) AS sig
       FROM (
-        SELECT doc_id,
-               list_transform(generate_series(1, len(words) - 2),
-                 i -> array_to_string(list_slice(words, i, i + 2), ' ')) AS shingles
-        FROM (SELECT doc_id, {_WORDS_DUCK} AS words FROM {source})
-        WHERE len(words) >= 3
+        SELECT id,
+               list_transform(hx, x -> CAST(concat('0x', substring(x, 1, 8)) AS BIGINT)) AS h1,
+               list_transform(hx, x -> CAST(concat('0x', substring(x, 9, 8)) AS BIGINT)) AS h2
+        FROM (
+          SELECT doc_id AS id, list_transform(shingles, s -> md5(s)) AS hx
+          FROM (
+            SELECT doc_id,
+                   list_transform(generate_series(1, len(words) - 2),
+                     i -> array_to_string(list_slice(words, i, i + 2), ' ')) AS shingles
+            FROM (SELECT doc_id, {_WORDS_DUCK} AS words FROM {source})
+            WHERE len(words) >= 3
+          )
+        )
       )
     ),
     banded AS (
       SELECT id,
              unnest(list_transform(generate_series(0, 3),
-               b -> concat(b, ':', sig[b*3 + 1], sig[b*3 + 2], sig[b*3 + 3]))) AS band_key
+               b -> concat(b, ':', sig[b*3 + 1], ':', sig[b*3 + 2], ':', sig[b*3 + 3]))) AS band_key
       FROM sigs
     ),
     candidates AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.id < b.id
+      FROM banded a
+      JOIN banded b ON a.band_key = b.band_key AND a.id < b.id
+      JOIN (SELECT band_key FROM banded GROUP BY band_key
+            HAVING COUNT(*) <= {band_cap}) ok
+        ON a.band_key = ok.band_key
     )
 """
 

@@ -172,11 +172,15 @@ class AvroWriter(DataSourceWriter):
         self.avro_schema_json = options.get("avroschema")
         self.spark_schema = spark_schema
         self.overwrite = overwrite
+        # part files stage under a dot prefix (readers skip dotfiles) and
+        # only commit() deletes old data + renames staged files into
+        # place, so a job that fails mid-write leaves the previous
+        # contents intact — overwrite is commit-atomic
+        self.run_id = uuid.uuid4().hex[:8]
         os.makedirs(self.path, exist_ok=True)
-        if overwrite:
-            for f in os.listdir(self.path):
-                if not f.startswith((".", "_")):
-                    os.remove(os.path.join(self.path, f))
+
+    def _staging_prefix(self) -> str:
+        return f".staged-{self.run_id}-"
 
     def write(self, iterator: Iterator[Any]) -> AvroCommit:
         from pyspark import TaskContext
@@ -187,7 +191,10 @@ class AvroWriter(DataSourceWriter):
             schema = df_schema_to_avro(self.spark_schema, name=self.record_name)
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else 0
-        fname = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.avro")
+        fname = os.path.join(
+            self.path,
+            f"{self._staging_prefix()}part-{pid:05d}-{uuid.uuid4().hex[:8]}.avro",
+        )
         n = 0
         field_names = [f.name for f in self.spark_schema.fields]
         with open(fname, "wb") as fh:
@@ -198,8 +205,20 @@ class AvroWriter(DataSourceWriter):
         return AvroCommit(file=fname, rows=n)
 
     def commit(self, messages: list[AvroCommit]) -> None:  # type: ignore[override]
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if not f.startswith((".", "_")):
+                    os.remove(os.path.join(self.path, f))
+        prefix = self._staging_prefix()
+        finals = []
+        for m in messages:
+            final = os.path.join(
+                self.path, os.path.basename(m.file).replace(prefix, "", 1)
+            )
+            os.replace(m.file, final)
+            finals.append(final)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
-            fh.write(json.dumps({"files": [m.file for m in messages], "rows": sum(m.rows for m in messages)}))
+            fh.write(json.dumps({"files": finals, "rows": sum(m.rows for m in messages)}))
 
     def abort(self, messages: list[AvroCommit]) -> None:  # type: ignore[override]
         for m in messages:

@@ -1,0 +1,56 @@
+"""Hot-band guard tests for MinHash-LSH candidate generation.
+
+A flood of byte-identical documents puts every copy in the same band
+buckets; without a cap the per-bucket pair explosion is quadratic in
+the flood size. The guard drops over-cap bands (exact dedup upstream is
+the right tool for identical text), keeping pair fan-out and per-group
+collected-list memory bounded."""
+
+from __future__ import annotations
+
+import pytest
+
+from redshift_avro_spark.operators.dedup import (
+    DEFAULT_BAND_CAP,
+    minhash_candidate_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """600 byte-identical docs + 4 distinct docs, two of them near-dups."""
+    flood = [(i, "the same viral text repeated everywhere again and again") for i in range(600)]
+    near_a = (1000, "a quick brown fox jumps over the lazy dog near the river bank")
+    near_b = (1001, "a quick brown fox jumps over the lazy dog near the river bend")
+    distinct = [
+        (1002, "completely unrelated content about spark physical planning"),
+        (1003, "another document body with no overlap whatsoever to others here"),
+    ]
+    return spark.createDataFrame(flood + [near_a, near_b] + distinct, "doc_id long, text string")
+
+
+class TestHotBandGuard:
+    def test_flood_band_is_dropped_but_normal_pairs_survive(self, corpus):
+        pairs = minhash_candidate_pairs(
+            corpus, "doc_id", "text", 12, 3, 3, band_cap=100
+        ).collect()
+        ids = {(r.id_a, r.id_b) for r in pairs}
+        # no pair from the 600-doc flood (its bands exceed the cap) —
+        # fan-out stays bounded instead of ~180k pairs
+        assert not any(a < 1000 and b < 1000 for a, b in ids)
+        # the legitimate near-dup pair outside the flood still surfaces
+        assert (1000, 1001) in ids
+
+    def test_cap_inactive_on_small_groups_is_identity(self, corpus):
+        """With the flood under the cap, capped == uncapped output."""
+        small = corpus.where("doc_id >= 590")  # 10 identical + 4 distinct
+        capped = {
+            (r.id_a, r.id_b)
+            for r in minhash_candidate_pairs(small, "doc_id", "text", 12, 3, 3, band_cap=DEFAULT_BAND_CAP).collect()
+        }
+        uncapped = {
+            (r.id_a, r.id_b)
+            for r in minhash_candidate_pairs(small, "doc_id", "text", 12, 3, 3, band_cap=10**9).collect()
+        }
+        assert capped == uncapped
+        assert (590, 591) in capped  # identical docs below cap still pair

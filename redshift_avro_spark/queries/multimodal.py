@@ -42,12 +42,29 @@ def q40_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("q41_payload_features", oracle=None)
+@register(
+    "q41_payload_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_bytes,
+           CAST(1 + (CASE WHEN length(text) >= 1 THEN ascii(substring(text, 1, 1)) ELSE 0 END) % 64 AS INTEGER) AS width,
+           CAST(1 + (CASE WHEN length(text) >= 2 THEN ascii(substring(text, 2, 1)) ELSE 0 END) % 64 AS INTEGER) AS height,
+           CAST(1 + (CASE WHEN length(text) >= 3 THEN ascii(substring(text, 3, 1)) ELSE 0 END) % 4 AS INTEGER) AS channels,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE list_aggregate(list_transform(generate_series(1, length(text)),
+                       i -> ascii(substring(text, i, 1))), 'sum') / CAST(length(text) AS DOUBLE)
+           END AS mean_pixel
+    FROM documents ORDER BY doc_id
+    """,
+)
 def q41_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
     ``mapInPandas`` — the real 100 TB decode pattern (batch in, batch
-    out, narrow map stage); inner decode is the deterministic fake
-    (rows-only driver check, no SQL oracle)."""
+    out, narrow map stage); inner decode is the deterministic fake,
+    whose byte arithmetic the DuckDB oracle replicates with ascii()
+    over the same (ASCII) document text — upgrading q41 from the
+    rows-only check to a full value-hash row. The integer byte sum is
+    exact in both engines, so the single float division is bit-stable."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )

@@ -28,6 +28,8 @@ __all__ = [
     "topk_neighbors",
     "embedding_near_dup_pairs",
     "lsh_bucket_topk",
+    "lloyd_step",
+    "ivf_topk",
 ]
 
 
@@ -152,6 +154,41 @@ def lsh_bucket_topk(
     )
 
 
+def _assign_nearest(c: DataFrame, cents, vec: str = "cvec", id_: str = "neighbor_id") -> DataFrame:
+    """Nearest-centroid assignment (cosine, ties to smallest cid)."""
+    w_c = Window.partitionBy(id_).orderBy(F.desc("cs"), F.asc("cid"))
+    return (
+        c.crossJoin(cents)
+        .select(id_, vec, "cid", cosine_expr(vec, "centvec").alias("cs"))
+        .withColumn("rn", F.row_number().over(w_c))
+        .where(F.col("rn") == 1)
+        .select(id_, vec, "cid")
+    )
+
+
+def lloyd_step(assign: DataFrame, dim: int, vec: str = "cvec") -> DataFrame:
+    """One Lloyd (k-means) refinement: element-wise mean per cluster.
+
+    Sums go through DECIMAL(27,10) so the accumulation is exact and
+    associative — partial-aggregation order can't flip result bits, and
+    a DuckDB oracle summing the same decimals reproduces the centroids
+    bit-for-bit (the single double division afterwards is IEEE-stable).
+    Empty clusters drop out, exactly like SQL GROUP BY."""
+    sums = assign.groupBy("cid").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.col(vec).getItem(d).cast("double").cast("decimal(27,10)")).alias(f"s{d}")
+            for d in range(dim)
+        ],
+    )
+    return sums.select(
+        "cid",
+        F.array(
+            *[(F.col(f"s{d}").cast("double") / F.col("n")) for d in range(dim)]
+        ).alias("centvec"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -160,18 +197,23 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 8,
     n_probe: int = 2,
+    lloyd_iters: int = 2,
+    dim: int = 64,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the second ANN family
     next to random-hyperplane LSH.
 
-    Centroids are a deterministic sample (the first ``n_centroids``
-    corpus vectors by id — a stand-in for k-means that both engines can
-    reproduce exactly). Every corpus vector is assigned to its nearest
-    centroid (cosine, ties to the smallest centroid id); a query probes
-    its ``n_probe`` nearest centroid lists and exact-re-ranks only
-    those candidates. At scale the centroid set stays broadcast-sized
-    and the corpus shuffles once on its centroid assignment — the
-    inverted lists are just a partitioning."""
+    Centroids start as a deterministic seed (the first ``n_centroids``
+    corpus vectors by id) refined by ``lloyd_iters`` Lloyd iterations —
+    assignment and decimal-exact cluster means in plain DataFrame ops,
+    so both engines reproduce the k-means trajectory bit-for-bit (no
+    RNG, no float-order sensitivity; see :func:`lloyd_step`). Every
+    corpus vector is assigned to its nearest refined centroid (cosine,
+    ties to the smallest centroid id); a query probes its ``n_probe``
+    nearest centroid lists and exact-re-ranks only those candidates.
+    At scale the centroid set stays broadcast-sized and the corpus
+    shuffles once per iteration on its assignment — the inverted lists
+    are just a partitioning."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     cents = F.broadcast(
@@ -179,15 +221,10 @@ def ivf_topk(
         .limit(n_centroids)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("centvec"))
     )
+    for _ in range(lloyd_iters):
+        cents = F.broadcast(lloyd_step(_assign_nearest(c, cents), dim))
 
-    w_c = Window.partitionBy("neighbor_id").orderBy(F.desc("cs"), F.asc("cid"))
-    assign = (
-        c.crossJoin(cents)
-        .select("neighbor_id", "cvec", "cid", cosine_expr("cvec", "centvec").alias("cs"))
-        .withColumn("rn", F.row_number().over(w_c))
-        .where(F.col("rn") == 1)
-        .select("neighbor_id", "cvec", "cid")
-    )
+    assign = _assign_nearest(c, cents)
     w_q = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
     probes = (
         q.crossJoin(cents)

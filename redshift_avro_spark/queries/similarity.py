@@ -109,34 +109,67 @@ def q36_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-_CENT_COS = (
-    "(list_aggregate(list_transform(list_zip(v, centvec),"
-    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'))"
-    " / (sqrt(list_aggregate(list_transform(v,"
-    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
-    " * sqrt(list_aggregate(list_transform(centvec,"
-    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
-)
+def _cent_cos(vec: str) -> str:
+    """Cosine(vec, c.centvec) in DuckDB (same accumulation as Spark)."""
+    return (
+        f"(list_aggregate(list_transform(list_zip({vec}, c.centvec),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'))"
+        f" / (sqrt(list_aggregate(list_transform({vec},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+        " * sqrt(list_aggregate(list_transform(c.centvec,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
+    )
+
+
+def _ivf_cents_cte(lloyd_iters: int, n_centroids: int = 8) -> tuple[str, str]:
+    """Unrolled Lloyd chain: cents0 (first-N seed) → assignI → centsI+1
+    (decimal-exact element-wise means, mirroring operators.similarity.
+    lloyd_step bit-for-bit). Returns (CTE text, final cents name)."""
+    ctes = [
+        f"cents0 AS (\n      SELECT vec_id AS cid, embedding AS centvec"
+        f" FROM embeddings ORDER BY vec_id LIMIT {n_centroids}\n    )"
+    ]
+    for i in range(lloyd_iters):
+        ctes.append(
+            f"""assign{i} AS (
+      SELECT neighbor_id, cvec, cid FROM (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS cvec, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_cent_cos('e.embedding')} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cents{i} c
+      ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""cents{i + 1} AS (
+      SELECT cid, list(CAST(s AS DOUBLE) / n ORDER BY d) AS centvec FROM (
+        SELECT cid, d, SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(27,10))) AS s, COUNT(*) AS n
+        FROM (SELECT cid, unnest(cvec) AS v, generate_subscripts(cvec, 1) AS d FROM assign{i})
+        GROUP BY cid, d
+      ) GROUP BY cid
+    )"""
+        )
+    return ",\n    ".join(ctes), f"cents{lloyd_iters}"
+
+
+_CENTS_CTE, _FINAL_CENTS = _ivf_cents_cte(lloyd_iters=2, n_centroids=8)
 
 
 @register(
     "q45_ivf_topk",
     oracle=f"""
-    WITH cents AS (
-      SELECT vec_id AS cid, embedding AS centvec FROM embeddings ORDER BY vec_id LIMIT 8
-    ),
+    WITH {_CENTS_CTE},
     assign AS (
       SELECT neighbor_id, cvec, cid FROM (
         SELECT e.vec_id AS neighbor_id, e.embedding AS cvec, c.cid,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_CENT_COS.replace('v,', 'e.embedding,').replace('(v', '(e.embedding')} DESC, c.cid) AS rn
-        FROM embeddings e CROSS JOIN cents c
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_cent_cos('e.embedding')} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN {_FINAL_CENTS} c
       ) WHERE rn = 1
     ),
     probes AS (
       SELECT query_id, qvec, cid FROM (
         SELECT e.vec_id AS query_id, e.embedding AS qvec, c.cid,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_CENT_COS.replace('v,', 'e.embedding,').replace('(v', '(e.embedding')} DESC, c.cid) AS rn
-        FROM embeddings e CROSS JOIN cents c
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_cent_cos('e.embedding')} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN {_FINAL_CENTS} c
         WHERE e.vec_id < 10
       ) WHERE rn <= 2
     ),
@@ -155,13 +188,16 @@ _CENT_COS = (
     """,
 )
 def q45_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: deterministic centroid sample, nearest-centroid
-    inverted lists, 2-probe exact re-rank. Complements q36's LSH — the
-    two standard ANN families, both oracle-checked."""
+    """IVF ANN: deterministic first-N centroid seed refined by two
+    bit-reproducible Lloyd iterations (decimal-exact cluster means),
+    nearest-centroid inverted lists, 2-probe exact re-rank. Complements
+    q36's LSH — the two standard ANN families, both oracle-checked
+    against the same unrolled k-means trajectory in DuckDB."""
     from ..operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_centroids=8, n_probe=2).orderBy(
-        "query_id", "rank"
-    )
+    return ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, n_centroids=8, n_probe=2,
+        lloyd_iters=2, dim=64,
+    ).orderBy("query_id", "rank")

@@ -83,12 +83,26 @@ def q50_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("window_start", "event_type")
 
 
-@register("q51_stream_running_totals", oracle=None)
+@register(
+    "q51_stream_running_totals",
+    oracle="""
+    SELECT event_type AS key, COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY key
+    """,
+)
 def q51_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming on the declared surface: per-event-type
-    running (count, sum) via applyInPandasWithState across micro-batches
-    (rows-only check; cross-batch convergence to the batch answer is
-    asserted in tests/test_streaming.py::test_stateful_running_totals)."""
+    running (count, sum) via applyInPandasWithState across micro-batches.
+
+    Full value-hash oracle: running counts increase monotonically across
+    update-mode emissions, so MAX(n_events) per key is the final state —
+    which must equal the batch COUNT(*) per event_type no matter how the
+    stream micro-batched. (Float sums stay out of the oracle: their
+    accumulation order is batch-dependent; cross-batch convergence of
+    the full state is asserted in
+    tests/test_streaming.py::test_stateful_running_totals.)"""
     from ..streaming.stateful import running_totals
 
     run = uuid.uuid4().hex[:8]

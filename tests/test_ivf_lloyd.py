@@ -1,0 +1,73 @@
+"""Lloyd-refined IVF: recall on a clustered synthetic where the naive
+first-N centroid seed is pathological (all seeds land in one cluster
+because ids sort that way), so refinement must visibly help."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from redshift_avro_spark.operators.similarity import ivf_topk, lloyd_step, topk_neighbors
+
+DIM = 8
+PER_CLUSTER = 30
+
+
+def _vec(center: int, j: int) -> list[float]:
+    """Member j of cluster `center`: a tight deterministic cloud around
+    one of three orthogonal-ish base directions."""
+    base = [0.0] * DIM
+    base[center] = 10.0
+    base[center + 3] = 5.0
+    return [
+        round(b + 0.01 * ((j * (d + 7) * 2654435761) % 97 - 48) / 48.0, 6)
+        for d, b in enumerate(base)
+    ]
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    # ids 0..29 cluster 0, 30..59 cluster 1, 60..89 cluster 2 — the
+    # first-8-by-id seed puts every centroid in cluster 0
+    rows = [
+        (c * PER_CLUSTER + j, _vec(c, j))
+        for c in range(3)
+        for j in range(PER_CLUSTER)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _recall(approx, exact) -> float:
+    a = {(r.query_id, r.neighbor_id) for r in approx}
+    e = {(r.query_id, r.neighbor_id) for r in exact}
+    return len(a & e) / len(e)
+
+
+class TestLloydRecall:
+    def test_lloyd_refinement_beats_first_n_seed(self, clustered):
+        queries = clustered.where(F.col("vec_id").isin([5, 35, 65]))
+        exact = topk_neighbors(clustered, queries, k=5).collect()
+        # n_probe=1 exposes list quality: with the degenerate all-in-
+        # cluster-0 seed, a single probed inverted list splits every
+        # cluster arbitrarily; Lloyd-refined centroids align lists with
+        # the cluster structure
+        base = ivf_topk(
+            clustered, queries, k=5, n_centroids=8, n_probe=1, lloyd_iters=0, dim=DIM
+        ).collect()
+        refined = ivf_topk(
+            clustered, queries, k=5, n_centroids=8, n_probe=1, lloyd_iters=2, dim=DIM
+        ).collect()
+        r_base, r_refined = _recall(base, exact), _recall(refined, exact)
+        assert r_refined > r_base
+        assert r_refined >= 0.85
+
+    def test_lloyd_step_is_exact_mean(self, spark):
+        assign = spark.createDataFrame(
+            [(1, [1.0, 2.0], 7), (2, [3.0, 5.0], 7), (3, [10.0, 20.0], 9)],
+            "neighbor_id long, cvec array<double>, cid long",
+        )
+        cents = {r.cid: r.centvec for r in lloyd_step(assign, dim=2).collect()}
+        assert cents[7] == [2.0, 3.5]
+        assert cents[9] == [10.0, 20.0]

@@ -108,6 +108,47 @@ class TestSpringRegistry:
         with pytest.raises(ValueError):
             parse_spring_content_type("application/json")
 
+    def test_live_http_fetch_against_local_server(self):
+        """Exercise the REAL urllib fetch path (no injected fake) against
+        an in-process loopback HTTP server — closes the round-1 gap
+        where only the parse/memoize layers ran."""
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        seen_paths: list[str] = []
+        body = json.dumps({"definition": json.dumps(PERSON_SCHEMA.to_json())}).encode()
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 - http.server API
+                seen_paths.append(self.path)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # silence test output
+                return
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            host = f"127.0.0.1:{srv.server_address[1]}"
+            reg = SpringSchemaRegistry(
+                host=host,
+                url_format="http://{host}/services/avro-schema-registry/{schema}/{format}/{version}",
+            )
+            s1 = reg.get_schema("application/vnd.person.v1+avro")
+            s2 = reg.get_schema("application/vnd.person.v1+avro")
+        finally:
+            srv.shutdown()
+            srv.server_close()
+        assert s1 is s2
+        assert s1.fullname == "person"
+        # one real HTTP round trip, correct reference-shaped path, memoized
+        assert seen_paths == ["/services/avro-schema-registry/person/avro/v1"]
+
 
 class TestKpl:
     def _fixture(self) -> tuple[bytes, list[bytes]]:

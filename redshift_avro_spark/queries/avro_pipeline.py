@@ -290,9 +290,11 @@ def q24_kpl_spring_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §3.3 end-to-end: three nested envelopes built
     DISTRIBUTED (Avro datum → Spring embedded-header message → KPL
     protobuf aggregate per Arrow batch via mapInPandas → hex, the exact
-    VARBINARY shape the springcloud UDF receives), then unwrapped with the column chain
-    ``unhex → explode(kpl) → spring headers → from_avro`` and
-    aggregated. Identity oracle proves the whole envelope stack is
+    VARBINARY shape the springcloud UDF receives), then unwrapped with
+    ``unhex`` (JVM) + the fused ``unwrap_kpl_spring_avro`` stage (KPL
+    deagg → Spring headers → Avro decode in ONE mapInPandas — the
+    composable ``explode_kpl → extract_spring_headers → from_avro``
+    chain costs an Arrow round trip per link) and aggregated. Identity oracle proves the whole envelope stack is
     lossless (springcloud-lambda-udf/lambda_function.py:142-181,
     with its KPL decode bug fixed per spec — SURVEY Appendix A.6)."""
     import json as _json
@@ -304,8 +306,7 @@ def q24_kpl_spring_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         KplRecord,
         build_spring_message,
         encode_kpl_aggregate,
-        explode_kpl,
-        extract_spring_headers,
+        unwrap_kpl_spring_avro,
     )
 
     from ..avroio.codegen import get_batch_encoder
@@ -340,11 +341,8 @@ def q24_kpl_spring_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(make_cells, "hexcell string")
     )
-    decoded = (
-        cells.select(F.explode(explode_kpl(F.unhex("hexcell"))).alias("rec"))
-        .select(extract_spring_headers("rec.data").alias("sh"))
-        .select(from_avro("sh.body", _KPL_EVENT_SCHEMA).alias("ev"))
-        .select("ev.*")
+    decoded = unwrap_kpl_spring_avro(
+        cells.select(F.unhex("hexcell").alias("agg")), "agg", _KPL_EVENT_SCHEMA
     )
     return (
         decoded.groupBy("event_type")

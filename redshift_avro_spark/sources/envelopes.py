@@ -22,7 +22,11 @@ A Kinesis cell can nest three envelopes before the Avro body:
 
 Spark-side: :func:`spring_headers_udf` and :func:`explode_kpl` wrap
 these as Arrow-batched UDFs so a DataFrame pipeline can express
-``unhex → explode(kpl) → headers → from_avro(body)`` (SURVEY §3.3).
+``unhex → explode(kpl) → headers → from_avro(body)`` (SURVEY §3.3);
+:func:`unwrap_kpl_spring_avro` fuses that whole chain into one
+``mapInPandas`` stage when the pipeline only needs the decoded body —
+each chained pandas UDF costs an Arrow round trip, and the fused form
+pays it once.
 """
 
 from __future__ import annotations
@@ -322,3 +326,54 @@ def explode_kpl(col: Union[str, Column]) -> Column:
             yield pd.Series(out, dtype=object)
 
     return _deagg(col)
+
+
+def unwrap_kpl_spring_avro(df, col: str, schema):
+    """Fused envelope unwrap: KPL aggregate bytes → sub-records → Spring
+    headers stripped → Avro datum decoded, in ONE ``mapInPandas`` stage
+    (one row per sub-record, record fields as top-level columns).
+
+    Equivalent to ``explode(explode_kpl(col)) → extract_spring_headers →
+    from_avro`` but pays the Python/Arrow stage cost once instead of
+    three times; the Avro body decodes through the generated batch
+    decoder (avroio/codegen.py) with the closure codec as fallback.
+    Headers and partition keys are dropped — use the composable column
+    functions when the pipeline needs them."""
+    from ..avroio.binary import BinaryReader, compile_decoder
+    from ..avroio.codegen import get_batch_decoder
+    from ..avroio.convert import avro_to_spark_type
+    from ..avroio.schema_model import AvroSchema
+    from ..avroio.schema_model import parse_schema as _parse
+    from .columns import _nullable_struct
+
+    sch = schema if isinstance(schema, AvroSchema) else _parse(schema)
+    schema_json = json.dumps(sch.to_json())
+    struct_type = _nullable_struct(avro_to_spark_type(sch))
+    if not isinstance(struct_type, T.StructType):
+        raise TypeError("unwrap_kpl_spring_avro requires a record schema")
+    names = [f.name for f in struct_type.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bd = get_batch_decoder(schema_json, "spark")
+        dec = None if bd is not None else compile_decoder(_parse(schema_json), mode="spark")
+        for pdf in batches:
+            cols: list[list] = bd.new_columns() if bd is not None else [[] for _ in names]
+            for blob in pdf[col]:
+                if blob is None:
+                    continue
+                for rec in decode_kpl_aggregate(bytes(blob)).records:
+                    _, body = parse_spring_message(rec.data)
+                    if bd is not None:
+                        bd.decode_stream(body, 0, 1, cols)
+                    else:
+                        v = dec(BinaryReader(body))
+                        for c, n in zip(cols, names):
+                            c.append(v[n])
+            if bd is not None:
+                yield pd.DataFrame(bd.to_pandas(cols))
+            else:
+                yield pd.DataFrame(
+                    {n: pd.Series(c, dtype=object) for n, c in zip(names, cols)}
+                )
+
+    return df.select(col).mapInPandas(run, struct_type)

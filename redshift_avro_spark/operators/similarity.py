@@ -27,6 +27,7 @@ __all__ = [
     "cosine_expr",
     "topk_neighbors",
     "embedding_near_dup_pairs",
+    "bucketed_embedding_near_dup",
     "lsh_bucket_topk",
     "lloyd_step",
     "ivf_topk",
@@ -96,6 +97,37 @@ def embedding_near_dup_pairs(
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_expr("va", "vb").alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def bucketed_embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup at scale: random-hyperplane LSH buckets bound
+    the candidate space, exact cosine verifies inside each bucket —
+    the bucketed realization of :func:`embedding_near_dup_pairs`'
+    documented scale path. Pairs split across buckets are the recall
+    trade-off (standard LSH; more planes → smaller buckets, lower
+    recall per table, so production runs band several plane-sets —
+    here one set keeps the oracle simple).
+
+    Scale shape: one shuffle on the bucket key (md5-derived planes,
+    uniform buckets); the quadratic verify runs per bucket, never on
+    the full corpus."""
+    key = lsh_bucket_key(vec_col, n_planes, dim)
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), key.alias("bucket"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), key.alias("bucket"))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine_expr("va", "vb").alias("cosine"))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

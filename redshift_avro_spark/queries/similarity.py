@@ -109,6 +109,43 @@ def q36_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+_PAIR_COS = (
+    "(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'))"
+    " / (sqrt(list_aggregate(list_transform(a.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    " * sqrt(list_aggregate(list_transform(b.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
+)
+
+
+@register(
+    "q57_bucketed_near_dup",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT vec_id, embedding, {_bucket_duck('embedding')} AS bucket FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_PAIR_COS.replace('a.embedding', 'a.embedding').replace('b.embedding', 'b.embedding')}, 6) AS cosine
+    FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_PAIR_COS} >= 0.30
+    ORDER BY id_a, id_b
+    """,
+)
+def q57_bucketed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q34's documented scale path made concrete: near-dup discovery
+    restricted to random-hyperplane LSH buckets (one uniform bucket-key
+    shuffle; quadratic verify only inside buckets), exact cosine ≥ 0.30
+    within. The oracle builds byte-identical buckets from the same
+    md5-derived planes."""
+    from ..operators.similarity import bucketed_embedding_near_dup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return bucketed_embedding_near_dup(
+        emb, "vec_id", "embedding", threshold=0.30, n_planes=4, dim=64
+    ).orderBy("id_a", "id_b")
+
+
 def _cent_cos(vec: str) -> str:
     """Cosine(vec, c.centvec) in DuckDB (same accumulation as Spark)."""
     return (

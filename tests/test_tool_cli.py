@@ -1,0 +1,57 @@
+"""CLI surface: python -m redshift_avro_spark.tool (dump/schema/meta)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from redshift_avro_spark.avroio import write_container
+from redshift_avro_spark.tool import main
+
+SCHEMA = {
+    "type": "record",
+    "name": "U",
+    "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+    ],
+}
+
+
+@pytest.fixture()
+def avro_file(tmp_path):
+    blob = write_container(
+        [{"a": i, "s": None if i % 2 else f"x{i}"} for i in range(5)],
+        SCHEMA,
+        codec="deflate",
+    )
+    p = tmp_path / "t.avro"
+    p.write_bytes(blob)
+    return str(p)
+
+
+class TestToolCli:
+    def test_dump_repr_lines(self, avro_file, capsys):
+        assert main(["dump", avro_file]) == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert len(lines) == 5
+        assert lines[0] == "{'a': 0, 's': 'x0'}"
+
+    def test_dump_json_and_limit(self, avro_file, capsys):
+        assert main(["dump", avro_file, "--json", "--limit", "2"]) == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert len(lines) == 2
+        assert json.loads(lines[1]) == {"a": 1, "s": None}
+
+    def test_schema(self, avro_file, capsys):
+        assert main(["schema", avro_file]) == 0
+        sch = json.loads(capsys.readouterr().out)
+        assert sch["name"] == "U" and [f["name"] for f in sch["fields"]] == ["a", "s"]
+
+    def test_meta(self, avro_file, capsys):
+        assert main(["meta", avro_file]) == 0
+        meta = json.loads(capsys.readouterr().out)
+        assert meta["codec"] == "deflate"
+        assert meta["records"] == 5
+        assert meta["schema_name"] == "U"

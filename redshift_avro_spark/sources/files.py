@@ -118,12 +118,12 @@ class AvroReader(DataSourceReader):
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        from ..avroio.codegen import get_batch_decoder
         from ..avroio.container import ContainerHeader
 
         writer_schema = parse_schema(partition.schema_json)
         target_json = self.reader_schema_json or partition.schema_json
         target = parse_schema(target_json)
-        decode = compile_resolver(writer_schema, target, mode="spark")
         header = ContainerHeader(
             schema_json=partition.schema_json,
             codec=partition.codec,
@@ -133,6 +133,23 @@ class AvroReader(DataSourceReader):
         )
         arrow_schema = to_arrow_schema(self.spark_schema)
         names = [f.name for f in self.spark_schema.fields]
+        # no-evolution reads take the generated columnar decoder —
+        # columns feed Arrow directly, no per-datum dicts, no pivot
+        bd = None
+        if json.dumps(writer_schema.to_json()) == json.dumps(target.to_json()):
+            bd = get_batch_decoder(json.dumps(target.to_json()), mode="spark")
+        if bd is not None and bd.names == names:
+            cols = bd.new_columns()
+            with open(partition.path, "rb") as fobj:
+                for count, block in iter_block_spans(fobj, header, partition.start, partition.end):
+                    bd.decode_stream(block, 0, count, cols)
+                    if len(cols[0]) >= 8192:
+                        yield _cols_to_record_batch(bd, cols, arrow_schema)
+                        cols = bd.new_columns()
+            if cols[0]:
+                yield _cols_to_record_batch(bd, cols, arrow_schema)
+            return
+        decode = compile_resolver(writer_schema, target, mode="spark")
         rows: list[dict] = []
         with open(partition.path, "rb") as fobj:
             for count, block in iter_block_spans(fobj, header, partition.start, partition.end):
@@ -144,6 +161,16 @@ class AvroReader(DataSourceReader):
                     rows = []
         if rows:
             yield _to_record_batch(rows, names, arrow_schema)
+
+
+def _cols_to_record_batch(bd, cols: list[list], arrow_schema) -> Any:
+    import pyarrow as pa
+
+    arrays = []
+    for i, col in enumerate(cols):
+        series = bd.column_series(i, col)  # M8 view for raw-ts columns
+        arrays.append(pa.Array.from_pandas(series, type=arrow_schema.field(i).type))
+    return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
 
 def _to_record_batch(rows: list[dict], names: list[str], arrow_schema) -> Any:

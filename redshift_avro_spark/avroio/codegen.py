@@ -789,6 +789,19 @@ def _build_decoder(schema: AvroSchema, mode: str) -> Optional[BatchDecoder]:
     body_rich = em_rich.lines
     names = [f.name for f in schema.fields]
     ts_units = [_ts_unit(f.schema) for f in schema.fields]
+    return _assemble_decoder(em.env, body, body_rich, fvars, names, ts_units, mode, schema.fullname)
+
+
+def _assemble_decoder(
+    glb_env: dict,
+    body: list,
+    body_rich: list,
+    fvars: list,
+    names: list,
+    ts_units: list,
+    mode: str,
+    fullname: str,
+) -> BatchDecoder:
     k = len(names)
     aps = [f"_a{i}" for i in range(k)]
     ap_bind = f"{', '.join(aps)}{',' if k == 1 else ''} = [_o.append for _o in outs]"
@@ -850,8 +863,8 @@ def _build_decoder(schema: AvroSchema, mode: str) -> Optional[BatchDecoder]:
     src.append(f"        _ap({dict_lit})")
     src.append("    return pos")
     code = "\n".join(src)
-    glb = em.env
-    exec(compile(code, f"<avro-dec:{schema.fullname}>", "exec"), glb)  # noqa: S102
+    glb = glb_env
+    exec(compile(code, f"<avro-dec:{fullname}>", "exec"), glb)  # noqa: S102
     epoch = _EPOCH_NAIVE if mode == "spark" else _EPOCH_UTC
     return BatchDecoder(
         names, ts_units, epoch, glb["_dec_blobs"], glb["_dec_stream"], glb["_dec_rows"]

@@ -495,8 +495,9 @@ def explode_containers(
                         fn = strat[1]
                         br = BinaryReader(codec.decompress(payload))
                         for _ in range(count):
-                            for c, v in zip(cols, fn(br).values()):
-                                c.append(v)
+                            row = fn(br)  # keys may sit in writer order —
+                            for c, n_ in zip(cols, names):  # map by name
+                                c.append(row[n_])
                     added = len(cols[0]) - n_rows
                     kept.extend([kv] * added)
                     n_rows = len(cols[0])

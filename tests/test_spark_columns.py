@@ -314,6 +314,32 @@ class TestErrorChannelAndStreaming:
         assert via_explode.exceptAll(via_stream).count() == 0
         assert via_stream.exceptAll(via_explode).count() == 0
 
+    def test_explode_containers_reader_reorders_fields(self, spark):
+        """Evolution read where the reader schema REORDERS the writer's
+        fields (resolver emits dicts in writer order — columns must be
+        filled by name, not position)."""
+        import json as _json
+
+        from redshift_avro_spark.avroio.container import write_container
+        from redshift_avro_spark.sources.columns import explode_containers
+
+        reader = {
+            "type": "record",
+            "name": "Ev",
+            "fields": [
+                {"name": "event_type", "type": "string"},
+                {"name": "event_id", "type": "long"},
+            ],
+        }
+        rows = [{"event_id": i, "event_type": f"t{i % 3}"} for i in range(20)]
+        cell = bytearray(write_container(rows, _json.dumps(self.SCHEMA)))
+        df = spark.createDataFrame([(cell,)], "cell binary")
+        got = explode_containers(df, "cell", self.SCHEMA, reader_schema=reader).collect()
+        assert len(got) == 20
+        assert sorted((r.event_id, r.event_type) for r in got) == [
+            (i, f"t{i % 3}") for i in range(20)
+        ]
+
 
 class TestMultimodalPlumbing:
     def test_resize_and_frame_sample(self, spark):

@@ -47,6 +47,7 @@ from .binary import (
     _EPOCH_UTC,
     _FLOAT_TYPES,
     _INT_TYPES,
+    _PROMOTIONS,
     _STRUCT_D,
     _STRUCT_F,
     INT_MAX,
@@ -57,8 +58,14 @@ from .binary import (
     AvroEncodeError,
     BinaryReader,
     BinaryWriter,
+    SchemaResolutionError,
     _compile_dec,
     _compile_enc,
+    _compile_res,
+    _compile_skip,
+    _names_match,
+    adapt_spark_value,
+    schemas_match,
     _micros_to_time,
     _millis_to_time,
     _time_to_micros,
@@ -79,7 +86,13 @@ from .schema_model import (
     parse_schema,
 )
 
-__all__ = ["BatchDecoder", "BatchEncoder", "get_batch_decoder", "get_batch_encoder"]
+__all__ = [
+    "BatchDecoder",
+    "BatchEncoder",
+    "get_batch_decoder",
+    "get_batch_encoder",
+    "get_batch_resolver",
+]
 
 _MAX_BODY_LINES = 4000
 
@@ -94,6 +107,7 @@ def _base_env() -> dict:
     return {
         "_ADE": AvroDecodeError,
         "_AEE": AvroEncodeError,
+        "_SRE": SchemaResolutionError,
         "_BR": BinaryReader,
         "_BW": BinaryWriter,
         "_upf_f": _STRUCT_F.unpack_from,
@@ -386,6 +400,343 @@ class _DecEmitter(_Emitter):
             return
 
         raise _Unsupported(repr(s))
+
+
+# ---------------------------------------------------------------------------
+# Resolver emission (schema evolution: writer bytes -> reader values)
+# ---------------------------------------------------------------------------
+
+
+class _ResEmitter(_DecEmitter):
+    """Two-schema emitter: decode writer-shaped bytes into reader-shaped
+    values — the generated twin of :func:`binary._compile_res` (Avro
+    resolution rules: promotions, writer-union branch dispatch, reader
+    defaults, enum symbol remap, skipped writer-only fields). Semantics
+    mirror the closure resolver exactly; compile-time resolution
+    failures raise :class:`SchemaResolutionError` just like
+    ``compile_resolver`` would (writer-union branches defer the raise to
+    runtime — a branch that can't resolve only errors if data uses it)."""
+
+    def res_fallback(self, ind: int, writer: AvroSchema, reader: AvroSchema, dst: str) -> None:
+        fb = self.const("frb", _compile_res(writer, reader, {"__mode__": self.mode}))
+        r = self.tmp()
+        self.w(ind, f"{r} = _BR(data, pos)")
+        self.w(ind, f"{dst} = {fb}({r})")
+        self.w(ind, f"pos = {r}.pos")
+
+    # -- skips (writer-only fields; wire format depends on base type only)
+
+    def skip_varint(self, ind: int) -> None:
+        self.w(ind, "while data[pos] >= 0x80:")
+        self.w(ind + 1, "pos += 1")
+        self.w(ind, "pos += 1")
+
+    def skip_len_prefixed(self, ind: int) -> None:
+        n = self.tmp()
+        self.varint(ind, n)
+        self.w(ind, f"if {n} < 0:")
+        self.w(ind + 1, f'raise _ADE("negative bytes length: %d" % {n})')
+        self.w(ind, f"pos += {n}")
+        self.w(ind, "if pos > L:")
+        self.w(ind + 1, 'raise _ADE("truncated input")')
+
+    def emit_skip(self, s: AvroSchema, ind: int) -> None:
+        w = self.w
+        if isinstance(s, PrimitiveSchema):
+            t = s.type
+            if t == "null":
+                return
+            if t == "boolean":
+                w(ind, "pos += 1")
+            elif t in ("int", "long"):
+                self.skip_varint(ind)
+            elif t == "float":
+                w(ind, "pos += 4")
+            elif t == "double":
+                w(ind, "pos += 8")
+            elif t in ("bytes", "string"):
+                self.skip_len_prefixed(ind)
+            else:  # pragma: no cover
+                raise _Unsupported(t)
+            return
+        if isinstance(s, FixedSchema):
+            w(ind, f"pos += {s.size}")
+            return
+        if isinstance(s, EnumSchema):
+            self.skip_varint(ind)
+            return
+        if isinstance(s, (ArraySchema, MapSchema)):
+            # negative block count carries a byte size — skip whole block
+            n = self.tmp()
+            sz = self.tmp()
+            self.varint(ind, n)
+            w(ind, f"while {n} != 0:")
+            w(ind + 1, f"if {n} < 0:")
+            self.varint(ind + 2, sz)
+            w(ind + 2, f"if {sz} < 0:")
+            w(ind + 3, f'raise _ADE("negative block size: %d" % {sz})')
+            w(ind + 2, f"pos += {sz}")
+            w(ind + 2, "if pos > L:")
+            w(ind + 3, 'raise _ADE("truncated input")')
+            w(ind + 1, "else:")
+            w(ind + 2, f"for _ in range({n}):")
+            if isinstance(s, MapSchema):
+                self.skip_len_prefixed(ind + 3)
+                self.emit_skip(s.values, ind + 3)
+            else:
+                self.emit_skip(s.items, ind + 3)
+            self.varint(ind + 1, n)
+            return
+        if isinstance(s, UnionSchema):
+            i = self.tmp()
+            self.varint(ind, i)
+            kw = "if"
+            for bi, b in enumerate(s.branches):
+                w(ind, f"{kw} {i} == {bi}:")
+                kw = "elif"
+                mark = len(self.lines)
+                self.emit_skip(b, ind + 1)
+                if len(self.lines) == mark:  # null branch: nothing to skip
+                    w(ind + 1, "pass")
+            w(ind, "else:")
+            w(ind + 1, f'raise _ADE("union branch %d out of range" % {i})')
+            return
+        if isinstance(s, RecordSchema):
+            if id(s) in self._in_progress:  # recursive: closure skip
+                fbs = self.const("fsk", _compile_skip(s, {}))
+                r = self.tmp()
+                self.w(ind, f"{r} = _BR(data, pos)")
+                self.w(ind, f"{fbs}({r})")
+                self.w(ind, f"pos = {r}.pos")
+                return
+            self._in_progress.add(id(s))
+            try:
+                for f in s.fields:
+                    self.emit_skip(f.schema, ind)
+            finally:
+                self._in_progress.discard(id(s))
+            return
+        raise _Unsupported(repr(s))  # pragma: no cover
+
+    # -- resolution
+
+    def emit_res(
+        self, w_s: AvroSchema, r_s: AvroSchema, dst: str, ind: int, raw: bool = False
+    ) -> None:
+        w = self.w
+
+        # writer union: read branch index, resolve each branch to reader
+        if isinstance(w_s, UnionSchema):
+            i = self.tmp()
+            self.varint(ind, i)
+            kw = "if"
+            for bi, b in enumerate(w_s.branches):
+                w(ind, f"{kw} {i} == {bi}:")
+                kw = "elif"
+                mark = len(self.lines)
+                try:
+                    self.emit_res(b, r_s, dst, ind + 1, raw=raw)
+                except SchemaResolutionError as exc:
+                    del self.lines[mark:]
+                    msg = self.const("msg", str(exc))
+                    w(ind + 1, f"raise _SRE({msg})")
+            w(ind, "else:")
+            w(ind + 1, f'raise _ADE("union branch %d out of range" % {i})')
+            return
+
+        # reader union only: first reader branch the writer matches
+        if isinstance(r_s, UnionSchema):
+            chosen: Optional[AvroSchema] = None
+            chosen_idx = -1
+            for bi, b in enumerate(r_s.branches):
+                if schemas_match(w_s, b):
+                    chosen, chosen_idx = b, bi
+                    break
+            if chosen is None:
+                raise SchemaResolutionError(
+                    f"writer {w_s.type} matches no branch of reader union"
+                )
+            non_null = r_s.non_null_branches()
+            if self.spark and len(non_null) >= 2:
+                if chosen.type == "null":
+                    w(ind, f"{dst} = None")
+                    return
+                j = sum(1 for b in r_s.branches[:chosen_idx] if b.type != "null")
+                members = [f"member{k}" for k in range(len(non_null))]
+                v = self.tmp()
+                self.emit_res(w_s, chosen, v, ind, raw=False)
+                parts = ", ".join(
+                    f"{m!r}: {v if k == j else 'None'}" for k, m in enumerate(members)
+                )
+                w(ind, f"{dst} = {{{parts}}}")
+                return
+            self.emit_res(w_s, chosen, dst, ind, raw=raw and len(non_null) == 1)
+            return
+
+        # primitives: same type -> reader decode (reader logical governs);
+        # different -> spec promotion on the writer's wire format
+        if isinstance(w_s, PrimitiveSchema) and isinstance(r_s, PrimitiveSchema):
+            wt, rt = w_s.type, r_s.type
+            if wt == rt:
+                self.emit(r_s, dst, ind, raw=raw)
+                return
+            if rt in _PROMOTIONS.get(wt, ()):
+                if wt in ("int", "long") and rt == "long":
+                    self.varint(ind, dst)
+                elif wt in ("int", "long") and rt in ("float", "double"):
+                    v = self.tmp()
+                    self.varint(ind, v)
+                    w(ind, f"{dst} = float({v})")
+                elif wt == "float" and rt == "double":
+                    w(ind, f"{dst} = _upf_f(data, pos)[0]; pos += 4")
+                elif wt == "string" and rt == "bytes":
+                    self.length_prefixed(ind, lambda a, b: f"{dst} = data[{a}:{b}]")
+                elif wt == "bytes" and rt == "string":
+                    self.length_prefixed(
+                        ind, lambda a, b: f'{dst} = data[{a}:{b}].decode("utf-8")'
+                    )
+                else:  # pragma: no cover
+                    raise _Unsupported(f"promotion {wt}->{rt}")
+                return
+            raise SchemaResolutionError(f"cannot resolve writer {wt} to reader {rt}")
+
+        if w_s.type != r_s.type:
+            raise SchemaResolutionError(
+                f"cannot resolve writer {w_s.type} to reader {r_s.type}"
+            )
+
+        if isinstance(w_s, FixedSchema) and isinstance(r_s, FixedSchema):
+            if not _names_match(w_s, r_s) or w_s.size != r_s.size:
+                raise SchemaResolutionError(
+                    f"fixed mismatch: {w_s.fullname}({w_s.size}) vs "
+                    f"{r_s.fullname}({r_s.size})"
+                )
+            self.emit(r_s, dst, ind)
+            return
+
+        if isinstance(w_s, EnumSchema) and isinstance(r_s, EnumSchema):
+            if not _names_match(w_s, r_s):
+                raise SchemaResolutionError(
+                    f"enum name mismatch: {w_s.fullname} vs {r_s.fullname}"
+                )
+            rsyms = set(r_s.symbols)
+            # writer index -> reader symbol (or reader default; None = error)
+            table = tuple(
+                sym if sym in rsyms else r_s.default for sym in w_s.symbols
+            )
+            tname = self.const("rsym", table)
+            i = self.tmp()
+            self.varint(ind, i)
+            w(ind, f"if not 0 <= {i} < {len(table)}:")
+            w(ind + 1, f'raise _ADE("enum index %d out of range" % {i})')
+            w(ind, f"{dst} = {tname}[{i}]")
+            if any(v is None for v in table):
+                w(ind, f"if {dst} is None:")
+                w(
+                    ind + 1,
+                    f'raise _SRE("writer symbol absent from reader enum {r_s.fullname}")',
+                )
+            return
+
+        if isinstance(w_s, ArraySchema) and isinstance(r_s, ArraySchema):
+            n = self.tmp()
+            item = self.tmp()
+            ap = self.tmp()
+            sz = self.tmp()
+            w(ind, f"{dst} = []")
+            w(ind, f"{ap} = {dst}.append")
+            self.varint(ind, n)
+            w(ind, f"while {n} != 0:")
+            w(ind + 1, f"if {n} < 0:")
+            w(ind + 2, f"{n} = -{n}")
+            self.varint(ind + 2, sz)
+            w(ind + 1, f"for _ in range({n}):")
+            self.emit_res(w_s.items, r_s.items, item, ind + 2)
+            self.w(ind + 2, f"{ap}({item})")
+            self.varint(ind + 1, n)
+            return
+
+        if isinstance(w_s, MapSchema) and isinstance(r_s, MapSchema):
+            n = self.tmp()
+            k = self.tmp()
+            val = self.tmp()
+            sz = self.tmp()
+            w(ind, f"{dst} = {{}}")
+            self.varint(ind, n)
+            w(ind, f"while {n} != 0:")
+            w(ind + 1, f"if {n} < 0:")
+            w(ind + 2, f"{n} = -{n}")
+            self.varint(ind + 2, sz)
+            w(ind + 1, f"for _ in range({n}):")
+            self.length_prefixed(
+                ind + 2, lambda a, b: f'{k} = data[{a}:{b}].decode("utf-8")'
+            )
+            self.emit_res(w_s.values, r_s.values, val, ind + 2)
+            self.w(ind + 2, f"{dst}[{k}] = {val}")
+            self.varint(ind + 1, n)
+            return
+
+        if isinstance(w_s, RecordSchema) and isinstance(r_s, RecordSchema):
+            if not _names_match(w_s, r_s):
+                raise SchemaResolutionError(
+                    f"record name mismatch: {w_s.fullname} vs {r_s.fullname}"
+                )
+            key = (id(w_s), id(r_s))
+            if key in self._in_progress:
+                self.res_fallback(ind, w_s, r_s, dst)
+                return
+            self._in_progress.add(key)
+            try:
+                out_vars = _emit_res_fields(self, w_s, r_s, ind)
+                w(ind, f"{dst} = {{{', '.join(f'{n!r}: {v}' for n, v in out_vars)}}}")
+            finally:
+                self._in_progress.discard(key)
+            return
+
+        raise SchemaResolutionError(
+            f"cannot resolve writer {w_s.type} to reader {r_s.type}"
+        )  # pragma: no cover
+
+
+def _emit_res_fields(
+    em: _ResEmitter, writer: RecordSchema, reader: RecordSchema, ind: int, raw: bool = False
+) -> list[tuple[str, str]]:
+    """Emit the record-resolution plan: writer fields in writer order
+    (matched -> decode into a var, unmatched -> skip), then reader-only
+    defaults as interned constants. Returns (reader field name, var/const
+    expr) in READER field order. Raises SchemaResolutionError exactly
+    where the closure resolver would."""
+    reader_by_name: dict[str, Field] = {}
+    for f in reader.fields:
+        reader_by_name[f.name] = f
+        for a in f.aliases:
+            reader_by_name.setdefault(a, f)
+    by_reader: dict[str, str] = {}
+    for wf in writer.fields:
+        rf = reader_by_name.get(wf.name)
+        if rf is not None:
+            # two writer fields mapping to one reader slot (name + alias):
+            # later decode wins, matching the closure resolver
+            fv = em.tmp()
+            em.emit_res(wf.schema, rf.schema, fv, ind, raw=raw)
+            by_reader[rf.name] = fv
+        else:
+            em.emit_skip(wf.schema, ind)
+    out: list[tuple[str, str]] = []
+    for rf in reader.fields:
+        v = by_reader.get(rf.name)
+        if v is None:
+            if not rf.has_default:
+                raise SchemaResolutionError(
+                    f"reader field {reader.fullname}.{rf.name} has no "
+                    "default and is absent from writer schema"
+                )
+            dv = default_value(rf)
+            if em.spark:
+                dv = adapt_spark_value(rf.schema, dv)
+            v = em.const("df", dv)
+        out.append((rf.name, v))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -871,6 +1222,51 @@ def _assemble_decoder(
     )
 
 
+def _build_resolver(
+    writer: AvroSchema, reader: AvroSchema, mode: str
+) -> Optional[BatchDecoder]:
+    if (
+        not isinstance(writer, RecordSchema)
+        or not isinstance(reader, RecordSchema)
+        or not reader.fields
+    ):
+        return None
+    if not _names_match(writer, reader):
+        raise SchemaResolutionError(
+            f"record name mismatch: {writer.fullname} vs {reader.fullname}"
+        )
+    em = _ResEmitter(mode, raw_ts=True)
+    pairs = _emit_res_fields(em, writer, reader, 0, raw=True)
+    fvars = [v for _, v in pairs]
+    body = em.lines
+    em_rich = _ResEmitter(mode, raw_ts=False)
+    em_rich.env = em.env  # share interned constants / one globals dict
+    em_rich._n = em._n
+    body_rich = em_rich.lines
+    pairs_rich = _emit_res_fields(em_rich, writer, reader, 0)
+    # both emissions produce the same var-per-slot plan; entry points are
+    # separate functions so var names may differ — use the rich names for
+    # the rich body's dict literal by re-assembling with its own fvars
+    names = [f.name for f in reader.fields]
+    ts_units = [_ts_unit(f.schema) for f in reader.fields]
+    # align: _assemble_decoder uses ONE fvars list for all three entry
+    # points, so rebind the rich body's slot vars onto the raw body's
+    for (n1, v_raw), (n2, v_rich) in zip(pairs, pairs_rich):
+        if v_raw != v_rich:
+            em_rich.w(0, f"{v_raw} = {v_rich}")
+    body_rich = em_rich.lines
+    return _assemble_decoder(
+        em.env,
+        body,
+        body_rich,
+        fvars,
+        names,
+        ts_units,
+        mode,
+        f"{writer.fullname}->{reader.fullname}",
+    )
+
+
 def _build_encoder(schema: AvroSchema) -> Optional[BatchEncoder]:
     if not isinstance(schema, RecordSchema) or not schema.fields:
         return None
@@ -910,6 +1306,19 @@ def _cached_decoder(schema_json: str, mode: str) -> Optional[BatchDecoder]:
 
 
 @lru_cache(maxsize=256)
+def _cached_resolver(
+    writer_json: str, reader_json: str, mode: str
+) -> Optional[BatchDecoder]:
+    try:
+        return _build_resolver(
+            parse_schema(writer_json), parse_schema(reader_json), mode
+        )
+    except Exception:  # noqa: BLE001 — degrade to the closure resolver;
+        # genuine resolution errors re-raise identically on that path
+        return None
+
+
+@lru_cache(maxsize=256)
 def _cached_encoder(schema_json: str) -> Optional[BatchEncoder]:
     try:
         return _build_encoder(parse_schema(schema_json))
@@ -927,3 +1336,17 @@ def get_batch_encoder(schema_json: str) -> Optional[BatchEncoder]:
     """Generated columnar encoder for ``schema_json`` (top-level record),
     or None if codegen declines (caller must fall back to closures)."""
     return _cached_encoder(schema_json)
+
+
+def get_batch_resolver(
+    writer_json: str, reader_json: str, mode: str = "spark"
+) -> Optional[BatchDecoder]:
+    """Generated columnar RESOLVING decoder (schema evolution: data
+    written with ``writer_json``, surfaced with ``reader_json``'s shape),
+    or None if codegen declines — callers fall back to the closure
+    ``compile_resolver``, which raises the same SchemaResolutionError for
+    genuinely irresolvable pairs. Identical schemas short-circuit to the
+    plain generated decoder."""
+    if writer_json == reader_json:
+        return _cached_decoder(writer_json, mode)
+    return _cached_resolver(writer_json, reader_json, mode)

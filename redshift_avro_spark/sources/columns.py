@@ -41,7 +41,7 @@ from ..avroio.binary import (
     compile_encoder,
     compile_resolver,
 )
-from ..avroio.codegen import get_batch_decoder, get_batch_encoder
+from ..avroio.codegen import get_batch_decoder, get_batch_encoder, get_batch_resolver
 from ..avroio.container import iter_container, read_header
 from ..avroio.convert import avro_to_spark_type, df_schema_to_avro
 from ..avroio.jsonio import datum_to_json
@@ -135,11 +135,12 @@ def from_avro(
     @pandas_udf(returnType=struct_type)
     def _decode(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         writer = parse_schema(writer_json)
-        # generated columnar decoder (codegen.py) when no evolution is in
-        # play — identical semantics, no per-row dict/closure overhead
-        bd = None
+        # generated columnar decoder (codegen.py) — the resolver variant
+        # covers evolution with identical semantics, no per-row closures
         if reader_json is None or reader_json == writer_json:
             bd = get_batch_decoder(writer_json, mode="spark")
+        else:
+            bd = get_batch_resolver(writer_json, reader_json, mode="spark")
         if bd is not None:
             for series in batches:
                 outs = bd.new_columns()
@@ -281,17 +282,17 @@ def decode_container(
         target_canon = json.dumps(target.to_json())
         # per-cell writer schemas can differ; cache the per-schema decode
         # strategy by header schema text (registry-cache pattern, glue
-        # lambda_function.py:14): generated columnar decoder when the
-        # cell's writer schema IS the target, closure resolver otherwise
+        # lambda_function.py:14): generated columnar decoder/resolver
+        # (codegen.py), closure resolver only when codegen declines
         strategies: dict[str, tuple] = {}
 
         def decode_cell(blob: bytes) -> list:
             header = read_header(blob)
             strat = strategies.get(header.schema_json)
             if strat is None:
-                bd = None
-                if json.dumps(header.schema.to_json()) == target_canon:
-                    bd = get_batch_decoder(target_canon, mode="spark")
+                bd = get_batch_resolver(
+                    json.dumps(header.schema.to_json()), target_canon, mode="spark"
+                )
                 if bd is not None:
                     strat = ("gen", bd)
                 else:
@@ -479,8 +480,12 @@ def explode_containers(
                 strat = strategies.get(header.schema_json)
                 if strat is None:
                     bd = None
-                    if json.dumps(header.schema.to_json()) == target_canon:
-                        bd = get_batch_decoder(target_canon, mode="spark")
+                    if gen_bd is not None:
+                        # flush converts raw ts columns via gen_bd, so
+                        # generated strategies require it
+                        bd = get_batch_resolver(
+                            json.dumps(header.schema.to_json()), target_canon, mode="spark"
+                        )
                     if bd is not None:
                         strat = ("gen", bd)
                     else:

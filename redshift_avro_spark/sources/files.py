@@ -118,7 +118,7 @@ class AvroReader(DataSourceReader):
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        from ..avroio.codegen import get_batch_decoder
+        from ..avroio.codegen import get_batch_resolver
         from ..avroio.container import ContainerHeader
 
         writer_schema = parse_schema(partition.schema_json)
@@ -133,11 +133,12 @@ class AvroReader(DataSourceReader):
         )
         arrow_schema = to_arrow_schema(self.spark_schema)
         names = [f.name for f in self.spark_schema.fields]
-        # no-evolution reads take the generated columnar decoder —
-        # columns feed Arrow directly, no per-datum dicts, no pivot
-        bd = None
-        if json.dumps(writer_schema.to_json()) == json.dumps(target.to_json()):
-            bd = get_batch_decoder(json.dumps(target.to_json()), mode="spark")
+        # reads take the generated columnar decoder (resolver variant for
+        # evolution) — columns feed Arrow directly, no per-datum dicts,
+        # no pivot; closure resolver only when codegen declines
+        bd = get_batch_resolver(
+            json.dumps(writer_schema.to_json()), json.dumps(target.to_json()), mode="spark"
+        )
         if bd is not None and bd.names == names:
             cols = bd.new_columns()
             with open(partition.path, "rb") as fobj:

@@ -228,14 +228,25 @@ def ngram_jaccard_pairs(
 
     With ``candidates`` (id_a, id_b — e.g. LSH output) this is the
     verify stage and touches only candidate pairs; without, it
-    cross-joins (quadratic — only for small/filtered inputs)."""
+    cross-joins (quadratic — only for small/filtered inputs).
+
+    Gram arrays are only materialized for documents that appear in a
+    candidate pair (semi-join first): at corpus scale the candidate set
+    is a sliver of the corpus, so gramming every document — twice, once
+    per join side — would dominate the verify stage's cost."""
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    if candidates is not None:
+        member_ids = (
+            candidates.select(F.col("id_a").alias("__id"))
+            .unionByName(candidates.select(F.col("id_b").alias("__id")))
+            .distinct()
+        )
+        src = src.join(member_ids, "__id", "left_semi")
     grams = F.expr(
-        f"array_distinct(transform(sequence(1, length({text_col}) - {n - 1}), "
-        f"i -> substring({text_col}, i, {n})))"
+        f"array_distinct(transform(sequence(1, length(__text) - {n - 1}), "
+        f"i -> substring(__text, i, {n})))"
     )
-    g = df.select(F.col(id_col).alias("__id"), grams.alias("grams")).where(
-        F.expr(f"length({text_col})") >= n
-    )
+    g = src.select("__id", grams.alias("grams")).where(F.expr("length(__text)") >= n)
     if candidates is not None:
         pairs = (
             candidates.join(g.withColumnRenamed("__id", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")

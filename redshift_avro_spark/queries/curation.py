@@ -107,7 +107,13 @@ def _stage_survivors(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame
 )
 def q49_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter → exact-dedup → near-dup-drop → token stats, end to end."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread the regex-heavy feature projection across every core when
+    # the input arrives as a single small file split (real multi-split
+    # input makes this a cheap no-op; the md5 window below shuffles
+    # anyway, so no extra boundary is added at scale)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     feat = docs.select(
         "doc_id",
         "text",

@@ -1,0 +1,180 @@
+"""Training-data assembly operators: deterministic sampling, splits,
+mixture rebalancing, and sequence packing.
+
+The reference delegates all post-decode processing to warehouse SQL
+(README.md:13-17), so these — like :mod:`dedup` and :mod:`text` — are
+the large-pipeline surface this engine adds on top of the reference's
+ingest path. Everything here is a pure Catalyst expression plan:
+
+- Randomness is md5-derived (``uniform_hash``), never ``rand()``: the
+  same row always draws the same uniform, so samples are reproducible
+  across retries, stages, and engines — a training-data pipeline
+  requirement (resumable jobs must not resample) and what makes these
+  operators oracle-checkable.
+- Nothing here shuffles except ``mixture_rebalance``'s tiny per-stratum
+  count aggregate (broadcast back) and ``pack_sequences``'s per-shard
+  window — sampling and splitting are narrow maps that scan-prune and
+  scale embarrassingly.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "uniform_hash",
+    "hash_sample",
+    "stratified_sample",
+    "train_test_split",
+    "mixture_rebalance",
+    "pack_sequences",
+]
+
+_TWO_32 = float(1 << 32)
+
+
+def uniform_hash(key: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform draw in [0, 1) from ``md5(salt || key)``.
+
+    The first 8 md5 hex chars are an exact 32-bit integer; dividing by
+    2^32 is a power-of-two float division, so the result is bit-exact
+    in any IEEE engine (the portability contract the DuckDB oracles
+    rely on). ``salt`` decorrelates independent decisions on the same
+    key (sample vs split vs rebalance)."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), k.cast("string"))), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(_TWO_32)
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose uniform draw is
+    below ``fraction``. Narrow (no shuffle), reproducible, and stable
+    under re-execution — unlike ``DataFrame.sample``, which draws per
+    task attempt."""
+    return df.where(uniform_hash(key_col, salt) < F.lit(float(fraction)))
+
+
+def _rate_for(strata_col: str, rates: Mapping[str, float], default: float) -> Column:
+    expr = F.lit(float(default))
+    for value, rate in sorted(rates.items()):
+        expr = F.when(F.col(strata_col) == value, F.lit(float(rate))).otherwise(expr)
+    return expr
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Mapping[str, float],
+    key_col: str,
+    salt: str = "strat",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling with an explicit rate per stratum
+    value (e.g. keep 10% of web text but all books). Still a narrow
+    map: the rate lookup is a literal CASE chain, the draw is
+    ``uniform_hash`` — no shuffle, no driver round trip."""
+    return df.where(
+        uniform_hash(key_col, salt) < _rate_for(strata_col, rates, default_rate)
+    )
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: Column | str,
+    test_fraction: float = 0.1,
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Label each row ``train``/``test`` on a deterministic hash of
+    ``key_col``. Pass a GROUP key (user id, normalized-content hash,
+    dedup-cluster id) rather than the row id to get a leakage-safe
+    split: every row sharing the key lands on the same side, so
+    near-identical documents can't straddle the boundary."""
+    u = uniform_hash(key_col, salt)
+    return df.withColumn(
+        split_col,
+        F.when(u < F.lit(float(test_fraction)), F.lit("test")).otherwise(F.lit("train")),
+    )
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    strata_col: str,
+    target_shares: Mapping[str, float],
+    key_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample strata so the surviving corpus matches ``target_shares``
+    exactly (in expectation) while keeping as much data as possible.
+
+    Feasible total ``M = min_s(count_s / share_s)`` — the largest corpus
+    whose composition can hit every target share without upsampling;
+    each stratum then keeps ``M * share_s / count_s`` of its rows. The
+    stratum that binds the minimum keeps everything.
+
+    Plan shape: one partial-aggregated count per stratum (tiny result),
+    a scalar min over it, broadcast join back, then the narrow hash
+    filter — the full corpus shuffles zero times."""
+    shares = {k: float(v) for k, v in target_shares.items()}
+    counts = (
+        df.where(F.col(strata_col).isin(list(shares)))
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__share", _rate_for(strata_col, shares, 0.0))
+    )
+    feasible = counts.agg(
+        F.min(F.col("__n").cast("double") / F.col("__share")).alias("__m")
+    )
+    keep = (
+        counts.crossJoin(F.broadcast(feasible))
+        .select(
+            strata_col,
+            F.least(
+                F.lit(1.0), F.col("__m") * F.col("__share") / F.col("__n").cast("double")
+            ).alias("__keep"),
+        )
+    )
+    return (
+        df.join(F.broadcast(keep), strata_col)
+        .where(uniform_hash(key_col, salt) < F.col("__keep"))
+        .drop("__keep")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    order_col: str,
+    budget: int,
+    partition_cols: Optional[Sequence[str]] = None,
+    seq_col: str = "seq_id",
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training sequence:
+    running token total (ordered by ``order_col``) divided by the
+    budget. A document lands in the sequence its PRECEDING cumulative
+    total falls in, so sequences fill in order and a document larger
+    than the budget overflows its own sequence without disturbing
+    earlier ones.
+
+    Packing is per shard (``partition_cols`` — e.g. language or a hash
+    bucket): a single global running sum would serialize the corpus
+    through one window partition, which is exactly the shuffle shape to
+    avoid at 100 TB. Real pipelines pack within shards and interleave
+    shards at read time."""
+    parts = list(partition_cols or [])
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col).cast("long")).over(w)
+    before = (cum - F.col(token_col)).cast("double")
+    return df.withColumn(
+        seq_col, F.floor(before / F.lit(float(budget))).cast("long")
+    )

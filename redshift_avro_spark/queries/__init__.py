@@ -92,5 +92,6 @@ def load_all() -> dict[str, QuerySpec]:
     from . import curation  # noqa: F401
     from . import streaming_q  # noqa: F401
     from . import compaction_q  # noqa: F401
+    from . import training  # noqa: F401
 
     return REGISTRY

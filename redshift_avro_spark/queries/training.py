@@ -1,0 +1,265 @@
+"""Training-data assembly queries over ``documents``: deterministic
+sampling, leakage-safe splits, mixture rebalancing, sequence packing
+(:mod:`..operators.training`).
+
+Portability notes (driver hash-compares vs DuckDB):
+
+- The uniform draw is ``md5``-derived; its first 8 hex chars divided by
+  2^32 is a power-of-two float division — bit-exact in both engines
+  (``conv(hex,16,10)`` ↔ ``CAST('0x'||hex AS BIGINT)``).
+- Ratios are emitted as exact integer parts-per-million
+  (``x * 1000000 DIV y``) — BIGINT arithmetic both sides — rather than
+  ROUND(double) whose decimal ties are representation-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load_table, register
+from .dedup import _NORM_DUCK, _NORM_SPARK
+from .text import _N_WORDS
+from ..operators.text import token_count
+from ..operators.training import (
+    mixture_rebalance,
+    pack_sequences,
+    stratified_sample,
+    train_test_split,
+    uniform_hash,
+)
+
+_TOKS_DUCK = (
+    f"CAST(greatest({_N_WORDS}, CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)"
+)
+
+
+def _u_duck(key_expr: str, salt: str) -> str:
+    return (
+        f"(CAST(CAST('0x' || substring(md5('{salt}' || {key_expr}), 1, 8) AS BIGINT) "
+        f"AS DOUBLE) / 4294967296.0)"
+    )
+
+
+_PACK_BUDGET = 2048
+
+_SAMPLE_RATES = {"en": 0.5, "es": 0.75, "de": 0.25, "fr": 0.1, "zh": 1.0}
+
+_MIX_TARGETS = {"en": 0.40, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+
+@register(
+    "q59_sequence_packing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {_TOKS_DUCK} AS toks FROM documents
+    ),
+    cum AS (
+      SELECT lang, doc_id, toks,
+             CAST(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM tok
+    )
+    SELECT lang,
+           CAST(FLOOR((CAST(cum AS DOUBLE) - toks) / {_PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS seq_tokens,
+           CAST(SUM(toks) AS BIGINT) * 1000000 // {_PACK_BUDGET} AS fill_ppm
+    FROM cum
+    GROUP BY lang, seq_id
+    ORDER BY lang, seq_id
+    """,
+)
+def q59_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into {_PACK_BUDGET}-token training sequences per
+    language shard (running-total window → budget division — see
+    ``pack_sequences`` for why packing is per-shard at scale), then
+    summarize each sequence."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id", token_count("text")["n_tokens_est"].cast("long").alias("toks")
+    )
+    packed = pack_sequences(
+        toks, token_col="toks", order_col="doc_id", budget=_PACK_BUDGET,
+        partition_cols=["lang"],
+    )
+    return (
+        packed.groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("seq_tokens"),
+        )
+        .withColumn(
+            "fill_ppm",
+            F.expr(f"seq_tokens * 1000000 div {_PACK_BUDGET}"),
+        )
+        .orderBy("lang", "seq_id")
+    )
+
+
+_RATE_DUCK = (
+    "CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.75 WHEN 'de' THEN 0.25 "
+    "WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 1.0 ELSE 0.0 END"
+)
+
+
+@register(
+    "q60_stratified_sample",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {_TOKS_DUCK} AS toks FROM documents
+    ),
+    samp AS (
+      SELECT lang, doc_id, toks FROM tok
+      WHERE {_u_duck("CAST(doc_id AS VARCHAR)", "strat")} < {_RATE_DUCK}
+    )
+    SELECT t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+           CAST(COALESCE(s.sampled_tokens, 0) AS BIGINT) AS sampled_tokens
+    FROM tok t
+    LEFT JOIN (
+      SELECT lang, COUNT(*) AS n_sampled, SUM(toks) AS sampled_tokens
+      FROM samp GROUP BY lang
+    ) s USING (lang)
+    GROUP BY t.lang, s.n_sampled, s.sampled_tokens
+    ORDER BY t.lang
+    """,
+)
+def q60_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic Bernoulli sampling at explicit rates
+    (keep all zh, half of en, a tenth of fr ...): the md5 draw makes the
+    sample reproducible across retries and engines. Narrow scan — the
+    only shuffles are the two tiny per-language aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id", token_count("text")["n_tokens_est"].cast("long").alias("toks")
+    )
+    total = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    sampled = (
+        stratified_sample(toks, "lang", _SAMPLE_RATES, key_col="doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("toks").alias("sampled_tokens"),
+        )
+    )
+    return (
+        total.join(sampled, "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("sampled_tokens", F.lit(0)).alias("sampled_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q61_train_test_split",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT lang, {_TOKS_DUCK} AS toks,
+             CASE WHEN {_u_duck(f"md5({_NORM_DUCK})", "split")} < 0.1
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS total_tokens
+    FROM keyed
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+)
+def q61_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 90/10 split keyed on the md5 of NORMALIZED content
+    (the q30 exact-dedup key): byte-identical and
+    whitespace/case-variant duplicates always land on the same side, so
+    the test set can't leak training near-copies. Narrow map + one
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = train_test_split(
+        docs.select(
+            "lang",
+            token_count("text")["n_tokens_est"].cast("long").alias("toks"),
+            F.md5(F.expr(_NORM_SPARK)).alias("__k"),
+        ),
+        key_col=F.col("__k"),
+        test_fraction=0.1,
+    )
+    return (
+        keyed.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("toks").alias("total_tokens"))
+        .orderBy("split", "lang")
+    )
+
+
+_SHARE_DUCK = (
+    "CASE lang WHEN 'en' THEN 0.40 WHEN 'de' THEN 0.15 WHEN 'es' THEN 0.15 "
+    "WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.15 ELSE 0.0 END"
+)
+
+
+@register(
+    "q62_mixture_rebalance",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, {_SHARE_DUCK} AS share
+      FROM documents GROUP BY lang
+    ),
+    feasible AS (
+      SELECT MIN(CAST(n AS DOUBLE) / share) AS m FROM counts
+    ),
+    keep AS (
+      SELECT lang, n, least(1.0, m * share / CAST(n AS DOUBLE)) AS keep_frac
+      FROM counts, feasible
+    ),
+    kept AS (
+      SELECT d.lang FROM documents d JOIN keep k USING (lang)
+      WHERE {_u_duck("CAST(doc_id AS VARCHAR)", "mix")} < k.keep_frac
+    ),
+    after AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_after FROM kept GROUP BY lang
+    )
+    SELECT c.lang, c.n AS n_before,
+           CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+           CAST(COALESCE(a.n_after, 0) AS BIGINT) * 1000000
+             // CAST((SELECT SUM(n_after) FROM after) AS BIGINT) AS share_ppm
+    FROM counts c LEFT JOIN after a USING (lang)
+    ORDER BY c.lang
+    """,
+)
+def q62_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample languages to a target mixture (40% en / 15% each
+    other) keeping as much data as the binding stratum allows — the
+    domain-weighting step of a pretraining data recipe. The corpus
+    itself never shuffles: per-stratum counts aggregate partial-first,
+    the keep-fractions broadcast back, and the filter is a narrow
+    md5-hash map."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("lang", "doc_id")
+    before = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    after = (
+        mixture_rebalance(base, "lang", _MIX_TARGETS, key_col="doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    joined = (
+        before.join(after, "lang", "left")
+        .select(
+            "lang",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+        )
+    )
+    total_after = joined.agg(F.sum("n_after").alias("__tot"))
+    return (
+        joined.crossJoin(F.broadcast(total_after))
+        .select(
+            "lang",
+            "n_before",
+            "n_after",
+            F.expr("n_after * 1000000 div __tot").alias("share_ppm"),
+        )
+        .orderBy("lang")
+    )

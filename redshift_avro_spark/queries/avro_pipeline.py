@@ -121,7 +121,7 @@ def q21_container_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             buf = _io.BytesIO()
             if be is not None:
-                cols = [pdf[c].tolist() for c in _EVENT_COLS]
+                cols = be.columns_from_pandas(pdf)
                 w = ContainerWriter(buf, schema_json)
                 for blob in be.encode_columns(cols, len(pdf)):
                     w.append_encoded(blob)
@@ -322,7 +322,7 @@ def q24_kpl_spring_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             if be is not None:
-                cols = [pdf[c].tolist() for c in kpl_cols]
+                cols = be.columns_from_pandas(pdf)
                 bodies = be.encode_columns(cols, len(pdf))
             else:
                 bodies = [encode_datum(schema, r) for r in pdf[kpl_cols].to_dict("records")]

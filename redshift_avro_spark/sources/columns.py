@@ -200,7 +200,7 @@ def to_avro(
         enc = None
         for pdf in batches:
             if be is not None and all(n_ in pdf.columns for n_ in be.names):
-                cols = [pdf[n_].tolist() for n_ in be.names]
+                cols = be.columns_from_pandas(pdf)
                 yield pd.Series(be.encode_columns(cols, len(pdf)), dtype=object)
                 continue
             # closure path: schema fields absent from the struct take

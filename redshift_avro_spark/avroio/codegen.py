@@ -1029,14 +1029,19 @@ class BatchDecoder:
     column to :meth:`column_series` to get the right pandas Series
     (vectorized ``M8[us]`` view when clean, object fallback when the
     column mixes None / datetime objects from a closure-decoded cell).
-    ``decode_stream_rows`` appends dict rows with rich values (the
-    ``array<struct>`` cell shape)."""
+    Non-nullable numeric/boolean columns convert through one
+    ``np.asarray`` instead of an object Series, making the Arrow
+    handoff a buffer copy. ``decode_stream_rows`` appends dict rows
+    with rich values (the ``array<struct>`` cell shape)."""
 
-    __slots__ = ("names", "ts_units", "_epoch", "_blobs", "_stream", "_rows")
+    __slots__ = ("names", "ts_units", "np_dtypes", "_epoch", "_blobs", "_stream", "_rows")
 
-    def __init__(self, names, ts_units, epoch, blobs_fn, stream_fn, rows_fn) -> None:
+    def __init__(
+        self, names, ts_units, epoch, blobs_fn, stream_fn, rows_fn, np_dtypes=None
+    ) -> None:
         self.names = names
         self.ts_units = ts_units
+        self.np_dtypes = np_dtypes or [None] * len(names)
         self._epoch = epoch
         self._blobs = blobs_fn
         self._stream = stream_fn
@@ -1063,6 +1068,15 @@ class BatchDecoder:
 
         unit = self.ts_units[i]
         if unit is None:
+            nd = self.np_dtypes[i]
+            # the None scan is load-bearing: np.asarray silently maps
+            # None -> nan/False for float/bool dtypes, which would turn
+            # permissive null rows into values instead of Arrow nulls
+            if nd is not None and None not in col:
+                try:
+                    return pd.Series(np.asarray(col, dtype=nd))
+                except (TypeError, ValueError, OverflowError):
+                    pass
             return pd.Series(col, dtype=object)
         arr = None
         try:
@@ -1134,6 +1148,20 @@ class BatchEncoder:
         return out
 
 
+def _np_dtype(s: AvroSchema) -> Optional[str]:
+    """numpy dtype for a NON-NULLABLE plain numeric/boolean field (no
+    union threading — a nullable column would fail the conversion every
+    batch; those stay object)."""
+    if isinstance(s, PrimitiveSchema) and s.logical is None:
+        if s.type in ("int", "long"):
+            return "int64"
+        if s.type in ("float", "double"):
+            return "float64"
+        if s.type == "boolean":
+            return "bool"
+    return None
+
+
 def _ts_unit(s: AvroSchema) -> Optional[str]:
     """'us'/'ms' when a top-level field surfaces raw ints under raw_ts
     (mirrors the emitter's raw threading through nullable unions)."""
@@ -1167,7 +1195,10 @@ def _build_decoder(schema: AvroSchema, mode: str) -> Optional[BatchDecoder]:
     body_rich = em_rich.lines
     names = [f.name for f in schema.fields]
     ts_units = [_ts_unit(f.schema) for f in schema.fields]
-    return _assemble_decoder(em.env, body, body_rich, fvars, names, ts_units, mode, schema.fullname)
+    np_dtypes = [_np_dtype(f.schema) for f in schema.fields]
+    return _assemble_decoder(
+        em.env, body, body_rich, fvars, names, ts_units, mode, schema.fullname, np_dtypes
+    )
 
 
 def _assemble_decoder(
@@ -1179,6 +1210,7 @@ def _assemble_decoder(
     ts_units: list,
     mode: str,
     fullname: str,
+    np_dtypes: Optional[list] = None,
 ) -> BatchDecoder:
     k = len(names)
     aps = [f"_a{i}" for i in range(k)]
@@ -1245,7 +1277,8 @@ def _assemble_decoder(
     exec(compile(code, f"<avro-dec:{fullname}>", "exec"), glb)  # noqa: S102
     epoch = _EPOCH_NAIVE if mode == "spark" else _EPOCH_UTC
     return BatchDecoder(
-        names, ts_units, epoch, glb["_dec_blobs"], glb["_dec_stream"], glb["_dec_rows"]
+        names, ts_units, epoch, glb["_dec_blobs"], glb["_dec_stream"], glb["_dec_rows"],
+        np_dtypes,
     )
 
 
@@ -1276,6 +1309,7 @@ def _build_resolver(
     # the rich body's dict literal by re-assembling with its own fvars
     names = [f.name for f in reader.fields]
     ts_units = [_ts_unit(f.schema) for f in reader.fields]
+    np_dtypes = [_np_dtype(f.schema) for f in reader.fields]
     # align: _assemble_decoder uses ONE fvars list for all three entry
     # points, so rebind the rich body's slot vars onto the raw body's
     for (n1, v_raw), (n2, v_rich) in zip(pairs, pairs_rich):
@@ -1291,6 +1325,7 @@ def _build_resolver(
         ts_units,
         mode,
         f"{writer.fullname}->{reader.fullname}",
+        np_dtypes,
     )
 
 

@@ -189,6 +189,44 @@ class TestEncodeParity:
         ]
 
 
+class TestTypedColumnSeries:
+    def test_permissive_nulls_stay_null_and_clean_batches_type(self):
+        """Non-nullable numeric/bool columns convert to typed numpy
+        buffers ONLY when null-free: np.asarray silently maps None ->
+        nan/False, so a permissive null row must force the object
+        fallback (Arrow null, not a fabricated value)."""
+        sch = parse_schema(
+            {
+                "type": "record",
+                "name": "R",
+                "fields": [
+                    {"name": "a", "type": "long"},
+                    {"name": "f", "type": "double"},
+                    {"name": "b", "type": "boolean"},
+                ],
+            }
+        )
+        sj = json.dumps(sch.to_json())
+        bd = get_batch_decoder(sj, "spark")
+        blobs = [
+            encode_datum(sch, {"a": 1, "f": 2.5, "b": True}),
+            b"\xff\xff",  # poison -> permissive null row
+            encode_datum(sch, {"a": 3, "f": 0.5, "b": False}),
+        ]
+        outs = bd.new_columns()
+        bd.decode_blobs(blobs, outs, True)
+        sp = bd.to_pandas(outs)
+        for name in ("a", "f", "b"):
+            assert sp[name].dtype == object and sp[name][1] is None, name
+        outs2 = bd.new_columns()
+        bd.decode_blobs([blobs[0], blobs[2]], outs2, False)
+        sp2 = bd.to_pandas(outs2)
+        assert str(sp2["a"].dtype) == "int64"
+        assert str(sp2["f"].dtype) == "float64"
+        assert str(sp2["b"].dtype) == "bool"
+        assert list(sp2["a"]) == [1, 3] and list(sp2["b"]) == [True, False]
+
+
 class TestRecursiveFallback:
     LINKED = {
         "type": "record",

@@ -1,12 +1,13 @@
-"""Declared streaming query (rows-only driver check).
+"""Declared streaming queries — all with full value-hash oracles.
 
-Runs the full Structured Streaming pipeline — land Avro-encoded
-payload rows, file-stream them, decode, watermarked tumbling-window
-aggregation, availableNow trigger into a memory sink — and returns the
-sink as a batch DataFrame. Custom stateful streaming is the
-SURVEY-sanctioned non-SQL-expressible case, so there is no DuckDB
-oracle; correctness versus the batch plan is covered by
-tests/test_streaming.py.
+Each runs a complete Structured Streaming pipeline — land Avro-encoded
+payload rows, file-stream them, decode, watermarked stateful operator,
+availableNow trigger into a memory sink — and returns the sink as a
+batch DataFrame whose contents must hash-equal a batch SQL answer:
+q50 flushes every window via a far-future sentinel, q51 exploits the
+monotonicity of running counts, q52 doubles the corpus and requires
+dedup to exactly undo it. Cross-batch state convergence is additionally
+covered by tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -44,23 +45,56 @@ _PAYLOAD_STRUCT = T.StructType(
 )
 
 
-@register("q50_stream_windowed_counts", oracle=None)
+@register(
+    "q50_stream_windowed_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY window_start, window_end, event_type
+    ORDER BY window_start, event_type
+    """,
+)
 def q50_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end streaming: events → Avro payloads on disk → file
     stream → decode (narrow) → 1h tumbling windows with a 1h watermark
-    → memory sink. availableNow drains everything, so the emitted rows
-    are the closed subset of the batch answer."""
+    → append-mode memory sink.
+
+    Full value-hash oracle via a watermark flush: a single sentinel
+    event landed 3 hours past the corpus maximum pushes the final
+    watermark beyond every real window's end, so append mode emits ALL
+    real windows (Spark runs the state-eviction batch after the last
+    data batch). The sentinel's own window stays open and unemitted —
+    and is filtered defensively — so the sink must equal the batch
+    hourly GROUP BY exactly."""
     run = uuid.uuid4().hex[:8]
     land_dir = tempfile.mkdtemp(prefix=f"stream_q50_{run}_")
     e = load_table(spark, sf_dir, "events")
-    (
-        e.select(
-            "ts",
-            to_avro(F.struct("event_id", "user_id", "event_type", "value"), _SCHEMA).alias(
-                "payload"
-            ),
-        ).write.mode("overwrite").parquet(land_dir)
+    max_ts = e.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    payloads = e.select(
+        "ts",
+        to_avro(F.struct("event_id", "user_id", "event_type", "value"), _SCHEMA).alias(
+            "payload"
+        ),
     )
+    sentinel = (
+        spark.range(1)
+        .select(
+            F.lit(max_ts).cast("timestamp").alias("ts"),
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("__flush__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+        )
+        .select(
+            (F.col("ts") + F.expr("INTERVAL 3 HOURS")).alias("ts"),
+            to_avro(
+                F.struct("event_id", "user_id", "event_type", "value"), _SCHEMA
+            ).alias("payload"),
+        )
+    )
+    payloads.unionAll(sentinel).write.mode("overwrite").parquet(land_dir)
     stream = read_binary_file_stream(spark, land_dir, _PAYLOAD_STRUCT)
     decoded = decode_avro_stream(stream, "payload", _SCHEMA)
     agg = windowed_agg(
@@ -80,7 +114,11 @@ def q50_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    return spark.table(name).orderBy("window_start", "event_type")
+    return (
+        spark.table(name)
+        .where(F.col("event_type") != "__flush__")
+        .orderBy("window_start", "event_type")
+    )
 
 
 @register(

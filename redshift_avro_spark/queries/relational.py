@@ -785,23 +785,97 @@ def q44_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q46_approx_aggregates", oracle=None)
+# Deterministic sketch parameters for q46. Hash domain is the first 15
+# hex digits of md5 → uniform in [0, 2^60); keeping items whose hash
+# falls below domain/rate is a fixed-threshold (theta-sketch-style)
+# sample that both engines compute bit-identically.
+_H60 = 1 << 60
+_Q46_DISTINCT_RATE = 8  # keep ~1/8 of distinct keys for the count estimate
+_Q46_PCTL_RATE = 4  # keep ~1/4 of rows for the percentile estimate
+
+
+@register(
+    "q46_approx_aggregates",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderpriority, o_custkey, o_totalprice,
+             CAST(concat('0x', substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS cust_h,
+             CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS row_h
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT CASE WHEN cust_h < {_H60 // _Q46_DISTINCT_RATE}
+                                    THEN o_custkey END) * {_Q46_DISTINCT_RATE} AS BIGINT)
+             AS approx_customers,
+           CAST(quantile_disc(CASE WHEN row_h < {_H60 // _Q46_PCTL_RATE}
+                                   THEN o_totalprice END, 0.5) AS DOUBLE)  AS price_p50,
+           CAST(quantile_disc(CASE WHEN row_h < {_H60 // _Q46_PCTL_RATE}
+                                   THEN o_totalprice END, 0.95) AS DOUBLE) AS price_p95,
+           CAST(quantile_disc(CASE WHEN row_h < {_H60 // _Q46_PCTL_RATE}
+                                   THEN o_totalprice END, 0.99) AS DOUBLE) AS price_p99,
+           COUNT(*) AS n
+    FROM h
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
 def q46_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based aggregates for the scales where exact distinct
-    counting (q08's expand+reshuffle) stops being affordable:
-    approx_count_distinct (HyperLogLog++) and approx_percentile
-    (KLL-ish). Rows-only check — sketch internals are engine-specific
-    by design, so no cross-engine oracle exists; q08 provides the exact
-    counterpart on the same columns."""
+    """Approximate aggregates via deterministic, engine-portable
+    sketches, for the scales where exact distinct counting (q08's
+    expand+reshuffle) stops being affordable.
+
+    Spark's native sketches (``approx_count_distinct`` HLL++,
+    ``percentile_approx`` KLL-ish) are the drop-in production choice,
+    but their merge state is engine-private, so a cross-engine value
+    check is impossible by construction. This query instead computes
+    the same estimates from fixed-threshold md5 samples — the
+    theta-sketch idea with θ pinned up front:
+
+    - distinct count: count the distinct keys whose 60-bit md5 hash
+      falls below domain/8, scale by 8. Only ~1/8 of the distinct keys
+      reach the distinct-aggregation shuffle, which is the entire point
+      of sketched counting at 100 TB, and the estimate is a
+      deterministic function of the key set.
+    - percentiles: PERCENTILE_DISC over the ~1/4 row sample selected by
+      an independent row hash (CASE-null keeps it one pass — ordered-set
+      aggregates skip NULLs in both engines). Discrete selection picks
+      an actual element, so no interpolation bits can differ.
+
+    q08 provides the exact counterpart on the same columns; q54 the
+    exact percentiles."""
     o = load_table(spark, sf_dir, "orders")
-    q = F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000)
+    cust_h = F.conv(F.md5(F.col("o_custkey").cast("string")).substr(1, 15), 16, 10).cast(
+        "bigint"
+    )
+    row_h = F.conv(F.md5(F.col("o_orderkey").cast("string")).substr(1, 15), 16, 10).cast(
+        "bigint"
+    )
+    sampled_price = F.when(
+        row_h < F.lit(_H60 // _Q46_PCTL_RATE), F.col("o_totalprice")
+    ).alias("price_s")
+    h = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.when(cust_h < F.lit(_H60 // _Q46_DISTINCT_RATE), F.col("o_custkey")).alias(
+            "cust_s"
+        ),
+        sampled_price,
+    )
     return (
-        o.groupBy("o_orderpriority")
+        h.groupBy("o_orderpriority")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-            q.getItem(0).alias("price_p50"),
-            q.getItem(1).alias("price_p95"),
-            q.getItem(2).alias("price_p99"),
+            (F.count_distinct("cust_s") * _Q46_DISTINCT_RATE)
+            .cast("bigint")
+            .alias("approx_customers"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY price_s)").alias(
+                "price_p50"
+            ),
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY price_s)").alias(
+                "price_p95"
+            ),
+            F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY price_s)").alias(
+                "price_p99"
+            ),
             F.count("*").alias("n"),
         )
         .orderBy("o_orderpriority")

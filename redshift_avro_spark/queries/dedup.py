@@ -30,6 +30,7 @@ from ..operators.dedup import (
     _MH_COEFFS,
     _MH_P,
     DEFAULT_BAND_CAP,
+    connected_components,
     exact_dup_groups,
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
@@ -192,6 +193,77 @@ def q33_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5, candidates=cands
     ).orderBy("id_a", "id_b")
+
+
+_JACCARD_DUCK = (
+    "len(list_intersect(a.g, b.g)) / "
+    "CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE)"
+)
+
+
+@register(
+    "q63_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTE},
+    grams AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(generate_series(1, length(text) - 2),
+               i -> substring(text, i, 3))) AS g
+      FROM documents WHERE length(text) >= 3
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM candidates c
+      JOIN grams a ON a.id = c.id_a
+      JOIN grams b ON b.id = c.id_b
+      WHERE {_JACCARD_DUCK} >= 0.5
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM verified
+      UNION
+      SELECT id_b AS u, id_a AS v FROM verified
+    ),
+    reach AS (
+      SELECT u AS src, u AS dst FROM sym
+      UNION
+      SELECT r.src, s.v AS dst FROM reach r JOIN sym s ON r.dst = s.u
+    ),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src),
+    sizes AS (SELECT component_id, COUNT(*) AS cluster_size FROM comp GROUP BY component_id)
+    SELECT c.doc_id, c.component_id, s.cluster_size,
+           c.doc_id = c.component_id AS is_keeper
+    FROM comp c JOIN sizes s USING (component_id)
+    ORDER BY doc_id
+    """,
+)
+def q63_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after q33 that a real dedup pipeline needs: verified
+    near-dup PAIRS folded into duplicate CLUSTERS via connected
+    components (min-label propagation), so survivor selection is
+    globally consistent (a~b, b~c keeps exactly one of {a,b,c}).
+    Component id = min doc id in the cluster — deterministic, so the
+    oracle replicates it with a recursive-CTE transitive closure
+    (affordable for DuckDB at oracle scale; the Spark side propagates
+    labels in O(diameter) shuffle rounds over the edge set only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_candidate_pairs(docs, "doc_id", "text", 12, 3, 3)
+    verified = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, candidates=cands
+    )
+    comp = connected_components(verified, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), "component_id"
+    )
+    sizes = comp.groupBy("component_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "component_id")
+        .select(
+            "doc_id",
+            "component_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("component_id")).alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 _COS_DUCK = (

@@ -238,3 +238,53 @@ def q45_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding", k=5, n_centroids=8, n_probe=2,
         lloyd_iters=2, dim=64,
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "q64_embedding_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e,
+             list_aggregate(list_transform(e, x -> abs(x)), 'max') / 127.0 AS scale
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, e, scale,
+             CASE WHEN scale = 0.0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(e, x -> greatest(CAST(-127 AS BIGINT),
+                       least(CAST(127 AS BIGINT), CAST(floor(x / scale + 0.5) AS BIGINT))))
+             END AS q
+      FROM s
+    ),
+    err AS (
+      SELECT vec_id, e, scale, q,
+             list_transform(list_zip(q, e), p -> p[1] * scale - p[2]) AS err
+      FROM q
+    )
+    SELECT vec_id,
+           len(e) AS n_dims,
+           scale,
+           CAST(list_aggregate(q, 'sum') AS BIGINT) AS qsum,
+           CAST(list_aggregate(list_transform(q, x -> x * x), 'sum') AS BIGINT) AS qnorm,
+           list_aggregate(list_transform(err, x -> abs(x)), 'max') AS max_abs_err,
+           list_aggregate(list_transform(err, x -> x * x), 'sum') / len(err) AS mse
+    FROM err
+    ORDER BY vec_id
+    """,
+)
+def q64_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding corpus —
+    the float32→int8+scale compression step a 100 TB embedding store
+    applies before ANN indexing. A pure narrow map of JVM higher-order
+    array expressions (no shuffle but the final ORDER BY); the oracle
+    recomputes the identical quantizer (floor(x/scale + 0.5), clamped)
+    and checks per-vector checksums (qsum/qnorm) plus reconstruction
+    error, so a single bit of quantization drift fails the hash."""
+    from ..operators.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb, "vec_id", "embedding").orderBy("vec_id")

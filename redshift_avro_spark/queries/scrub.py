@@ -1,0 +1,261 @@
+"""Corpus-scrubbing queries: decontamination, PII redaction,
+repetition filtering, passage-level dedup (q65–q68).
+
+These are the curation passes a training pipeline runs downstream of
+the Avro decode surface (the reference delegates all such processing
+to SQL on the decoded rows — README.md:13-17, SURVEY §2.6). Each
+Spark program is pure Catalyst (:mod:`..operators.scrub`); each oracle
+rebuilds the identical formula in DuckDB list/regex functions.
+
+Engine-parity notes baked into the formulas:
+
+- word n-grams guard ``sequence(1, k)`` descending for k < 1 (Spark)
+  vs ``generate_series`` returning empty (DuckDB) with an explicit
+  CASE on both sides;
+- regex patterns restrict to syntax with identical semantics under
+  Java regex and RE2 (no lookaround/backrefs; ``\\d``/``\\b`` are
+  ASCII in both); Spark literals double the backslashes because its
+  SQL parser strips unknown escapes;
+- counts are CAST so Spark's INT ``size()`` meets DuckDB's BIGINT
+  ``len()`` on the same type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load_table, register
+from ..operators.scrub import PII_PATTERNS, decontaminate_candidates, repetition_metrics, scrub_pii, word_ngrams
+
+_W_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+def _grams_sql(n: int, distinct: bool = True) -> str:
+    grams = (
+        f"list_transform(generate_series(1, len(__w) - {n - 1}), "
+        f"i -> array_to_string(list_slice(__w, i, i + {n - 1}), ' '))"
+    )
+    if distinct:
+        grams = f"list_distinct({grams})"
+    return f"CASE WHEN len(__w) >= {n} THEN {grams} ELSE CAST([] AS VARCHAR[]) END"
+
+
+# ---------------------------------------------------------------- q65
+# Benchmark decontamination: which training docs share a word 3-gram
+# with the held-out benchmark slice (doc_id % 97 = 0)? The standard
+# GPT-3/PaLM protocol uses 8–13-gram exact match; 3-grams here because
+# the synthetic corpus draws from a ~40-word vocabulary, so longer
+# grams would never collide and the path would go untested.
+
+_BENCH_MOD = 97
+_DECON_N = 3
+
+
+@register(
+    "q65_decontamination",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_W_SQL} AS __w FROM documents
+    ), g AS (
+      SELECT doc_id, {_grams_sql(_DECON_N)} AS grams FROM w
+    ), bench AS (
+      SELECT DISTINCT gram
+      FROM (SELECT unnest(grams) AS gram FROM g WHERE doc_id % {_BENCH_MOD} = 0)
+    ), corpus AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % {_BENCH_MOD} <> 0
+    )
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+    FROM corpus c JOIN bench b USING (gram)
+    GROUP BY c.doc_id
+    ORDER BY doc_id
+    """,
+)
+def q65_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contaminated-doc report: per training document, how many
+    distinct word 3-grams also occur in the benchmark slice.
+
+    Scale shape: the benchmark gram set is DISTINCT'd and broadcast
+    (eval suites are MBs against a TB corpus), so the corpus side
+    never shuffles for the join; the only exchange is the per-doc
+    count. See operators/scrub.py:decontaminate_candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % _BENCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % _BENCH_MOD != 0)
+    return (
+        decontaminate_candidates(corpus, bench, n=_DECON_N)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------- q66
+# PII scrubbing over synthesized customer "profile" strings. The
+# testdata customer table carries no phone/address columns, so the
+# profile synthesizes deterministic PII from the key (TPC-H-format
+# phone NN-NNN-NNN-NNNN, a dotted-quad IP, an email from c_name) —
+# every pattern fires on every row and both engines build the exact
+# same string. The profile expression uses only functions with
+# identical semantics in Spark SQL and DuckDB (concat/lpad/CAST AS
+# STRING/replace/lower), so ONE string serves both.
+
+_PROFILE_SQL = (
+    "concat(c_name, ' <', replace(lower(c_name), '#', '.'), '@example.com> tel:', "
+    "lpad(CAST(10 + c_custkey % 90 AS STRING), 2, '0'), '-', "
+    "lpad(CAST(c_custkey % 1000 AS STRING), 3, '0'), '-', "
+    "lpad(CAST((c_custkey * 7) % 1000 AS STRING), 3, '0'), '-', "
+    "lpad(CAST((c_custkey * 13) % 10000 AS STRING), 4, '0'), "
+    "' ip:', CAST(c_custkey % 224 + 1 AS STRING), '.', CAST((c_custkey * 3) % 256 AS STRING), "
+    "'.', CAST((c_custkey * 5) % 256 AS STRING), '.', CAST((c_custkey * 11) % 256 AS STRING), "
+    "' segment ', c_mktsegment)"
+)
+
+
+@register(
+    "q66_pii_scrub",
+    oracle=f"""
+    WITH profile AS (
+      SELECT c_custkey, {_PROFILE_SQL} AS profile
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(profile,
+               '{PII_PATTERNS[0][1]}', '{PII_PATTERNS[0][2]}', 'g'),
+               '{PII_PATTERNS[1][1]}', '{PII_PATTERNS[1][2]}', 'g'),
+               '{PII_PATTERNS[2][1]}', '{PII_PATTERNS[2][2]}', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(profile, '{PII_PATTERNS[0][1]}')) AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(profile, '{PII_PATTERNS[1][1]}')) AS INTEGER) AS n_phone,
+           CAST(len(regexp_extract_all(profile, '{PII_PATTERNS[2][1]}')) AS INTEGER) AS n_ip
+    FROM profile
+    ORDER BY c_custkey
+    """,
+)
+def q66_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails/phones/IPv4 from a synthesized per-customer
+    profile string; per-row redaction counts.
+
+    Pure narrow projection — no shuffle except the final ORDER BY;
+    regexes run inside whole-stage codegen. At 100 TB this is a
+    map-only pass. See operators/scrub.py:scrub_pii."""
+    cust = load_table(spark, sf_dir, "customer")
+    profile = cust.select("c_custkey", F.expr(_PROFILE_SQL).alias("profile"))
+    s = scrub_pii("profile")
+    return profile.select(
+        "c_custkey",
+        s["scrubbed"].alias("scrubbed"),
+        s["n_email"].alias("n_email"),
+        s["n_phone"].alias("n_phone"),
+        s["n_ip"].alias("n_ip"),
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------- q67
+# Gopher-style repetition metrics: duplicate word-2-gram fraction and
+# top-gram share per document, the standard quality-filter signals.
+
+
+@register(
+    "q67_repetition_filter",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_W_SQL} AS __w FROM documents
+    ), g AS (
+      SELECT doc_id, unnest({_grams_sql(2, distinct=False)}) AS gram FROM w
+    ), per_gram AS (
+      SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS INTEGER) AS n_grams,
+           round(1 - count(*) / CAST(sum(cnt) AS DOUBLE), 6) AS dup_gram_fraction,
+           round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 6) AS top_gram_share
+    FROM per_gram
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q67_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics (duplicate 2-gram fraction,
+    top-gram share) for Gopher-style quality filtering.
+
+    Two aggregations, both map-side combining, group sizes bounded by
+    a single document's gram count — no skew risk at any SF. See
+    operators/scrub.py:repetition_metrics."""
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_metrics(docs, n=2).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- q68
+# C4-style repeated-passage dedup. The synthetic corpus has no line
+# structure (no newlines/periods), so "lines" are fixed 4-word chunks;
+# chunks occurring more than 3× corpus-wide are dropped and documents
+# are reassembled in original chunk order.
+
+_CHUNK_W = 4
+_MAX_OCC = 3
+
+
+@register(
+    "q68_passage_dedup",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_W_SQL} AS __w FROM documents
+    ), ch AS (
+      SELECT doc_id, j AS pos,
+             array_to_string(list_slice(__w, (j-1)*{_CHUNK_W}+1, j*{_CHUNK_W}), ' ') AS chunk
+      FROM w, unnest(generate_series(1, CAST(ceil(len(__w) / {_CHUNK_W}.0) AS BIGINT))) AS t(j)
+    ), cnt AS (
+      SELECT chunk, count(*) AS c FROM ch GROUP BY chunk
+    ), kept AS (
+      SELECT ch.doc_id, ch.pos, ch.chunk FROM ch JOIN cnt USING (chunk) WHERE cnt.c <= {_MAX_OCC}
+    ), agg AS (
+      SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS cleaned, count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ), tot AS (
+      SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(a.cleaned, '') AS cleaned_text,
+           CAST(t.n_chunks AS INTEGER) AS n_chunks,
+           CAST(t.n_chunks - coalesce(a.n_kept, 0) AS INTEGER) AS n_dropped
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q68_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop passages (4-word chunks) repeated > 3× corpus-wide and
+    reassemble each document in original order; report kept/dropped.
+
+    Scale shape: chunk counts aggregate with map-side combine, then a
+    shuffle join back on the uniform chunk key (cheaper than a window
+    over PARTITION BY chunk, which would sort the full corpus); the
+    reassembly is one groupBy(doc_id) with order restored by
+    array_sort over (pos, chunk) structs — no window, no skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.expr("split(trim(lower(text)), '\\\\s+')").alias("__w"))
+    chunks = w.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, CAST(ceil(size(__w) / {_CHUNK_W}.0) AS INT)), "
+                f"j -> array_join(slice(__w, (j-1)*{_CHUNK_W}+1, {_CHUNK_W}), ' '))"
+            )
+        ).alias("pos", "chunk"),
+    )
+    cnt = chunks.groupBy("chunk").agg(F.count("*").alias("c"))
+    kept = chunks.join(cnt, "chunk").where(F.col("c") <= _MAX_OCC)
+    agg = kept.groupBy("doc_id").agg(
+        F.expr("array_join(transform(array_sort(collect_list(struct(pos, chunk))), x -> x.chunk), ' ')").alias(
+            "cleaned"
+        ),
+        F.count("*").alias("n_kept"),
+    )
+    tot = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    return (
+        tot.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cleaned", F.lit("")).alias("cleaned_text"),
+            F.col("n_chunks").cast("int").alias("n_chunks"),
+            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).cast("int").alias("n_dropped"),
+        )
+        .orderBy("doc_id")
+    )

@@ -44,11 +44,13 @@ _MIN_WORDS = 20
 # anti-join); without staging, its filter + md5-window subplan — shuffle
 # included — recomputes once per consumer. Strategies, measured at sf0.1
 # in SCALING.md:
-#   checkpoint — localCheckpoint(eager): executor-storage blocks, lineage
-#                cut; in-session lifecycle (the default)
 #   parquet    — write/read a temp parquet dir: the 100 TB shape, where a
 #                stage boundary must survive executor loss and an
-#                in-memory/local-disk copy of the stage is not an option
+#                in-memory/local-disk copy of the stage is not an option;
+#                also the fastest measured locally (3.50 s vs 4.19
+#                checkpoint / 4.01 recompute at sf0.1) — the default
+#   checkpoint — localCheckpoint(eager): executor-storage blocks, lineage
+#                cut; in-session lifecycle, no files left behind
 #   none       — recompute per consumer (round-1 behavior)
 _STAGE_MODES = ("checkpoint", "parquet", "none")
 
@@ -137,9 +139,9 @@ def q49_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist() measured slower than recompute in round 1 — repeated
     # invocations leak never-unpersisted cache blocks — so the staging
     # is a lineage cut, not a cache).
-    mode = os.environ.get("SPARK_GRAFT_Q49_MATERIALIZE", "checkpoint")
+    mode = os.environ.get("SPARK_GRAFT_Q49_MATERIALIZE", "parquet")
     if mode not in _STAGE_MODES:
-        mode = "checkpoint"
+        mode = "parquet"
     survivors = _stage_survivors(
         kept.withColumn(
             "keeper",

@@ -123,3 +123,30 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_decontamination_broadcasts_bench_grams(spark):
+    # q65's benchmark gram set must broadcast: the corpus side of the
+    # contamination join may be 100 TB and must not shuffle for it.
+    df = REGISTRY["q65_decontamination"].fn(spark, SF_SMOKE)
+    assert has_broadcast_join(df), "benchmark gram set must broadcast"
+    # corpus shuffles only for the per-doc count + final sort
+    assert shuffle_count(df) <= 3
+
+
+def test_pii_scrub_is_map_only(spark):
+    # q66 is a narrow regex projection: nothing but the final ORDER BY
+    # may shuffle, and the whole thing stays in codegen.
+    df = REGISTRY["q66_pii_scrub"].fn(spark, SF_SMOKE)
+    assert shuffle_count(df) <= 1
+    df.collect()
+    assert wholestage_codegen_spans(df) >= 1
+
+
+def test_passage_dedup_no_window_sort(spark):
+    # q68 counts chunks via groupBy+join, NOT a window over
+    # PARTITION BY chunk (which would sort the full corpus).
+    from redshift_avro_spark.plans import explain_str
+
+    df = REGISTRY["q68_passage_dedup"].fn(spark, SF_SMOKE)
+    assert "Window" not in explain_str(df, "simple")

@@ -6,8 +6,10 @@ availableNow trigger into a memory sink — and returns the sink as a
 batch DataFrame whose contents must hash-equal a batch SQL answer:
 q50 flushes every window via a far-future sentinel, q51 exploits the
 monotonicity of running counts, q52 doubles the corpus and requires
-dedup to exactly undo it. Cross-batch state convergence is additionally
-covered by tests/test_streaming.py.
+dedup to exactly undo it, q69 joins the stream against a static
+broadcast benchmark-gram table (stream-static join) and exploits
+count monotonicity like q51. Cross-batch state convergence is
+additionally covered by tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -218,4 +220,97 @@ def q52_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
         .orderBy("event_type")
+    )
+
+
+_DOC_SCHEMA = {
+    "type": "record",
+    "name": "Doc",
+    "namespace": "engine.docs",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "text", "type": "string"},
+    ],
+}
+
+_DOC_PAYLOAD_STRUCT = T.StructType([T.StructField("payload", T.BinaryType())])
+
+
+@register(
+    "q69_stream_decontamination",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS __w FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(__w) >= 3 THEN list_distinct(list_transform(
+                    generate_series(1, len(__w) - 2),
+                    i -> array_to_string(list_slice(__w, i, i + 2), ' ')))
+                  ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM w
+    ), bench AS (
+      SELECT DISTINCT gram
+      FROM (SELECT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0)
+    ), corpus AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0
+    )
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+    FROM corpus c JOIN bench b USING (gram)
+    GROUP BY c.doc_id
+    ORDER BY doc_id
+    """,
+)
+def q69_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join on the declared surface: documents arrive as
+    an Avro payload stream (micro-batched via maxFilesPerTrigger), the
+    benchmark gram set is a STATIC broadcast table, and contamination
+    hits aggregate statefully across batches — the live-ingest version
+    of q65, the shape a training pipeline uses to screen an incoming
+    crawl against eval benchmarks continuously.
+
+    Full value-hash oracle via q51's monotonicity trick: per-doc hit
+    counts only grow across update-mode emissions, so MAX per doc is
+    the final count, which must equal the batch answer regardless of
+    how the stream micro-batched. The stream-static join itself is
+    stateless (no watermark needed); the only state is the per-doc
+    aggregation."""
+    from ..operators.scrub import word_ngrams
+
+    run = uuid.uuid4().hex[:8]
+    land_dir = tempfile.mkdtemp(prefix=f"stream_q69_{run}_")
+    docs = load_table(spark, sf_dir, "documents")
+    bench_grams = (
+        docs.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode(word_ngrams("text", 3)).alias("gram"))
+        .distinct()
+    )
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    (
+        corpus.select(to_avro(F.struct("doc_id", "text"), _DOC_SCHEMA).alias("payload"))
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(land_dir)
+    )
+    stream = read_binary_file_stream(
+        spark, land_dir, _DOC_PAYLOAD_STRUCT, max_files_per_trigger=3
+    )
+    decoded = decode_avro_stream(stream, "payload", _DOC_SCHEMA)
+    hits = decoded.select(
+        "doc_id", F.explode(word_ngrams("text", 3)).alias("gram")
+    ).join(F.broadcast(bench_grams), "gram")
+    agg = hits.groupBy("doc_id").agg(F.count("*").alias("n_hit_grams"))
+    name = f"q69_sink_{run}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("doc_id")
+        .agg(F.max("n_hit_grams").alias("n_hit_grams"))
+        .orderBy("doc_id")
     )

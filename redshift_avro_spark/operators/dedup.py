@@ -28,7 +28,9 @@ __all__ = [
     "exact_dup_groups",
     "minhash_signature",
     "lsh_band_keys",
+    "minhash_band_keys_df",
     "minhash_candidate_pairs",
+    "incremental_dedup_status",
     "simhash_fingerprints",
     "ngram_jaccard_pairs",
     "connected_components",
@@ -124,25 +126,17 @@ def lsh_band_keys(sig_col: str, n_hashes: int = 12, rows_per_band: int = 3) -> C
     return F.expr(f"array({', '.join(keys)})")
 
 
-def minhash_candidate_pairs(
+def minhash_band_keys_df(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n_hashes: int = 12,
     shingle_k: int = 3,
     rows_per_band: int = 3,
-    band_cap: int = DEFAULT_BAND_CAP,
 ) -> DataFrame:
-    """MinHash-LSH near-duplicate CANDIDATE pairs (id_a < id_b).
-
-    shingle → minhash → band → per-band pair generation: two docs pair
-    iff they collide in ≥1 band with ≤ ``band_cap`` members. Pair
-    generation is ONE aggregation shuffle (collect the sorted member
-    list per band key, explode its ordered pairs) instead of a two-sided
-    self-join — the band keys are md5-derived so groups are uniform, and
-    the cap bounds both pair fan-out and per-group memory: a viral
-    identical-text cluster degrades to a dropped band, never a
-    quadratic bucket (exact dedup is the upstream answer to those).
+    """(__id, band_key) rows: one row per LSH band per document — the
+    LSH "index" both the batch candidate generator and the incremental
+    path join on.
 
     The signature computation is staged through explicit projections
     (words → shingles → md5 digests → two 32-bit lanes → signature)
@@ -174,9 +168,31 @@ def minhash_candidate_pairs(
         )
         .select("__id", F.expr(f"array({lanes})").alias("sig"))
     )
-    banded = sigs.select(
+    return sigs.select(
         "__id", F.explode(lsh_band_keys("sig", n_hashes, rows_per_band)).alias("band_key")
     )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 12,
+    shingle_k: int = 3,
+    rows_per_band: int = 3,
+    band_cap: int = DEFAULT_BAND_CAP,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate CANDIDATE pairs (id_a < id_b).
+
+    shingle → minhash → band → per-band pair generation: two docs pair
+    iff they collide in ≥1 band with ≤ ``band_cap`` members. Pair
+    generation is ONE aggregation shuffle (collect the sorted member
+    list per band key, explode its ordered pairs) instead of a two-sided
+    self-join — the band keys are md5-derived so groups are uniform, and
+    the cap bounds both pair fan-out and per-group memory: a viral
+    identical-text cluster degrades to a dropped band, never a
+    quadratic bucket (exact dedup is the upstream answer to those)."""
+    banded = minhash_band_keys_df(df, id_col, text_col, n_hashes, shingle_k, rows_per_band)
     pair_expr = (
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids) - i - 1), "
@@ -324,3 +340,60 @@ def connected_components(
         if converged:
             break
     return labels.select(F.col("u").alias("id"), F.col("label").alias("component_id"))
+
+
+def incremental_dedup_status(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 12,
+    shingle_k: int = 3,
+    rows_per_band: int = 3,
+) -> DataFrame:
+    """Screen an INCOMING batch against an EXISTING corpus — the
+    continuous corpus-building shape, where each new crawl is checked
+    against the accumulated index instead of re-deduping the world.
+
+    Per incoming document: ``exact_dup`` (md5 content hash exists in
+    the corpus), else ``near_dup`` (shares ≥1 LSH band key with any
+    corpus document), else ``novel``. Returns (id, status).
+
+    Scale shape: the existing side's (content_hash) and (band_key)
+    sets are exactly what a production pipeline would PERSIST as its
+    dedup index (uniform md5-derived keys, linear size); both probes
+    are semi-joins on those uniform keys, so the incoming batch —
+    normally a sliver of the corpus — shuffles only itself. No cap is
+    applied on the band probe: a hot band means heavily-duplicated
+    boilerplate, and an incremental ingest must REJECT matches against
+    it, not wave them through (the cap exists in pair GENERATION to
+    bound fan-out; a semi-join probe has no fan-out to bound)."""
+    inc = incoming.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    ex_hashes = existing.select(content_hash(F.col(text_col)).alias("__h")).distinct()
+    ex_bands = minhash_band_keys_df(
+        existing, id_col, text_col, n_hashes, shingle_k, rows_per_band
+    ).select("band_key").distinct()
+
+    exact_ids = (
+        inc.select("__id", content_hash(F.col("__text")).alias("__h"))
+        .join(ex_hashes, "__h", "left_semi")
+        .select("__id")
+    )
+    near_ids = (
+        minhash_band_keys_df(incoming, id_col, text_col, n_hashes, shingle_k, rows_per_band)
+        .join(ex_bands, "band_key", "left_semi")
+        .select("__id")
+        .distinct()
+    )
+    return (
+        inc.select("__id")
+        .join(exact_ids.withColumn("__exact", F.lit(True)), "__id", "left")
+        .join(near_ids.withColumn("__near", F.lit(True)), "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.when(F.col("__exact"), F.lit("exact_dup"))
+            .when(F.col("__near"), F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+        )
+    )

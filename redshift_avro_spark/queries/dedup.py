@@ -52,17 +52,19 @@ _WORDS_DUCK = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 # (over the curation pipeline's survivor CTE)
 
 
-def minhash_cte(source: str, band_cap: int = DEFAULT_BAND_CAP) -> str:
+def minhash_cte(source: str, band_cap: int = DEFAULT_BAND_CAP, prefix: str = "") -> str:
     """CTE chain sigs→banded→candidates over ``source`` (must expose
     doc_id + text), replicating minhash_candidate_pairs(12, 3, 3):
     one md5 per shingle, two 32-bit digest lanes, 12 universal-hash
     combos mod P, ':'-separated band keys, and the hot-band cap
     (bands with more than ``band_cap`` members drop out of candidate
     generation — semantically identical to the Spark operator's
-    capped per-band pair explosion)."""
+    capped per-band pair explosion). ``prefix`` renames the CTEs
+    (``{prefix}sigs`` …) so two instantiations can share one WITH
+    clause (the incremental q70 oracle needs the chain per side)."""
     coeffs = ", ".join(f"[{a}, {b}]" for a, b in _MH_COEFFS)
     return f"""
-    sigs AS (
+    {prefix}sigs AS (
       SELECT id,
              list_transform([{coeffs}],
                c -> list_aggregate(
@@ -84,17 +86,17 @@ def minhash_cte(source: str, band_cap: int = DEFAULT_BAND_CAP) -> str:
         )
       )
     ),
-    banded AS (
+    {prefix}banded AS (
       SELECT id,
              unnest(list_transform(generate_series(0, 3),
                b -> concat(b, ':', sig[b*3 + 1], ':', sig[b*3 + 2], ':', sig[b*3 + 3]))) AS band_key
-      FROM sigs
+      FROM {prefix}sigs
     ),
-    candidates AS (
+    {prefix}candidates AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM banded a
-      JOIN banded b ON a.band_key = b.band_key AND a.id < b.id
-      JOIN (SELECT band_key FROM banded GROUP BY band_key
+      FROM {prefix}banded a
+      JOIN {prefix}banded b ON a.band_key = b.band_key AND a.id < b.id
+      JOIN (SELECT band_key FROM {prefix}banded GROUP BY band_key
             HAVING COUNT(*) <= {band_cap}) ok
         ON a.band_key = ok.band_key
     )
@@ -296,3 +298,59 @@ def q34_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45).orderBy(
         "id_a", "id_b"
     )
+
+
+# ---------------------------------------------------------------- q70
+# Incremental corpus ingest: screen an incoming batch (doc_id % 5 = 0)
+# against the existing corpus (the rest) — exact content hash first,
+# then LSH band-key probe against the corpus "index". The continuous
+# corpus-building shape: each crawl checks against the accumulated
+# index instead of re-deduping the world.
+
+_INC_SRC = "(SELECT * FROM documents WHERE doc_id % 5 = 0) AS inc_src"
+_EX_SRC = "(SELECT * FROM documents WHERE doc_id % 5 <> 0) AS ex_src"
+
+
+@register(
+    "q70_incremental_dedup",
+    oracle=f"""
+    WITH {minhash_cte(_INC_SRC, prefix="i_")},
+    {minhash_cte(_EX_SRC, prefix="e_")},
+    exact AS (
+      SELECT DISTINCT i.doc_id
+      FROM documents i
+      WHERE i.doc_id % 5 = 0
+        AND md5(i.text) IN (SELECT md5(e.text) FROM documents e WHERE e.doc_id % 5 <> 0)
+    ),
+    near AS (
+      SELECT DISTINCT a.id AS doc_id
+      FROM i_banded a
+      WHERE a.band_key IN (SELECT band_key FROM e_banded)
+    )
+    SELECT d.doc_id,
+           CASE WHEN exact.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'novel' END AS status
+    FROM documents d
+    LEFT JOIN exact ON d.doc_id = exact.doc_id
+    LEFT JOIN near ON d.doc_id = near.doc_id
+    WHERE d.doc_id % 5 = 0
+    ORDER BY d.doc_id
+    """,
+)
+def q70_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: status (exact_dup | near_dup | novel) for
+    every incoming document probed against the existing corpus's
+    content-hash and LSH band-key indexes.
+
+    Scale shape: both probes are semi-joins on uniform md5-derived
+    keys; the existing side's hash/band sets are exactly what a
+    production pipeline persists as its dedup index, so only the
+    incoming sliver is recomputed per ingest. See
+    operators/dedup.py:incremental_dedup_status."""
+    from ..operators.dedup import incremental_dedup_status
+
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+    existing = docs.where(F.col("doc_id") % 5 != 0)
+    return incremental_dedup_status(existing, incoming, "doc_id", "text").orderBy("doc_id")

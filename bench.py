@@ -54,12 +54,14 @@ def main() -> None:
     registry["q02_parts_filter"].fn(spark, sf_dir).count()
     registry["q20_avro_roundtrip"].fn(spark, "/root/testdata/sf0.001").count()
 
-    # best-of-2 per query: the second run reuses warmed code paths, so
-    # min() reflects steady-state plan cost instead of GC/IO noise
+    # best-of-3 per query: later runs reuse warmed code paths, and
+    # min() is robust to transient host noise (measured run-to-run
+    # drift of 2-4x on individual queries under a noisy neighbor —
+    # best-of-2 was not enough to shake it)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             registry[name].fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)

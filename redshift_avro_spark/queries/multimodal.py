@@ -1,10 +1,11 @@
 """Multimodal-column queries: binary payloads + typed metadata.
 
 q40 exercises the JVM-side metadata path (filters/pruning never touch
-payload bytes) with a full DuckDB oracle; q41 exercises the
-Arrow-batched ``mapInPandas`` feature-extraction plumbing with the
-deterministic fake decoder (media libs absent by design — SURVEY §7.4),
-so it has no SQL oracle and takes the driver's rows-only check.
+payload bytes); q41/q71/q72 exercise the Arrow-batched ``mapInPandas``
+plumbing — feature extraction, per-frame fan-out, resize — with the
+deterministic fake decoders (media libs absent by design — SURVEY
+§7.4), whose byte arithmetic the DuckDB oracles replicate exactly, so
+every multimodal query has a full value-hash row.
 """
 
 from __future__ import annotations
@@ -69,3 +70,65 @@ def q41_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return extract_payload_features(docs, "doc_id", "payload", fake=True).orderBy("doc_id")
+
+
+@register(
+    "q71_payload_frames",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_index,
+           hex(substring(text, i * 64 + 1, 64)) AS frame_hex
+    FROM documents,
+         unnest(generate_series(0, least(8, greatest(1, length(text) // 64)) - 1)) AS t(i)
+    ORDER BY doc_id, frame_index
+    """,
+)
+def q71_payload_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling from video-like binary payloads: ONE OUTPUT ROW
+    per sampled frame (the U4 one-cell→N-records fan-out inside
+    mapInPandas, applied to media). The fake 'codec' slices the payload
+    at fixed 64-byte strides, so the DuckDB oracle replicates every
+    frame byte with substring arithmetic over the same (ASCII)
+    document text — a full value-hash row for the fan-out path, like
+    q41 gave the feature path. Frames hex-encode in both engines so
+    the compared column is a plain string."""
+    from ..operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return (
+        sample_frames(docs, "doc_id", "payload", every_n_bytes=64, max_frames=8)
+        .select("doc_id", "frame_index", F.hex("frame").alias("frame_hex"))
+        .orderBy("doc_id", "frame_index")
+    )
+
+
+@register(
+    "q72_payload_resize",
+    oracle="""
+    SELECT doc_id,
+           hex(CASE WHEN (50176 % greatest(length(text), 1)) = 0
+                    THEN substring(text, 1, 1)
+                    ELSE substring(text, 1, 50176 % greatest(length(text), 1)) END) AS resized_hex,
+           CAST(224 AS INTEGER) AS out_width,
+           CAST(224 AS INTEGER) AS out_height
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q72_payload_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing over binary payloads (batch in, binary
+    batch out, narrow mapInPandas stage). The fake resample emits a
+    deterministic payload slice sized by (224*224) mod len, which the
+    oracle replicates byte-for-byte — upgrading the resize path from
+    tests-only to a gated full-hash query."""
+    from ..operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return (
+        resize_images(docs, "doc_id", "payload", width=224, height=224)
+        .select("doc_id", F.hex("resized").alias("resized_hex"), "out_width", "out_height")
+        .orderBy("doc_id")
+    )

@@ -94,5 +94,6 @@ def load_all() -> dict[str, QuerySpec]:
     from . import compaction_q  # noqa: F401
     from . import training  # noqa: F401
     from . import scrub  # noqa: F401
+    from . import asof_q  # noqa: F401
 
     return REGISTRY

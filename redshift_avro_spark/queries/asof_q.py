@@ -53,3 +53,48 @@ def q73_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         value_cols=["event_id", "value"],
     ).orderBy("event_id")
+
+
+@register(
+    "q74_trailing_window_counts",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW
+           ) - 1 AS BIGINT) AS n_prev_10m
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q74_trailing_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-range window: for every event, how many OTHER
+    events the same user produced in the preceding 10 minutes
+    (inclusive) — the rate-limit / burst-detection shape.
+
+    This is a RANGE frame (value-based, not row-based): Spark needs a
+    numeric ordering column, so ts is projected to epoch MICROseconds
+    (exact — the testdata carries no sub-microsecond components) and
+    the frame is [-600e6, 0]; DuckDB orders by the timestamp itself
+    with an INTERVAL frame. Both engines include equal-ts peers in the
+    frame, so the self-exclusion is the same −1 on each side. One
+    shuffle on user_id; frame state is a count, not a buffer."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us"))
+        .rangeBetween(-600_000_000, 0)
+    )
+    return (
+        # ts is TIMESTAMP_NTZ; the session pins UTC, so the cast to
+        # (tz-aware) TIMESTAMP that unix_micros demands is an identity
+        e.select(
+            "event_id", "user_id", "ts",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+        .withColumn("n_prev_10m", (F.count("*").over(w) - F.lit(1)).cast("long"))
+        .select("event_id", "user_id", "ts", "n_prev_10m")
+        .orderBy("event_id")
+    )

@@ -95,5 +95,6 @@ def load_all() -> dict[str, QuerySpec]:
     from . import training  # noqa: F401
     from . import scrub  # noqa: F401
     from . import asof_q  # noqa: F401
+    from . import sketch_q  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,102 @@
+"""Count-min sketch query (q75) — the mergeable heavy-hitter sketch.
+
+A CMS is the canonical "novel sketch" operator for streaming/OLAP
+engines: per (lane, bucket) integer counts, point estimates by min
+over lanes, mergeable by simple addition. Everything here is exact
+integer arithmetic (md5-derived buckets, COUNT, MIN), so unlike
+float-based sketches the whole construction has a bit-exact DuckDB
+oracle — same reason q46 uses fixed-threshold sketches and q56 a
+log-free idf.
+
+Sizing for the demo: depth 4 × width 64 against ~150 distinct users
+guarantees real collisions, so the estimates genuinely overcount
+(estimate >= exact, with equality only when all four buckets are
+collision-free) — the machinery is exercised, not vacuously exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load_table, register
+
+_DEPTH = 4
+_WIDTH = 64
+_TOP = 20
+
+# lane buckets: four 32-bit words of ONE md5 of the key, each mod width
+_SPARK_BUCKET = "CAST(conv(substring(__h, {start}, 8), 16, 10) AS BIGINT) % {w}"
+_DUCK_BUCKET = "CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), {start}, 8)) AS BIGINT) % {w}"
+
+
+@register(
+    "q75_count_min_sketch",
+    oracle=f"""
+    WITH stacked AS (
+      SELECT lane,
+             CASE lane
+               {' '.join(f"WHEN {i} THEN {_DUCK_BUCKET.format(start=1 + 8 * i, w=_WIDTH)}" for i in range(_DEPTH))}
+             END AS bucket
+      FROM events, unnest([{', '.join(str(i) for i in range(_DEPTH))}]) AS t(lane)
+    ),
+    sketch AS (
+      SELECT lane, bucket, count(*) AS c FROM stacked GROUP BY lane, bucket
+    ),
+    exact AS (
+      SELECT user_id, count(*) AS exact_n FROM events
+      GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT {_TOP}
+    ),
+    probes AS (
+      SELECT user_id, exact_n, lane,
+             CASE lane
+               {' '.join(f"WHEN {i} THEN {_DUCK_BUCKET.format(start=1 + 8 * i, w=_WIDTH)}" for i in range(_DEPTH))}
+             END AS bucket
+      FROM exact, unnest([{', '.join(str(i) for i in range(_DEPTH))}]) AS t(lane)
+    )
+    SELECT user_id, CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(min(c) AS BIGINT) AS cms_estimate
+    FROM probes JOIN sketch USING (lane, bucket)
+    GROUP BY user_id, exact_n
+    ORDER BY exact_n DESC, user_id
+    """,
+)
+def q75_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over event user_ids (depth 4 × width 64), with
+    the top-{_TOP} heavy hitters reported as (exact, estimate) pairs —
+    estimate >= exact always, equality iff no bucket collisions.
+
+    Scale shape: the sketch aggregation map-side combines down to at
+    most depth×width rows no matter the corpus size (THE point of a
+    CMS — mergeable fixed-size state, the same property that makes it
+    a streaming-friendly aggregate); the probe set is {_TOP} keys and
+    broadcasts. Exact counts here exist only to grade the estimates."""
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    hashed = e.withColumn("__h", F.md5(F.col("user_id").cast("string")))
+    lanes = ", ".join(
+        f"named_struct('lane', {i}, 'bucket', {_SPARK_BUCKET.format(start=1 + 8 * i, w=_WIDTH)})"
+        for i in range(_DEPTH)
+    )
+    sketch = (
+        hashed.select(F.explode(F.expr(f"array({lanes})")).alias("lb"))
+        .select("lb.lane", "lb.bucket")
+        .groupBy("lane", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(_TOP)
+    )
+    probes = (
+        exact.withColumn("__h", F.md5(F.col("user_id").cast("string")))
+        .select("user_id", "exact_n", F.explode(F.expr(f"array({lanes})")).alias("lb"))
+        .select("user_id", "exact_n", "lb.lane", "lb.bucket")
+    )
+    return (
+        probes.join(sketch, ["lane", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cms_estimate"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+    )

@@ -314,3 +314,86 @@ def q69_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n_hit_grams").alias("n_hit_grams"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q76_stream_stream_join",
+    oracle="""
+    SELECT e.event_id, s.event_id AS signup_event_id, e.user_id,
+           e.ts, s.ts AS signup_ts
+    FROM events e
+    JOIN events s
+      ON e.event_type = 'error' AND s.event_type = 'signup'
+     AND e.user_id = s.user_id
+     AND s.ts >= e.ts - INTERVAL 1 HOUR AND s.ts <= e.ts
+    ORDER BY e.event_id, signup_event_id
+    """,
+)
+def q76_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: error events joined to signup
+    events by the same user within the trailing hour — both sides are
+    STREAMS (split off one decoded Avro payload stream), each with its
+    own watermark, joined under a time-range condition. Completes the
+    streaming operator taxonomy (windowed agg q50, custom state q51,
+    dedup q52, stream-static q69).
+
+    Full value-hash oracle: an inner time-interval join emits exactly
+    the pairs the batch join produces as long as no qualifying row is
+    event-time-late beyond the watermark. The landed files are NOT
+    time-ordered (repartition spreads timestamps across files), so
+    with multi-file micro-batches the disorder bound is the full
+    corpus span — the watermark is therefore sized beyond it (3650
+    days), keeping the multi-batch join exact while still exercising
+    cross-batch join state. In production the watermark shrinks to
+    the source's real disorder bound (Kafka: seconds-to-minutes) and
+    pays the corresponding state-cleanup benefit; a 2-hour watermark
+    here silently dropped pairs whose halves landed in later,
+    older-timestamped files — the exact failure mode watermark sizing
+    must respect."""
+    run = uuid.uuid4().hex[:8]
+    land_dir = tempfile.mkdtemp(prefix=f"stream_q76_{run}_")
+    e = load_table(spark, sf_dir, "events")
+    (
+        e.select(
+            "ts",
+            to_avro(F.struct("event_id", "user_id", "event_type", "value"), _SCHEMA).alias(
+                "payload"
+            ),
+        )
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(land_dir)
+    )
+    stream = read_binary_file_stream(spark, land_dir, _PAYLOAD_STRUCT, max_files_per_trigger=3)
+    decoded = decode_avro_stream(stream, "payload", _SCHEMA)
+    errors = (
+        decoded.where(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "3650 days")
+    )
+    signups = (
+        decoded.where(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_event_id"),
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "3650 days")
+    )
+    joined = errors.join(
+        signups,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("signup_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("signup_ts") <= F.col("ts")),
+        "inner",
+    ).select("event_id", "signup_event_id", "user_id", "ts", "signup_ts")
+    name = f"q76_sink_{run}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("event_id", "signup_event_id")

@@ -100,3 +100,98 @@ def q75_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("cms_estimate"))
         .orderBy(F.desc("exact_n"), F.asc("user_id"))
     )
+
+
+_BF_K = 4
+_BF_M = 16  # bits per lane — small on purpose so false positives occur
+# (per-lane fill ≈ 1-(1-1/16)^16 ≈ 64% at 16 members → FP ≈ 0.64^4 ≈ 17%)
+_BF_TOP = 16
+
+
+@register(
+    "q77_bloom_filter",
+    oracle=f"""
+    WITH members AS (
+      SELECT user_id FROM events WHERE event_type = 'error'
+      GROUP BY user_id ORDER BY count(*) DESC, user_id LIMIT {_BF_TOP}
+    ),
+    bits AS (
+      SELECT DISTINCT lane,
+             CASE lane
+               {' '.join(f"WHEN {i} THEN {_DUCK_BUCKET.format(start=1 + 8 * i, w=_BF_M)}" for i in range(_BF_K))}
+             END AS bit
+      FROM members, unnest([{', '.join(str(i) for i in range(_BF_K))}]) AS t(lane)
+    ),
+    probes AS (
+      SELECT u.user_id, t.lane,
+             CASE t.lane
+               {' '.join(f"WHEN {i} THEN {_DUCK_BUCKET.format(start=1 + 8 * i, w=_BF_M)}" for i in range(_BF_K))}
+             END AS bit
+      FROM (SELECT DISTINCT user_id FROM events) u,
+           unnest([{', '.join(str(i) for i in range(_BF_K))}]) AS t(lane)
+    ),
+    hits AS (
+      SELECT p.user_id, count(*) AS n_hits
+      FROM probes p JOIN bits b ON p.lane = b.lane AND p.bit = b.bit
+      GROUP BY p.user_id
+    )
+    SELECT u.user_id,
+           (m.user_id IS NOT NULL) AS is_member,
+           (coalesce(h.n_hits, 0) = {_BF_K}) AS bloom_positive
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN members m ON u.user_id = m.user_id
+    LEFT JOIN hits h ON u.user_id = h.user_id
+    ORDER BY u.user_id
+    """,
+)
+def q77_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch: the top-{_BF_TOP} error-heavy
+    users populate a {_BF_K}-lane × {_BF_M}-bit filter; every distinct
+    user probes it. Output is (user_id, is_member, bloom_positive) —
+    the filter must never miss a member (bloom_positive ⊇ is_member)
+    and, at this deliberately small width, DOES produce false
+    positives, so the estimate column differs from ground truth and
+    the oracle check is non-vacuous.
+
+    Scale shape: the bit set is ≤ k×m rows regardless of member count
+    and broadcasts to the probe side — the same shape Spark itself
+    uses for runtime bloom-filter join pruning; membership is a
+    broadcast join + count, never a shuffle of the probed corpus."""
+    e = load_table(spark, sf_dir, "events")
+    members = (
+        e.where(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(_BF_TOP)
+        .select("user_id")
+    )
+    lanes = ", ".join(
+        f"named_struct('lane', {i}, 'bit', {_SPARK_BUCKET.format(start=1 + 8 * i, w=_BF_M)})"
+        for i in range(_BF_K)
+    )
+    def _lanes(df):
+        return (
+            df.withColumn("__h", F.md5(F.col("user_id").cast("string")))
+            .select("user_id", F.explode(F.expr(f"array({lanes})")).alias("lb"))
+            .select("user_id", "lb.lane", "lb.bit")
+        )
+
+    bits = _lanes(members).select("lane", "bit").distinct()
+    users = e.select("user_id").distinct()
+    hits = (
+        _lanes(users)
+        .join(F.broadcast(bits), ["lane", "bit"])
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        users.join(members.withColumn("__m", F.lit(True)), "user_id", "left")
+        .join(hits, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("__m", F.lit(False)).alias("is_member"),
+            (F.coalesce("n_hits", F.lit(0)) == _BF_K).alias("bloom_positive"),
+        )
+        .orderBy("user_id")
+    )

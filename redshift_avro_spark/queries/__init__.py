@@ -48,17 +48,36 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: Optional[str]  # None → non-SQL-expressible; driver does rows-only
     doc: str = ""
+    # Composite queries name the member queries whose operators they
+    # exercise (joined/unioned into one result). Members stay registered
+    # — the local oracle replica checks every one — but the DECLARED
+    # driver surface (``gated_names``) replaces each member with its
+    # composite so the whole registry fits the driver gate's 50-entry
+    # window (CORRECTNESS_r02 held exactly the first 50 sorted names;
+    # VERDICT r2 "Next round" #1).
+    members: tuple = ()
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: Optional[str] = None) -> Callable:
+def register(name: str, oracle: Optional[str] = None, members: tuple = ()) -> Callable:
     def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", members=tuple(members)
+        )
         return fn
 
     return deco
+
+
+def gated_names() -> list:
+    """The declared driver surface: every registered query except those
+    folded into a composite. Kept at ≤ 50 entries (test_gate_size pins
+    this) so the driver's correctness gate verifies every operator
+    family."""
+    folded = {m for spec in REGISTRY.values() for m in spec.members}
+    return sorted(n for n in REGISTRY if n not in folded)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -96,5 +115,6 @@ def load_all() -> dict[str, QuerySpec]:
     from . import scrub  # noqa: F401
     from . import asof_q  # noqa: F401
     from . import sketch_q  # noqa: F401
+    from . import composite  # noqa: F401  (must load last: wraps members)
 
     return REGISTRY

@@ -1,0 +1,614 @@
+"""Composite queries: near-duplicate demos folded into joint results.
+
+The driver correctness gate verifies at most 50 declared entries
+(CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
+names), but the registry carries 72 operator demonstrations. Rather
+than drop any, each composite here JOINS or UNIONS the results of
+2–4 member queries into one DataFrame with one combined oracle, so
+the declared surface (``queries/__init__.py::gated_names``) collapses
+to exactly 50 entries — every operator family lands inside the gated
+window with a full value-hash row (VERDICT r2 "Next round" #1).
+
+Construction rule: composites REUSE the member implementations — the
+Spark side calls the registered member ``fn`` s and composes their
+DataFrames; the oracle wraps the member oracle SQL as subqueries —
+so there is exactly one copy of every operator formula and the
+members' standalone oracle checks (tests/test_queries_oracle.py, all
+72 still registered) keep guarding it. A composite can only pass if
+each member matches, plus the join/union alignment itself.
+
+Scale note: composing is joins on the members' natural keys (doc_id /
+lang / event_id / user_id — all uniform) or label-tagged unions;
+nothing here adds a shuffle beyond those keys, so the 100 TB story of
+each member (see its own docstring) carries over unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import REGISTRY, register
+
+
+def _run(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def _sub(name: str) -> str:
+    """Member oracle as a parenthesized subquery (DuckDB allows WITH
+    inside a derived table)."""
+    return "(" + REGISTRY[name].oracle + ")"
+
+
+# ---------------------------------------------------------------- q78
+# q37 + q38 + q39: the per-document text-analysis profile, one row per
+# doc (join on doc_id; q38 re-emits n_words so only n_tokens_est is
+# taken from it).
+
+
+@register(
+    "q78_text_metrics",
+    members=("q37_text_quality", "q38_token_stats", "q39_doc_fingerprint"),
+    oracle=f"""
+    SELECT a.*, b.n_tokens_est, c.fingerprint
+    FROM {_sub('q37_text_quality')} a
+    JOIN (SELECT doc_id, n_tokens_est FROM {_sub('q38_token_stats')}) b USING (doc_id)
+    JOIN {_sub('q39_doc_fingerprint')} c USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q78_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text profile: language-ID + quality features (q37)
+    ⋈ token counts (q38) ⋈ rolling-hash fingerprint (q39) on doc_id.
+    Three narrow projections joined on the table's own key — each
+    member is shuffle-free, the joins are co-keyed."""
+    a = _run("q37_text_quality", spark, sf_dir)
+    b = _run("q38_token_stats", spark, sf_dir).select("doc_id", "n_tokens_est")
+    c = _run("q39_doc_fingerprint", spark, sf_dir)
+    return a.join(b, "doc_id").join(c, "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- q79
+# q40 + q41 + q71 + q72: the full multimodal payload profile. The q71
+# frame fan-out is re-aggregated to one row per doc (frame count + a
+# digest over the ordered frame bytes) so all four members align on
+# doc_id.
+
+
+@register(
+    "q79_payload_profile",
+    members=(
+        "q40_payload_metadata",
+        "q41_payload_features",
+        "q71_payload_frames",
+        "q72_payload_resize",
+    ),
+    oracle=f"""
+    SELECT m.doc_id, m.n_bytes, m.magic_hex, m.digest,
+           f.width, f.height, f.channels, f.mean_pixel,
+           fr.n_frames, fr.frames_digest,
+           r.resized_hex, r.out_width, r.out_height
+    FROM {_sub('q40_payload_metadata')} m
+    JOIN (SELECT doc_id, width, height, channels, mean_pixel
+          FROM {_sub('q41_payload_features')}) f USING (doc_id)
+    JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+                 md5(string_agg(frame_hex, '' ORDER BY frame_index)) AS frames_digest
+          FROM {_sub('q71_payload_frames')} GROUP BY doc_id) fr USING (doc_id)
+    JOIN {_sub('q72_payload_resize')} r USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q79_payload_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal payload profile per document: JVM-side metadata (q40)
+    ⋈ mapInPandas feature extraction (q41) ⋈ frame-sampling fan-out
+    re-aggregated to count+digest (q71) ⋈ resize plumbing (q72). All
+    four Arrow/JVM decode paths run; joins are on doc_id."""
+    m = _run("q40_payload_metadata", spark, sf_dir)
+    f = _run("q41_payload_features", spark, sf_dir).select(
+        "doc_id", "width", "height", "channels", "mean_pixel"
+    )
+    fr = (
+        _run("q71_payload_frames", spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.md5(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list(struct(frame_index, frame_hex))),"
+                    " x -> x.frame_hex), '')"
+                )
+            ).alias("frames_digest"),
+        )
+    )
+    r = _run("q72_payload_resize", spark, sf_dir)
+    return m.join(f, "doc_id").join(fr, "doc_id").join(r, "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- q80
+# q42 + q43 + q44: the three single-row TPC-H scalar-subquery shapes
+# (Q14 ratio, Q17 correlated avg, Q22 anti-join) cross-joined into one
+# row set (q44 keys the rows; the two scalars broadcast onto each).
+
+
+@register(
+    "q80_tpch_scalar_suite",
+    members=("q42_promo_revenue_ratio", "q43_small_qty_revenue", "q44_idle_rich_customers"),
+    oracle=f"""
+    SELECT c.c_mktsegment, c.n_custs, c.total_bal, a.promo_revenue_pct, b.avg_yearly
+    FROM {_sub('q44_idle_rich_customers')} c
+    CROSS JOIN {_sub('q42_promo_revenue_ratio')} a
+    CROSS JOIN {_sub('q43_small_qty_revenue')} b
+    ORDER BY c.c_mktsegment
+    """,
+)
+def q80_tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H scalar-subquery suite: Q22-shape idle-rich segments (q44)
+    with the Q14 promo ratio (q42) and Q17 small-quantity revenue (q43)
+    scalars attached to every row (1-row broadcast cross joins)."""
+    c = _run("q44_idle_rich_customers", spark, sf_dir)
+    a = _run("q42_promo_revenue_ratio", spark, sf_dir)
+    b = _run("q43_small_qty_revenue", spark, sf_dir)
+    return (
+        c.crossJoin(F.broadcast(a)).crossJoin(F.broadcast(b)).orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------- q81
+# q09 + q10 + q53: ROLLUP, CUBE and explicit GROUPING SETS tagged and
+# unioned on an aligned (src, k1, k2, g1, g2, n, val) schema.
+
+
+@register(
+    "q81_grouping_suite",
+    members=("q09_rollup", "q10_cube", "q53_grouping_sets"),
+    oracle=f"""
+    SELECT 'rollup_customer' AS src, region AS k1, nation AS k2,
+           CAST(NULL AS INTEGER) AS g1, CAST(NULL AS INTEGER) AS g2,
+           n_customers AS n, balance AS val
+    FROM {_sub('q09_rollup')}
+    UNION ALL
+    SELECT 'cube_orders' AS src, o_orderstatus AS k1, o_orderpriority AS k2,
+           CAST(NULL AS INTEGER) AS g1, CAST(NULL AS INTEGER) AS g2,
+           n, CAST(NULL AS DOUBLE) AS val
+    FROM {_sub('q10_cube')}
+    UNION ALL
+    SELECT 'gsets_lineitem' AS src, l_returnflag AS k1, l_linestatus AS k2,
+           flag_grp AS g1, status_grp AS g2, n, sum_qty AS val
+    FROM {_sub('q53_grouping_sets')}
+    ORDER BY src, g1 NULLS FIRST, g2 NULLS FIRST, k1 NULLS FIRST, k2 NULLS FIRST
+    """,
+)
+def q81_grouping_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets suite: ROLLUP over a dim join (q09), CUBE (q10)
+    and explicit GROUPING SETS with GROUPING() flags (q53), label-tagged
+    and unioned on one aligned schema. Each member stays a single
+    Expand + one shuffle."""
+    a = _run("q09_rollup", spark, sf_dir).select(
+        F.lit("rollup_customer").alias("src"),
+        F.col("region").alias("k1"),
+        F.col("nation").alias("k2"),
+        F.lit(None).cast("int").alias("g1"),
+        F.lit(None).cast("int").alias("g2"),
+        F.col("n_customers").alias("n"),
+        F.col("balance").alias("val"),
+    )
+    b = _run("q10_cube", spark, sf_dir).select(
+        F.lit("cube_orders").alias("src"),
+        F.col("o_orderstatus").alias("k1"),
+        F.col("o_orderpriority").alias("k2"),
+        F.lit(None).cast("int").alias("g1"),
+        F.lit(None).cast("int").alias("g2"),
+        F.col("n"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    c = _run("q53_grouping_sets", spark, sf_dir).select(
+        F.lit("gsets_lineitem").alias("src"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        F.col("flag_grp").alias("g1"),
+        F.col("status_grp").alias("g2"),
+        F.col("n"),
+        F.col("sum_qty").alias("val"),
+    )
+    return a.unionByName(b).unionByName(c).orderBy(
+        "src",
+        F.asc_nulls_first("g1"),
+        F.asc_nulls_first("g2"),
+        F.asc_nulls_first("k1"),
+        F.asc_nulls_first("k2"),
+    )
+
+
+# ---------------------------------------------------------------- q82
+# q13 + q14: set-operation suite on an aligned (src, k, n) schema.
+
+
+@register(
+    "q82_setops_suite",
+    members=("q13_set_ops", "q14_union_all_counts"),
+    oracle=f"""
+    SELECT 'intersect_except' AS src, c_custkey AS k, CAST(NULL AS BIGINT) AS n
+    FROM {_sub('q13_set_ops')}
+    UNION ALL
+    SELECT src, CAST(NULL AS BIGINT) AS k, n FROM {_sub('q14_union_all_counts')}
+    ORDER BY src, k NULLS FIRST
+    """,
+)
+def q82_setops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation suite: INTERSECT/EXCEPT composition rows (q13)
+    unioned with the UNION-ALL source counts (q14) under source tags."""
+    a = _run("q13_set_ops", spark, sf_dir).select(
+        F.lit("intersect_except").alias("src"),
+        F.col("c_custkey").alias("k"),
+        F.lit(None).cast("bigint").alias("n"),
+    )
+    b = _run("q14_union_all_counts", spark, sf_dir).select(
+        "src", F.lit(None).cast("bigint").alias("k"), "n"
+    )
+    return a.unionByName(b).orderBy("src", F.asc_nulls_first("k"))
+
+
+# ---------------------------------------------------------------- q83
+# q11 + q12: window-function suite — the running-total frame carries
+# every order row; the top-k rank attaches where the row is in the
+# customer's top 3.
+
+
+@register(
+    "q83_window_suite",
+    members=("q11_window_topk", "q12_window_running"),
+    oracle=f"""
+    SELECT a.o_custkey, a.o_orderkey, a.running_total, b.rn
+    FROM {_sub('q12_window_running')} a
+    LEFT JOIN {_sub('q11_window_topk')} b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey = b.o_orderkey
+    ORDER BY a.o_custkey, a.o_orderkey
+    """,
+)
+def q83_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window suite: per-customer running total (q12, every row) with
+    the top-3-by-price rank (q11) left-joined on; rn is NULL outside
+    the top 3. One shuffle on o_custkey per member, co-keyed join."""
+    a = _run("q12_window_running", spark, sf_dir)
+    b = _run("q11_window_topk", spark, sf_dir).select("o_custkey", "o_orderkey", "rn")
+    return a.join(b, ["o_custkey", "o_orderkey"], "left").orderBy(
+        "o_custkey", "o_orderkey"
+    )
+
+
+# ---------------------------------------------------------------- q84
+# q47 + q48: event-time window suite (session + sliding), label-tagged
+# union on an aligned schema.
+
+
+@register(
+    "q84_event_window_suite",
+    members=("q47_session_windows", "q48_sliding_windows"),
+    oracle=f"""
+    SELECT 'session' AS kind, user_id, session_start AS w_start,
+           session_end AS w_end, CAST(NULL AS VARCHAR) AS event_type,
+           n_events AS n, total_value AS total
+    FROM {_sub('q47_session_windows')}
+    UNION ALL
+    SELECT 'sliding' AS kind, CAST(NULL AS BIGINT) AS user_id, w_start,
+           CAST(NULL AS TIMESTAMP) AS w_end, event_type, n, total
+    FROM {_sub('q48_sliding_windows')}
+    ORDER BY kind, user_id NULLS FIRST, w_start, event_type NULLS FIRST
+    """,
+)
+def q84_event_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time window suite: 30-minute-gap session windows (q47) and
+    1h/30m sliding windows (q48) — the two non-tumbling window shapes —
+    tagged and unioned. (Tumbling stays q17's own gated row.)"""
+    a = _run("q47_session_windows", spark, sf_dir).select(
+        F.lit("session").alias("kind"),
+        "user_id",
+        F.col("session_start").alias("w_start"),
+        F.col("session_end").alias("w_end"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("n_events").alias("n"),
+        F.col("total_value").alias("total"),
+    )
+    b = _run("q48_sliding_windows", spark, sf_dir).select(
+        F.lit("sliding").alias("kind"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        "w_start",
+        F.lit(None).cast("timestamp").alias("w_end"),
+        "event_type",
+        "n",
+        "total",
+    )
+    return a.unionByName(b).orderBy(
+        "kind", F.asc_nulls_first("user_id"), "w_start", F.asc_nulls_first("event_type")
+    )
+
+
+# ---------------------------------------------------------------- q85
+# q35 + q36 + q45: the ANN suite — brute-force exact, LSH-bucketed and
+# IVF top-k for the same 10 queries, tagged by method.
+
+
+@register(
+    "q85_ann_suite",
+    members=("q35_cosine_topk", "q36_ann_lsh_topk", "q45_ivf_topk"),
+    oracle=f"""
+    SELECT 'brute' AS method, query_id, rank, neighbor_id, cosine
+    FROM {_sub('q35_cosine_topk')}
+    UNION ALL
+    SELECT 'lsh' AS method, query_id, rank, neighbor_id, cosine
+    FROM {_sub('q36_ann_lsh_topk')}
+    UNION ALL
+    SELECT 'ivf' AS method, query_id, rank, neighbor_id, cosine
+    FROM {_sub('q45_ivf_topk')}
+    ORDER BY method, query_id, rank
+    """,
+)
+def q85_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN suite: the exact brute-force baseline (q35), the
+    random-hyperplane LSH path (q36) and the Lloyd-refined IVF path
+    (q45) over the same query set, tagged by method — exact answers
+    grade both approximate families in one result."""
+    parts = []
+    for method, name in (
+        ("brute", "q35_cosine_topk"),
+        ("lsh", "q36_ann_lsh_topk"),
+        ("ivf", "q45_ivf_topk"),
+    ):
+        parts.append(
+            _run(name, spark, sf_dir).select(
+                F.lit(method).alias("method"), "query_id", "rank", "neighbor_id", "cosine"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("method", "query_id", "rank")
+
+
+# ---------------------------------------------------------------- q86
+# q31 + q33: LSH discovery + exact verification as one result — every
+# candidate pair with its Jaccard where it passed the 0.5 verify bar.
+
+
+@register(
+    "q86_lsh_verify_suite",
+    members=("q31_minhash_lsh_candidates", "q33_lsh_jaccard_verify"),
+    oracle=f"""
+    SELECT c.id_a, c.id_b, v.jaccard, (v.jaccard IS NOT NULL) AS verified
+    FROM {_sub('q31_minhash_lsh_candidates')} c
+    LEFT JOIN {_sub('q33_lsh_jaccard_verify')} v
+      ON c.id_a = v.id_a AND c.id_b = v.id_b
+    ORDER BY c.id_a, c.id_b
+    """,
+)
+def q86_lsh_verify_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup discovery + verify in one result: every MinHash-LSH
+    candidate pair (q31) with its exact 3-gram Jaccard where it passed
+    the ≥0.5 verification (q33); verified=false rows are the LSH false
+    positives the verify stage exists to reject."""
+    c = _run("q31_minhash_lsh_candidates", spark, sf_dir)
+    v = _run("q33_lsh_jaccard_verify", spark, sf_dir)
+    return (
+        c.join(v, ["id_a", "id_b"], "left")
+        .select("id_a", "id_b", "jaccard", F.col("jaccard").isNotNull().alias("verified"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------- q87
+# q34 + q57: embedding near-dup, exact all-pairs vs bucketed scale
+# path, tagged by method.
+
+
+@register(
+    "q87_near_dup_suite",
+    members=("q34_embedding_near_dup", "q57_bucketed_near_dup"),
+    oracle=f"""
+    SELECT 'exact' AS method, id_a, id_b, cosine FROM {_sub('q34_embedding_near_dup')}
+    UNION ALL
+    SELECT 'bucketed' AS method, id_a, id_b, cosine FROM {_sub('q57_bucketed_near_dup')}
+    ORDER BY method, id_a, id_b
+    """,
+)
+def q87_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup suite: exact all-pairs cosine (q34, the
+    oracle-exact baseline) and the hyperplane-bucketed scale path
+    (q57) in one tagged result."""
+    a = _run("q34_embedding_near_dup", spark, sf_dir).select(
+        F.lit("exact").alias("method"), "id_a", "id_b", "cosine"
+    )
+    b = _run("q57_bucketed_near_dup", spark, sf_dir).select(
+        F.lit("bucketed").alias("method"), "id_a", "id_b", "cosine"
+    )
+    return a.unionByName(b).orderBy("method", "id_a", "id_b")
+
+
+# ---------------------------------------------------------------- q88
+# q60 + q61 + q62: the training-selection suite joined per language —
+# sampling, leakage-safe split (pivoted to columns) and mixture
+# rebalance.
+
+
+@register(
+    "q88_training_mix_suite",
+    members=("q60_stratified_sample", "q61_train_test_split", "q62_mixture_rebalance"),
+    oracle=f"""
+    SELECT s.lang, s.n_total, s.n_sampled, s.sampled_tokens,
+           sp.train_docs, sp.train_tokens, sp.test_docs, sp.test_tokens,
+           m.n_after, m.share_ppm
+    FROM {_sub('q60_stratified_sample')} s
+    JOIN (
+      SELECT lang,
+             CAST(COALESCE(SUM(CASE WHEN split = 'train' THEN n_docs END), 0) AS BIGINT) AS train_docs,
+             CAST(COALESCE(SUM(CASE WHEN split = 'train' THEN total_tokens END), 0) AS BIGINT) AS train_tokens,
+             CAST(COALESCE(SUM(CASE WHEN split = 'test' THEN n_docs END), 0) AS BIGINT) AS test_docs,
+             CAST(COALESCE(SUM(CASE WHEN split = 'test' THEN total_tokens END), 0) AS BIGINT) AS test_tokens
+      FROM {_sub('q61_train_test_split')} GROUP BY lang
+    ) sp USING (lang)
+    JOIN (SELECT lang, n_after, share_ppm FROM {_sub('q62_mixture_rebalance')}) m USING (lang)
+    ORDER BY lang
+    """,
+)
+def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-selection suite per language: deterministic stratified
+    sampling (q60) ⋈ leakage-safe train/test split pivoted to columns
+    (q61) ⋈ mixture rebalance (q62). Joins are on the 5-value lang key
+    of already-tiny aggregates."""
+    s = _run("q60_stratified_sample", spark, sf_dir)
+    sp = (
+        _run("q61_train_test_split", spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("split") == "train", F.col("n_docs"))), F.lit(0)
+            ).cast("bigint").alias("train_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("split") == "train", F.col("total_tokens"))), F.lit(0)
+            ).cast("bigint").alias("train_tokens"),
+            F.coalesce(
+                F.sum(F.when(F.col("split") == "test", F.col("n_docs"))), F.lit(0)
+            ).cast("bigint").alias("test_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("split") == "test", F.col("total_tokens"))), F.lit(0)
+            ).cast("bigint").alias("test_tokens"),
+        )
+    )
+    m = _run("q62_mixture_rebalance", spark, sf_dir).select("lang", "n_after", "share_ppm")
+    return s.join(sp, "lang").join(m, "lang").orderBy("lang")
+
+
+# ---------------------------------------------------------------- q89
+# q65 + q67: per-document scrub metrics — repetition signals for every
+# document plus benchmark-contamination hits (0 for clean docs; the
+# benchmark slice itself is flagged).
+
+
+@register(
+    "q89_scrub_metrics_suite",
+    members=("q65_decontamination", "q67_repetition_filter"),
+    oracle=f"""
+    SELECT r.doc_id, r.n_grams, r.dup_gram_fraction, r.top_gram_share,
+           (r.doc_id % 97 = 0) AS is_benchmark,
+           CAST(COALESCE(d.n_hit_grams, 0) AS BIGINT) AS n_hit_grams
+    FROM {_sub('q67_repetition_filter')} r
+    LEFT JOIN {_sub('q65_decontamination')} d USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q89_scrub_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document scrub metrics: Gopher-style repetition signals for
+    every document (q67) with benchmark-decontamination gram hits
+    (q65) attached; the held-out benchmark slice is flagged. Co-keyed
+    left join on doc_id."""
+    r = _run("q67_repetition_filter", spark, sf_dir)
+    d = _run("q65_decontamination", spark, sf_dir)
+    return (
+        r.join(d, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            "dup_gram_fraction",
+            "top_gram_share",
+            (F.col("doc_id") % 97 == 0).alias("is_benchmark"),
+            F.coalesce("n_hit_grams", F.lit(0)).cast("bigint").alias("n_hit_grams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------- q90
+# q73 + q74: the time-series suite — trailing-window burst counts for
+# every event, as-of enrichment attached on the error rows.
+
+
+@register(
+    "q90_timeseries_suite",
+    members=("q73_asof_join", "q74_trailing_window_counts"),
+    oracle=f"""
+    SELECT t.event_id, t.user_id, t.ts, t.n_prev_10m,
+           a.ts_asof, a.event_id_asof, a.value_asof
+    FROM {_sub('q74_trailing_window_counts')} t
+    LEFT JOIN (SELECT event_id, ts_asof, event_id_asof, value_asof
+               FROM {_sub('q73_asof_join')}) a USING (event_id)
+    ORDER BY t.event_id
+    """,
+)
+def q90_timeseries_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series suite: trailing 10-minute burst counts for every
+    event (q74) with the as-of signup enrichment (q73) left-joined onto
+    the error rows (NULLs elsewhere). Both members shuffle once on
+    user_id; the composition joins on the unique event_id."""
+    t = _run("q74_trailing_window_counts", spark, sf_dir)
+    a = _run("q73_asof_join", spark, sf_dir).select(
+        "event_id", "ts_asof", "event_id_asof", "value_asof"
+    )
+    return t.join(a, "event_id", "left").orderBy("event_id")
+
+
+# ---------------------------------------------------------------- q91
+# q75 + q77: the sketch suite — Bloom membership for every distinct
+# user, CMS heavy-hitter estimates attached on the top-k rows.
+
+
+@register(
+    "q91_sketch_suite",
+    members=("q75_count_min_sketch", "q77_bloom_filter"),
+    oracle=f"""
+    SELECT b.user_id, b.is_member, b.bloom_positive, c.exact_n, c.cms_estimate
+    FROM {_sub('q77_bloom_filter')} b
+    LEFT JOIN {_sub('q75_count_min_sketch')} c USING (user_id)
+    ORDER BY b.user_id
+    """,
+)
+def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch suite: Bloom-filter membership for every distinct user
+    (q77, false positives included by design) with count-min-sketch
+    heavy-hitter estimates (q75) attached to the top-20 rows. Both
+    sketches are fixed-size mergeable state; the join key is user_id."""
+    b = _run("q77_bloom_filter", spark, sf_dir)
+    c = _run("q75_count_min_sketch", spark, sf_dir)
+    return b.join(c, "user_id", "left").orderBy("user_id")
+
+
+# ---------------------------------------------------------------- q92
+# q16 + q55: the JSON/SUPER suite — per-path string extraction (high
+# keys) and variant single-parse bucketing (low keys), label-tagged.
+
+
+@register(
+    "q92_super_suite",
+    members=("q16_json_super", "q55_variant_super"),
+    oracle=f"""
+    SELECT 'json_path' AS src, event_type, CAST(NULL AS INTEGER) AS k_bucket,
+           n, n_keys, total_value
+    FROM {_sub('q16_json_super')}
+    UNION ALL
+    SELECT 'variant' AS src, event_type, k_bucket, n,
+           CAST(NULL AS BIGINT) AS n_keys, total_value
+    FROM {_sub('q55_variant_super')}
+    ORDER BY src, event_type, k_bucket NULLS FIRST
+    """,
+)
+def q92_super_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured suite: get_json_object per-path extraction over
+    high keys (q16) and parse-once VariantType bucketing over low keys
+    (q55) — the two SUPER-equivalent access patterns, tagged and
+    unioned on one schema."""
+    a = _run("q16_json_super", spark, sf_dir).select(
+        F.lit("json_path").alias("src"),
+        "event_type",
+        F.lit(None).cast("int").alias("k_bucket"),
+        "n",
+        "n_keys",
+        "total_value",
+    )
+    b = _run("q55_variant_super", spark, sf_dir).select(
+        F.lit("variant").alias("src"),
+        "event_type",
+        "k_bucket",
+        "n",
+        F.lit(None).cast("bigint").alias("n_keys"),
+        "total_value",
+    )
+    return a.unionByName(b).orderBy("src", "event_type", F.asc_nulls_first("k_bucket"))

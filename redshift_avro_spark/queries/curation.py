@@ -23,9 +23,10 @@ the whole pipeline end to end.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,24 +43,32 @@ _MIN_WORDS = 20
 
 # survivors feeds three consumers (LSH signatures, Jaccard grams, final
 # anti-join); without staging, its filter + md5-window subplan — shuffle
-# included — recomputes once per consumer. Strategies, measured at sf0.1
-# in SCALING.md:
-#   parquet    — write/read a temp parquet dir: the 100 TB shape, where a
-#                stage boundary must survive executor loss and an
-#                in-memory/local-disk copy of the stage is not an option;
-#                also the fastest measured locally (3.50 s vs 4.19
-#                checkpoint / 4.01 recompute at sf0.1) — the default
+# included — recomputes once per consumer. Strategies (measurements live
+# in ONE place: SCALING.md's q49 entry — best-of-3 at sf0.1, parquet
+# fastest and also the 100 TB shape):
+#   parquet    — write/read a temp parquet dir: a stage boundary that
+#                survives executor loss — the default
 #   checkpoint — localCheckpoint(eager): executor-storage blocks, lineage
 #                cut; in-session lifecycle, no files left behind
 #   none       — recompute per consumer (round-1 behavior)
 _STAGE_MODES = ("checkpoint", "parquet", "none")
 
+# One staging dir per Spark application, overwritten on each invocation
+# (bench runs each query 3×) and removed at interpreter exit — repeated
+# runs can't accumulate unbounded temp parquet dirs. The overwrite is
+# safe because each invocation's consumers drain before the next starts.
+_CLEANUP_REGISTERED: set = set()
+
 
 def _stage_survivors(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
     if mode == "parquet":
         path = os.path.join(
-            tempfile.gettempdir(), f"q49_survivors_{uuid.uuid4().hex}"
+            tempfile.gettempdir(),
+            f"q49_survivors_{spark.sparkContext.applicationId}",
         )
+        if path not in _CLEANUP_REGISTERED:
+            _CLEANUP_REGISTERED.add(path)
+            atexit.register(shutil.rmtree, path, ignore_errors=True)
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
     if mode == "checkpoint":

@@ -14,7 +14,12 @@ additionally covered by tests/test_streaming.py.
 
 from __future__ import annotations
 
+import atexit
+import glob
+import os
+import shutil
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,6 +52,23 @@ _PAYLOAD_STRUCT = T.StructType(
 )
 
 
+def _land_dir(prefix: str) -> str:
+    """Per-invocation landing dir, removed at interpreter exit so
+    repeated runs (bench does 3×) can't accumulate temp parquet."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def _await_sink(q, timeout: int = 300) -> None:
+    """availableNow queries must FINISH: a silently elapsed timeout
+    would return a partial memory sink as the answer and surface as a
+    baffling oracle mismatch — fail loudly instead."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(f"streaming query {q.name!r} still running after {timeout}s")
+
+
 @register(
     "q50_stream_windowed_counts",
     oracle="""
@@ -69,11 +91,12 @@ def q50_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     real windows (Spark runs the state-eviction batch after the last
     data batch). The sentinel's own window stays open and unemitted —
     and is filtered defensively — so the sink must equal the batch
-    hourly GROUP BY exactly."""
+    hourly GROUP BY exactly. The sentinel row is DERIVED INSIDE the
+    landing write (the scan and the 1-row max-ts aggregate are branches
+    of one union in one job) — no driver-side collect round-trip."""
     run = uuid.uuid4().hex[:8]
-    land_dir = tempfile.mkdtemp(prefix=f"stream_q50_{run}_")
+    land_dir = _land_dir(f"stream_q50_{run}_")
     e = load_table(spark, sf_dir, "events")
-    max_ts = e.agg(F.max("ts").alias("m")).collect()[0]["m"]
     payloads = e.select(
         "ts",
         to_avro(F.struct("event_id", "user_id", "event_type", "value"), _SCHEMA).alias(
@@ -81,16 +104,16 @@ def q50_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     sentinel = (
-        spark.range(1)
+        e.agg(F.max("ts").alias("ts"))
         .select(
-            F.lit(max_ts).cast("timestamp").alias("ts"),
+            (F.col("ts") + F.expr("INTERVAL 3 HOURS")).alias("ts"),
             F.lit(-1).cast("long").alias("event_id"),
             F.lit(-1).cast("long").alias("user_id"),
             F.lit("__flush__").alias("event_type"),
             F.lit(0.0).alias("value"),
         )
         .select(
-            (F.col("ts") + F.expr("INTERVAL 3 HOURS")).alias("ts"),
+            "ts",
             to_avro(
                 F.struct("event_id", "user_id", "event_type", "value"), _SCHEMA
             ).alias("payload"),
@@ -115,7 +138,7 @@ def q50_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_sink(q)
     return (
         spark.table(name)
         .where(F.col("event_type") != "__flush__")
@@ -146,7 +169,7 @@ def q51_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import running_totals
 
     run = uuid.uuid4().hex[:8]
-    land_dir = tempfile.mkdtemp(prefix=f"stream_q51_{run}_")
+    land_dir = _land_dir(f"stream_q51_{run}_")
     e = load_table(spark, sf_dir, "events")
     (
         e.select(
@@ -158,7 +181,10 @@ def q51_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = read_binary_file_stream(spark, land_dir, _PAYLOAD_STRUCT)
     decoded = decode_avro_stream(stream, "payload", _SCHEMA)
-    totals = running_totals(decoded, "event_type", "value")
+    # NoTimeout: an availableNow replay never terminates once a
+    # processing-time timer is armed (see running_totals docstring);
+    # the eviction branch is unit-tested directly instead
+    totals = running_totals(decoded, "event_type", "value", idle_timeout_ms=None)
     name = f"q51_sink_{run}"
     q = (
         totals.writeStream.format("memory")
@@ -167,7 +193,7 @@ def q51_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_sink(q)
     return (
         spark.table(name)
         .groupBy("key")
@@ -194,7 +220,7 @@ def q52_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates all arrive in one availableNow micro-batch, within the
     watermark by construction."""
     run = uuid.uuid4().hex[:8]
-    land_dir = tempfile.mkdtemp(prefix=f"stream_q52_{run}_")
+    land_dir = _land_dir(f"stream_q52_{run}_")
     e = load_table(spark, sf_dir, "events")
     payloads = e.select(
         "ts",
@@ -214,7 +240,7 @@ def q52_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_sink(q)
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -277,7 +303,7 @@ def q69_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.scrub import word_ngrams
 
     run = uuid.uuid4().hex[:8]
-    land_dir = tempfile.mkdtemp(prefix=f"stream_q69_{run}_")
+    land_dir = _land_dir(f"stream_q69_{run}_")
     docs = load_table(spark, sf_dir, "documents")
     bench_grams = (
         docs.where(F.col("doc_id") % 97 == 0)
@@ -307,13 +333,90 @@ def q69_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_sink(q)
     return (
         spark.table(name)
         .groupBy("doc_id")
         .agg(F.max("n_hit_grams").alias("n_hit_grams"))
         .orderBy("doc_id")
     )
+
+
+def interval_join_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "2 hours",
+    files: int = 8,
+    max_files_per_trigger: int = 3,
+):
+    """q76's full pipeline, factored so tests can inspect the finished
+    StreamingQuery's state metrics. Returns (sink DataFrame, query).
+
+    Landing is TIME-ORDERED: payloads are range-partitioned and sorted
+    on ts, and each part file's mtime is stamped in range order, so the
+    file source (which batches oldest-mtime-first) replays the corpus
+    in event-time order — exactly how a Kafka/Kinesis source delivers.
+    Cross-batch disorder is then zero, so a ~2-hour watermark (join
+    range 1h + slack) keeps the join exact AND lets Spark evict join
+    state as the watermark advances (tests/test_streaming.py::
+    test_interval_join_state_eviction asserts rows actually leave the
+    state store)."""
+    run = uuid.uuid4().hex[:8]
+    land_dir = _land_dir(f"stream_q76_{run}_")
+    e = load_table(spark, sf_dir, "events")
+    (
+        e.select(
+            "ts",
+            to_avro(F.struct("event_id", "user_id", "event_type", "value"), _SCHEMA).alias(
+                "payload"
+            ),
+        )
+        .repartitionByRange(files, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(land_dir)
+    )
+    # part-00000 holds the earliest ts range; stamp strictly increasing
+    # mtimes so FileStreamSource's oldest-first batching follows event
+    # time (one written-at-once parquet dir has near-identical mtimes)
+    base = time.time() - 3600
+    for i, part in enumerate(sorted(glob.glob(os.path.join(land_dir, "part-*")))):
+        os.utime(part, (base + i * 10, base + i * 10))
+    stream = read_binary_file_stream(
+        spark, land_dir, _PAYLOAD_STRUCT, max_files_per_trigger=max_files_per_trigger
+    )
+    decoded = decode_avro_stream(stream, "payload", _SCHEMA)
+    errors = (
+        decoded.where(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", watermark)
+    )
+    signups = (
+        decoded.where(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_event_id"),
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", watermark)
+    )
+    joined = errors.join(
+        signups,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("signup_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("signup_ts") <= F.col("ts")),
+        "inner",
+    ).select("event_id", "signup_event_id", "user_id", "ts", "signup_ts")
+    name = f"q76_sink_{run}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_sink(q)
+    return spark.table(name), q
 
 
 @register(
@@ -339,61 +442,11 @@ def q76_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Full value-hash oracle: an inner time-interval join emits exactly
     the pairs the batch join produces as long as no qualifying row is
-    event-time-late beyond the watermark. The landed files are NOT
-    time-ordered (repartition spreads timestamps across files), so
-    with multi-file micro-batches the disorder bound is the full
-    corpus span — the watermark is therefore sized beyond it (3650
-    days), keeping the multi-batch join exact while still exercising
-    cross-batch join state. In production the watermark shrinks to
-    the source's real disorder bound (Kafka: seconds-to-minutes) and
-    pays the corresponding state-cleanup benefit; a 2-hour watermark
-    here silently dropped pairs whose halves landed in later,
-    older-timestamped files — the exact failure mode watermark sizing
-    must respect."""
-    run = uuid.uuid4().hex[:8]
-    land_dir = tempfile.mkdtemp(prefix=f"stream_q76_{run}_")
-    e = load_table(spark, sf_dir, "events")
-    (
-        e.select(
-            "ts",
-            to_avro(F.struct("event_id", "user_id", "event_type", "value"), _SCHEMA).alias(
-                "payload"
-            ),
-        )
-        .repartition(8)
-        .write.mode("overwrite")
-        .parquet(land_dir)
-    )
-    stream = read_binary_file_stream(spark, land_dir, _PAYLOAD_STRUCT, max_files_per_trigger=3)
-    decoded = decode_avro_stream(stream, "payload", _SCHEMA)
-    errors = (
-        decoded.where(F.col("event_type") == "error")
-        .select("event_id", "user_id", "ts")
-        .withWatermark("ts", "3650 days")
-    )
-    signups = (
-        decoded.where(F.col("event_type") == "signup")
-        .select(
-            F.col("event_id").alias("signup_event_id"),
-            F.col("user_id").alias("s_user_id"),
-            F.col("ts").alias("signup_ts"),
-        )
-        .withWatermark("signup_ts", "3650 days")
-    )
-    joined = errors.join(
-        signups,
-        (F.col("user_id") == F.col("s_user_id"))
-        & (F.col("signup_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("signup_ts") <= F.col("ts")),
-        "inner",
-    ).select("event_id", "signup_event_id", "user_id", "ts", "signup_ts")
-    name = f"q76_sink_{run}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name).orderBy("event_id", "signup_event_id")
+    event-time-late beyond the watermark. Since round 3 the landing is
+    time-ordered (range-partitioned + mtime-stamped — the replay order
+    a real log source guarantees), so the watermark is a PRODUCTION
+    2 hours (join range + slack) and join state is genuinely evicted
+    as it advances, instead of round 2's 3650-day keep-everything
+    bound; see interval_join_pipeline."""
+    df, _ = interval_join_pipeline(spark, sf_dir)
+    return df.orderBy("event_id", "signup_event_id")

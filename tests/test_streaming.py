@@ -182,7 +182,9 @@ def test_stateful_running_totals(spark, landed):
 
     stream = read_binary_file_stream(spark, landed, PAYLOAD_STRUCT, max_files_per_trigger=1)
     decoded = decode_avro_stream(stream, "payload", EVENT_SCHEMA)
-    totals = running_totals(decoded, "event_type", "value")
+    # NoTimeout — availableNow replays never terminate with an armed
+    # processing-time timer (stateful.running_totals docstring)
+    totals = running_totals(decoded, "event_type", "value", idle_timeout_ms=None)
     name = f"stateful_{uuid.uuid4().hex[:8]}"
     q = (
         totals.writeStream.format("memory")
@@ -191,7 +193,7 @@ def test_stateful_running_totals(spark, landed):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stateful availableNow query must terminate"
     got = spark.table(name).toPandas()
     assert not got.empty
     # running emissions are monotone per key; the max is the final state
@@ -205,3 +207,92 @@ def test_stateful_running_totals(spark, landed):
     )
     for r in batch:
         assert final[r["event_type"]] == r["count"], r
+
+
+def test_interval_join_state_eviction(spark):
+    """q76's production shape: with time-ordered landing and a bounded
+    2-hour watermark, the stream-stream join must (a) still produce the
+    exact batch answer and (b) actually EVICT join state as the
+    watermark advances — the total state rows at the end must be far
+    below the number of error+signup rows that passed through."""
+    from redshift_avro_spark.queries.streaming_q import interval_join_pipeline
+
+    df, q = interval_join_pipeline(spark, SF_SMOKE, watermark="2 hours")
+    e = load_table(spark, SF_SMOKE, "events")
+    batch = (
+        e.where(F.col("event_type") == "error")
+        .alias("e")
+        .join(
+            e.where(F.col("event_type") == "signup").alias("s"),
+            (F.col("e.user_id") == F.col("s.user_id"))
+            & (F.col("s.ts") >= F.col("e.ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("s.ts") <= F.col("e.ts")),
+        )
+        .count()
+    )
+    assert df.count() == batch
+    sides = e.where(F.col("event_type").isin("error", "signup")).count()
+    progresses = [p for p in q.recentProgress if p and p.get("stateOperators")]
+    assert progresses, "no state-operator progress recorded"
+    final_state = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    removed = sum(
+        p["stateOperators"][0].get("numRowsRemoved", 0) for p in progresses
+    )
+    assert removed > 0, "watermark advanced but no state rows were evicted"
+    assert final_state < sides, (final_state, sides)
+
+
+def test_running_totals_eviction_branch():
+    """The ProcessingTimeTimeout eviction path can't be driven end to
+    end under availableNow (the drain loop never terminates with a
+    live timer — see stateful.running_totals), so the update function's
+    timeout/accumulate/re-arm contract is checked directly."""
+    import pandas as pd
+
+    from redshift_avro_spark.streaming.stateful import make_running_totals_update
+
+    class FakeState:
+        def __init__(self, existing=None, timed_out=False):
+            self._v = existing
+            self.hasTimedOut = timed_out
+            self.removed = False
+            self.timeout_set = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self.removed = True
+            self._v = None
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    update = make_running_totals_update("value", idle_timeout_ms=60_000)
+
+    # timed-out key: state removed, nothing emitted
+    st = FakeState(existing=(3, 1.5), timed_out=True)
+    assert list(update(("click",), iter([]), st)) == []
+    assert st.removed
+
+    # live key: accumulates onto existing state and re-arms the timer
+    st = FakeState(existing=(2, 10.0))
+    batches = iter([pd.DataFrame({"value": [1.0, 2.0]}), pd.DataFrame({"value": [4.0]})])
+    [out] = list(update(("click",), batches, st))
+    assert st._v == (5, 17.0)
+    assert st.timeout_set == 60_000
+    assert out.iloc[0]["n_events"] == 5 and out.iloc[0]["total_value"] == 17.0
+
+    # NoTimeout variant must never arm a timer
+    update_nt = make_running_totals_update("value", idle_timeout_ms=None)
+    st = FakeState()
+    [out] = list(update_nt(("view",), iter([pd.DataFrame({"value": [2.5]})]), st))
+    assert st.timeout_set is None and st._v == (1, 2.5)

@@ -57,15 +57,22 @@ def main() -> None:
     # best-of-3 per query: later runs reuse warmed code paths, and
     # min() is robust to transient host noise (measured run-to-run
     # drift of 2-4x on individual queries under a noisy neighbor —
-    # best-of-2 was not enough to shake it)
+    # best-of-2 was not enough to shake it). The JSON also carries the
+    # per-query mean and range so cross-round comparisons can use a
+    # like-for-like estimator (VERDICT r2 "What's wrong" #1): "queries"
+    # stays the best-of-3 (same field as BENCH_r02).
     timings: dict[str, float] = {}
+    means: dict[str, float] = {}
+    ranges: dict[str, list] = {}
     for name in HEADLINE:
-        best = float("inf")
+        runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             registry[name].fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        means[name] = round(sum(runs) / len(runs), 3)
+        ranges[name] = [round(min(runs), 3), round(max(runs), 3)]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -75,6 +82,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_mean": means,
+                "queries_range": ranges,
+                "total_mean": round(sum(means.values()), 3),
                 "sf": sf,
             }
         )

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import load_table, register
+from . import _parquet_file_count, load_table, register, spread_codec_input
 from ..sources.columns import decode_container, from_avro, from_hex, to_avro, to_hex
 
 EVENT_AVRO_SCHEMA = {
@@ -64,11 +64,12 @@ def q20_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode back, and aggregate. The oracle sees the original table — any
     codec drift breaks the hash.
 
-    The repartition spreads the Arrow-batched codec work across every
-    core when the input arrives as a single small file split; with real
-    multi-split input AQE would make it a no-op-cost shuffle."""
-    e = load_table(spark, sf_dir, "events").repartition(
-        spark.sparkContext.defaultParallelism
+    Partitioning via spread_codec_input: single-small-file input is
+    spread to cores/4 (tasks must amortize the two Python-worker Arrow
+    hops — cores/1 measured SLOWER at sf0.1); multi-split input keeps
+    its own partitioning, no shuffle."""
+    e = spread_codec_input(
+        load_table(spark, sf_dir, "events"), spark, _parquet_file_count(sf_dir, "events")
     )
     hexed = e.select(to_hex(to_avro(F.struct(*_EVENT_COLS), EVENT_AVRO_SCHEMA)).alias("hexcell"))
     decoded = hexed.select(from_avro(from_hex("hexcell"), EVENT_AVRO_SCHEMA).alias("ev")).select("ev.*")
@@ -132,10 +133,10 @@ def q21_container_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # spread cell building across cores when the input arrives as one
     # small file split (real multi-split input makes this a cheap no-op)
-    cells = (
-        e.select(*_EVENT_COLS)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(make_cells, "cell binary")
+    cells = spread_codec_input(
+        e.select(*_EVENT_COLS), spark, _parquet_file_count(sf_dir, "events")
+    ).mapInPandas(
+        make_cells, "cell binary"
     )
     decoded = cells.select(
         F.explode(decode_container("cell", EVENT_AVRO_SCHEMA)).alias("ev")
@@ -189,8 +190,8 @@ def q22_registry_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry = InMemorySchemaRegistry(
         {"stream-a": _STREAM_A_SCHEMA, "stream-b": _STREAM_B_SCHEMA}
     )
-    e = load_table(spark, sf_dir, "events").repartition(
-        spark.sparkContext.defaultParallelism
+    e = spread_codec_input(
+        load_table(spark, sf_dir, "events"), spark, _parquet_file_count(sf_dir, "events")
     )
     a = e.where(F.col("event_id") % 2 == 0).select(
         F.lit("stream-a").alias("stream"),
@@ -244,8 +245,8 @@ def q23_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5/C7 in-flight: data written with the full writer schema is read
     with an EVOLVED reader — extra writer fields skipped (ts, user_id,
     props), defaulted reader field filled (source) — then aggregated."""
-    e = load_table(spark, sf_dir, "events").repartition(
-        spark.sparkContext.defaultParallelism
+    e = spread_codec_input(
+        load_table(spark, sf_dir, "events"), spark, _parquet_file_count(sf_dir, "events")
     )
     payload = e.select(to_avro(F.struct(*_EVENT_COLS), EVENT_AVRO_SCHEMA).alias("payload"))
     decoded = payload.select(
@@ -336,10 +337,10 @@ def q24_kpl_spring_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"hexcell": [blob.hex()]})
 
     e = load_table(spark, sf_dir, "events")
-    cells = (
-        e.select(*kpl_cols)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(make_cells, "hexcell string")
+    cells = spread_codec_input(
+        e.select(*kpl_cols), spark, _parquet_file_count(sf_dir, "events")
+    ).mapInPandas(
+        make_cells, "hexcell string"
     )
     decoded = unwrap_kpl_spring_avro(
         cells.select(F.unhex("hexcell").alias("agg")), "agg", _KPL_EVENT_SCHEMA
@@ -388,8 +389,8 @@ def q25_logical_types_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     logical types survive an encode→decode roundtrip bit-exactly —
     the aggregate runs on the DECODED columns while the oracle reads
     the originals."""
-    o = load_table(spark, sf_dir, "orders").repartition(
-        spark.sparkContext.defaultParallelism
+    o = spread_codec_input(
+        load_table(spark, sf_dir, "orders"), spark, _parquet_file_count(sf_dir, "orders")
     )
     src = o.select(
         "o_orderkey",

@@ -30,6 +30,7 @@ __all__ = [
     "bucketed_embedding_near_dup",
     "lsh_bucket_topk",
     "lloyd_step",
+    "maximin_seed",
     "ivf_topk",
     "quantize_embeddings",
 ]
@@ -222,6 +223,48 @@ def lloyd_step(assign: DataFrame, dim: int, vec: str = "cvec") -> DataFrame:
     )
 
 
+def maximin_seed(c: DataFrame, n_centroids: int) -> list:
+    """Deterministic farthest-point (maximin) centroid seeding.
+
+    First center: the vector with the smallest (md5(id), id) — an
+    unbiased "random-like" pick both engines derive identically. Each
+    subsequent center is the point FARTHEST from its nearest chosen
+    center (cosine distance), i.e. the one minimizing max-cosine to
+    the chosen set, ties broken by (md5(id), id). Already-chosen points
+    have max-cosine 1.0, so they sort last and never repeat.
+
+    k−1 tiny driver round-trips (one selected row each) coordinate the
+    inherently sequential selection — the per-step work itself is a
+    distributed scan + broadcast of ≤k centers, the same pattern
+    k-means‖ uses for its driver-side reduce. Returns
+    ``[(cid, [float...]), ...]``."""
+    spark = c.sparkSession
+    hashed = c.withColumn("__h", F.md5(F.col("neighbor_id").cast("string")))
+    row = hashed.orderBy("__h", "neighbor_id").limit(1).collect()[0]
+    centers = [(row["neighbor_id"], [float(x) for x in row["cvec"]])]
+    for _ in range(n_centroids - 1):
+        cents = F.broadcast(
+            spark.createDataFrame(centers, "cid long, centvec array<double>")
+        )
+        nxt = (
+            hashed.crossJoin(cents)
+            .select(
+                "neighbor_id", "cvec", "__h", cosine_expr("cvec", "centvec").alias("cs")
+            )
+            .groupBy("neighbor_id")
+            .agg(
+                F.max("cs").alias("mx"),
+                F.first("__h").alias("__h"),
+                F.first("cvec").alias("cvec"),
+            )
+            .orderBy(F.asc("mx"), F.asc("__h"), F.asc("neighbor_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((nxt["neighbor_id"], [float(x) for x in nxt["cvec"]]))
+    return centers
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -232,12 +275,18 @@ def ivf_topk(
     n_probe: int = 2,
     lloyd_iters: int = 2,
     dim: int = 64,
+    seed: str = "maximin",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the second ANN family
     next to random-hyperplane LSH.
 
-    Centroids start as a deterministic seed (the first ``n_centroids``
-    corpus vectors by id) refined by ``lloyd_iters`` Lloyd iterations —
+    Centroids start from a deterministic seed — ``seed="maximin"``
+    (default) is farthest-point init (:func:`maximin_seed`), which
+    spreads seeds across the data's actual clusters;
+    ``seed="first"`` is the round-1 first-``n_centroids``-by-id pick
+    (kept for comparison: on clustered data it degenerately lands all
+    seeds in one cluster — tests/test_ivf_lloyd.py measures the recall
+    gap). The seed is refined by ``lloyd_iters`` Lloyd iterations —
     assignment and decimal-exact cluster means in plain DataFrame ops,
     so both engines reproduce the k-means trajectory bit-for-bit (no
     RNG, no float-order sensitivity; see :func:`lloyd_step`). Every
@@ -249,11 +298,18 @@ def ivf_topk(
     are just a partitioning."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    cents = F.broadcast(
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("centvec"))
-    )
+    if seed == "maximin":
+        cents = F.broadcast(
+            corpus.sparkSession.createDataFrame(
+                maximin_seed(c, n_centroids), "cid long, centvec array<double>"
+            )
+        )
+    else:
+        cents = F.broadcast(
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("centvec"))
+        )
     for _ in range(lloyd_iters):
         cents = F.broadcast(lloyd_step(_assign_nearest(c, cents), dim))
 

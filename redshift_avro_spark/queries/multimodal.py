@@ -21,8 +21,8 @@ from ..operators.multimodal import attach_payload_metadata, extract_payload_feat
     "q40_payload_metadata",
     oracle="""
     SELECT doc_id,
-           CAST(length(text) AS INTEGER) AS n_bytes,
-           hex(substring(text, 1, 4)) AS magic_hex,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           substring(hex(encode(text)), 1, 8) AS magic_hex,
            md5(text) AS digest
     FROM documents ORDER BY doc_id
     """,
@@ -45,17 +45,27 @@ def q40_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q41_payload_features",
+    # BYTE semantics, not characters: the payload is binary, so the
+    # oracle reads bytes via hex(encode(text)) — byte i is hex chars
+    # [2i-1, 2i] — keeping value-hash parity even for multi-byte UTF-8
+    # (ascii()/length() would count characters and diverge)
     oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
     SELECT doc_id,
-           CAST(length(text) AS INTEGER) AS n_bytes,
-           CAST(1 + (CASE WHEN length(text) >= 1 THEN ascii(substring(text, 1, 1)) ELSE 0 END) % 64 AS INTEGER) AS width,
-           CAST(1 + (CASE WHEN length(text) >= 2 THEN ascii(substring(text, 2, 1)) ELSE 0 END) % 64 AS INTEGER) AS height,
-           CAST(1 + (CASE WHEN length(text) >= 3 THEN ascii(substring(text, 3, 1)) ELSE 0 END) % 4 AS INTEGER) AS channels,
-           CASE WHEN length(text) = 0 THEN 0.0
-                ELSE list_aggregate(list_transform(generate_series(1, length(text)),
-                       i -> ascii(substring(text, i, 1))), 'sum') / CAST(length(text) AS DOUBLE)
+           CAST(n AS INTEGER) AS n_bytes,
+           CAST(1 + (CASE WHEN n >= 1 THEN CAST(concat('0x', substring(hx, 1, 2)) AS INTEGER) ELSE 0 END) % 64 AS INTEGER) AS width,
+           CAST(1 + (CASE WHEN n >= 2 THEN CAST(concat('0x', substring(hx, 3, 2)) AS INTEGER) ELSE 0 END) % 64 AS INTEGER) AS height,
+           CAST(1 + (CASE WHEN n >= 3 THEN CAST(concat('0x', substring(hx, 5, 2)) AS INTEGER) ELSE 0 END) % 4 AS INTEGER) AS channels,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE list_aggregate(list_transform(generate_series(1, n),
+                       i -> CAST(concat('0x', substring(hx, (i-1)*2+1, 2)) AS BIGINT)), 'sum')
+                     / CAST(n AS DOUBLE)
            END AS mean_pixel
-    FROM documents ORDER BY doc_id
+    FROM b ORDER BY doc_id
     """,
 )
 def q41_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,12 +84,19 @@ def q41_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q71_payload_frames",
+    # byte semantics via hex(encode(text)): 64-byte frame k = hex chars
+    # [k*128+1, k*128+128] (see q41's oracle note)
     oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
     SELECT doc_id,
            CAST(i AS INTEGER) AS frame_index,
-           hex(substring(text, i * 64 + 1, 64)) AS frame_hex
-    FROM documents,
-         unnest(generate_series(0, least(8, greatest(1, length(text) // 64)) - 1)) AS t(i)
+           substring(hx, i * 128 + 1, 128) AS frame_hex
+    FROM b,
+         unnest(generate_series(0, least(8, greatest(1, n // 64)) - 1)) AS t(i)
     ORDER BY doc_id, frame_index
     """,
 )
@@ -106,14 +123,20 @@ def q71_payload_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q72_payload_resize",
+    # byte semantics via hex(encode(text)) (see q41's oracle note)
     oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
     SELECT doc_id,
-           hex(CASE WHEN (50176 % greatest(length(text), 1)) = 0
-                    THEN substring(text, 1, 1)
-                    ELSE substring(text, 1, 50176 % greatest(length(text), 1)) END) AS resized_hex,
+           CASE WHEN (50176 % greatest(n, 1)) = 0
+                THEN substring(hx, 1, 2)
+                ELSE substring(hx, 1, 2 * (50176 % greatest(n, 1))) END AS resized_hex,
            CAST(224 AS INTEGER) AS out_width,
            CAST(224 AS INTEGER) AS out_height
-    FROM documents ORDER BY doc_id
+    FROM b ORDER BY doc_id
     """,
 )
 def q72_payload_resize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -158,13 +158,48 @@ def _cent_cos(vec: str) -> str:
     )
 
 
+def _maximin_cte(n_centroids: int) -> str:
+    """Unrolled farthest-point seeding chain, mirroring
+    operators.similarity.maximin_seed step for step: first center =
+    min (md5(id), id); each next = the point minimizing max-cosine to
+    the chosen set (i.e. farthest from its nearest center), ties by
+    (md5(id), id). Sequential CTEs mc0..mc{k-1} accumulate the set."""
+    cos = _cent_cos("s.embedding")
+    parts = [
+        "seedh AS (\n      SELECT vec_id, embedding,"
+        " md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings\n    )",
+        "mc0 AS (\n      SELECT vec_id AS cid, embedding AS centvec"
+        " FROM seedh ORDER BY h, vec_id LIMIT 1\n    )",
+    ]
+    for i in range(1, n_centroids):
+        parts.append(
+            f"""mx{i} AS (
+      SELECT vec_id, embedding FROM (
+        SELECT s.vec_id, s.embedding, s.h, MAX({cos}) AS mx
+        FROM seedh s CROSS JOIN mc{i - 1} c
+        GROUP BY s.vec_id, s.embedding, s.h
+      ) ORDER BY mx ASC, h ASC, vec_id ASC LIMIT 1
+    )"""
+        )
+        parts.append(
+            f"mc{i} AS (\n      SELECT * FROM mc{i - 1} UNION ALL"
+            f" SELECT vec_id AS cid, embedding AS centvec FROM mx{i}\n    )"
+        )
+    return ",\n    ".join(parts)
+
+
 def _ivf_cents_cte(lloyd_iters: int, n_centroids: int = 8) -> tuple[str, str]:
-    """Unrolled Lloyd chain: cents0 (first-N seed) → assignI → centsI+1
-    (decimal-exact element-wise means, mirroring operators.similarity.
-    lloyd_step bit-for-bit). Returns (CTE text, final cents name)."""
+    """Unrolled Lloyd chain: cents0 (maximin farthest-point seed) →
+    assignI → centsI+1 (decimal-exact element-wise means, mirroring
+    operators.similarity.lloyd_step bit-for-bit). Returns (CTE text,
+    final cents name)."""
     ctes = [
-        f"cents0 AS (\n      SELECT vec_id AS cid, embedding AS centvec"
-        f" FROM embeddings ORDER BY vec_id LIMIT {n_centroids}\n    )"
+        _maximin_cte(n_centroids),
+        # Spark ships the seed as array<double> (exact float→double);
+        # mirror the representation so downstream cosines are identical
+        f"cents0 AS (\n      SELECT cid,"
+        f" list_transform(centvec, x -> CAST(x AS DOUBLE)) AS centvec"
+        f" FROM mc{n_centroids - 1}\n    )",
     ]
     for i in range(lloyd_iters):
         ctes.append(
@@ -225,11 +260,14 @@ _CENTS_CTE, _FINAL_CENTS = _ivf_cents_cte(lloyd_iters=2, n_centroids=8)
     """,
 )
 def q45_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: deterministic first-N centroid seed refined by two
-    bit-reproducible Lloyd iterations (decimal-exact cluster means),
-    nearest-centroid inverted lists, 2-probe exact re-rank. Complements
-    q36's LSH — the two standard ANN families, both oracle-checked
-    against the same unrolled k-means trajectory in DuckDB."""
+    """IVF ANN: deterministic farthest-point (maximin) centroid seed —
+    md5 tiebreaks keep it oracle-reproducible, and unlike the round-2
+    first-N-ids seed it spreads across the data's actual clusters —
+    refined by two bit-reproducible Lloyd iterations (decimal-exact
+    cluster means), nearest-centroid inverted lists, 2-probe exact
+    re-rank. Complements q36's LSH — the two standard ANN families,
+    both oracle-checked against the same unrolled seeding + k-means
+    trajectory in DuckDB."""
     from ..operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")

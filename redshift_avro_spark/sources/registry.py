@@ -58,21 +58,122 @@ class InMemorySchemaRegistry:
         self._schemas[key] = schema if isinstance(schema, AvroSchema) else parse_schema(schema)
 
 
+class GlueHttpClient:
+    """boto3-free AWS Glue client for the one call the reference makes:
+    ``GetSchemaVersion`` (glue-schema-per-stream-udf/
+    lambda_function.py:20-26), speaking the service's public wire
+    protocol directly — an ``application/x-amz-json-1.1`` POST with
+    ``X-Amz-Target: AWSGlue.GetSchemaVersion`` and a SigV4-signed
+    Authorization header (both documented in the AWS API reference).
+
+    Exists so the Glue request/response plumbing is EXECUTABLE in
+    environments without boto3: point ``endpoint_url`` at an
+    in-process HTTP server (tests/test_registry_http.py's fake Glue
+    recomputes the SigV4 signature from the shared secret and rejects
+    a bad one) exactly as the Spring registry is exercised. Against
+    real AWS it needs only genuine credentials — the signing algorithm
+    is the standard one."""
+
+    def __init__(
+        self,
+        endpoint_url: str,
+        region: str = "us-east-1",
+        access_key: str = "test",
+        secret_key: str = "test",
+        fetch: Optional[Callable[..., str]] = None,
+    ) -> None:
+        self._endpoint = endpoint_url.rstrip("/") + "/"
+        self._region = region
+        self._access_key = access_key
+        self._secret_key = secret_key
+        self._fetch = fetch if fetch is not None else self._http_post
+
+    # -- SigV4 (public algorithm, AWS General Reference "Signature v4") --
+    def _sign(self, amz_date: str, headers: dict, body: bytes) -> str:
+        import hashlib
+        import hmac
+        from urllib.parse import urlparse
+
+        def hm(key: bytes, msg: str) -> bytes:
+            return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+        datestamp = amz_date[:8]
+        scope = f"{datestamp}/{self._region}/glue/aws4_request"
+        signed = ";".join(sorted(k.lower() for k in headers))
+        canonical_headers = "".join(
+            f"{k.lower()}:{headers[k].strip()}\n" for k in sorted(headers, key=str.lower)
+        )
+        payload_hash = hashlib.sha256(body).hexdigest()
+        path = urlparse(self._endpoint).path or "/"
+        canonical = f"POST\n{path}\n\n{canonical_headers}\n{signed}\n{payload_hash}"
+        to_sign = (
+            f"AWS4-HMAC-SHA256\n{amz_date}\n{scope}\n"
+            + hashlib.sha256(canonical.encode()).hexdigest()
+        )
+        key = hm(hm(hm(hm(b"AWS4" + self._secret_key.encode(), datestamp), self._region), "glue"), "aws4_request")
+        signature = hmac.new(key, to_sign.encode(), hashlib.sha256).hexdigest()
+        return (
+            f"AWS4-HMAC-SHA256 Credential={self._access_key}/{scope}, "
+            f"SignedHeaders={signed}, Signature={signature}"
+        )
+
+    def _request(self, target: str, payload: dict) -> tuple[str, dict, bytes]:
+        import datetime as _dt
+        from urllib.parse import urlparse
+
+        body = json.dumps(payload).encode()
+        amz_date = _dt.datetime.now(_dt.timezone.utc).strftime("%Y%m%dT%H%M%SZ")
+        headers = {
+            "Host": urlparse(self._endpoint).netloc,
+            "X-Amz-Date": amz_date,
+            "X-Amz-Target": target,
+            "Content-Type": "application/x-amz-json-1.1",
+        }
+        headers["Authorization"] = self._sign(
+            amz_date, {k: v for k, v in headers.items() if k != "Authorization"}, body
+        )
+        return self._endpoint, headers, body
+
+    @staticmethod
+    def _http_post(url: str, headers: dict, body: bytes) -> str:
+        from urllib.request import Request, urlopen
+
+        with urlopen(Request(url, data=body, headers=headers, method="POST")) as resp:
+            return resp.read().decode("utf-8")
+
+    def get_schema_version(self, SchemaId: dict, SchemaVersionNumber: dict) -> dict:  # noqa: N803 — boto3 parity
+        url, headers, body = self._request(
+            "AWSGlue.GetSchemaVersion",
+            {"SchemaId": SchemaId, "SchemaVersionNumber": SchemaVersionNumber},
+        )
+        return json.loads(self._fetch(url, headers, body))
+
+
 class GlueSchemaRegistry:
     """Schema by stream name, latest version (reference
     glue-schema-per-stream-udf/lambda_function.py:14-27).
 
-    ``client`` is a boto3 glue client; injectable for tests. Cached with
-    lru_cache(32) for parity with the reference."""
+    ``client`` is a boto3 glue client (or :class:`GlueHttpClient`,
+    built automatically when ``endpoint_url`` is given — the boto3-free
+    wire path). Cached with lru_cache(32) for parity with the
+    reference."""
 
-    def __init__(self, registry_name: str = "default-registry", client=None) -> None:
-        if client is None:
+    def __init__(
+        self,
+        registry_name: str = "default-registry",
+        client=None,
+        endpoint_url: Optional[str] = None,
+        **http_kwargs,
+    ) -> None:
+        if client is None and endpoint_url is not None:
+            client = GlueHttpClient(endpoint_url, **http_kwargs)
+        elif client is None:
             try:
                 import boto3  # type: ignore[import-not-found]
             except ImportError as exc:  # pragma: no cover - boto3 not in runtime
                 raise ImportError(
                     "GlueSchemaRegistry needs boto3 (not in this runtime); "
-                    "pass client= or use InMemorySchemaRegistry"
+                    "pass client=, endpoint_url=, or use InMemorySchemaRegistry"
                 ) from exc
             client = boto3.client("glue")
         self._client = client

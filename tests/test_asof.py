@@ -84,3 +84,66 @@ def test_asof_join_no_right_rows_for_key(spark):
     }
     assert got[0] == (5, 100)
     assert got[1] == (None, None)
+
+
+def test_asof_join_validation(spark):
+    import pytest
+
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "ts": [10], "lid": [0]}))
+    right = spark.createDataFrame(pd.DataFrame({"k": [1], "ts": [5], "rv": [100]}))
+    with pytest.raises(ValueError, match="value_cols must name at least one"):
+        asof_join(left, right, on=["k"], ts_col="ts", value_cols=[])
+    bad = left.withColumnRenamed("lid", "__side")
+    with pytest.raises(ValueError, match="reserved working column"):
+        asof_join(bad, right, on=["k"], ts_col="ts", value_cols=["rv"])
+    with pytest.raises(ValueError, match="not in right side"):
+        asof_join(left, right, on=["k"], ts_col="ts", value_cols=["nope"])
+    with pytest.raises(ValueError, match="must exist on both sides"):
+        asof_join(left, right.withColumnRenamed("k", "kk"), on=["k"], ts_col="ts", value_cols=["rv"])
+
+
+def test_asof_join_salted_matches_unsalted_hot_key(spark):
+    """Pathological skew: ONE key owns 95% of both sides. The salted
+    two-level plan (8-tick time slices -> parallel windows + carried
+    cross-slice state) must return exactly the unsalted answer,
+    including slices with no right rows at all (carry from earlier
+    slices) and left rows before every right row (null match)."""
+    rng = np.random.default_rng(41)
+    n_l, n_r = 400, 150
+    hot = rng.random(n_l) < 0.95
+    left_pd = pd.DataFrame(
+        {
+            "k": np.where(hot, 0, rng.integers(1, 5, n_l)),
+            "ts": rng.integers(0, 200, n_l).astype("int64"),
+            "lid": np.arange(n_l, dtype="int64"),
+        }
+    )
+    # right rows clustered into the early timeline so many later slices
+    # have no right rows and must rely on the carry
+    right_pd = pd.DataFrame(
+        {
+            "k": np.where(rng.random(n_r) < 0.95, 0, rng.integers(1, 5, n_r)),
+            "ts": rng.integers(0, 90, n_r).astype("int64"),
+            "rv": np.arange(100, 100 + n_r, dtype="int64"),
+        }
+    )
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+    plain = (
+        asof_join(left, right, on=["k"], ts_col="ts", value_cols=["rv"])
+        .toPandas().sort_values("lid").reset_index(drop=True)
+    )
+    salted = (
+        asof_join(left, right, on=["k"], ts_col="ts", value_cols=["rv"], salt_interval_s=8)
+        .toPandas().sort_values("lid").reset_index(drop=True)
+    )
+    for col in ("ts_asof", "rv_asof"):
+        g = salted[col].astype("float64").fillna(-1)
+        w = plain[col].astype("float64").fillna(-1)
+        assert (g != w).sum() == 0, col
+    # and both must match the independent pandas reference
+    want = _reference(left_pd, right_pd).sort_values("lid").reset_index(drop=True)
+    for col in ("ts_asof", "rv_asof"):
+        g = salted[col].astype("float64").fillna(-1)
+        w = want[col].astype("float64").fillna(-1)
+        assert (g != w).sum() == 0, col

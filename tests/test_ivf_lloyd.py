@@ -54,14 +54,68 @@ class TestLloydRecall:
         # cluster arbitrarily; Lloyd-refined centroids align lists with
         # the cluster structure
         base = ivf_topk(
-            clustered, queries, k=5, n_centroids=8, n_probe=1, lloyd_iters=0, dim=DIM
+            clustered, queries, k=5, n_centroids=8, n_probe=1, lloyd_iters=0,
+            dim=DIM, seed="first",
         ).collect()
         refined = ivf_topk(
-            clustered, queries, k=5, n_centroids=8, n_probe=1, lloyd_iters=2, dim=DIM
+            clustered, queries, k=5, n_centroids=8, n_probe=1, lloyd_iters=2,
+            dim=DIM, seed="first",
         ).collect()
         r_base, r_refined = _recall(base, exact), _recall(refined, exact)
         assert r_refined > r_base
         assert r_refined >= 0.85
+
+    def test_maximin_seed_beats_first_n_seed(self, spark):
+        """Farthest-point init shines when n_centroids ≈ #clusters: on
+        8 tight clusters with cluster-contiguous ids, first-8-by-id
+        puts every seed in cluster 0 and even 2 Lloyd iterations can't
+        fully recover (k-means from a degenerate seed loses clusters),
+        while maximin covers all 8 clusters by construction and hits
+        perfect n_probe=1 recall. (With #centroids ≫ #clusters the
+        comparison genuinely flips — maximin then splits real clusters
+        across lists — which is why this test pins the matched-k
+        geometry rather than reusing the 3-cluster fixture.)"""
+        dim, nc, per = 16, 8, 15
+
+        def vec8(c, j):
+            base = [0.0] * dim
+            base[c] = 10.0
+            base[(c + 5) % dim] = 4.0
+            return [
+                round(b + 0.01 * ((j * (d + 7) * 2654435761) % 97 - 48) / 48.0, 6)
+                for d, b in enumerate(base)
+            ]
+
+        rows = [(c * per + j, vec8(c, j)) for c in range(nc) for j in range(per)]
+        data = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        queries = data.where(F.col("vec_id").isin([c * per + 3 for c in range(nc)]))
+        exact = topk_neighbors(data, queries, k=5).collect()
+        first = ivf_topk(
+            data, queries, k=5, n_centroids=nc, n_probe=1, lloyd_iters=2,
+            dim=dim, seed="first",
+        ).collect()
+        mm = ivf_topk(
+            data, queries, k=5, n_centroids=nc, n_probe=1, lloyd_iters=2,
+            dim=dim, seed="maximin",
+        ).collect()
+        r_first, r_mm = _recall(first, exact), _recall(mm, exact)
+        assert r_mm > r_first, (r_mm, r_first)
+        assert r_mm == 1.0
+
+    def test_maximin_seed_spreads_and_is_deterministic(self, clustered):
+        from redshift_avro_spark.operators.similarity import maximin_seed
+
+        c = clustered.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+        )
+        seeds_a = maximin_seed(c, 6)
+        seeds_b = maximin_seed(c, 6)
+        assert seeds_a == seeds_b  # fully deterministic
+        assert len({cid for cid, _ in seeds_a}) == 6  # never repeats a point
+        # the first 3 picks must cover all 3 true clusters (ids are
+        # cluster-contiguous: 0-29, 30-59, 60-89)
+        first3_clusters = {cid // PER_CLUSTER for cid, _ in seeds_a[:3]}
+        assert first3_clusters == {0, 1, 2}
 
     def test_lloyd_step_is_exact_mean(self, spark):
         assign = spark.createDataFrame(

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from . import load_table, register
+from . import _parquet_file_count, load_table, register, spread_codec_input
 from .dedup import _NORM_DUCK, _NORM_SPARK, minhash_cte
 from .text import _LANG_PRED, _N_WORDS, _SCORE
 from ..operators.dedup import minhash_candidate_pairs, ngram_jaccard_pairs
@@ -118,12 +118,17 @@ def _stage_survivors(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame
 )
 def q49_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter → exact-dedup → near-dup-drop → token stats, end to end."""
-    # spread the regex-heavy feature projection across every core when
-    # the input arrives as a single small file split (real multi-split
-    # input makes this a cheap no-op; the md5 window below shuffles
-    # anyway, so no extra boundary is added at scale)
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    # spread the regex-heavy feature projection when the input arrives
+    # as a single small file split (real multi-split input keeps its
+    # partitioning — no shuffle at scale; the md5 window below shuffles
+    # anyway, so no extra boundary is added). cores/4 like the codec
+    # stages: all-cores left ~3k rows per task and measured ~0.5 s
+    # SLOWER at sf0.1 than cores/4 — tiny-stage scheduling overhead
+    # compounds across this pipeline's many stages.
+    docs = spread_codec_input(
+        load_table(spark, sf_dir, "documents"),
+        spark,
+        _parquet_file_count(sf_dir, "documents"),
     )
     feat = docs.select(
         "doc_id",

@@ -42,6 +42,7 @@ from ..avroio.binary import (
     compile_resolver,
 )
 from ..avroio.codegen import get_batch_decoder, get_batch_encoder, get_batch_resolver
+from ..avroio.vectorized import VectorFallback, get_vector_decoder
 from ..avroio.container import iter_container, read_header
 from ..avroio.convert import avro_to_spark_type, df_schema_to_avro
 from ..avroio.jsonio import datum_to_json
@@ -135,14 +136,29 @@ def from_avro(
     @pandas_udf(returnType=struct_type)
     def _decode(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         writer = parse_schema(writer_json)
-        # generated columnar decoder (codegen.py) — the resolver variant
-        # covers evolution with identical semantics, no per-row closures
+        # decode ladder (fast → semantically-rooted): numpy vectorized
+        # (flat schemas, whole-batch array passes — avroio/vectorized.py)
+        # → exec-generated per-datum (codegen.py; also the per-row error
+        # authority the vector path falls back to on anomalous batches)
+        # → closure codecs. The resolver variant covers evolution.
+        vd = None
         if reader_json is None or reader_json == writer_json:
+            vd = get_vector_decoder(writer_json)
             bd = get_batch_decoder(writer_json, mode="spark")
         else:
             bd = get_batch_resolver(writer_json, reader_json, mode="spark")
         if bd is not None:
             for series in batches:
+                if vd is not None:
+                    try:
+                        yield pd.DataFrame(
+                            vd.decode_blobs_to_pandas(
+                                series.values, series.isna().values
+                            )
+                        )
+                        continue
+                    except VectorFallback:
+                        pass  # anomalous batch → exact per-row semantics
                 outs = bd.new_columns()
                 bd.decode_blobs(series.values, outs, permissive)
                 yield pd.DataFrame(bd.to_pandas(outs))

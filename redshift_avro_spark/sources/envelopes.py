@@ -354,21 +354,42 @@ def unwrap_kpl_spring_avro(df, col: str, schema):
     names = [f.name for f in struct_type.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..avroio.vectorized import VectorFallback, get_vector_decoder
+
+        vd = get_vector_decoder(schema_json)
         bd = get_batch_decoder(schema_json, "spark")
         dec = None if bd is not None else compile_decoder(_parse(schema_json), mode="spark")
         for pdf in batches:
-            cols: list[list] = bd.new_columns() if bd is not None else [[] for _ in names]
+            # unwrap the KPL/Spring envelopes first (per-record Python —
+            # protobuf/header parsing), collecting the Avro bodies so
+            # the datum decode itself can run as one vectorized batch
+            bodies: list = []
             for blob in pdf[col]:
                 if blob is None:
                     continue
                 for rec in decode_kpl_aggregate(bytes(blob)).records:
                     _, body = parse_spring_message(rec.data)
-                    if bd is not None:
-                        bd.decode_stream(body, 0, 1, cols)
-                    else:
-                        v = dec(BinaryReader(body))
-                        for c, n in zip(cols, names):
-                            c.append(v[n])
+                    bodies.append(body)
+            if vd is not None:
+                try:
+                    yield pd.DataFrame(
+                        vd.decode_blobs_to_pandas(
+                            bodies, np.zeros(len(bodies), dtype=bool)
+                        )
+                    )
+                    continue
+                except VectorFallback:
+                    pass  # anomalous batch → per-datum semantics below
+            cols: list[list] = bd.new_columns() if bd is not None else [[] for _ in names]
+            for body in bodies:
+                if bd is not None:
+                    bd.decode_stream(body, 0, 1, cols)
+                else:
+                    v = dec(BinaryReader(body))
+                    for c, n in zip(cols, names):
+                        c.append(v[n])
             if bd is not None:
                 yield pd.DataFrame(bd.to_pandas(cols))
             else:

@@ -1,0 +1,195 @@
+"""Differential pins for the vectorized (numpy) blob decoder.
+
+The vector path must agree VALUE-FOR-VALUE with the closure decoder
+(the semantics root, reference io.py parity) on every eligible flat
+schema, including the edges vectorization gets wrong first: multi-byte
+and boundary varints, zigzag signs, empty strings, non-ASCII UTF-8,
+NaN/±inf doubles, None cells, null-union branch orders, and empty
+batches. Ineligible schemas and anomalous bytes must *decline*
+(VectorFallback / None), never mis-decode.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import numpy as np
+import pytest
+
+from redshift_avro_spark.avroio.binary import BinaryReader, compile_decoder, encode_datum
+from redshift_avro_spark.avroio.schema_model import parse_schema
+from redshift_avro_spark.avroio.vectorized import (
+    VectorFallback,
+    get_vector_decoder,
+)
+
+MIXED = {
+    "type": "record",
+    "name": "E",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        {"name": "user_id", "type": "long"},
+        {"name": "event_type", "type": "string"},
+        {"name": "value", "type": "double"},
+        {"name": "props", "type": ["null", "string"], "default": None},
+    ],
+}
+
+
+def _encode_rows(schema_dict, rows):
+    s = parse_schema(json.dumps(schema_dict))
+    return [None if r is None else encode_datum(s, r) for r in rows]
+
+
+def _closure_decode(schema_dict, blobs):
+    s = parse_schema(json.dumps(schema_dict))
+    fn = compile_decoder(s, mode="python")
+    out = []
+    for b in blobs:
+        out.append(None if b is None else fn(BinaryReader(b)))
+    return out
+
+def _norm(v):
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def _assert_matches(schema_dict, rows):
+    blobs = _encode_rows(schema_dict, rows)
+    vd = get_vector_decoder(json.dumps(schema_dict))
+    assert vd is not None, "schema should be vector-eligible"
+    cols = vd.decode_blobs_arrow(blobs)
+    want = _closure_decode(schema_dict, blobs)
+    names = [f["name"] for f in schema_dict["fields"]]
+    assert sorted(cols) == sorted(names)
+    for name in names:
+        got = cols[name].to_pylist()
+        for i, w in enumerate(want):
+            expect = None if w is None else w[name]
+            g = got[i]
+            if isinstance(expect, float) or isinstance(g, float):
+                assert _norm(g) == _norm(expect) or g == pytest.approx(expect), (
+                    name, i, g, expect)
+            else:
+                assert g == expect, (name, i, g, expect)
+
+
+def test_mixed_schema_matches_closures():
+    import datetime as dt
+
+    rows = [
+        {"event_id": 0, "ts": 0, "user_id": 0, "event_type": "", "value": 0.0, "props": None},
+        {"event_id": 1, "ts": 1_700_000_000_000_000, "user_id": -1,
+         "event_type": "click", "value": -1.5, "props": "{\"k\": 1}"},
+        None,  # null cell
+        {"event_id": 2**62, "ts": 1, "user_id": -(2**62), "event_type": "héllo ✓ 日本語",
+         "value": float("nan"), "props": ""},
+        {"event_id": -1, "ts": 2, "user_id": 63, "event_type": "x" * 300,
+         "value": float("inf"), "props": None},
+    ]
+    blobs = _encode_rows(MIXED, rows)
+    vd = get_vector_decoder(json.dumps(MIXED))
+    cols = vd.decode_blobs_arrow(blobs)
+    # spot-check rich values (ts arrives as Arrow timestamp)
+    assert cols["event_id"].to_pylist() == [0, 1, None, 2**62, -1]
+    assert cols["event_type"].to_pylist() == ["", "click", None, "héllo ✓ 日本語", "x" * 300]
+    assert cols["props"].to_pylist() == [None, '{"k": 1}', None, "", None]
+    v = cols["value"].to_pylist()
+    assert v[0] == 0.0 and v[1] == -1.5 and math.isnan(v[3]) and v[4] == math.inf
+    assert cols["ts"].to_pylist()[1] == dt.datetime(2023, 11, 14, 22, 13, 20)
+
+
+def test_all_primitive_kinds_match():
+    schema = {
+        "type": "record",
+        "name": "K",
+        "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "ni", "type": ["null", "int"]},
+            {"name": "nd", "type": ["double", "null"]},  # reversed order
+            {"name": "nby", "type": ["null", "bytes"]},
+        ],
+    }
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(500):
+        rows.append(
+            {
+                "b": bool(i % 3 == 0),
+                "i": int(rng.integers(-(2**31), 2**31)),
+                "l": int(rng.integers(-(2**62), 2**62)),
+                "f": float(np.float32(rng.normal())),
+                "d": float(rng.normal()) * 10**int(rng.integers(-5, 5)),
+                "s": "".join(chr(int(c)) for c in rng.integers(32, 0x2FFF, i % 7)),
+                "by": bytes(rng.integers(0, 256, i % 11, dtype=np.uint8)),
+                "ni": None if i % 4 == 0 else int(rng.integers(-100, 100)),
+                "nd": None if i % 5 == 0 else float(rng.normal()),
+                "nby": None if i % 2 == 0 else bytes([i % 256]),
+            }
+        )
+    _assert_matches(schema, rows)
+
+
+def test_varint_boundaries():
+    schema = {"type": "record", "name": "V", "fields": [{"name": "l", "type": "long"}]}
+    vals = [0, -1, 1, 63, 64, -64, -65, 2**31 - 1, -(2**31), 2**63 - 1, -(2**63)]
+    _assert_matches(schema, [{"l": v} for v in vals])
+
+
+def test_empty_batch_and_all_none():
+    vd = get_vector_decoder(json.dumps(MIXED))
+    cols = vd.decode_blobs_arrow([])
+    assert all(len(a) == 0 for a in cols.values())
+    cols = vd.decode_blobs_arrow([None, None])
+    assert all(a.null_count == 2 for a in cols.values())
+
+
+def test_ineligible_schemas_decline():
+    nested = {"type": "record", "name": "N", "fields": [
+        {"name": "r", "type": {"type": "record", "name": "I",
+                               "fields": [{"name": "x", "type": "int"}]}}]}
+    arrayed = {"type": "record", "name": "A", "fields": [
+        {"name": "xs", "type": {"type": "array", "items": "int"}}]}
+    decimal = {"type": "record", "name": "D", "fields": [
+        {"name": "d", "type": {"type": "bytes", "logicalType": "decimal",
+                               "precision": 9, "scale": 2}}]}
+    wide_union = {"type": "record", "name": "U", "fields": [
+        {"name": "u", "type": ["null", "int", "string"]}]}
+    nullable_ts = {"type": "record", "name": "T", "fields": [
+        {"name": "t", "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}]}]}
+    for s in (nested, arrayed, decimal, wide_union, nullable_ts):
+        assert get_vector_decoder(json.dumps(s)) is None
+
+
+def test_malformed_input_falls_back_not_garbage():
+    vd = get_vector_decoder(json.dumps(MIXED))
+    good = _encode_rows(MIXED, [
+        {"event_id": 1, "ts": 1, "user_id": 1, "event_type": "a", "value": 1.0, "props": None}
+    ])[0]
+    with pytest.raises(VectorFallback):
+        vd.decode_blobs_arrow([good[:3]])  # truncated mid-record
+    with pytest.raises(VectorFallback):
+        vd.decode_blobs_arrow([b"\xff" * 20])  # runaway varint
+    # invalid utf-8 inside a declared string
+    bad = bytearray(good)
+    # event_type 'a' is length-prefixed: find it and corrupt the byte
+    i = bytes(good).index(b"\x02a")
+    bad[i + 1] = 0xFF
+    with pytest.raises(VectorFallback):
+        vd.decode_blobs_arrow([bytes(bad)])
+
+
+def test_bulk_string_gather_reconstructs_exact_bytes():
+    schema = {"type": "record", "name": "S", "fields": [
+        {"name": "id", "type": "long"}, {"name": "s", "type": "string"}]}
+    rows = [{"id": i, "s": ("αβγ" * (i % 50))[: i % 97]} for i in range(1000)]
+    _assert_matches(schema, rows)

@@ -353,3 +353,239 @@ def get_vector_decoder(schema_json: str) -> Optional[VectorizedBlobDecoder]:
         return _build(parse_schema(schema_json))
     except Exception:  # noqa: BLE001 — never break the decode path
         return None
+
+
+# ---------------------------------------------------------------------------
+# Vectorized encoder (the K4 write path)
+# ---------------------------------------------------------------------------
+
+
+class VectorizedEncoder:
+    """Vector ENCODER for the same eligible flat schemas: per-field
+    byte streams are produced with numpy passes (zigzag varints via a
+    10-wide byte matrix + fused scatter; strings UTF-8-encoded in C by
+    Arrow; doubles reinterpreted), then interleaved into row-major
+    datums with one scatter per field. Output is an Arrow BinaryArray
+    (zero per-row bytes objects) — byte-identical to the closure
+    encoder (differential-pinned).
+
+    Anything unexpected (wrong dtype, nulls in a non-nullable field,
+    int32 overflow, non-string objects) raises VectorFallback; the
+    caller uses the generated/closure encoder, which owns the typed
+    AvroEncodeError semantics."""
+
+    def __init__(self, fields) -> None:
+        self.fields = fields
+        self.names = [f[0] for f in fields]
+
+    # -- field byte-stream builders (return lens int64[n], flat uint8 buf) --
+
+    @staticmethod
+    def _varint_bytes(vals):
+        """Zigzag-varint encode an int64 array → (lens, flat bytes)."""
+        v = vals.astype(np.int64, copy=False)
+        z = (v.astype(np.uint64) << np.uint64(1)) ^ (v >> np.int64(63)).view(np.uint64)
+        n = len(z)
+        # byte length: 1 + number of 7-bit groups above the first
+        lens = np.ones(n, dtype=np.int64)
+        for k in range(1, 10):
+            lens += (z >= (np.uint64(1) << np.uint64(7 * k))).astype(np.int64)
+        mat = np.empty((n, 10), dtype=np.uint8)
+        rest = z.copy()
+        for k in range(10):
+            mat[:, k] = (rest & np.uint64(0x7F)).astype(np.uint8)
+            rest >>= np.uint64(7)
+        # continuation bit on all but the last byte of each varint
+        cont = np.arange(10, dtype=np.int64)[None, :] < (lens - 1)[:, None]
+        mat |= cont.astype(np.uint8) << 7
+        # gather the first lens[i] bytes of each row
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        bias = np.arange(n, dtype=np.int64) * 10 - offsets[:-1]
+        idx = np.repeat(bias, lens)
+        idx += np.arange(int(offsets[-1]), dtype=np.int64)
+        return lens, mat.ravel()[idx]
+
+    @staticmethod
+    def _utf8_columns(col, pa, typ):
+        """Object column of str/bytes (no nulls) → (lens, flat buf)
+        with UTF-8 encoding done in Arrow's C++ conversion."""
+        try:
+            arr = pa.array(col, type=typ)
+        except (pa.ArrowInvalid, pa.ArrowTypeError) as exc:
+            raise VectorFallback(f"string/bytes conversion: {exc}") from None
+        if arr.null_count:
+            raise VectorFallback("unexpected null in non-nullable string")
+        if isinstance(arr, pa.ChunkedArray):  # pragma: no cover - large
+            raise VectorFallback("chunked conversion")
+        bufs = arr.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int32, count=len(arr) + 1)
+        data = np.frombuffer(bufs[2], dtype=np.uint8, count=int(offs[-1])) if offs[-1] else np.empty(0, np.uint8)
+        # account for a non-zero start offset (sliced arrays)
+        lens = np.diff(offs).astype(np.int64)
+        if offs[0] != 0:  # pragma: no cover - defensive
+            raise VectorFallback("sliced arrow buffer")
+        return lens, data
+
+    def _field_stream(self, pa, kind, col, n):
+        """→ (lens, flat buf) for one field's value bytes."""
+        if kind in ("long", "int", "ts_us", "ts_ms"):
+            vals = np.asarray(col)
+            if vals.dtype.kind == "O":
+                # object columns (nullable ints arrive as object with
+                # the Nones already filtered): Arrow's safe cast keeps
+                # this exact — non-integral values raise, not truncate
+                try:
+                    vals = pa.array(col, type=pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    )
+                except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError) as exc:
+                    raise VectorFallback(f"non-integer column for {kind}: {exc}") from None
+            if vals.dtype.kind != "i":
+                raise VectorFallback(f"non-integer column for {kind}")
+            if kind == "int" and len(vals) and (
+                (vals > 2147483647) | (vals < -2147483648)
+            ).any():
+                raise VectorFallback("int out of range")
+            return self._varint_bytes(vals)
+        if kind == "double":
+            vals = np.asarray(col)
+            if vals.dtype != np.float64:
+                raise VectorFallback("non-float64 column for double")
+            return np.full(n, 8, dtype=np.int64), vals.view(np.uint8) if vals.flags.c_contiguous else np.ascontiguousarray(vals).view(np.uint8)
+        if kind == "float":
+            vals = np.asarray(col)
+            if vals.dtype != np.float32:
+                vals = vals.astype(np.float32)
+            return np.full(n, 4, dtype=np.int64), np.ascontiguousarray(vals).view(np.uint8)
+        if kind == "boolean":
+            vals = np.asarray(col)
+            if vals.dtype != np.bool_:
+                raise VectorFallback("non-bool column for boolean")
+            return np.ones(n, dtype=np.int64), vals.astype(np.uint8)
+        if kind in ("string", "bytes"):
+            slens, sbuf = self._utf8_columns(
+                col, pa, pa.utf8() if kind == "string" else pa.binary()
+            )
+            plens, pbuf = self._varint_bytes(slens)
+            # interleave prefix + payload per row
+            lens = plens + slens
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=offsets[1:])
+            out = np.empty(int(offsets[-1]), dtype=np.uint8)
+            self._scatter(out, offsets[:-1], plens, pbuf)
+            self._scatter(out, offsets[:-1] + plens, slens, sbuf)
+            return lens, out
+        raise VectorFallback(f"unsupported kind {kind}")  # pragma: no cover
+
+    @staticmethod
+    def _scatter(out, starts, lens, src):
+        """out[starts[i] : starts[i]+lens[i]] = src runs (fused)."""
+        total = int(lens.sum()) if len(lens) else 0
+        if total == 0:
+            return
+        src_offs = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=src_offs[1:])
+        bias = starts - src_offs
+        idx = np.repeat(bias, lens)
+        idx += np.arange(total, dtype=np.int64)
+        out[idx] = src[:total]
+
+    # -- whole batch ----------------------------------------------------
+
+    def encode_pandas_to_arrow(self, pdf):
+        """pandas DataFrame (schema field columns) → pyarrow
+        BinaryArray of row-major Avro datums, byte-identical to the
+        closure encoder."""
+        import pandas as pd
+        import pyarrow as pa
+
+        n = len(pdf)
+        streams = []  # (lens, buf) per physical byte stream in row order
+        for name, kind, nullable, null_idx in self.fields:
+            s = pdf[name]
+            if s.dtype.kind == "M":
+                vals = s.values.astype(
+                    "datetime64[us]" if kind == "ts_us" else "datetime64[ms]"
+                ).astype("int64")
+                if s.isna().values.any():
+                    raise VectorFallback("NaT in timestamp column")
+                col = vals
+            else:
+                col = s.values
+            if nullable:
+                if s.dtype.kind in ("i", "u", "b"):
+                    mask = np.zeros(n, dtype=bool)
+                elif s.dtype.kind == "f":
+                    mask = np.isnan(col)
+                    if mask.any() and kind in ("float", "double"):
+                        # NaN is a VALID float value — only treat as
+                        # null when the source was an object column
+                        mask = np.zeros(n, dtype=bool)
+                else:
+                    mask = pd.isna(s).values
+                nn = 1 - null_idx
+                branch_byte = np.where(mask, null_idx * 2, nn * 2).astype(np.uint8)
+                streams.append((np.ones(n, dtype=np.int64), branch_byte))
+                if mask.any():
+                    # value bytes only for non-null rows, zero-length
+                    # elsewhere: build dense stream then expand lens
+                    live = np.flatnonzero(~mask)
+                    dense_col = np.asarray(col, dtype=object)[live] if s.dtype.kind == "O" else np.asarray(col)[live]
+                    dlens, dbuf = self._field_stream(pa, kind, dense_col, len(live))
+                    lens = np.zeros(n, dtype=np.int64)
+                    lens[live] = dlens
+                    streams.append((lens, dbuf))
+                else:
+                    streams.append(self._field_stream(pa, kind, col, n))
+            else:
+                if s.dtype.kind == "O" and pd.isna(s).values.any():
+                    raise VectorFallback("null in non-nullable field")
+                streams.append(self._field_stream(pa, kind, col, n))
+        row_lens = np.zeros(n, dtype=np.int64)
+        for lens, _ in streams:
+            row_lens += lens
+        row_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(row_lens, out=row_offs[1:])
+        total = int(row_offs[-1])
+        if total >= 2**31:  # int32 Arrow offsets
+            raise VectorFallback("batch too large for binary offsets")
+        out = np.empty(total, dtype=np.uint8)
+        cursor = row_offs[:-1].copy()
+        for lens, buf in streams:
+            self._scatter(out, cursor, lens, np.asarray(buf))
+            cursor = cursor + lens
+        return pa.Array.from_buffers(
+            pa.binary(),
+            n,
+            [None, pa.py_buffer(row_offs.astype(np.int32).tobytes()), pa.py_buffer(out.tobytes())],
+        )
+
+    def encode_pandas(self, pdf):
+        """→ pandas Series (ArrowDtype(binary), zero-copy back to Arrow
+        in the Spark serializer)."""
+        import pandas as pd
+
+        arr = self.encode_pandas_to_arrow(pdf)
+        return pd.Series(arr, dtype=pd.ArrowDtype(arr.type))
+
+
+def _build_encoder(schema: AvroSchema) -> Optional[VectorizedEncoder]:
+    if not isinstance(schema, RecordSchema) or not schema.fields:
+        return None
+    plans = []
+    for f in schema.fields:
+        p = _field_plan(f.schema)
+        if p is None:
+            return None
+        plans.append((f.name, *p))
+    return VectorizedEncoder(plans)
+
+
+@lru_cache(maxsize=256)
+def get_vector_encoder(schema_json: str) -> Optional[VectorizedEncoder]:
+    """Vector encoder for an eligible flat record schema, else None."""
+    try:
+        return _build_encoder(parse_schema(schema_json))
+    except Exception:  # noqa: BLE001
+        return None

@@ -42,7 +42,11 @@ from ..avroio.binary import (
     compile_resolver,
 )
 from ..avroio.codegen import get_batch_decoder, get_batch_encoder, get_batch_resolver
-from ..avroio.vectorized import VectorFallback, get_vector_decoder
+from ..avroio.vectorized import (
+    VectorFallback,
+    get_vector_decoder,
+    get_vector_encoder,
+)
 from ..avroio.container import iter_container, read_header
 from ..avroio.convert import avro_to_spark_type, df_schema_to_avro
 from ..avroio.jsonio import datum_to_json
@@ -212,9 +216,19 @@ def to_avro(
 
     @pandas_udf(returnType=T.BinaryType())
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
+        # encode ladder mirrors decode: vectorized (numpy/Arrow batch
+        # passes, byte-identical output) → generated per-datum →
+        # closure encoder (typed AvroEncodeError authority)
+        ve = get_vector_encoder(schema_json_str)
         be = get_batch_encoder(schema_json_str)
         enc = None
         for pdf in batches:
+            if ve is not None and all(n_ in pdf.columns for n_ in ve.names):
+                try:
+                    yield ve.encode_pandas(pdf)
+                    continue
+                except VectorFallback:
+                    pass  # unexpected shape → exact typed errors below
             if be is not None and all(n_ in pdf.columns for n_ in be.names):
                 cols = be.columns_from_pandas(pdf)
                 yield pd.Series(be.encode_columns(cols, len(pdf)), dtype=object)

@@ -193,3 +193,128 @@ def test_bulk_string_gather_reconstructs_exact_bytes():
         {"name": "id", "type": "long"}, {"name": "s", "type": "string"}]}
     rows = [{"id": i, "s": ("αβγ" * (i % 50))[: i % 97]} for i in range(1000)]
     _assert_matches(schema, rows)
+
+
+# ---------------------------------------------------------------- encoder
+
+
+def _closure_encode(schema_dict, rows):
+    return _encode_rows(schema_dict, rows)
+
+
+def _rows_to_pdf(schema_dict, rows):
+    import pandas as pd
+
+    names = [f["name"] for f in schema_dict["fields"]]
+    return pd.DataFrame({n: [r[n] for r in rows] for n in names})
+
+
+def _assert_encodes_identical(schema_dict, rows, pdf=None):
+    from redshift_avro_spark.avroio.vectorized import get_vector_encoder
+
+    ve = get_vector_encoder(json.dumps(schema_dict))
+    assert ve is not None, "schema should be vector-eligible"
+    pdf = _rows_to_pdf(schema_dict, rows) if pdf is None else pdf
+    got = ve.encode_pandas_to_arrow(pdf).to_pylist()
+    want = _closure_encode(schema_dict, rows)
+    assert len(got) == len(want)
+    bad = [i for i, (g, w) in enumerate(zip(got, want)) if g != w]
+    assert not bad, (bad[:3], got[bad[0]], want[bad[0]])
+
+
+def test_encoder_mixed_schema_byte_identical():
+    rows = [
+        {"event_id": 0, "ts": 0, "user_id": 0, "event_type": "", "value": 0.0, "props": None},
+        {"event_id": 1, "ts": 1_700_000_000_000_000, "user_id": -1,
+         "event_type": "click", "value": -1.5, "props": '{"k": 1}'},
+        {"event_id": 2**62, "ts": 1, "user_id": -(2**62),
+         "event_type": "héllo ✓ 日本語", "value": float("nan"), "props": ""},
+        {"event_id": -1, "ts": 2, "user_id": 63, "event_type": "x" * 300,
+         "value": float("inf"), "props": None},
+    ]
+    import pandas as pd
+
+    pdf = _rows_to_pdf(MIXED, rows)
+    # ts as datetime64 column (the Spark-delivered shape)
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="us")
+    # closure expects raw micros or datetimes; datetime64 works via
+    # adapt — build reference rows with datetimes for exactness
+    ref_rows = [dict(r) for r in rows]
+    for r in ref_rows:
+        pass  # encode_datum accepts raw micros ints directly
+    _assert_encodes_identical(MIXED, rows, pdf=pdf)
+
+
+def test_encoder_all_kinds_byte_identical():
+    schema = {
+        "type": "record",
+        "name": "K",
+        "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "ni", "type": ["null", "int"]},
+            {"name": "ns", "type": ["string", "null"]},
+        ],
+    }
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(400):
+        rows.append(
+            {
+                "b": bool(i % 2),
+                "i": int(rng.integers(-(2**31), 2**31)),
+                "l": int(rng.integers(-(2**62), 2**62)),
+                "f": float(np.float32(rng.normal())),
+                "d": float(rng.normal()),
+                "s": "".join(chr(int(c)) for c in rng.integers(32, 0x2FFF, i % 9)),
+                "by": bytes(rng.integers(0, 256, i % 5, dtype=np.uint8)),
+                "ni": None if i % 3 == 0 else int(rng.integers(-(10**9), 10**9)),
+                "ns": None if i % 4 == 0 else "αβ" * (i % 3),
+            }
+        )
+    import pandas as pd
+
+    pdf = _rows_to_pdf(schema, rows)
+    # pin the dtypes Spark's serializer actually delivers: numpy for
+    # non-null numerics, OBJECT (python values + None) for nullable
+    # columns (pandas' own float64+NaN widening of int+None lists is
+    # NOT the Spark shape — and on it every encoder path raises, the
+    # vector one via fallback to the generated error)
+    pdf["b"] = pdf["b"].astype(bool)
+    pdf["i"] = pdf["i"].astype("int64")
+    pdf["l"] = pdf["l"].astype("int64")
+    pdf["f"] = pdf["f"].astype("float32")
+    pdf["d"] = pdf["d"].astype("float64")
+    import pandas as pd2
+
+    pdf["ni"] = pd2.Series([r["ni"] for r in rows], dtype=object)
+    pdf["ns"] = pd2.Series([r["ns"] for r in rows], dtype=object)
+    _assert_encodes_identical(schema, rows, pdf=pdf)
+
+
+def test_encoder_varint_boundaries_byte_identical():
+    schema = {"type": "record", "name": "V", "fields": [{"name": "l", "type": "long"}]}
+    vals = [0, -1, 1, 63, 64, -64, -65, 2**31 - 1, -(2**31), 2**63 - 1, -(2**63)]
+    _assert_encodes_identical(schema, [{"l": v} for v in vals])
+
+
+def test_encoder_roundtrips_through_vector_decoder():
+    from redshift_avro_spark.avroio.vectorized import get_vector_decoder, get_vector_encoder
+
+    ve = get_vector_encoder(json.dumps(MIXED))
+    vd = get_vector_decoder(json.dumps(MIXED))
+    rows = [
+        {"event_id": i, "ts": i * 1000, "user_id": -i, "event_type": f"t{i%5}",
+         "value": i / 7.0, "props": None if i % 2 else f"p{i}"}
+        for i in range(2000)
+    ]
+    blobs = ve.encode_pandas_to_arrow(_rows_to_pdf(MIXED, rows)).to_pylist()
+    cols = vd.decode_blobs_arrow(blobs)
+    assert cols["event_id"].to_pylist() == [r["event_id"] for r in rows]
+    assert cols["props"].to_pylist() == [r["props"] for r in rows]
+    assert cols["value"].to_pylist() == [r["value"] for r in rows]

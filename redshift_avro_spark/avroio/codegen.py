@@ -1130,6 +1130,7 @@ class BatchEncoder:
         changing a byte of output. NaT (nullable ts) falls back to None
         per element."""
         import numpy as np
+        import pandas as pd
 
         out = []
         for n_ in self.names:
@@ -1143,6 +1144,11 @@ class BatchEncoder:
                     )
                 else:
                     out.append(ints.tolist())
+            elif isinstance(s.dtype, pd.api.extensions.ExtensionDtype):
+                # extension/Arrow-backed columns surface pd.NA, which
+                # the encoders' type checks (correctly) reject — map to
+                # plain python values with None
+                out.append(s.to_numpy(dtype=object, na_value=None).tolist())
             else:
                 out.append(s.tolist())
         return out

@@ -3,14 +3,15 @@
 ``entry(spark)`` runs the flagship Avro-roundtrip query (the
 reference's core dataflow — hex VARBINARY → Avro decode → SQL agg,
 SURVEY §3.1/§3.2) on sf0.001. ``queries()`` / ``oracle_sql()`` expose
-every registered query from ``redshift_avro_spark.queries`` (SURVEY §2
-coverage plus the training-data pipeline surface): the Avro pipeline
-q20–q25, the delegated relational surface q01–q19 + q42–q48 + q53–q55,
-dedup q30–q34 + q63 + q70, similarity q35/q36/q45/q57/q64, text
-q37–q39 + q56, multimodal q40/q41/q71/q72, curation q49, streaming
-q50–q52 + q69 + q76, compaction q58, training assembly q59–q62,
-corpus scrubbing q65–q68, time-series q73/q74, sketches q46/q75/q77 —
-every one with a full DuckDB value-hash oracle.
+the GATED surface from ``redshift_avro_spark.queries``: exactly 50
+entries (the driver gate's observed cap) covering every registered
+operator demo — the Avro pipeline q20–q25, the delegated relational
+surface, dedup/similarity/text/multimodal/curation/streaming/
+compaction/training/scrubbing/time-series/sketch operators — where 15
+composite suites (``queries/composite.py``) carry the 37 folded
+near-duplicate demos by reusing their fns and oracles verbatim. Every
+declared entry has a full DuckDB value-hash oracle; the folded members
+stay registered and value-checked by tests/test_queries_oracle.py.
 """
 
 from __future__ import annotations

@@ -32,6 +32,7 @@ __all__ = [
     "lloyd_step",
     "maximin_seed",
     "ivf_topk",
+    "semantic_dedup",
     "quantize_embeddings",
 ]
 
@@ -332,6 +333,67 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_centroids: int = 8,
+    lloyd_iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): the
+    corpus is k-means-clustered in embedding space (maximin seed +
+    Lloyd, same deterministic trajectory as q45's IVF), near-duplicate
+    pairs are discovered ONLY within clusters (cosine ≥ ``threshold``),
+    folded into duplicate components (min-label propagation), and one
+    keeper per component is selected (min id).
+
+    Returns (vec_id, cid, component_id, n_dups, is_keeper) for every
+    vector — singleton vectors are their own keeper with n_dups 1.
+
+    Scale shape: the quadratic near-dup scan is bounded per cluster
+    (the whole point of clustering first — identical to q57's bucket
+    bound but with data-adaptive k-means cells instead of random
+    hyperplanes); centroids stay broadcast-sized; components propagate
+    over the sliver-sized edge set only. Fully deterministic (md5
+    seeding, decimal-exact means), so the DuckDB oracle replays the
+    identical trajectory."""
+    from .dedup import connected_components
+
+    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    cents = F.broadcast(
+        df.sparkSession.createDataFrame(
+            maximin_seed(c, n_centroids), "cid long, centvec array<double>"
+        )
+    )
+    for _ in range(lloyd_iters):
+        cents = F.broadcast(lloyd_step(_assign_nearest(c, cents), dim))
+    assign = _assign_nearest(c, cents)
+    a = assign.select(F.col("neighbor_id").alias("id_a"), F.col("cvec").alias("va"), "cid")
+    b = assign.select(F.col("neighbor_id").alias("id_b"), F.col("cvec").alias("vb"), "cid")
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine_expr("va", "vb") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed("id", "vec_id")
+    out = (
+        assign.select(F.col("neighbor_id").alias("vec_id"), "cid")
+        .join(comp, "vec_id", "left")
+        .withColumn("component_id", F.coalesce("component_id", F.col("vec_id")))
+    )
+    sizes = out.groupBy("component_id").agg(F.count("*").alias("n_dups"))
+    return out.join(sizes, "component_id").select(
+        "vec_id",
+        "cid",
+        "component_id",
+        "n_dups",
+        (F.col("vec_id") == F.col("component_id")).alias("is_keeper"),
     )
 
 

@@ -571,6 +571,33 @@ def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.join(c, "user_id", "left").orderBy("user_id")
 
 
+# ---------------------------------------------------------------- q93
+# q64 + q94: per-vector embedding curation — int8 quantization stats
+# joined with SemDeDup-style semantic-dedup status on vec_id.
+
+
+@register(
+    "q93_embedding_curation",
+    members=("q64_embedding_quantize", "q94_semantic_dedup"),
+    oracle=f"""
+    SELECT q.*, s.cid, s.component_id, s.n_dups, s.is_keeper
+    FROM {_sub('q64_embedding_quantize')} q
+    JOIN {_sub('q94_semantic_dedup')} s USING (vec_id)
+    ORDER BY vec_id
+    """,
+)
+def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector embedding curation: symmetric int8 quantization stats
+    (q64) ⋈ SemDeDup semantic-dedup status (q94 — k-means cells bound
+    the near-dup scan, components pick one keeper) on the corpus key.
+    The storage-compression and semantic-dedup passes a 100 TB
+    embedding store runs before ANN indexing, in one driver-verified
+    result."""
+    q = _run("q64_embedding_quantize", spark, sf_dir)
+    s = _run("q94_semantic_dedup", spark, sf_dir)
+    return q.join(s, "vec_id").orderBy("vec_id")
+
+
 # ---------------------------------------------------------------- q92
 # q16 + q55: the JSON/SUPER suite — per-path string extraction (high
 # keys) and variant single-parse bucketing (low keys), label-tagged.

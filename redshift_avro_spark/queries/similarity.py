@@ -278,6 +278,74 @@ def q45_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+_SD_PAIR_COS = (
+    "(list_aggregate(list_transform(list_zip(a.cvec, b.cvec),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'))"
+    " / (sqrt(list_aggregate(list_transform(a.cvec,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    " * sqrt(list_aggregate(list_transform(b.cvec,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
+)
+
+
+@register(
+    "q94_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_CENTS_CTE},
+    sd_assign AS MATERIALIZED (
+      SELECT neighbor_id, cvec, cid FROM (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS cvec, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_cent_cos('e.embedding')} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN {_FINAL_CENTS} c
+      ) WHERE rn = 1
+    ),
+    sd_pairs AS MATERIALIZED (
+      SELECT a.neighbor_id AS id_a, b.neighbor_id AS id_b
+      FROM sd_assign a JOIN sd_assign b
+        ON a.cid = b.cid AND a.neighbor_id < b.neighbor_id
+      WHERE {_SD_PAIR_COS} >= 0.45
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM sd_pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM sd_pairs
+    ),
+    reach AS (
+      SELECT u AS src, u AS dst FROM sym
+      UNION
+      SELECT r.src, s.v AS dst FROM reach r JOIN sym s ON r.dst = s.u
+    ),
+    comp AS (SELECT src AS vec_id, MIN(dst) AS component_id FROM reach GROUP BY src),
+    labeled AS (
+      SELECT s.neighbor_id AS vec_id, s.cid,
+             COALESCE(c.component_id, s.neighbor_id) AS component_id
+      FROM sd_assign s LEFT JOIN comp c ON c.vec_id = s.neighbor_id
+    ),
+    sizes AS (SELECT component_id, COUNT(*) AS n_dups FROM labeled GROUP BY component_id)
+    SELECT l.vec_id, l.cid, l.component_id, s.n_dups,
+           l.vec_id = l.component_id AS is_keeper
+    FROM labeled l JOIN sizes s USING (component_id)
+    ORDER BY vec_id
+    """,
+)
+def q94_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embedding corpus: k-means
+    cells (the q45 maximin + Lloyd trajectory, bit-reproducible) bound
+    the quadratic near-dup scan, within-cell cosine ≥ 0.45 pairs fold
+    into duplicate components, one keeper per component (min id). The
+    oracle replays the full chain — seeding, two Lloyd iterations,
+    assignment, in-cell pairs, recursive-CTE transitive closure — so
+    every stage is value-pinned. See operators/similarity.py::
+    semantic_dedup for the 100 TB shape."""
+    from ..operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.45, n_centroids=8,
+        lloyd_iters=2, dim=64,
+    ).orderBy("vec_id")
+
+
 @register(
     "q64_embedding_quantize",
     oracle="""

@@ -125,3 +125,50 @@ class TestLloydRecall:
         cents = {r.cid: r.centvec for r in lloyd_step(assign, dim=2).collect()}
         assert cents[7] == [2.0, 3.5]
         assert cents[9] == [10.0, 20.0]
+
+
+def test_semantic_dedup_finds_planted_duplicates(spark):
+    """Planted near-duplicates (same direction, tiny jitter) must land
+    in one component with the min-id keeper; singletons keep
+    themselves. Cross-cluster pairs are out of scope by design (the
+    cell bound is the scale trade) — verify none are claimed."""
+    from pyspark.sql import functions as F
+
+    from redshift_avro_spark.operators.similarity import semantic_dedup
+
+    def vec(c, eps):
+        base = [0.0] * DIM
+        base[c] = 10.0
+        base[c + 3] = 5.0
+        return [b + eps * (d + 1) / DIM for d, b in enumerate(base)]
+
+    rows = []
+    vid = 0
+    planted = []
+    for c in range(3):
+        group = []
+        for j in range(4):  # 4 near-identical copies per cluster
+            rows.append((vid, vec(c, 0.001 * j)))
+            group.append(vid)
+            vid += 1
+        planted.append(group)
+        rows.append((vid, [x * -1 for x in vec(c, 0.5)]))  # opposite dir: singleton
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.99, n_centroids=3,
+            lloyd_iters=1, dim=DIM,
+        ).collect()
+    }
+    assert len(out) == vid  # one row per vector
+    for group in planted:
+        comps = {out[v].component_id for v in group}
+        assert comps == {min(group)}, (group, comps)
+        keepers = [v for v in group if out[v].is_keeper]
+        assert keepers == [min(group)]
+        assert all(out[v].n_dups == len(group) for v in group)
+    singles = [v for v in out if all(v not in g for g in planted)]
+    for v in singles:
+        assert out[v].component_id == v and out[v].is_keeper and out[v].n_dups == 1

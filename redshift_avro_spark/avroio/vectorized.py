@@ -407,6 +407,30 @@ class VectorizedEncoder:
         return lens, mat.ravel()[idx]
 
     @staticmethod
+    def _numeric(col, pa, pa_type, np_dtype):
+        """Column → numpy array of ``np_dtype`` via Arrow's checked
+        conversion when the input is an object column (nullable fields
+        arrive as object-with-the-Nones-already-filtered); numpy
+        columns of the right kind pass through."""
+        vals = np.asarray(col)
+        if vals.dtype == np.object_:
+            try:
+                vals = pa.array(col.tolist() if hasattr(col, "tolist") else list(col), type=pa_type).to_numpy(
+                    zero_copy_only=False
+                )
+            except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError) as exc:
+                raise VectorFallback(f"numeric conversion: {exc}") from None
+        if vals.dtype != np_dtype and np_dtype is not np.float32:
+            try:
+                cast = vals.astype(np_dtype)
+            except (TypeError, ValueError) as exc:
+                raise VectorFallback(f"numeric cast: {exc}") from None
+            if not np.array_equal(cast, vals, equal_nan=(np_dtype == np.float64)):
+                raise VectorFallback("lossy numeric cast")
+            vals = cast
+        return vals
+
+    @staticmethod
     def _utf8_columns(col, pa, typ):
         """Object column of str/bytes (no nulls) → (lens, flat buf)
         with UTF-8 encoding done in Arrow's C++ conversion."""
@@ -449,17 +473,17 @@ class VectorizedEncoder:
                 raise VectorFallback("int out of range")
             return self._varint_bytes(vals)
         if kind == "double":
-            vals = np.asarray(col)
-            if vals.dtype != np.float64:
-                raise VectorFallback("non-float64 column for double")
-            return np.full(n, 8, dtype=np.int64), vals.view(np.uint8) if vals.flags.c_contiguous else np.ascontiguousarray(vals).view(np.uint8)
+            vals = self._numeric(col, pa, pa.float64(), np.float64)
+            return np.full(n, 8, dtype=np.int64), np.ascontiguousarray(vals).view(np.uint8)
         if kind == "float":
-            vals = np.asarray(col)
+            vals = self._numeric(col, pa, pa.float32(), np.float32)
             if vals.dtype != np.float32:
                 vals = vals.astype(np.float32)
             return np.full(n, 4, dtype=np.int64), np.ascontiguousarray(vals).view(np.uint8)
         if kind == "boolean":
             vals = np.asarray(col)
+            if vals.dtype == np.object_:
+                vals = self._numeric(col, pa, pa.bool_(), np.bool_)
             if vals.dtype != np.bool_:
                 raise VectorFallback("non-bool column for boolean")
             return np.ones(n, dtype=np.int64), vals.astype(np.uint8)

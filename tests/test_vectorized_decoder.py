@@ -318,3 +318,107 @@ def test_encoder_roundtrips_through_vector_decoder():
     assert cols["event_id"].to_pylist() == [r["event_id"] for r in rows]
     assert cols["props"].to_pylist() == [r["props"] for r in rows]
     assert cols["value"].to_pylist() == [r["value"] for r in rows]
+
+
+# ---------------------------------------------------------------- fuzz
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_KINDS = ["boolean", "int", "long", "float", "double", "string", "bytes"]
+
+
+def _schema_for(kinds_nullable):
+    fields = []
+    for i, (kind, nullable) in enumerate(kinds_nullable):
+        t = kind if not nullable else (["null", kind] if i % 2 else [kind, "null"])
+        fields.append({"name": f"f{i}", "type": t})
+    return {"type": "record", "name": "Z", "fields": fields}
+
+
+_VALUES = {
+    "boolean": st.booleans(),
+    "int": st.integers(-(2**31), 2**31 - 1),
+    "long": st.integers(-(2**63), 2**63 - 1),
+    "float": st.floats(width=32, allow_nan=False),
+    "double": st.floats(allow_nan=False),
+    "string": st.text(max_size=40),
+    "bytes": st.binary(max_size=40),
+}
+
+
+@st.composite
+def _case(draw):
+    kinds = draw(
+        st.lists(
+            st.tuples(st.sampled_from(_KINDS), st.booleans()), min_size=1, max_size=6
+        )
+    )
+    n = draw(st.integers(0, 25))
+    rows = []
+    for _ in range(n):
+        row = {}
+        for i, (kind, nullable) in enumerate(kinds):
+            if nullable and draw(st.booleans()):
+                row[f"f{i}"] = None
+            else:
+                row[f"f{i}"] = draw(_VALUES[kind])
+        rows.append(row)
+    return kinds, rows
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_case())
+def test_fuzz_vector_codec_differential(case):
+    """Random eligible schemas × random values (+ nulls): the vector
+    DECODER must value-match the closure decoder on closure-encoded
+    bytes, and the vector ENCODER must be byte-identical to the
+    closure encoder — both directions, any shape."""
+    import pandas as pd
+
+    from redshift_avro_spark.avroio.vectorized import (
+        get_vector_decoder,
+        get_vector_encoder,
+    )
+
+    kinds, rows = case
+    schema = _schema_for(kinds)
+    sj = json.dumps(schema)
+    blobs = _encode_rows(schema, rows)
+
+    vd = get_vector_decoder(sj)
+    assert vd is not None
+    cols = vd.decode_blobs_arrow(blobs)
+    want = _closure_decode(schema, blobs)
+    for i, (kind, _nullable) in enumerate(kinds):
+        name = f"f{i}"
+        got = cols[name].to_pylist()
+        for j, w in enumerate(want):
+            expect = w[name]
+            g = got[j]
+            if kind == "float" and expect is not None:
+                assert g == pytest.approx(expect, rel=1e-6), (name, j)
+            else:
+                assert g == expect, (name, j, g, expect)
+
+    ve = get_vector_encoder(sj)
+    assert ve is not None
+    pdf = pd.DataFrame(
+        {f"f{i}": pd.Series([r[f"f{i}"] for r in rows], dtype=object) for i in range(len(kinds))}
+    )
+    # pin numpy dtypes for non-nullable numeric columns (Spark's shape)
+    for i, (kind, nullable) in enumerate(kinds):
+        col = f"f{i}"
+        if not nullable and len(rows):
+            if kind in ("int", "long"):
+                pdf[col] = pdf[col].astype("int64")
+            elif kind == "double":
+                pdf[col] = pdf[col].astype("float64")
+            elif kind == "float":
+                pdf[col] = pdf[col].astype("float32")
+            elif kind == "boolean":
+                pdf[col] = pdf[col].astype(bool)
+    got_bytes = ve.encode_pandas_to_arrow(pdf).to_pylist() if len(rows) else []
+    want_bytes = blobs if len(rows) else []
+    # float32 columns: pandas float32 → python float32 value identical
+    assert got_bytes == want_bytes

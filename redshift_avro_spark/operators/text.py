@@ -16,7 +16,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["token_count", "quality_features", "language_id", "doc_fingerprint", "STOPWORDS"]
+__all__ = [
+    "token_count",
+    "quality_features",
+    "language_id",
+    "doc_fingerprint",
+    "quality_classifier_score",
+    "STOPWORDS",
+]
 
 # tiny per-language stopword lexicons (public common words)
 STOPWORDS = {
@@ -105,4 +112,48 @@ def doc_fingerprint(text_col: str) -> Column:
     return F.expr(
         f"aggregate({words}, CAST(0 AS BIGINT), "
         f"(acc, w) -> (acc * 131 + {tok}) % 2147483647)"
+    )
+
+
+def quality_classifier_score(text_col: str, n_buckets: int = 1024) -> Column:
+    """Model-based quality scoring in the fasttext-classifier SHAPE
+    (hashed word-bigram features → linear model → keep/drop): the
+    standard LLM-pipeline filter step (CCNet/LLaMA-style), with the
+    trained weight table replaced by a deterministic one so the whole
+    path is engine-portable and oracle-checkable.
+
+    Features: word bigrams, hashed to ``n_buckets`` via the first 32
+    md5 bits. Weights: w(b) = (b * 2654435761) % 2003 − 1001 — a fixed
+    pseudo-random integer table derived from the bucket id itself, so
+    no model file ships and DuckDB reproduces every weight exactly.
+    Output logits stay in exact BIGINT arithmetic (sum, and mean as
+    parts-per-million integer division); ``keep`` = positive logit.
+
+    A real deployment swaps the weight expression for a broadcast
+    weight array lookup — the plumbing (hash → bucket → weight → per
+    doc aggregate, one narrow map, no shuffle, no Python) is identical.
+
+    Returns struct(n_feats, logit_sum, logit_ppm, keep)."""
+    words = _WORDS.format(c=text_col)
+    # CASE guard: Spark's sequence(1, 0) DESCENDS instead of being
+    # empty, so single-word docs must short-circuit to an empty array
+    bigrams = (
+        f"CASE WHEN size({words}) >= 2 THEN "
+        f"transform(sequence(1, size({words}) - 1), "
+        f"i -> concat({words}[i-1], ' ', {words}[i])) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    w_expr = (
+        f"((CAST(conv(substring(md5(bg), 1, 8), 16, 10) AS BIGINT) % {n_buckets})"
+        f" * 2654435761) % 2003 - 1001"
+    )
+    logit = f"aggregate({bigrams}, CAST(0 AS BIGINT), (acc, bg) -> acc + ({w_expr}))"
+    n_feats = f"greatest(size({words}) - 1, 0)"
+    return F.expr(
+        f"named_struct("
+        f"'n_feats', CAST({n_feats} AS INT), "
+        f"'logit_sum', {logit}, "
+        f"'logit_ppm', CASE WHEN {n_feats} = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE ({logit}) * 1000000 div {n_feats} END, "
+        f"'keep', ({logit}) > 0)"
     )

@@ -49,24 +49,33 @@ def _sub(name: str) -> str:
 
 @register(
     "q78_text_metrics",
-    members=("q37_text_quality", "q38_token_stats", "q39_doc_fingerprint"),
+    members=(
+        "q37_text_quality",
+        "q38_token_stats",
+        "q39_doc_fingerprint",
+        "q95_quality_classifier",
+    ),
     oracle=f"""
-    SELECT a.*, b.n_tokens_est, c.fingerprint
+    SELECT a.*, b.n_tokens_est, c.fingerprint,
+           d.n_feats, d.logit_sum, d.logit_ppm, d.keep
     FROM {_sub('q37_text_quality')} a
     JOIN (SELECT doc_id, n_tokens_est FROM {_sub('q38_token_stats')}) b USING (doc_id)
     JOIN {_sub('q39_doc_fingerprint')} c USING (doc_id)
+    JOIN {_sub('q95_quality_classifier')} d USING (doc_id)
     ORDER BY doc_id
     """,
 )
 def q78_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile: language-ID + quality features (q37)
-    ⋈ token counts (q38) ⋈ rolling-hash fingerprint (q39) on doc_id.
-    Three narrow projections joined on the table's own key — each
-    member is shuffle-free, the joins are co-keyed."""
+    ⋈ token counts (q38) ⋈ rolling-hash fingerprint (q39) ⋈ hashed
+    linear quality-classifier logits (q95) on doc_id. Four narrow
+    projections joined on the table's own key — each member is
+    shuffle-free, the joins are co-keyed."""
     a = _run("q37_text_quality", spark, sf_dir)
     b = _run("q38_token_stats", spark, sf_dir).select("doc_id", "n_tokens_est")
     c = _run("q39_doc_fingerprint", spark, sf_dir)
-    return a.join(b, "doc_id").join(c, "doc_id").orderBy("doc_id")
+    d = _run("q95_quality_classifier", spark, sf_dir)
+    return a.join(b, "doc_id").join(c, "doc_id").join(d, "doc_id").orderBy("doc_id")
 
 
 # ---------------------------------------------------------------- q79

@@ -184,3 +184,49 @@ def q56_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("lang", F.desc("tfidf"), "term")
     )
+
+
+@register(
+    "q95_quality_classifier",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_WORDS} AS ws FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 2 THEN list_transform(generate_series(1, len(ws)-1),
+               i -> concat(ws[i], ' ', ws[i+1])) ELSE CAST([] AS VARCHAR[]) END AS bgs,
+             greatest(len(ws)-1, 0) AS nf
+      FROM w
+    ),
+    s AS (
+      SELECT doc_id, CAST(nf AS INTEGER) AS n_feats, nf,
+             CAST(coalesce(list_aggregate(list_transform(bgs,
+               bg -> ((CAST(concat('0x', substring(md5(bg), 1, 8)) AS BIGINT) % 1024)
+                      * 2654435761) % 2003 - 1001), 'sum'), 0) AS BIGINT) AS logit_sum
+      FROM b
+    )
+    SELECT doc_id, n_feats, logit_sum,
+           CASE WHEN nf = 0 THEN CAST(0 AS BIGINT)
+                ELSE logit_sum * 1000000 // nf END AS logit_ppm,
+           logit_sum > 0 AS keep
+    FROM s ORDER BY doc_id
+    """,
+)
+def q95_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering in the fasttext-classifier shape
+    (the CCNet/LLaMA-pipeline step): hashed word-bigram features → a
+    deterministic linear weight table → per-doc logit and keep/drop.
+    Exact BIGINT arithmetic end to end (ppm integer division instead
+    of a float mean), so the oracle is bit-for-bit; a production
+    deployment swaps the weight expression for a broadcast trained
+    table — same narrow, shuffle-free plan. See
+    operators/text.py::quality_classifier_score."""
+    from ..operators.text import quality_classifier_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", quality_classifier_score("text").alias("q"))
+        .select("doc_id", "q.*")
+        .orderBy("doc_id")
+    )

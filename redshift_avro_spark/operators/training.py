@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "chunk_documents",
     "uniform_hash",
     "hash_sample",
     "stratified_sample",
@@ -177,4 +178,52 @@ def pack_sequences(
     before = (cum - F.col(token_col)).cast("double")
     return df.withColumn(
         seq_col, F.floor(before / F.lit(float(budget))).cast("long")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step
+    for RAG indexing / long-doc training: each document becomes
+    overlapping word-window chunks with stable (doc, chunk_index)
+    identity.
+
+    Chunk k covers words [k·(window−overlap), …) for up to ``window``
+    words; chunks are emitted while their start is inside the document,
+    so the final chunk may be shorter (and, per standard sliding
+    semantics, a short tail can be contained in its predecessor —
+    deterministic either way). Empty documents yield no chunks.
+
+    Pure Catalyst fan-out (transform + posexplode — U4's one-cell→N
+    shape applied to text): a narrow map stage, no shuffle; chunk
+    identity is positional, so the operation is reproducible under
+    retries and re-partitioning at any scale."""
+    if overlap >= window:
+        raise ValueError("chunk_documents: overlap must be < window")
+    stride = window - overlap
+    words = f"split(trim(lower({text_col})), '\\\\s+')"
+    n = f"size({words})"
+    chunks = (
+        f"CASE WHEN {n} > 0 AND trim({text_col}) != '' THEN "
+        f"transform(sequence(0, CAST(ceil({n} / {stride}.0) AS INT) - 1), "
+        f"k -> named_struct("
+        f"'start_word', k * {stride}, "
+        f"'n_words', least({window}, {n} - k * {stride}), "
+        f"'chunk_text', array_join(slice({words}, k * {stride} + 1, {window}), ' '))) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<start_word INT, n_words INT, chunk_text STRING>>) END"
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(chunks)).alias("chunk_index", "c"),
+    ).select(
+        id_col,
+        F.col("chunk_index").cast("int").alias("chunk_index"),
+        F.col("c.start_word").cast("int").alias("start_word"),
+        F.col("c.n_words").cast("int").alias("n_words"),
+        F.col("c.chunk_text").alias("chunk_text"),
     )

@@ -607,6 +607,62 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.join(s, "vec_id").orderBy("vec_id")
 
 
+# ---------------------------------------------------------------- q97
+# q68 + q96: per-document passage handling — corpus-wide repeated-
+# passage dedup joined with the sliding-window chunk fan-out
+# (re-aggregated to count + digest so both align on doc_id).
+
+
+@register(
+    "q97_passage_suite",
+    members=("q68_passage_dedup", "q96_doc_chunking"),
+    oracle=f"""
+    SELECT p.doc_id, p.cleaned_text, p.n_chunks, p.n_dropped,
+           CAST(COALESCE(c.n_windows, 0) AS BIGINT) AS n_windows,
+           c.windows_digest
+    FROM {_sub('q68_passage_dedup')} p
+    LEFT JOIN (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+             md5(string_agg(chunk_text, '|' ORDER BY chunk_index)) AS windows_digest
+      FROM {_sub('q96_doc_chunking')} GROUP BY doc_id
+    ) c USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q97_passage_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document passage handling: C4-style repeated-passage dedup
+    (q68) ⋈ sliding-window chunking (q96, re-aggregated to window
+    count + an order-sensitive digest over the chunk texts — the whole
+    fan-out is hashed, so any chunk-boundary drift fails the row).
+    Left join: documents with no chunkable words keep null digests."""
+    p = _run("q68_passage_dedup", spark, sf_dir)
+    c = (
+        _run("q96_doc_chunking", spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.md5(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list(struct(chunk_index, chunk_text))),"
+                    " x -> x.chunk_text), '|')"
+                )
+            ).alias("windows_digest"),
+        )
+    )
+    return (
+        p.join(c, "doc_id", "left")
+        .select(
+            "doc_id",
+            "cleaned_text",
+            "n_chunks",
+            "n_dropped",
+            F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+            "windows_digest",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------- q92
 # q16 + q55: the JSON/SUPER suite — per-path string extraction (high
 # keys) and variant single-parse bucketing (low keys), label-tagged.

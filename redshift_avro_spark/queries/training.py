@@ -263,3 +263,45 @@ def q62_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_CHUNK_W = 64
+_CHUNK_OV = 16
+_CHUNK_ST = _CHUNK_W - _CHUNK_OV
+
+
+@register(
+    "q96_doc_chunking",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws,
+             trim(text) AS t
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0 AND t != ''
+    )
+    SELECT doc_id,
+           CAST(k AS INTEGER) AS chunk_index,
+           CAST(k * {_CHUNK_ST} AS INTEGER) AS start_word,
+           CAST(least({_CHUNK_W}, n - k * {_CHUNK_ST}) AS INTEGER) AS n_words,
+           array_to_string(list_slice(ws, k * {_CHUNK_ST} + 1,
+                                      k * {_CHUNK_ST} + {_CHUNK_W}), ' ') AS chunk_text
+    FROM e,
+         unnest(generate_series(0, CAST(ceil(n / {_CHUNK_ST}.0) AS BIGINT) - 1)) AS t(k)
+    ORDER BY doc_id, chunk_index
+    """,
+)
+def q96_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking of every document (64-word windows,
+    16-word overlap): the RAG-indexing / long-document prep fan-out,
+    with stable positional chunk identity. One narrow map, no shuffle;
+    the oracle replicates the window arithmetic with 1-based inclusive
+    list_slice vs Spark's (start, length) slice. See
+    operators/training.py::chunk_documents."""
+    from ..operators.training import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "doc_id", "text", window=_CHUNK_W, overlap=_CHUNK_OV
+    ).orderBy("doc_id", "chunk_index")

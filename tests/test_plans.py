@@ -150,3 +150,31 @@ def test_passage_dedup_no_window_sort(spark):
 
     df = REGISTRY["q68_passage_dedup"].fn(spark, SF_SMOKE)
     assert "Window" not in explain_str(df, "simple")
+
+
+def test_quality_classifier_is_map_only(spark):
+    # q95 (hashed-bigram linear scorer) must be a narrow projection:
+    # nothing but the final ORDER BY may shuffle — at 100 TB this is a
+    # pure scan-speed pass like q66.
+    df = REGISTRY["q95_quality_classifier"].fn(spark, SF_SMOKE)
+    assert shuffle_count(df) <= 1
+
+
+def test_doc_chunking_is_narrow_fanout(spark):
+    # q96 (sliding-window chunking) is posexplode fan-out with no
+    # shuffle beyond the final ORDER BY; no Window node anywhere.
+    from redshift_avro_spark.plans import explain_str
+
+    df = REGISTRY["q96_doc_chunking"].fn(spark, SF_SMOKE)
+    assert shuffle_count(df) <= 1
+    assert "Window" not in explain_str(df, "simple")
+
+
+def test_semantic_dedup_pairs_join_on_cell(spark):
+    # q94's quadratic near-dup scan must be bounded per k-means cell:
+    # the pair generation joins on cid, never a corpus-wide cartesian.
+    from redshift_avro_spark.plans import explain_str
+
+    df = REGISTRY["q94_semantic_dedup"].fn(spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, "pairs must join on the cell key"

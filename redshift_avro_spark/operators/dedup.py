@@ -143,8 +143,11 @@ def minhash_band_keys_df(
     with a repartition first: a single small input file would otherwise
     evaluate the whole md5 workload on one core, and the staging keeps
     each array materialized once per row instead of re-derived inside
-    every lane's lambda."""
-    n_part = df.sparkSession.sparkContext.defaultParallelism * 2
+    every lane's lambda. cores/2 measured best at sf0.1 (cores×2's
+    ~80-doc tasks under-amortize task overhead: 0.42 s vs 0.36 s for
+    the signature stage); with real multi-split input the exchange is
+    absorbed by the band-key shuffle that follows anyway."""
+    n_part = max(2, df.sparkSession.sparkContext.defaultParallelism // 2)
     words = _words("__text")
     shingles = (
         f"transform(sequence(1, size(__w) - {shingle_k - 1}), "

@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 72 operator demonstrations. Rather
+names), but the registry carries 96 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–4 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-72 still registered) keep guarding it. A composite can only pass if
+96 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -170,7 +170,7 @@ def q80_tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q81_grouping_suite",
-    members=("q09_rollup", "q10_cube", "q53_grouping_sets"),
+    members=("q09_rollup", "q10_cube", "q53_grouping_sets", "q99_pivot_revenue"),
     oracle=f"""
     SELECT 'rollup_customer' AS src, region AS k1, nation AS k2,
            CAST(NULL AS INTEGER) AS g1, CAST(NULL AS INTEGER) AS g2,
@@ -185,12 +185,24 @@ def q80_tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'gsets_lineitem' AS src, l_returnflag AS k1, l_linestatus AS k2,
            flag_grp AS g1, status_grp AS g2, n, sum_qty AS val
     FROM {_sub('q53_grouping_sets')}
+    UNION ALL
+    SELECT 'pivot_revenue' AS src, nation AS k1, pr AS k2,
+           CAST(NULL AS INTEGER) AS g1, CAST(NULL AS INTEGER) AS g2,
+           n_orders AS n,
+           CASE pr WHEN '1-URGENT' THEN p1_urgent WHEN '2-HIGH' THEN p2_high
+                   WHEN '3-MEDIUM' THEN p3_medium WHEN '4-NOT SPECIFIED' THEN p4_not_specified
+                   ELSE p5_low END AS val
+    FROM {_sub('q99_pivot_revenue')}
+    CROSS JOIN (VALUES ('1-URGENT'), ('2-HIGH'), ('3-MEDIUM'),
+                       ('4-NOT SPECIFIED'), ('5-LOW')) AS prs(pr)
     ORDER BY src, g1 NULLS FIRST, g2 NULLS FIRST, k1 NULLS FIRST, k2 NULLS FIRST
     """,
 )
 def q81_grouping_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouping-sets suite: ROLLUP over a dim join (q09), CUBE (q10)
-    and explicit GROUPING SETS with GROUPING() flags (q53), label-tagged
+    """Grouping-sets suite: ROLLUP over a dim join (q09), CUBE (q10),
+    explicit GROUPING SETS with GROUPING() flags (q53), and the PIVOT
+    crosstab (q99) unpivoted back to rows via ``stack`` — so the
+    composite also exercises the melt/unpivot operator — label-tagged
     and unioned on one aligned schema. Each member stays a single
     Expand + one shuffle."""
     a = _run("q09_rollup", spark, sf_dir).select(
@@ -220,7 +232,25 @@ def q81_grouping_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n"),
         F.col("sum_qty").alias("val"),
     )
-    return a.unionByName(b).unionByName(c).orderBy(
+    d = (
+        _run("q99_pivot_revenue", spark, sf_dir)
+        .selectExpr(
+            "nation",
+            "n_orders",
+            "stack(5, '1-URGENT', p1_urgent, '2-HIGH', p2_high, '3-MEDIUM', p3_medium,"
+            " '4-NOT SPECIFIED', p4_not_specified, '5-LOW', p5_low) AS (k2, val)",
+        )
+        .select(
+            F.lit("pivot_revenue").alias("src"),
+            F.col("nation").alias("k1"),
+            F.col("k2"),
+            F.lit(None).cast("int").alias("g1"),
+            F.lit(None).cast("int").alias("g2"),
+            F.col("n_orders").alias("n"),
+            F.col("val"),
+        )
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).orderBy(
         "src",
         F.asc_nulls_first("g1"),
         F.asc_nulls_first("g2"),
@@ -495,23 +525,27 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q89_scrub_metrics_suite",
-    members=("q65_decontamination", "q67_repetition_filter"),
+    members=("q65_decontamination", "q67_repetition_filter", "q100_lm_familiarity"),
     oracle=f"""
     SELECT r.doc_id, r.n_grams, r.dup_gram_fraction, r.top_gram_share,
            (r.doc_id % 97 = 0) AS is_benchmark,
-           CAST(COALESCE(d.n_hit_grams, 0) AS BIGINT) AS n_hit_grams
+           CAST(COALESCE(d.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+           l.n_bigrams, l.n_known, l.fam_sum, l.known_ppm, l.lm_keep
     FROM {_sub('q67_repetition_filter')} r
     LEFT JOIN {_sub('q65_decontamination')} d USING (doc_id)
+    JOIN {_sub('q100_lm_familiarity')} l USING (doc_id)
     ORDER BY doc_id
     """,
 )
 def q89_scrub_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document scrub metrics: Gopher-style repetition signals for
     every document (q67) with benchmark-decontamination gram hits
-    (q65) attached; the held-out benchmark slice is flagged. Co-keyed
-    left join on doc_id."""
+    (q65) attached and the corpus-trained bigram-LM familiarity score
+    (q100 — the CCNet-shape model filter) joined on; the held-out
+    benchmark slice is flagged. Co-keyed joins on doc_id."""
     r = _run("q67_repetition_filter", spark, sf_dir)
     d = _run("q65_decontamination", spark, sf_dir)
+    l = _run("q100_lm_familiarity", spark, sf_dir)
     return (
         r.join(d, "doc_id", "left")
         .select(
@@ -522,6 +556,7 @@ def q89_scrub_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % 97 == 0).alias("is_benchmark"),
             F.coalesce("n_hit_grams", F.lit(0)).cast("bigint").alias("n_hit_grams"),
         )
+        .join(l, "doc_id")
         .orderBy("doc_id")
     )
 
@@ -533,26 +568,80 @@ def q89_scrub_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q90_timeseries_suite",
-    members=("q73_asof_join", "q74_trailing_window_counts"),
+    members=(
+        "q73_asof_join",
+        "q74_trailing_window_counts",
+        "q98_range_join",
+        "q101_hypertable_rollup",
+    ),
     oracle=f"""
-    SELECT t.event_id, t.user_id, t.ts, t.n_prev_10m,
-           a.ts_asof, a.event_id_asof, a.value_asof
+    SELECT 'event' AS kind, t.event_id AS k1, t.user_id AS x1,
+           a.event_id_asof AS x2, t.ts AS t1, a.ts_asof AS t2,
+           t.n_prev_10m AS n, a.value_asof AS val
     FROM {_sub('q74_trailing_window_counts')} t
     LEFT JOIN (SELECT event_id, ts_asof, event_id_asof, value_asof
                FROM {_sub('q73_asof_join')}) a USING (event_id)
-    ORDER BY t.event_id
+    UNION ALL
+    SELECT 'incident' AS kind, incident_id AS k1, CAST(NULL AS BIGINT) AS x1,
+           CAST(NULL AS BIGINT) AS x2, start_ts AS t1, end_ts AS t2,
+           n_clicks AS n, click_value AS val
+    FROM {_sub('q98_range_join')}
+    UNION ALL
+    SELECT concat('rollup_', resolution) AS kind, CAST(NULL AS BIGINT) AS k1,
+           CAST(NULL AS BIGINT) AS x1, CAST(NULL AS BIGINT) AS x2,
+           w_start AS t1, CAST(NULL AS TIMESTAMP) AS t2, n, total AS val
+    FROM {_sub('q101_hypertable_rollup')}
+    ORDER BY kind, k1 NULLS FIRST, t1
     """,
 )
 def q90_timeseries_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series suite: trailing 10-minute burst counts for every
-    event (q74) with the as-of signup enrichment (q73) left-joined onto
-    the error rows (NULLs elsewhere). Both members shuffle once on
-    user_id; the composition joins on the unique event_id."""
+    """Time-series suite on one tagged schema: per-event trailing
+    10-minute burst counts (q74) with the as-of signup enrichment
+    (q73) left-joined on ('event' rows); the bucketed interval-overlap
+    range join of clicks into incident windows (q98, 'incident' rows);
+    and the minute/hour/day hypertable rollup (q101, 'rollup_*' rows).
+    q73/q74 shuffle once on user_id and join on the unique event_id;
+    q98 shuffles on the uniform time-bucket key; q101 on the minute
+    bucket — no composition-added shuffles beyond the union."""
     t = _run("q74_trailing_window_counts", spark, sf_dir)
     a = _run("q73_asof_join", spark, sf_dir).select(
         "event_id", "ts_asof", "event_id_asof", "value_asof"
     )
-    return t.join(a, "event_id", "left").orderBy("event_id")
+    ev = t.join(a, "event_id", "left").select(
+        F.lit("event").alias("kind"),
+        F.col("event_id").alias("k1"),
+        F.col("user_id").alias("x1"),
+        F.col("event_id_asof").alias("x2"),
+        F.col("ts").alias("t1"),
+        F.col("ts_asof").alias("t2"),
+        F.col("n_prev_10m").alias("n"),
+        F.col("value_asof").alias("val"),
+    )
+    inc = _run("q98_range_join", spark, sf_dir).select(
+        F.lit("incident").alias("kind"),
+        F.col("incident_id").alias("k1"),
+        F.lit(None).cast("bigint").alias("x1"),
+        F.lit(None).cast("bigint").alias("x2"),
+        F.col("start_ts").alias("t1"),
+        F.col("end_ts").alias("t2"),
+        F.col("n_clicks").alias("n"),
+        F.col("click_value").alias("val"),
+    )
+    ro = _run("q101_hypertable_rollup", spark, sf_dir).select(
+        F.concat(F.lit("rollup_"), F.col("resolution")).alias("kind"),
+        F.lit(None).cast("bigint").alias("k1"),
+        F.lit(None).cast("bigint").alias("x1"),
+        F.lit(None).cast("bigint").alias("x2"),
+        F.col("w_start").alias("t1"),
+        F.lit(None).cast("timestamp").alias("t2"),
+        F.col("n"),
+        F.col("total").alias("val"),
+    )
+    return (
+        ev.unionByName(inc)
+        .unionByName(ro)
+        .orderBy("kind", F.asc_nulls_first("k1"), "t1")
+    )
 
 
 # ---------------------------------------------------------------- q91

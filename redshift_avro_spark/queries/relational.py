@@ -999,3 +999,74 @@ def q48_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("w_start"), "event_type", "n", "total")
         .orderBy("w_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q99: PIVOT — wide aggregation (one column per pivot value)
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = (
+    ("1-URGENT", "p1_urgent"),
+    ("2-HIGH", "p2_high"),
+    ("3-MEDIUM", "p3_medium"),
+    ("4-NOT SPECIFIED", "p4_not_specified"),
+    ("5-LOW", "p5_low"),
+)
+
+
+@register(
+    "q99_pivot_revenue",
+    oracle=f"""
+    SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {", ".join(
+               "CAST(COALESCE(SUM(CASE WHEN o.o_orderpriority = '" + p + "' "
+               "THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS " + a
+               for p, a in _PRIORITIES
+           )}
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def q99_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order revenue per nation spread across one column per
+    order priority (the BI crosstab shape — SURVEY §2.6 delegates it
+    to Redshift SQL; Spark has a native relational pivot, DuckDB's
+    oracle is the equivalent conditional aggregation).
+
+    The pivot values are ENUMERATED (`pivot(col, values)`) — the
+    two-pass form without values runs a driver-side distinct scan
+    first; with them the plan is a single partial+final hash
+    aggregation producing the cell columns, exactly like q01. The
+    row-total n_orders is NOT a second aggregation over the corpus:
+    each priority is pivoted with (sum, count) and the total is the
+    row-wise sum of the count cells — one scan, one shuffle on the
+    25-value nation key after broadcast dim joins. Decimal-cast sums
+    keep cells order-independent; empty cells coalesce to 0."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    joined = (
+        o.select("o_custkey", "o_orderpriority", F.col("o_totalprice").cast(DEC).alias("rev"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), "o_orderpriority", "rev")
+    )
+    pivoted = (
+        joined.groupBy("nation")
+        .pivot("o_orderpriority", [p for p, _ in _PRIORITIES])
+        .agg(F.sum("rev").alias("rev"), F.count(F.lit(1)).alias("cnt"))
+    )
+    n_orders = sum(
+        (F.coalesce(F.col(f"`{p}_cnt`"), F.lit(0)) for p, _ in _PRIORITIES), F.lit(0)
+    )
+    return pivoted.select(
+        "nation",
+        n_orders.cast("long").alias("n_orders"),
+        *[
+            F.coalesce(F.col(f"`{p}_rev`"), F.lit(0).cast(DEC)).cast("double").alias(a)
+            for p, a in _PRIORITIES
+        ],
+    ).orderBy("nation")

@@ -230,3 +230,102 @@ def q95_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "q.*")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q100_lm_familiarity",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_WORDS} AS ws FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(ws) >= 2 THEN list_transform(generate_series(1, len(ws)-1),
+               i -> concat(ws[i], ' ', ws[i+1])) ELSE CAST([] AS VARCHAR[]) END) AS bg
+      FROM w
+    ),
+    model AS (
+      SELECT bg, CAST(count(*) AS BIGINT) AS cnt
+      FROM b GROUP BY bg ORDER BY cnt DESC, bg LIMIT 256
+    ),
+    sc AS (
+      SELECT d.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(count(m.cnt) AS BIGINT) AS n_known,
+             CAST(coalesce(sum(m.cnt), 0) AS BIGINT) AS fam_sum
+      FROM b d LEFT JOIN model m USING (bg) GROUP BY d.doc_id
+    )
+    SELECT doc_id,
+           CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(n_known, 0) AS BIGINT) AS n_known,
+           CAST(coalesce(fam_sum, 0) AS BIGINT) AS fam_sum,
+           CAST(CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0
+                ELSE n_known * 1000000 // n_bigrams END AS BIGINT) AS known_ppm,
+           coalesce(n_known * 1000000 // n_bigrams >= 350000, FALSE) AS lm_keep
+    FROM documents LEFT JOIN sc USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q100_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained LM familiarity filter (the CCNet shape: score
+    each document against an n-gram language model and drop the
+    out-of-distribution tail) — here a word-bigram unigram-count model
+    TRAINED ON THE CORPUS ITSELF in the same job, truncated to the
+    top-256 bigrams by (count DESC, bigram) — a unique sort key, so
+    the vocabulary cutoff is deterministic in both engines.
+
+    Exact BIGINT arithmetic end to end (known-bigram ppm, not a float
+    log-perplexity — same trade as q95): n_bigrams / n_known /
+    fam_sum (sum of corpus counts of the doc's known bigrams) and
+    keep = known_ppm ≥ 350000.
+
+    Scale shape: train = one explode + one uniform-key agg + a top-V
+    TakeOrdered (V rows to the driver, V=256); score = the SAME
+    exploded bigrams joined to the BROADCAST model (no shuffle), then
+    one agg back on doc_id. At 100 TB the model table is the only
+    state that moves — swap the self-trained CTE for a pre-trained
+    table (e.g. Wikipedia counts) and the score path is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w)-2),"
+        " i -> concat(w[i], ' ', w[i+1])) ELSE CAST(array() AS array<string>) END"
+    )
+    bg = (
+        docs.select("doc_id", F.expr("split(trim(lower(text)), '\\\\s+')").alias("w"))
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+    )
+    model = (
+        bg.groupBy("bg")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bg"))
+        .limit(256)
+    )
+    sc = (
+        bg.join(F.broadcast(model), "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.count("cnt").cast("long").alias("n_known"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("fam_sum"),
+        )
+    )
+    known_ppm = F.when(
+        F.coalesce(F.col("n_bigrams"), F.lit(0)) == 0, F.lit(0)
+    ).otherwise(F.floor(F.col("n_known") * F.lit(1_000_000) / F.col("n_bigrams")))
+    return (
+        docs.select("doc_id")
+        .join(sc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("n_known", F.lit(0)).cast("long").alias("n_known"),
+            F.coalesce("fam_sum", F.lit(0)).cast("long").alias("fam_sum"),
+            known_ppm.cast("long").alias("known_ppm"),
+            F.coalesce(
+                F.floor(F.col("n_known") * F.lit(1_000_000) / F.col("n_bigrams"))
+                >= F.lit(350_000),
+                F.lit(False),
+            ).alias("lm_keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 96 operator demonstrations. Rather
+names), but the registry carries 99 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–4 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-96 still registered) keep guarding it. A composite can only pass if
+99 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -651,22 +651,59 @@ def q90_timeseries_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q91_sketch_suite",
-    members=("q75_count_min_sketch", "q77_bloom_filter"),
+    members=("q75_count_min_sketch", "q77_bloom_filter", "q104_hyperloglog"),
     oracle=f"""
-    SELECT b.user_id, b.is_member, b.bloom_positive, c.exact_n, c.cms_estimate
+    SELECT 'user' AS kind, CAST(NULL AS VARCHAR) AS k_str, b.user_id AS k_num,
+           CAST(b.is_member AS INTEGER) AS flag1, CAST(b.bloom_positive AS INTEGER) AS flag2,
+           c.exact_n AS n1, c.cms_estimate AS n2, CAST(NULL AS BIGINT) AS n3,
+           CAST(NULL AS BIGINT) AS n4, CAST(NULL AS VARCHAR) AS s
     FROM {_sub('q77_bloom_filter')} b
     LEFT JOIN {_sub('q75_count_min_sketch')} c USING (user_id)
-    ORDER BY b.user_id
+    UNION ALL
+    SELECT 'hll' AS kind, o_orderpriority AS k_str, CAST(NULL AS BIGINT) AS k_num,
+           CAST(NULL AS INTEGER) AS flag1, CAST(NULL AS INTEGER) AS flag2,
+           n_exact AS n1, hll_floor AS n2, n_registers AS n3,
+           err_ppm AS n4, reg_digest AS s
+    FROM {_sub('q104_hyperloglog')}
+    ORDER BY kind, k_str NULLS FIRST, k_num NULLS FIRST
     """,
 )
 def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch suite: Bloom-filter membership for every distinct user
-    (q77, false positives included by design) with count-min-sketch
-    heavy-hitter estimates (q75) attached to the top-20 rows. Both
-    sketches are fixed-size mergeable state; the join key is user_id."""
+    """Sketch suite on one tagged schema: Bloom-filter membership for
+    every distinct user (q77, false positives included by design) with
+    count-min-sketch heavy-hitter estimates (q75) attached ('user'
+    rows), plus the bit-exact HyperLogLog distinct-customer estimates
+    with their register-state digests (q104, 'hll' rows). All three
+    sketches are fixed-size mergeable state."""
     b = _run("q77_bloom_filter", spark, sf_dir)
     c = _run("q75_count_min_sketch", spark, sf_dir)
-    return b.join(c, "user_id", "left").orderBy("user_id")
+    u = b.join(c, "user_id", "left").select(
+        F.lit("user").alias("kind"),
+        F.lit(None).cast("string").alias("k_str"),
+        F.col("user_id").alias("k_num"),
+        F.col("is_member").cast("int").alias("flag1"),
+        F.col("bloom_positive").cast("int").alias("flag2"),
+        F.col("exact_n").alias("n1"),
+        F.col("cms_estimate").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+        F.lit(None).cast("bigint").alias("n4"),
+        F.lit(None).cast("string").alias("s"),
+    )
+    h = _run("q104_hyperloglog", spark, sf_dir).select(
+        F.lit("hll").alias("kind"),
+        F.col("o_orderpriority").alias("k_str"),
+        F.lit(None).cast("bigint").alias("k_num"),
+        F.lit(None).cast("int").alias("flag1"),
+        F.lit(None).cast("int").alias("flag2"),
+        F.col("n_exact").alias("n1"),
+        F.col("hll_floor").alias("n2"),
+        F.col("n_registers").alias("n3"),
+        F.col("err_ppm").alias("n4"),
+        F.col("reg_digest").alias("s"),
+    )
+    return u.unionByName(h).orderBy(
+        "kind", F.asc_nulls_first("k_str"), F.asc_nulls_first("k_num")
+    )
 
 
 # ---------------------------------------------------------------- q93
@@ -793,3 +830,46 @@ def q92_super_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
     )
     return a.unionByName(b).orderBy("src", "event_type", F.asc_nulls_first("k_bucket"))
+
+
+# ---------------------------------------------------------------- q103
+# q63 + q102: the iterative-graph suite — connected-component dedup
+# clusters and PageRank influence, tagged on one aligned schema.
+
+
+@register(
+    "q103_graph_suite",
+    members=("q63_dedup_clusters", "q102_pagerank"),
+    oracle=f"""
+    SELECT 'components' AS src, doc_id AS k1, component_id AS k2,
+           cluster_size AS n, is_keeper AS flag
+    FROM {_sub('q63_dedup_clusters')}
+    UNION ALL
+    SELECT 'pagerank' AS src, node_id AS k1, outdeg AS k2,
+           rank_fp AS n, is_supplier AS flag
+    FROM {_sub('q102_pagerank')}
+    ORDER BY src, k1
+    """,
+)
+def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative-graph suite: min-label-propagation connected
+    components over the verified near-dup edge set (q63 — fixpoint
+    label flooding) and fixed-point PageRank over the customer–
+    supplier trade graph (q102 — fixed-round value propagation),
+    tagged and unioned. The two canonical iterative dataflow shapes,
+    each O(E) per round with per-round lineage cuts."""
+    a = _run("q63_dedup_clusters", spark, sf_dir).select(
+        F.lit("components").alias("src"),
+        F.col("doc_id").alias("k1"),
+        F.col("component_id").alias("k2"),
+        F.col("cluster_size").alias("n"),
+        F.col("is_keeper").alias("flag"),
+    )
+    b = _run("q102_pagerank", spark, sf_dir).select(
+        F.lit("pagerank").alias("src"),
+        F.col("node_id").alias("k1"),
+        F.col("outdeg").alias("k2"),
+        F.col("rank_fp").alias("n"),
+        F.col("is_supplier").alias("flag"),
+    )
+    return a.unionByName(b).orderBy("src", "k1")

@@ -195,3 +195,118 @@ def q77_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_HLL_M = 256          # registers (2^8)
+_HLL_RHO_CAP = 40     # cap leading-zero rank so Σ 2^-M stays a dyadic
+                      # rational on ≤ 48 mantissa bits → the double sum
+                      # is EXACT and order-independent in both engines
+_HLL_ALPHA_M2 = "47072.71267120224"  # repr(0.7213/(1+1.079/256)*256*256)
+
+# 60-bit hash from 15 md5 hex chars; low 8 bits pick the register, the
+# remaining 52 feed the leading-zero rank
+_HLL_DUCK_H = "CAST(concat('0x', substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT)"
+_HLL_SPARK_H = "CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+
+
+@register(
+    "q104_hyperloglog",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT o_orderpriority, {_HLL_DUCK_H} AS h FROM orders
+    ),
+    regs AS (
+      SELECT o_orderpriority, h % {_HLL_M} AS idx,
+             MAX(CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_RHO_CAP}
+                 ELSE LEAST(instr(lpad(bin(h // {_HLL_M}), 52, '0'), '1'), {_HLL_RHO_CAP})
+                 END) AS m
+      FROM hashed GROUP BY o_orderpriority, h % {_HLL_M}
+    ),
+    per_group AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_registers,
+             SUM(pow(2.0, -m)) AS s_present,
+             md5(string_agg(concat(CAST(idx AS VARCHAR), ':', CAST(m AS VARCHAR)), ','
+                 ORDER BY idx)) AS reg_digest
+      FROM regs GROUP BY o_orderpriority
+    ),
+    exact AS (
+      SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT p.o_orderpriority, e.n_exact, p.n_registers,
+           CAST(floor(CAST('{_HLL_ALPHA_M2}' AS DOUBLE)
+                / (({_HLL_M} - p.n_registers) + p.s_present)) AS BIGINT) AS hll_floor,
+           CAST((CAST(floor(CAST('{_HLL_ALPHA_M2}' AS DOUBLE)
+                / (({_HLL_M} - p.n_registers) + p.s_present)) AS BIGINT) - e.n_exact)
+                * 1000000 // e.n_exact AS BIGINT) AS err_ppm,
+           p.reg_digest
+    FROM per_group p JOIN exact e USING (o_orderpriority)
+    ORDER BY o_orderpriority
+    """,
+)
+def q104_hyperloglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-customer estimates per order priority —
+    the third mergeable sketch (CMS counts q75, Bloom membership q77,
+    HLL cardinality here), built so the FLOAT estimate is bit-exact
+    across engines: register ranks are capped at {_HLL_RHO_CAP} so
+    every 2^-M term and every partial sum is a dyadic rational on
+    ≤ 48 mantissa bits — double addition is then EXACT and
+    order-independent, and the single α·m²/S division is one IEEE op
+    on identical inputs. The register table itself is also digested
+    (md5 over idx:rank pairs) so the oracle pins the sketch STATE,
+    not just the estimate.
+
+    Scale shape: state is ≤ {_HLL_M} registers per group regardless of
+    corpus size, built by one map-side-combining MAX aggregation —
+    the same property that makes HLL a streaming/rollup-mergeable
+    aggregate (register-wise MAX). Production small-range correction
+    (linear counting) needs ln(), which is libm-dependent and would
+    break the cross-engine hash — documented trade, same reason q56
+    uses a log-free idf."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    hashed = o.select("o_orderpriority", F.expr(_HLL_SPARK_H).alias("h"))
+    regs = (
+        hashed.groupBy("o_orderpriority", (F.col("h") % _HLL_M).alias("idx"))
+        .agg(
+            F.max(
+                F.expr(
+                    f"CASE WHEN h div {_HLL_M} = 0 THEN {_HLL_RHO_CAP} "
+                    f"ELSE LEAST(instr(lpad(bin(h div {_HLL_M}), 52, '0'), '1'), {_HLL_RHO_CAP}) END"
+                )
+            ).alias("m")
+        )
+    )
+    per_group = regs.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s_present"),
+        F.md5(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(idx, m))),"
+                " x -> concat(CAST(x.idx AS STRING), ':', CAST(x.m AS STRING))), ',')"
+            )
+        ).alias("reg_digest"),
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_exact")
+    )
+    est = F.floor(
+        F.expr(f"CAST('{_HLL_ALPHA_M2}' AS DOUBLE)")
+        / ((F.lit(_HLL_M) - F.col("n_registers")) + F.col("s_present"))
+    ).cast("long")
+    return (
+        per_group.join(exact, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_exact",
+            "n_registers",
+            est.alias("hll_floor"),
+            F.expr(
+                f"CAST((CAST(floor(CAST('{_HLL_ALPHA_M2}' AS DOUBLE)"
+                f" / (({_HLL_M} - n_registers) + s_present)) AS BIGINT) - n_exact)"
+                f" * 1000000 div n_exact AS BIGINT)"
+            ).alias("err_ppm"),
+            "reg_digest",
+        )
+        .orderBy("o_orderpriority")
+    )

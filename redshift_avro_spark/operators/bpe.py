@@ -1,0 +1,100 @@
+"""BPE vocabulary induction — byte-pair-encoding merge learning.
+
+The tokenizer-training step of an LLM data pipeline: repeatedly find
+the most frequent adjacent token pair in the corpus and fuse it into a
+new vocabulary symbol. Spark has nothing like it; the reference
+delegates all post-decode processing to SQL (README.md:13-17), where
+the iteration is inexpressible without engine-specific recursion — so
+the q105 oracle unrolls the rounds as CTEs instead.
+
+Determinism contract (what makes this oracle-checkable):
+
+- Tokens are 8-hex-char md5 prefixes of the whitespace words, wrapped
+  as ``[ab12cd34]`` — the bracket alphabet is disjoint from hex+'+',
+  so a merge pattern ``[x][y]`` can never match across token
+  boundaries or inside a token.
+- Pair selection orders by (count DESC, pattern ASC) — a unique key.
+- Merge application is literal leftmost non-overlapping string
+  ``replace`` — identical semantics in Spark (Java), DuckDB and
+  Python ``str.replace`` — proven by the adversarial unit tests.
+
+100 TB story: each round is one narrow re-tokenization + one
+uniform-key pair count + a 1-row TakeOrdered; the chosen pair rides
+back into the plan as a broadcast (no driver collect). Production BPE
+trainers iterate hundreds of rounds on a SAMPLED subset for exactly
+this reason — the per-round corpus pass is the cost driver, and the
+sample bound is a knob, not a redesign. The corpus is
+``localCheckpoint``-ed per round so the plan stays flat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# adjacent pairs of the CURRENT tokenization, as ready-to-replace
+# literal patterns '[x][y]'
+_PAIRS_EXPR = (
+    "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2),"
+    " i -> concat('[', t[i], '][', t[i+1], ']'))"
+    " ELSE CAST(array() AS array<string>) END"
+)
+_TOKENS_EXPR = "split(substring(s, 2, length(s) - 2), '\\\\]\\\\[')"
+
+
+def corpus_strings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, s) with s = bracket-wrapped md5-prefix token string."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(
+            f"concat('[', array_join(transform(split(trim(lower({text_col})), '\\\\s+'),"
+            f" x -> substring(md5(x), 1, 8)), ']['), ']')"
+        ).alias("s"),
+    ).where(F.expr(f"size(split(trim(lower({text_col})), '\\\\s+')) >= 1"))
+
+
+def learn_bpe_merges(
+    docs: DataFrame, *, id_col: str, text_col: str, rounds: int, checkpoint: bool = True
+) -> DataFrame:
+    """Learn ``rounds`` BPE merges; returns one row per round:
+    (merge_round, pattern, merged, pair_count, tokens_after)."""
+    if rounds < 1:
+        raise ValueError(f"learn_bpe_merges: rounds must be >= 1, got {rounds}")
+    for c in (id_col, text_col):
+        if c not in docs.columns:
+            raise ValueError(f"learn_bpe_merges: column {c!r} not in docs")
+
+    corpus = corpus_strings(docs, id_col, text_col)
+    if checkpoint:
+        corpus = corpus.localCheckpoint()
+    out = None
+    for k in range(1, rounds + 1):
+        pairs = (
+            corpus.select(F.expr(_TOKENS_EXPR).alias("t"))
+            .select(F.explode(F.expr(_PAIRS_EXPR)).alias("pattern"))
+            .groupBy("pattern")
+            .agg(F.count("*").cast("long").alias("pair_count"))
+        )
+        top = (
+            pairs.orderBy(F.desc("pair_count"), F.asc("pattern"))
+            .limit(1)
+            .select(
+                "pattern",
+                F.expr("replace(pattern, '][', '+')").alias("merged"),
+                "pair_count",
+            )
+        )
+        corpus = (
+            corpus.crossJoin(F.broadcast(top))
+            .select("doc_id", F.expr("replace(s, pattern, merged)").alias("s"))
+        )
+        if checkpoint:
+            corpus = corpus.localCheckpoint()
+        n_after = corpus.agg(
+            F.sum(F.expr(f"size({_TOKENS_EXPR})")).cast("long").alias("tokens_after")
+        )
+        row = top.crossJoin(F.broadcast(n_after)).select(
+            F.lit(k).alias("merge_round"), "pattern", "merged", "pair_count", "tokens_after"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 99 operator demonstrations. Rather
+names), but the registry carries 101 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–4 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-99 still registered) keep guarding it. A composite can only pass if
+101 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -873,3 +873,50 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_supplier").alias("flag"),
     )
     return a.unionByName(b).orderBy("src", "k1")
+
+
+# ---------------------------------------------------------------- q106
+# q56 + q105: the corpus-vocabulary suite — tf-idf term weighting and
+# learned BPE merges, tagged on one aligned schema.
+
+
+@register(
+    "q106_vocab_suite",
+    members=("q56_tfidf_terms", "q105_bpe_merges"),
+    oracle=f"""
+    SELECT 'tfidf' AS kind, lang AS k_str, term AS k_str2,
+           sum_tf AS n1, df AS n2, CAST(NULL AS BIGINT) AS n3, tfidf AS val
+    FROM {_sub('q56_tfidf_terms')}
+    UNION ALL
+    SELECT 'bpe' AS kind, pattern AS k_str, merged AS k_str2,
+           CAST(merge_round AS BIGINT) AS n1, pair_count AS n2,
+           tokens_after AS n3, CAST(NULL AS DOUBLE) AS val
+    FROM {_sub('q105_bpe_merges')}
+    ORDER BY kind, n1, k_str, k_str2
+    """,
+)
+def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vocabulary suite: tf-idf top terms per language (q56 —
+    the weighting view of the vocabulary) and the learned BPE merge
+    table (q105 — the tokenizer-training view), tagged and unioned.
+    The two passes an LLM pipeline runs over corpus vocabulary before
+    training, in one driver-verified result."""
+    a = _run("q56_tfidf_terms", spark, sf_dir).select(
+        F.lit("tfidf").alias("kind"),
+        F.col("lang").alias("k_str"),
+        F.col("term").alias("k_str2"),
+        F.col("sum_tf").alias("n1"),
+        F.col("df").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+        F.col("tfidf").alias("val"),
+    )
+    b = _run("q105_bpe_merges", spark, sf_dir).select(
+        F.lit("bpe").alias("kind"),
+        F.col("pattern").alias("k_str"),
+        F.col("merged").alias("k_str2"),
+        F.col("merge_round").cast("bigint").alias("n1"),
+        F.col("pair_count").alias("n2"),
+        F.col("tokens_after").alias("n3"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    return a.unionByName(b).orderBy("kind", "n1", "k_str", "k_str2")

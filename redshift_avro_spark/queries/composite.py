@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 101 operator demonstrations. Rather
+names), but the registry carries 102 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–4 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-101 still registered) keep guarding it. A composite can only pass if
+102 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -296,23 +296,31 @@ def q82_setops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q83_window_suite",
-    members=("q11_window_topk", "q12_window_running"),
+    members=("q11_window_topk", "q12_window_running", "q107_window_navigation"),
     oracle=f"""
-    SELECT a.o_custkey, a.o_orderkey, a.running_total, b.rn
+    SELECT a.o_custkey, a.o_orderkey, a.running_total, b.rn,
+           n.gap_days, n.next_orderkey, n.quartile, n.first_price, n.last_price
     FROM {_sub('q12_window_running')} a
     LEFT JOIN {_sub('q11_window_topk')} b
       ON a.o_custkey = b.o_custkey AND a.o_orderkey = b.o_orderkey
+    JOIN {_sub('q107_window_navigation')} n
+      ON a.o_custkey = n.o_custkey AND a.o_orderkey = n.o_orderkey
     ORDER BY a.o_custkey, a.o_orderkey
     """,
 )
 def q83_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window suite: per-customer running total (q12, every row) with
-    the top-3-by-price rank (q11) left-joined on; rn is NULL outside
-    the top 3. One shuffle on o_custkey per member, co-keyed join."""
+    the top-3-by-price rank (q11) left-joined on (rn NULL outside the
+    top 3) and the navigation functions — lag gap / lead key / ntile
+    quartile / first+last value frames (q107) — joined on the same
+    grain. One shuffle on o_custkey per member, co-keyed joins."""
     a = _run("q12_window_running", spark, sf_dir)
     b = _run("q11_window_topk", spark, sf_dir).select("o_custkey", "o_orderkey", "rn")
-    return a.join(b, ["o_custkey", "o_orderkey"], "left").orderBy(
-        "o_custkey", "o_orderkey"
+    n = _run("q107_window_navigation", spark, sf_dir)
+    return (
+        a.join(b, ["o_custkey", "o_orderkey"], "left")
+        .join(n, ["o_custkey", "o_orderkey"])
+        .orderBy("o_custkey", "o_orderkey")
     )
 
 

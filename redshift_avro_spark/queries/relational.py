@@ -1070,3 +1070,59 @@ def q99_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p, a in _PRIORITIES
         ],
     ).orderBy("nation")
+
+
+@register(
+    "q107_window_navigation",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           (epoch_us(o_orderdate)
+            - lag(epoch_us(o_orderdate)) OVER w) // 86400000000 AS gap_days,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           CAST(first_value(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS DOUBLE) AS first_price,
+           CAST(last_value(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS DOUBLE) AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q107_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation functions — the remaining window-taxonomy
+    row next to ranks (q11), running frames (q12) and RANGE frames
+    (q74): lag (inter-order gap in whole days, computed on exact
+    epoch-microsecond integers so the subtraction can't drift), lead
+    (next order key), ntile (price-history quartile) and
+    first_value/last_value over the full-partition frame.
+
+    All functions share ONE window spec (partition o_custkey, unique
+    order o_orderdate+o_orderkey), so the plan is a single shuffle +
+    single sort with per-row state — lead/lag buffer O(offset),
+    ntile needs the partition count (one extra pass over the sorted
+    run, no extra exchange)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    price = F.col("o_totalprice").cast(DEC)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.expr(
+                "CAST((unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                " - lag(unix_micros(CAST(o_orderdate AS TIMESTAMP)))"
+                " OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))"
+                " div 86400000000 AS BIGINT)"
+            ).alias("gap_days"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.first(price).over(wf).cast("double").alias("first_price"),
+            F.last(price).over(wf).cast("double").alias("last_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )

@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 102 operator demonstrations. Rather
+names), but the registry carries 103 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–4 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-102 still registered) keep guarding it. A composite can only pass if
+103 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -265,27 +265,55 @@ def q81_grouping_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q82_setops_suite",
-    members=("q13_set_ops", "q14_union_all_counts"),
+    members=("q13_set_ops", "q14_union_all_counts", "q108_full_outer_balance"),
     oracle=f"""
-    SELECT 'intersect_except' AS src, c_custkey AS k, CAST(NULL AS BIGINT) AS n
+    SELECT 'intersect_except' AS src, c_custkey AS k, CAST(NULL AS BIGINT) AS n,
+           CAST(NULL AS VARCHAR) AS s, CAST(NULL AS DOUBLE) AS val,
+           CAST(NULL AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS val2
     FROM {_sub('q13_set_ops')}
     UNION ALL
-    SELECT src, CAST(NULL AS BIGINT) AS k, n FROM {_sub('q14_union_all_counts')}
+    SELECT src, CAST(NULL AS BIGINT) AS k, n,
+           CAST(NULL AS VARCHAR) AS s, CAST(NULL AS DOUBLE) AS val,
+           CAST(NULL AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS val2
+    FROM {_sub('q14_union_all_counts')}
+    UNION ALL
+    SELECT 'full_outer' AS src, n_nationkey AS k, n_rich_customers AS n,
+           concat(side, ':', nation) AS s, cust_balance AS val,
+           n_suppliers AS n2, supp_balance AS val2
+    FROM {_sub('q108_full_outer_balance')}
     ORDER BY src, k NULLS FIRST
     """,
 )
 def q82_setops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set-operation suite: INTERSECT/EXCEPT composition rows (q13)
-    unioned with the UNION-ALL source counts (q14) under source tags."""
+    """Set-operation + join-taxonomy suite: INTERSECT/EXCEPT
+    composition rows (q13), the UNION-ALL source counts (q14) and the
+    FULL OUTER per-nation balance comparison (q108) under source
+    tags on one aligned schema."""
+    pad = lambda: [
+        F.lit(None).cast("string").alias("s"),
+        F.lit(None).cast("double").alias("val"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.lit(None).cast("double").alias("val2"),
+    ]
     a = _run("q13_set_ops", spark, sf_dir).select(
         F.lit("intersect_except").alias("src"),
         F.col("c_custkey").alias("k"),
         F.lit(None).cast("bigint").alias("n"),
+        *pad(),
     )
     b = _run("q14_union_all_counts", spark, sf_dir).select(
-        "src", F.lit(None).cast("bigint").alias("k"), "n"
+        "src", F.lit(None).cast("bigint").alias("k"), "n", *pad()
     )
-    return a.unionByName(b).orderBy("src", F.asc_nulls_first("k"))
+    c = _run("q108_full_outer_balance", spark, sf_dir).select(
+        F.lit("full_outer").alias("src"),
+        F.col("n_nationkey").alias("k"),
+        F.col("n_rich_customers").alias("n"),
+        F.concat(F.col("side"), F.lit(":"), F.col("nation")).alias("s"),
+        F.col("cust_balance").alias("val"),
+        F.col("n_suppliers").alias("n2"),
+        F.col("supp_balance").alias("val2"),
+    )
+    return a.unionByName(b).unionByName(c).orderBy("src", F.asc_nulls_first("k"))
 
 
 # ---------------------------------------------------------------- q83

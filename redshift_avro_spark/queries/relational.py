@@ -1126,3 +1126,84 @@ def q107_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "q108_full_outer_balance",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_rich_customers,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS cust_balance
+      FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey
+    ),
+    s AS (
+      SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS supp_balance
+      FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.nk, s.nk) AS n_nationkey, n.n_name AS nation,
+           CASE WHEN c.nk IS NULL THEN 'supplier_only'
+                WHEN s.nk IS NULL THEN 'customer_only' ELSE 'both' END AS side,
+           CAST(COALESCE(c.n_rich_customers, 0) AS BIGINT) AS n_rich_customers,
+           COALESCE(c.cust_balance, 0.0) AS cust_balance,
+           CAST(COALESCE(s.n_suppliers, 0) AS BIGINT) AS n_suppliers,
+           COALESCE(s.supp_balance, 0.0) AS supp_balance
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    JOIN nation n ON n.n_nationkey = COALESCE(c.nk, s.nk)
+    ORDER BY n_nationkey
+    """,
+)
+def q108_full_outer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the remaining join-taxonomy row next to
+    inner/broadcast (q03/q05), semi (q06), anti (q07), cross (q80),
+    as-of (q73) and range (q98): per-nation rich-customer aggregates
+    ⟗ well-funded-supplier aggregates, keeping nations present on
+    EITHER side (the thresholds make all three row kinds — both /
+    customer_only / supplier_only — non-empty at the gate SF).
+
+    Full outer cannot broadcast either side (both must produce
+    unmatched rows), so Spark plans a shuffle join on the key even
+    when one side is tiny — both aggregates shuffle once on the
+    uniform nationkey, the dim lookup joins on the coalesced key.
+    100 TB: same shape; pre-aggregated sides keep the outer join's
+    input at |keys|, not |rows|."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9900)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(
+            F.count("*").cast("long").alias("n_rich_customers"),
+            _dsum("c_acctbal").alias("cust_balance"),
+        )
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            _dsum("s_acctbal").alias("supp_balance"),
+        )
+    )
+    n = F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    return (
+        c.join(s, c.c_nk == s.s_nk, "full_outer")
+        .withColumn("n_nationkey", F.coalesce("c_nk", "s_nk"))
+        .withColumn(
+            "side",
+            F.when(F.col("c_nk").isNull(), "supplier_only")
+            .when(F.col("s_nk").isNull(), "customer_only")
+            .otherwise("both"),
+        )
+        .join(n, "n_nationkey")
+        .select(
+            "n_nationkey",
+            F.col("n_name").alias("nation"),
+            "side",
+            F.coalesce("n_rich_customers", F.lit(0)).cast("long").alias("n_rich_customers"),
+            F.coalesce("cust_balance", F.lit(0.0)).alias("cust_balance"),
+            F.coalesce("n_suppliers", F.lit(0)).cast("long").alias("n_suppliers"),
+            F.coalesce("supp_balance", F.lit(0.0)).alias("supp_balance"),
+        )
+        .orderBy("n_nationkey")
+    )

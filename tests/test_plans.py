@@ -178,3 +178,47 @@ def test_semantic_dedup_pairs_join_on_cell(spark):
     df = REGISTRY["q94_semantic_dedup"].fn(spark, SF_SMOKE)
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan, "pairs must join on the cell key"
+
+
+def test_range_join_no_nested_loop(spark):
+    # the whole point of q98: the non-equi BETWEEN join must compile to
+    # an equi-join on the time-bucket key, not a nested loop
+    from redshift_avro_spark.plans import explain_str
+
+    df = REGISTRY["q98_range_join"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pivot_single_aggregation_pass(spark):
+    # enumerated pivot values + count cells folded into the same agg:
+    # three table scans total (orders/customer/nation, once each) —
+    # a separate count aggregation would re-scan the join subtree
+    import re
+
+    from redshift_avro_spark.plans import explain_str
+
+    df = REGISTRY["q99_pivot_revenue"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3
+
+
+def test_hypertable_rollup_reuses_exchanges(spark):
+    # executed plan: ONE raw scan; hour reuses the minute exchange and
+    # day reuses hour's (AQE ReusedExchange)
+    df = REGISTRY["q101_hypertable_rollup"].fn(spark, SF_SMOKE)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+    assert final.count("Scan parquet") == 1
+    assert final.count("Reused") >= 2
+
+
+def test_full_outer_is_shuffle_join(spark):
+    # neither side of a full outer can broadcast; the dim lookup can
+    from redshift_avro_spark.plans import explain_str
+
+    df = REGISTRY["q108_full_outer_balance"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "FullOuter" in plan
+    assert "BroadcastHashJoin FullOuter" not in plan

@@ -1,0 +1,81 @@
+"""CDC merge (UPSERT/DELETE) — apply a change feed to a snapshot.
+
+The MERGE INTO shape every warehouse pipeline runs to maintain a
+mutable table from an append-only change stream. Spark's native MERGE
+needs a v2 catalog table (Delta/Iceberg); over plain columnar
+snapshots the operator is this composition: full-outer join the
+snapshot with the keyed change batch, drop deleted keys, and let
+non-null change values override snapshot values (partial updates:
+a NULL change column falls back to the snapshot).
+
+Why this is the 100 TB plan: the join is one shuffle on the uniform
+primary key — and in production the snapshot is bucketed/partitioned
+by that key, so only the change batch (the sliver) moves. The
+full-outer side-ness is required: inserts exist only in the change
+feed, kept rows only in the snapshot. Action provenance
+('kept'/'updated'/'inserted') is emitted per row so downstream
+incremental consumers (e.g. the q70 dedup-index maintainer) can react
+to exactly the changed sliver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    *,
+    key: str,
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Apply ``changes`` (columns: ``key``, ``op_col``, plus any subset
+    of ``base``'s value columns) to ``base``.
+
+    Rows whose ``op_col`` equals ``delete_op`` remove the key; every
+    other change row upserts — matched keys take the change's non-null
+    column values (MERGE WHEN MATCHED UPDATE), unmatched keys insert
+    (WHEN NOT MATCHED INSERT). Returns ``base``'s schema plus an
+    ``action`` column ('kept' | 'updated' | 'inserted').
+    """
+    if key not in base.columns or key not in changes.columns:
+        raise ValueError(f"merge_upsert: key {key!r} must be in both inputs")
+    if op_col not in changes.columns:
+        raise ValueError(f"merge_upsert: op column {op_col!r} not in changes")
+    if "action" in base.columns:
+        raise ValueError("merge_upsert: base already has an 'action' column")
+    change_vals = [c for c in changes.columns if c not in (key, op_col)]
+    unknown = [c for c in change_vals if c not in base.columns]
+    if unknown:
+        raise ValueError(f"merge_upsert: change columns {unknown} not in base")
+
+    b = base.select(
+        F.col(key).alias("__bk"),
+        *[F.col(c).alias(f"__b_{c}") for c in base.columns if c != key],
+    )
+    ch = changes.select(
+        F.col(key).alias("__ck"),
+        F.col(op_col).alias("__op"),
+        *[F.col(c).alias(f"__c_{c}") for c in change_vals],
+    )
+    joined = b.join(ch, b["__bk"] == ch["__ck"], "full_outer").where(
+        F.col("__op").isNull() | (F.col("__op") != delete_op)
+    )
+    out_cols = [F.coalesce("__bk", "__ck").alias(key)]
+    for c in base.columns:
+        if c == key:
+            continue
+        if c in change_vals:
+            out_cols.append(F.coalesce(f"__c_{c}", f"__b_{c}").alias(c))
+        else:
+            out_cols.append(F.col(f"__b_{c}").alias(c))
+    out_cols.append(
+        F.when(F.col("__ck").isNull(), "kept")
+        .when(F.col("__bk").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("action")
+    )
+    return joined.select(*out_cols)

@@ -1,0 +1,115 @@
+"""CDC merge query (q109) — apply a change feed to the customer
+snapshot.
+
+The change batch is derived deterministically from the orders table
+(each customer's latest order by (o_orderdate, o_orderkey) DESC):
+every 7th customer key is a DELETE, every remaining 3rd an UPDATE of
+the account balance to that order's total (a partial update — name
+and segment fall back to the snapshot), and every 13th key also
+yields an INSERT under a fresh key (custkey + 10,000,000). The oracle
+is the equivalent FULL OUTER JOIN MERGE in plain SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load_table, register
+from ..operators.cdc import merge_upsert
+
+
+@register(
+    "q109_cdc_merge",
+    oracle="""
+    WITH latest AS (
+      SELECT o_custkey, o_totalprice FROM (
+        SELECT o_custkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    ),
+    changes AS (
+      SELECT o_custkey AS k, 'delete' AS op, CAST(NULL AS DOUBLE) AS c_acctbal,
+             CAST(NULL AS VARCHAR) AS c_name, CAST(NULL AS VARCHAR) AS c_mktsegment
+      FROM latest WHERE o_custkey % 7 = 0
+      UNION ALL
+      SELECT o_custkey, 'upsert', CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM latest WHERE o_custkey % 7 <> 0 AND o_custkey % 3 = 0
+      UNION ALL
+      SELECT o_custkey + 10000000, 'upsert',
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE),
+             concat('new_customer_', CAST(o_custkey AS VARCHAR)), 'MERGED'
+      FROM latest WHERE o_custkey % 13 = 0
+    ),
+    base AS (
+      SELECT c_custkey AS k, c_name, c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS c_acctbal
+      FROM customer
+    )
+    SELECT COALESCE(b.k, c.k) AS c_custkey,
+           COALESCE(c.c_name, b.c_name) AS c_name,
+           COALESCE(c.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+           COALESCE(c.c_acctbal, b.c_acctbal) AS c_acctbal,
+           CASE WHEN c.k IS NULL THEN 'kept'
+                WHEN b.k IS NULL THEN 'inserted' ELSE 'updated' END AS action
+    FROM base b FULL OUTER JOIN changes c ON b.k = c.k
+    WHERE c.op IS NULL OR c.op <> 'delete'
+    ORDER BY c_custkey
+    """,
+)
+def q109_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a deterministic change feed (delete / partial-update /
+    insert, derived from each customer's latest order) into the
+    customer snapshot via :func:`merge_upsert` — the warehouse
+    UPSERT shape over plain columnar data, with per-row action
+    provenance.
+
+    One shuffle each for the latest-order window (o_custkey) and the
+    merge join (primary key); at scale the snapshot is bucketed on
+    the key so only the change sliver moves. Partial updates work by
+    NULL-column fallback, exercised here: updates carry only the new
+    balance, names/segments survive from the snapshot."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    latest = (
+        orders.select("o_custkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    price = F.col("o_totalprice").cast("decimal(18,2)").cast("double")
+    deletes = latest.where(F.col("o_custkey") % 7 == 0).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    updates = latest.where(
+        (F.col("o_custkey") % 7 != 0) & (F.col("o_custkey") % 3 == 0)
+    ).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.lit("upsert").alias("op"),
+        price.alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    inserts = latest.where(F.col("o_custkey") % 13 == 0).select(
+        (F.col("o_custkey") + 10_000_000).alias("c_custkey"),
+        F.lit("upsert").alias("op"),
+        price.alias("c_acctbal"),
+        F.concat(F.lit("new_customer_"), F.col("o_custkey").cast("string")).alias("c_name"),
+        F.lit("MERGED").alias("c_mktsegment"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(18,2)").cast("double").alias("c_acctbal"),
+    )
+    return merge_upsert(base, changes, key="c_custkey").orderBy("c_custkey")

@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 103 operator demonstrations. Rather
+names), but the registry carries 105 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–4 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-103 still registered) keep guarding it. A composite can only pass if
+105 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -956,3 +956,50 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("val"),
     )
     return a.unionByName(b).orderBy("kind", "n1", "k_str", "k_str2")
+
+
+# ---------------------------------------------------------------- q110
+# q70 + q109: the incremental-maintenance suite — dedup-index probing
+# of an incoming batch and CDC merge of a change feed, the two ways a
+# persisted corpus/table absorbs new data.
+
+
+@register(
+    "q110_incremental_suite",
+    members=("q70_incremental_dedup", "q109_cdc_merge"),
+    oracle=f"""
+    SELECT 'dedup' AS kind, doc_id AS k, status AS s1,
+           CAST(NULL AS VARCHAR) AS s2, CAST(NULL AS VARCHAR) AS s3,
+           CAST(NULL AS DOUBLE) AS val
+    FROM {_sub('q70_incremental_dedup')}
+    UNION ALL
+    SELECT 'merge' AS kind, c_custkey AS k, action AS s1,
+           c_name AS s2, c_mktsegment AS s3, c_acctbal AS val
+    FROM {_sub('q109_cdc_merge')}
+    ORDER BY kind, k
+    """,
+)
+def q110_incremental_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance suite: screening an incoming document
+    batch against the persisted dedup index (q70 — semi-join probes
+    on content-hash and LSH band keys) and applying a CDC change feed
+    to a snapshot (q109 — full-outer merge with action provenance),
+    tagged on one schema. Together: how a 100 TB corpus absorbs a
+    crawl increment without recomputing itself."""
+    a = _run("q70_incremental_dedup", spark, sf_dir).select(
+        F.lit("dedup").alias("kind"),
+        F.col("doc_id").alias("k"),
+        F.col("status").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.lit(None).cast("string").alias("s3"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    b = _run("q109_cdc_merge", spark, sf_dir).select(
+        F.lit("merge").alias("kind"),
+        F.col("c_custkey").alias("k"),
+        F.col("action").alias("s1"),
+        F.col("c_name").alias("s2"),
+        F.col("c_mktsegment").alias("s3"),
+        F.col("c_acctbal").alias("val"),
+    )
+    return a.unionByName(b).orderBy("kind", "k")

@@ -79,3 +79,70 @@ def merge_upsert(
         .alias("action")
     )
     return joined.select(*out_cols)
+
+
+def scd2_history(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    *,
+    key: str,
+    ts_col: str,
+    tiebreak_col: str,
+    snapshot_ts: str,
+) -> DataFrame:
+    """Build a Type-2 slowly-changing-dimension history: the snapshot
+    row (stamped ``snapshot_ts``, which must precede every change)
+    plus one row per change, interval-versioned per key.
+
+    ``changes`` must carry ``key``, ``ts_col``, ``tiebreak_col`` (a
+    unique-ordering column for same-timestamp changes) and the same
+    value columns as ``snapshot``. Output adds ``version_seq``
+    (1-based per key), ``valid_from``, ``valid_to`` (NULL = current)
+    and ``is_current``. Pair the result with
+    :func:`..asof.asof_join` for point-in-time-correct enrichment —
+    the feature-store pattern.
+
+    One shuffle on the key for the interval window; at scale the
+    history table is partitioned on the key and appended per batch
+    (only the previous current row per changed key is re-closed).
+    """
+    for side, df, cols in (
+        ("snapshot", snapshot, (key,)),
+        ("changes", changes, (key, ts_col, tiebreak_col)),
+    ):
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"scd2_history: {side} lacks columns {missing}")
+    value_cols = [c for c in snapshot.columns if c != key]
+    missing = [c for c in value_cols if c not in changes.columns]
+    if missing:
+        raise ValueError(f"scd2_history: changes lack snapshot value columns {missing}")
+
+    from pyspark.sql import Window
+
+    snap = snapshot.select(
+        key,
+        F.lit(snapshot_ts).cast("timestamp").alias("__vf"),
+        F.lit(-1).cast("long").alias("__tb"),
+        *value_cols,
+    )
+    ch = changes.select(
+        key,
+        F.col(ts_col).cast("timestamp").alias("__vf"),
+        F.col(tiebreak_col).cast("long").alias("__tb"),
+        *value_cols,
+    )
+    w = Window.partitionBy(key).orderBy("__vf", "__tb")
+    return (
+        snap.unionByName(ch)
+        .withColumn("version_seq", F.row_number().over(w))
+        .withColumn("valid_to", F.lead("__vf").over(w))
+        .select(
+            key,
+            "version_seq",
+            F.col("__vf").alias("valid_from"),
+            "valid_to",
+            *value_cols,
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

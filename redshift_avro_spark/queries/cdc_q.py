@@ -113,3 +113,69 @@ def q109_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("decimal(18,2)").cast("double").alias("c_acctbal"),
     )
     return merge_upsert(base, changes, key="c_custkey").orderBy("c_custkey")
+
+
+@register(
+    "q111_scd2_history",
+    oracle="""
+    WITH u AS (
+      SELECT c_custkey AS k, TIMESTAMP '1990-01-01 00:00:00' AS vf,
+             CAST(-1 AS BIGINT) AS tb,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+      FROM customer
+      UNION ALL
+      SELECT o_custkey, o_orderdate, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+      FROM orders
+    )
+    SELECT k AS c_custkey,
+           CAST(row_number() OVER w AS INTEGER) AS version_seq,
+           vf AS valid_from,
+           lead(vf) OVER w AS valid_to,
+           bal,
+           (lead(vf) OVER w IS NULL) AS is_current
+    FROM u
+    WINDOW w AS (PARTITION BY k ORDER BY vf, tb)
+    ORDER BY c_custkey, version_seq
+    """,
+)
+def q111_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history of customer balances:
+    the snapshot row (stamped 1990-01-01, before every order) plus one
+    version per order (the order's total becomes the balance at
+    o_orderdate, orderkey tie-breaking same-day orders), interval-
+    versioned per key via :func:`scd2_history` — valid_from /
+    valid_to / is_current, with NULL valid_to marking the current row.
+
+    One shuffle on the key for the interval window; downstream, an
+    as-of join (q73's operator) against valid_from gives point-in-
+    time-correct enrichment — the feature-store pattern. At scale the
+    history is partitioned on the key and each CDC batch only
+    re-closes the previous current row per changed key."""
+    from ..operators.cdc import scd2_history
+
+    snap = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("decimal(18,2)").cast("double").alias("bal"),
+    )
+    ch = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("bal"),
+    )
+    return (
+        scd2_history(
+            snap,
+            ch,
+            key="c_custkey",
+            ts_col="ts",
+            tiebreak_col="seq",
+            snapshot_ts="1990-01-01 00:00:00",
+        )
+        .withColumn("version_seq", F.col("version_seq").cast("int"))
+        .select(
+            "c_custkey", "version_seq", "valid_from", "valid_to", "bal", "is_current"
+        )
+        .orderBy("c_custkey", "version_seq")
+    )

@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 105 operator demonstrations. Rather
+names), but the registry carries 106 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–4 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-105 still registered) keep guarding it. A composite can only pass if
+106 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -966,26 +966,44 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q110_incremental_suite",
-    members=("q70_incremental_dedup", "q109_cdc_merge"),
+    members=("q70_incremental_dedup", "q109_cdc_merge", "q111_scd2_history"),
     oracle=f"""
     SELECT 'dedup' AS kind, doc_id AS k, status AS s1,
            CAST(NULL AS VARCHAR) AS s2, CAST(NULL AS VARCHAR) AS s3,
-           CAST(NULL AS DOUBLE) AS val
+           CAST(NULL AS DOUBLE) AS val, CAST(NULL AS BIGINT) AS n2,
+           CAST(NULL AS TIMESTAMP) AS t1, CAST(NULL AS TIMESTAMP) AS t2,
+           CAST(NULL AS INTEGER) AS b1
     FROM {_sub('q70_incremental_dedup')}
     UNION ALL
     SELECT 'merge' AS kind, c_custkey AS k, action AS s1,
-           c_name AS s2, c_mktsegment AS s3, c_acctbal AS val
+           c_name AS s2, c_mktsegment AS s3, c_acctbal AS val,
+           CAST(NULL AS BIGINT) AS n2, CAST(NULL AS TIMESTAMP) AS t1,
+           CAST(NULL AS TIMESTAMP) AS t2, CAST(NULL AS INTEGER) AS b1
     FROM {_sub('q109_cdc_merge')}
-    ORDER BY kind, k
+    UNION ALL
+    SELECT 'scd2' AS kind, c_custkey AS k, CAST(NULL AS VARCHAR) AS s1,
+           CAST(NULL AS VARCHAR) AS s2, CAST(NULL AS VARCHAR) AS s3,
+           bal AS val, CAST(version_seq AS BIGINT) AS n2,
+           valid_from AS t1, valid_to AS t2, CAST(is_current AS INTEGER) AS b1
+    FROM {_sub('q111_scd2_history')}
+    ORDER BY kind, k, n2 NULLS FIRST
     """,
 )
 def q110_incremental_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-maintenance suite: screening an incoming document
     batch against the persisted dedup index (q70 — semi-join probes
-    on content-hash and LSH band keys) and applying a CDC change feed
-    to a snapshot (q109 — full-outer merge with action provenance),
-    tagged on one schema. Together: how a 100 TB corpus absorbs a
-    crawl increment without recomputing itself."""
+    on content-hash and LSH band keys), applying a CDC change feed to
+    a snapshot (q109 — full-outer merge with action provenance), and
+    the Type-2 interval-versioned history the same feed builds (q111),
+    tagged on one schema. Together: how a 100 TB corpus/table absorbs
+    new data without recomputing itself."""
+    def pad_ts():
+        return [
+            F.lit(None).cast("bigint").alias("n2"),
+            F.lit(None).cast("timestamp").alias("t1"),
+            F.lit(None).cast("timestamp").alias("t2"),
+            F.lit(None).cast("int").alias("b1"),
+        ]
     a = _run("q70_incremental_dedup", spark, sf_dir).select(
         F.lit("dedup").alias("kind"),
         F.col("doc_id").alias("k"),
@@ -993,6 +1011,7 @@ def q110_incremental_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("s2"),
         F.lit(None).cast("string").alias("s3"),
         F.lit(None).cast("double").alias("val"),
+        *pad_ts(),
     )
     b = _run("q109_cdc_merge", spark, sf_dir).select(
         F.lit("merge").alias("kind"),
@@ -1001,5 +1020,20 @@ def q110_incremental_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("s2"),
         F.col("c_mktsegment").alias("s3"),
         F.col("c_acctbal").alias("val"),
+        *pad_ts(),
     )
-    return a.unionByName(b).orderBy("kind", "k")
+    c = _run("q111_scd2_history", spark, sf_dir).select(
+        F.lit("scd2").alias("kind"),
+        F.col("c_custkey").alias("k"),
+        F.lit(None).cast("string").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.lit(None).cast("string").alias("s3"),
+        F.col("bal").alias("val"),
+        F.col("version_seq").cast("bigint").alias("n2"),
+        F.col("valid_from").alias("t1"),
+        F.col("valid_to").alias("t2"),
+        F.col("is_current").cast("int").alias("b1"),
+    )
+    return a.unionByName(b).unionByName(c).orderBy(
+        "kind", "k", F.asc_nulls_first("n2")
+    )

@@ -65,3 +65,39 @@ def test_validation(spark, base):
         merge_upsert(base.drop("name"), ch, key="id")
     with pytest.raises(ValueError, match="'action'"):
         merge_upsert(base.withColumnRenamed("name", "action"), ch.drop("name"), key="id")
+
+
+def test_scd2_intervals(spark):
+    from datetime import datetime
+
+    from redshift_avro_spark.operators.cdc import scd2_history
+
+    snap = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, bal double")
+    ch = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 5), 100, 11.0),
+            (1, datetime(2024, 1, 5), 101, 12.0),  # same-ts: tiebreak orders it
+            (1, datetime(2024, 2, 1), 102, 13.0),
+        ],
+        "id long, ts timestamp, seq long, bal double",
+    )
+    rows = scd2_history(
+        snap, ch, key="id", ts_col="ts", tiebreak_col="seq", snapshot_ts="2023-01-01 00:00:00"
+    ).collect()
+    h1 = sorted((r.version_seq, r.bal, r.valid_to is None) for r in rows if r.id == 1)
+    assert h1 == [(1, 10.0, False), (2, 11.0, False), (3, 12.0, False), (4, 13.0, True)]
+    # intervals chain: valid_to of version k == valid_from of k+1
+    by_seq = {r.version_seq: r for r in rows if r.id == 1}
+    for k in (1, 2, 3):
+        assert by_seq[k].valid_to == by_seq[k + 1].valid_from
+    h2 = [(r.version_seq, r.bal, r.is_current) for r in rows if r.id == 2]
+    assert h2 == [(1, 20.0, True)]  # no changes → single open snapshot row
+
+
+def test_scd2_validation(spark):
+    from redshift_avro_spark.operators.cdc import scd2_history
+
+    snap = spark.createDataFrame([(1, 10.0)], "id long, bal double")
+    ch = spark.createDataFrame([(1, 5.0)], "id long, bal double")
+    with pytest.raises(ValueError, match="changes lacks"):
+        scd2_history(snap, ch, key="id", ts_col="ts", tiebreak_col="seq", snapshot_ts="2023-01-01")

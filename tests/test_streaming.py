@@ -379,3 +379,79 @@ def test_socket_stream_decode(spark):
         if q is not None:
             q.stop()
         srv.close()
+
+
+def test_streaming_cdc_snapshot_maintenance(spark, tmp_path):
+    """Continuous table maintenance: a stream of CDC batches applied to
+    a persisted snapshot via foreachBatch + merge_upsert (q109's
+    operator) — one micro-batch per landed file — must produce the
+    same final table as applying the batches serially in batch mode.
+    The production shape for keeping a 100 TB table current from a
+    change feed without recomputing it."""
+    import os
+
+    from redshift_avro_spark.operators.cdc import merge_upsert
+
+    feed_dir = str(tmp_path / "cdc-feed")
+    ckpt = str(tmp_path / "cdc-ckpt")
+    snap_root = str(tmp_path / "snapshots")
+    os.makedirs(feed_dir)
+
+    base = spark.createDataFrame(
+        [(i, f"name_{i}", float(i * 10)) for i in range(1, 21)],
+        "id long, name string, bal double",
+    )
+    batches = [
+        # batch 0: update a few balances
+        [(2, "upsert", None, 99.0), (5, "upsert", None, 55.0)],
+        # batch 1: delete one, insert one
+        [(3, "delete", None, None), (100, "upsert", "new_100", 1.0)],
+        # batch 2: update the inserted row, delete an updated one
+        [(100, "upsert", None, 2.0), (5, "delete", None, None)],
+    ]
+    ch_schema = "id long, op string, name string, bal double"
+    import glob
+    import time
+
+    mt = time.time() - 3600
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, ch_schema).coalesce(1).write.parquet(
+            f"{feed_dir}/batch={i}"
+        )
+        # FileStreamSource batches oldest-mtime-first; stamp the files
+        # so batch order is deterministic, not write-latency luck
+        for part in glob.glob(f"{feed_dir}/batch={i}/*.parquet"):
+            os.utime(part, (mt + i * 10, mt + i * 10))
+
+    base.write.parquet(f"{snap_root}/v0")
+    state = {"current": f"{snap_root}/v0"}
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        snap = spark.read.parquet(state["current"])
+        merged = merge_upsert(snap, batch_df, key="id").drop("action")
+        new_path = f"{snap_root}/v{batch_id + 1}"
+        merged.write.parquet(new_path)
+        state["current"] = new_path
+
+    stream = (
+        spark.readStream.schema(ch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir + "/batch=*")
+    )
+    q = foreach_batch_sink(stream, apply_batch, ckpt)
+    assert q.awaitTermination(120)
+
+    got = {
+        r.id: (r.name, r.bal)
+        for r in spark.read.parquet(state["current"]).collect()
+    }
+    # serial batch-mode reference
+    want_df = base
+    for rows in batches:
+        want_df = merge_upsert(
+            want_df, spark.createDataFrame(rows, ch_schema), key="id"
+        ).drop("action")
+    want = {r.id: (r.name, r.bal) for r in want_df.collect()}
+    assert got == want
+    assert got[2] == ("name_2", 99.0) and got[100] == ("new_100", 2.0)
+    assert 3 not in got and 5 not in got

@@ -173,3 +173,70 @@ def sample_frames(
             yield pd.DataFrame({"doc_id": ids, "frame_index": idxs, "frame": frames})
 
     return df.select(id_col, payload_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("seg_index", T.IntegerType()),
+        T.StructField("start_frame", T.IntegerType()),
+        T.StructField("end_frame", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def segment_audio(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    *,
+    frame_bytes: int = 32,
+    threshold: int = 96,
+) -> DataFrame:
+    """VAD-style segmentation of audio payloads: frame the byte stream
+    (``frame_bytes`` samples/frame, uint8 PCM stand-in — real decode is
+    env-stubbed like the image path), mark frames whose mean amplitude
+    reaches ``threshold`` as active (exact integer compare:
+    ``energy >= threshold * frame_len``), and merge consecutive active
+    frames into segments — the silence-trimming prep an audio training
+    pipeline runs before feature extraction.
+
+    Whole pipeline is one narrow ``mapInPandas`` stage: framing is a
+    numpy reshape, energies one vectorized row-sum, and the
+    gaps-and-islands merge is per-document (numpy diff on active
+    indices) — segmentation never needs a shuffle because segments
+    cannot cross document boundaries. 100 TB: scales with input bytes,
+    zero exchanges."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "seg_index", "start_frame", "end_frame", "n_frames", "energy")}
+            for doc_id, raw in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(raw or b"")
+                if not raw:
+                    continue
+                a = np.frombuffer(raw, dtype=np.uint8)
+                n_frames = -(-len(a) // frame_bytes)
+                padded = np.zeros(n_frames * frame_bytes, dtype=np.int64)
+                padded[: len(a)] = a
+                energies = padded.reshape(n_frames, frame_bytes).sum(axis=1)
+                flens = np.full(n_frames, frame_bytes, dtype=np.int64)
+                flens[-1] = len(a) - (n_frames - 1) * frame_bytes
+                active = np.flatnonzero(energies >= threshold * flens)
+                if len(active) == 0:
+                    continue
+                # split runs of consecutive active frame indices
+                cuts = np.flatnonzero(np.diff(active) > 1) + 1
+                for si, run_ix in enumerate(np.split(active, cuts), start=1):
+                    out["doc_id"].append(doc_id)
+                    out["seg_index"].append(si)
+                    out["start_frame"].append(int(run_ix[0]))
+                    out["end_frame"].append(int(run_ix[-1]))
+                    out["n_frames"].append(len(run_ix))
+                    out["energy"].append(int(energies[run_ix].sum()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, SEGMENT_SCHEMA)

@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 106 operator demonstrations. Rather
+names), but the registry carries 107 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–4 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-106 still registered) keep guarding it. A composite can only pass if
+107 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -92,12 +92,17 @@ def q78_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q41_payload_features",
         "q71_payload_frames",
         "q72_payload_resize",
+        "q112_audio_segments",
     ),
     oracle=f"""
     SELECT m.doc_id, m.n_bytes, m.magic_hex, m.digest,
            f.width, f.height, f.channels, f.mean_pixel,
            fr.n_frames, fr.frames_digest,
-           r.resized_hex, r.out_width, r.out_height
+           r.resized_hex, r.out_width, r.out_height,
+           CAST(COALESCE(sg.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(sg.active_frames, 0) AS BIGINT) AS active_frames,
+           CAST(COALESCE(sg.seg_energy, 0) AS BIGINT) AS seg_energy,
+           sg.seg_digest
     FROM {_sub('q40_payload_metadata')} m
     JOIN (SELECT doc_id, width, height, channels, mean_pixel
           FROM {_sub('q41_payload_features')}) f USING (doc_id)
@@ -105,14 +110,21 @@ def q78_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                  md5(string_agg(frame_hex, '' ORDER BY frame_index)) AS frames_digest
           FROM {_sub('q71_payload_frames')} GROUP BY doc_id) fr USING (doc_id)
     JOIN {_sub('q72_payload_resize')} r USING (doc_id)
-    ORDER BY doc_id
+    LEFT JOIN (SELECT doc_id, count(*) AS n_segments,
+                      sum(n_frames) AS active_frames, sum(energy) AS seg_energy,
+                      md5(string_agg(concat(CAST(start_frame AS VARCHAR), '-',
+                          CAST(end_frame AS VARCHAR)), ',' ORDER BY seg_index)) AS seg_digest
+               FROM {_sub('q112_audio_segments')} GROUP BY doc_id) sg USING (doc_id)
+    ORDER BY m.doc_id
     """,
 )
 def q79_payload_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal payload profile per document: JVM-side metadata (q40)
     ⋈ mapInPandas feature extraction (q41) ⋈ frame-sampling fan-out
-    re-aggregated to count+digest (q71) ⋈ resize plumbing (q72). All
-    four Arrow/JVM decode paths run; joins are on doc_id."""
+    re-aggregated to count+digest (q71) ⋈ resize plumbing (q72), with
+    VAD audio segments re-aggregated to count/energy/digest left-joined
+    on (q112 — zero-segment docs keep 0s). All five Arrow/JVM decode
+    paths run; joins are on doc_id."""
     m = _run("q40_payload_metadata", spark, sf_dir)
     f = _run("q41_payload_features", spark, sf_dir).select(
         "doc_id", "width", "height", "channels", "mean_pixel"
@@ -131,7 +143,34 @@ def q79_payload_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     r = _run("q72_payload_resize", spark, sf_dir)
-    return m.join(f, "doc_id").join(fr, "doc_id").join(r, "doc_id").orderBy("doc_id")
+    sg = (
+        _run("q112_audio_segments", spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum("n_frames").alias("active_frames"),
+            F.sum("energy").alias("seg_energy"),
+            F.md5(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list(struct(seg_index, start_frame, end_frame))),"
+                    " x -> concat(CAST(x.start_frame AS STRING), '-', CAST(x.end_frame AS STRING))), ',')"
+                )
+            ).alias("seg_digest"),
+        )
+    )
+    return (
+        m.join(f, "doc_id")
+        .join(fr, "doc_id")
+        .join(r, "doc_id")
+        .join(sg, "doc_id", "left")
+        .select(
+            "*",
+        )
+        .withColumn("n_segments", F.coalesce("n_segments", F.lit(0)).cast("long"))
+        .withColumn("active_frames", F.coalesce("active_frames", F.lit(0)).cast("long"))
+        .withColumn("seg_energy", F.coalesce("seg_energy", F.lit(0)).cast("long"))
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------- q80

@@ -155,3 +155,57 @@ def q72_payload_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.hex("resized").alias("resized_hex"), "out_width", "out_height")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q112_audio_segments",
+    # BYTE semantics like q41: byte i of the payload is hex chars
+    # [2i-1, 2i] of hex(encode(text)), so parity holds for any UTF-8
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, f AS fi, least(32, n - f * 32) AS flen,
+             list_aggregate(list_transform(generate_series(f*32 + 1, least((f+1)*32, n)),
+               i -> CAST(concat('0x', substring(hx, (i-1)*2 + 1, 2)) AS BIGINT)), 'sum') AS energy
+      FROM b, unnest(generate_series(0, CAST((n + 31) // 32 AS BIGINT) - 1)) AS t(f)
+      WHERE n > 0
+    ),
+    act AS (SELECT * FROM fr WHERE energy >= 96 * flen),
+    seg AS (
+      SELECT doc_id, fi, energy,
+             fi - row_number() OVER (PARTITION BY doc_id ORDER BY fi) AS grp
+      FROM act
+    ),
+    runs AS (
+      SELECT doc_id, CAST(min(fi) AS INTEGER) AS start_frame,
+             CAST(max(fi) AS INTEGER) AS end_frame,
+             CAST(count(*) AS INTEGER) AS n_frames,
+             CAST(sum(energy) AS BIGINT) AS energy
+      FROM seg GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame) AS INTEGER) AS seg_index,
+           start_frame, end_frame, n_frames, energy
+    FROM runs
+    ORDER BY doc_id, seg_index
+    """,
+)
+def q112_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style audio segmentation: frame the payload byte stream
+    (32 uint8 samples/frame), keep frames with mean amplitude ≥ 96
+    (exact integer compare), merge consecutive active frames into
+    segments with start/end/energy — the silence-trimming prep an
+    audio pipeline runs before feature extraction, via one narrow
+    ``mapInPandas`` stage (numpy reshape + vectorized row sums;
+    per-doc gaps-and-islands needs no shuffle — segments cannot cross
+    documents). The oracle rebuilds the identical framing from hex
+    byte pairs and merges runs with the SQL gaps-and-islands idiom."""
+    from ..operators.multimodal import segment_audio
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return segment_audio(docs, "doc_id", "payload").orderBy("doc_id", "seg_index")

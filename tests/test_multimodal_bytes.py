@@ -63,3 +63,37 @@ def test_multimodal_oracle_parity_non_ascii(spark, nonascii_dir, name):
     assert len(s_rows) == len(d_rows) > 0
     mismatches = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:3]
     assert not mismatches, mismatches
+
+
+def test_segment_audio_contract(spark):
+    """Segmentation semantics on crafted payloads: activity threshold
+    is an exact integer compare, runs merge only when consecutive,
+    the trailing partial frame uses its true length, and empty /
+    all-silent payloads yield nothing."""
+    from redshift_avro_spark.operators.multimodal import segment_audio
+
+    loud, quiet = b"\xff" * 32, b"\x00" * 32
+    rows = [
+        (1, loud + quiet + loud),          # two 1-frame segments, gap between
+        (2, loud * 3),                     # one 3-frame segment
+        (3, quiet * 2),                    # silent → no rows
+        (4, b""),                          # empty → no rows
+        (5, loud + b"\xff" * 8),           # partial trailing frame is active
+        (6, loud + b"\x60" * 8),           # trailing frame mean == 96 → active (>=)
+        (7, loud + b"\x5f" * 8),           # trailing frame mean 95 → inactive
+    ]
+    out = {}
+    res = segment_audio(
+        spark.createDataFrame(rows, "doc_id long, payload binary"), "doc_id", "payload"
+    ).collect()
+    for r in res:
+        out.setdefault(r.doc_id, []).append((r.seg_index, r.start_frame, r.end_frame, r.n_frames))
+    assert out[1] == [(1, 0, 0, 1), (2, 2, 2, 1)]
+    assert out[2] == [(1, 0, 2, 3)]
+    assert 3 not in out and 4 not in out
+    assert out[5] == [(1, 0, 1, 2)]
+    assert out[6] == [(1, 0, 1, 2)]
+    assert out[7] == [(1, 0, 0, 1)]
+    # energy is the exact byte sum over the segment's frames
+    e2 = [r.energy for r in res if r.doc_id == 2]
+    assert e2 == [255 * 96]

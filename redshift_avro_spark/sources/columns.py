@@ -56,6 +56,7 @@ __all__ = [
     "from_hex",
     "to_hex",
     "from_avro",
+    "from_avro_single_object",
     "from_avro_with_errors",
     "to_avro",
     "decode_container",
@@ -545,3 +546,131 @@ def explode_containers(
                 yield flush(cols, kept)
 
     return df.select(*keep, col).mapInPandas(decode, out_type)
+
+
+def from_avro_single_object(
+    col: Union[str, Column],
+    schemas: list,
+    reader_schema: Union[AvroSchema, str, dict, None] = None,
+    mode: str = "FAILFAST",
+) -> Column:
+    """Decode a binary column of Avro SINGLE-OBJECT messages (spec
+    framing: ``C3 01`` marker + 8-byte LE CRC-64-AVRO writer
+    fingerprint + datum — see avroio/single_object.py) into a struct.
+
+    ``schemas`` lists every writer-schema version the stream may carry
+    (the fingerprint-keyed analogue of the Glue/Spring registry caches
+    in sources/registry.py); each message resolves its writer by the
+    EMBEDDED fingerprint, so one column can mix schema versions.
+    ``reader_schema`` (default: ``schemas[0]``) is what every row
+    evolves to.
+
+    Scale shape: per Arrow batch, rows are grouped by fingerprint and
+    each group decodes through the same compiled batch decoders /
+    resolvers as :func:`from_avro` — per-row work is only the 10-byte
+    header parse. mode="PERMISSIVE" maps bad framing / unknown
+    fingerprints / undecodable rows to null rows instead of failing.
+    """
+    import struct as _struct
+
+    import numpy as np
+
+    from ..avroio.binary import AvroDecodeError
+    from ..avroio.schema_model import fingerprint64
+    from ..avroio.single_object import HEADER_LEN, V1_MARKER
+
+    schema_jsons = [_schema_json(s) for s in schemas]
+    if not schema_jsons:
+        raise ValueError("from_avro_single_object: schemas must be non-empty")
+    reader_json = (
+        _schema_json(reader_schema) if reader_schema is not None else schema_jsons[0]
+    )
+    struct_type = _nullable_struct(avro_to_spark_type(_as_schema(reader_json)))
+    if not isinstance(struct_type, T.StructType):
+        raise TypeError("from_avro_single_object requires a record schema at top level")
+    permissive = mode.upper() == "PERMISSIVE"
+    names = [f.name for f in struct_type.fields]
+
+    @pandas_udf(returnType=struct_type)
+    def _decode(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        by_fp = {}
+        for sj in schema_jsons:
+            by_fp[fingerprint64(parse_schema(sj))] = sj
+        decoders: dict = {}
+
+        def batch_decoder(fp: int):
+            if fp not in decoders:
+                sj = by_fp[fp]
+                if sj == reader_json:
+                    bd = get_batch_decoder(sj, mode="spark")
+                else:
+                    bd = get_batch_resolver(sj, reader_json, mode="spark")
+                if bd is None:  # codegen declined (recursive types etc.)
+                    writer = parse_schema(sj)
+                    reader = parse_schema(reader_json)
+                    fn = (
+                        compile_decoder(writer, mode="spark")
+                        if sj == reader_json
+                        else compile_resolver(writer, reader, mode="spark")
+                    )
+                    bd = ("closure", fn)
+                decoders[fp] = bd
+            return decoders[fp]
+
+        for series in batches:
+            vals = series.values
+            n = len(vals)
+            groups: dict = {}
+            null_rows = []
+            for i, v in enumerate(vals):
+                if v is None:
+                    null_rows.append(i)
+                    continue
+                b = bytes(v)
+                if len(b) < HEADER_LEN or b[:2] != V1_MARKER:
+                    if permissive:
+                        null_rows.append(i)
+                        continue
+                    raise AvroDecodeError(
+                        f"bad single-object framing at row {i}: "
+                        f"{b[:2].hex() if len(b) >= 2 else b.hex()}"
+                    )
+                fp = _struct.unpack("<Q", b[2:HEADER_LEN])[0]
+                if fp not in by_fp:
+                    if permissive:
+                        null_rows.append(i)
+                        continue
+                    raise AvroDecodeError(
+                        f"unknown writer schema fingerprint {fp:#018x} at row {i}"
+                    )
+                groups.setdefault(fp, []).append(i)
+            parts = []
+            for fp, idxs in groups.items():
+                payloads = np.empty(len(idxs), dtype=object)
+                for j, i in enumerate(idxs):
+                    payloads[j] = bytes(vals[i])[HEADER_LEN:]
+                bd = batch_decoder(fp)
+                if isinstance(bd, tuple):  # closure fallback
+                    fn = bd[1]
+                    rows = []
+                    for p in payloads:
+                        rows.append(fn(BinaryReader(p)))
+                    pdf = pd.DataFrame(rows, columns=names)
+                else:
+                    outs = bd.new_columns()
+                    bd.decode_blobs(payloads, outs, permissive)
+                    pdf = pd.DataFrame(bd.to_pandas(outs))
+                pdf.index = idxs
+                parts.append(pdf)
+            if null_rows:
+                parts.append(
+                    pd.DataFrame(
+                        {c: [None] * len(null_rows) for c in names}, index=null_rows
+                    )
+                )
+            if parts:
+                yield pd.concat(parts).sort_index()
+            else:
+                yield pd.DataFrame({c: [] for c in names})
+
+    return _decode(F.col(col) if isinstance(col, str) else col)

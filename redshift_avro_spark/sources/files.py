@@ -20,7 +20,15 @@ the absent built-in module) providing:
   codec (``compression`` option: null/deflate/bzip2/...), block-buffered
   at SYNC_INTERVAL like the reference writer (datafile.py:39).
 
-Helpers :func:`read_avro` / :func:`write_avro` wrap the registration.
+- **Streaming reads** (round 3): :class:`AvroStreamReader` turns a
+  landing-zone directory into a checkpointed micro-batch stream —
+  ``{"n": k}`` offsets over the (mtime, name)-ordered file ledger,
+  partition-per-file planning, executor-side decode via the same
+  split machinery, per-run ``maxFilesPerBatch`` rate limit. Restart
+  resumes exactly after the consumed prefix (test_stream_source).
+
+Helpers :func:`read_avro` / :func:`write_avro` /
+:func:`read_avro_stream` wrap the registration.
 """
 
 from __future__ import annotations
@@ -37,6 +45,7 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -115,53 +124,62 @@ class AvroReader(DataSourceReader):
         return splits
 
     def read(self, partition: AvroSplit) -> Iterator[Any]:
-        import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_schema
+        return _decode_split(self.spark_schema, self.reader_schema_json, partition)
 
-        from ..avroio.codegen import get_batch_resolver
-        from ..avroio.container import ContainerHeader
 
-        writer_schema = parse_schema(partition.schema_json)
-        target_json = self.reader_schema_json or partition.schema_json
-        target = parse_schema(target_json)
-        header = ContainerHeader(
-            schema_json=partition.schema_json,
-            codec=partition.codec,
-            sync=partition.sync,
-            meta={},
-            header_len=partition.header_len,
-        )
-        arrow_schema = to_arrow_schema(self.spark_schema)
-        names = [f.name for f in self.spark_schema.fields]
-        # reads take the generated columnar decoder (resolver variant for
-        # evolution) — columns feed Arrow directly, no per-datum dicts,
-        # no pivot; closure resolver only when codegen declines
-        bd = get_batch_resolver(
-            json.dumps(writer_schema.to_json()), json.dumps(target.to_json()), mode="spark"
-        )
-        if bd is not None and bd.names == names:
-            cols = bd.new_columns()
-            with open(partition.path, "rb") as fobj:
-                for count, block in iter_block_spans(fobj, header, partition.start, partition.end):
-                    bd.decode_stream(block, 0, count, cols)
-                    if len(cols[0]) >= 8192:
-                        yield _cols_to_record_batch(bd, cols, arrow_schema)
-                        cols = bd.new_columns()
-            if cols[0]:
-                yield _cols_to_record_batch(bd, cols, arrow_schema)
-            return
-        decode = compile_resolver(writer_schema, target, mode="spark")
-        rows: list[dict] = []
+def _decode_split(
+    spark_schema: T.StructType, reader_schema_json: Optional[str], partition: AvroSplit
+) -> Iterator[Any]:
+    """Decode one byte-range split of a container file into Arrow
+    RecordBatches (shared by the batch reader and the streaming
+    reader below)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from ..avroio.codegen import get_batch_resolver
+    from ..avroio.container import ContainerHeader
+
+    writer_schema = parse_schema(partition.schema_json)
+    target_json = reader_schema_json or partition.schema_json
+    target = parse_schema(target_json)
+    header = ContainerHeader(
+        schema_json=partition.schema_json,
+        codec=partition.codec,
+        sync=partition.sync,
+        meta={},
+        header_len=partition.header_len,
+    )
+    arrow_schema = to_arrow_schema(spark_schema)
+    names = [f.name for f in spark_schema.fields]
+    # reads take the generated columnar decoder (resolver variant for
+    # evolution) — columns feed Arrow directly, no per-datum dicts,
+    # no pivot; closure resolver only when codegen declines
+    bd = get_batch_resolver(
+        json.dumps(writer_schema.to_json()), json.dumps(target.to_json()), mode="spark"
+    )
+    if bd is not None and bd.names == names:
+        cols = bd.new_columns()
         with open(partition.path, "rb") as fobj:
             for count, block in iter_block_spans(fobj, header, partition.start, partition.end):
-                br = BinaryReader(block)
-                for _ in range(count):
-                    rows.append(decode(br))
-                if len(rows) >= 8192:
-                    yield _to_record_batch(rows, names, arrow_schema)
-                    rows = []
-        if rows:
-            yield _to_record_batch(rows, names, arrow_schema)
+                bd.decode_stream(block, 0, count, cols)
+                if len(cols[0]) >= 8192:
+                    yield _cols_to_record_batch(bd, cols, arrow_schema)
+                    cols = bd.new_columns()
+        if cols[0]:
+            yield _cols_to_record_batch(bd, cols, arrow_schema)
+        return
+    decode = compile_resolver(writer_schema, target, mode="spark")
+    rows: list[dict] = []
+    with open(partition.path, "rb") as fobj:
+        for count, block in iter_block_spans(fobj, header, partition.start, partition.end):
+            br = BinaryReader(block)
+            for _ in range(count):
+                rows.append(decode(br))
+            if len(rows) >= 8192:
+                yield _to_record_batch(rows, names, arrow_schema)
+                rows = []
+    if rows:
+        yield _to_record_batch(rows, names, arrow_schema)
 
 
 def _cols_to_record_batch(bd, cols: list[list], arrow_schema) -> Any:
@@ -293,6 +311,9 @@ class AvroDataSource(DataSource):
     def writer(self, schema: T.StructType, overwrite: bool) -> AvroWriter:
         return AvroWriter(schema, dict(self.options), overwrite)
 
+    def streamReader(self, schema: T.StructType) -> "AvroStreamReader":
+        return AvroStreamReader(schema, dict(self.options))
+
 
 _REGISTERED: set[int] = set()
 
@@ -341,3 +362,131 @@ def write_avro(
             avro_schema = parse_schema(avro_schema)
         writer = writer.option("avroSchema", json.dumps(avro_schema.to_json()))
     writer.save(path)
+
+
+# ---------------------------------------------------------------------------
+# Streaming source: the Avro landing-zone connector
+# ---------------------------------------------------------------------------
+
+
+class AvroStreamReader(DataSourceStreamReader):
+    """Micro-batch streaming reader over a growing directory of Avro
+    container files — the landing-zone shape a Kinesis Firehose /
+    Kafka-connect sink produces (reference README.md:54-58's
+    streaming ingest, as a REAL Spark connector: offsets in the
+    checkpoint log, partition planning, executor-side decode,
+    deterministic replay).
+
+    Offset = ``{"n": k}``: the first ``k`` files in (mtime, name)
+    order have been consumed. The reader keeps an append-only
+    in-memory file ledger so an offset range always maps to the same
+    files within a run; after a restart the ledger is rebuilt from the
+    directory listing, which is deterministic under the landing-zone
+    convention this source requires (files land atomically — write
+    temp + rename — and are immutable afterwards; Spark's own
+    FileStreamSource leans on the same convention). Each file becomes
+    one input partition, decoded on executors through the identical
+    split machinery as the batch reader — a 100 TB backlog fans out
+    across the cluster, and ``maxFilesPerBatch`` bounds a micro-batch.
+    """
+
+    def __init__(self, spark_schema: T.StructType, options: dict) -> None:
+        self.spark_schema = spark_schema
+        self.reader_schema_json = options.get("avroschema")
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("avro stream reader requires a path")
+        self.max_files = int(options.get("maxfilesperbatch", 0)) or None
+        self._ledger: list[str] = []
+
+    def _list_dir(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        entries = [
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if not f.startswith((".", "_"))
+        ]
+        return sorted(entries, key=lambda f: (os.path.getmtime(f), f))
+
+    def _extend_ledger(self, upto: Optional[int] = None) -> None:
+        seen = set(self._ledger)
+        fresh = [f for f in self._list_dir() if f not in seen]
+        if upto is not None:
+            fresh = fresh[: max(0, upto - len(self._ledger))]
+        self._ledger.extend(fresh)
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def latestOffset(self) -> dict:
+        self._extend_ledger()
+        n = len(self._ledger)
+        # bound the micro-batch: advance at most maxFilesPerBatch past
+        # the furthest point already planned/committed — Spark calls
+        # latestOffset once per planning round, so a backlog drains
+        # maxFiles per micro-batch. (The floor combines the last
+        # planned offset with commit() feedback; after a process
+        # restart the first round re-plans from the checkpoint log's
+        # offset, so the limit is per-run, like Spark's own ReadLimit.)
+        if self.max_files is not None and n > 0:
+            floor = max(getattr(self, "_planned", 0), getattr(self, "_committed", 0))
+            n = min(n, floor + self.max_files)
+            self._planned = n
+        return {"n": n}
+
+    def partitions(self, start: dict, end: dict) -> list[AvroSplit]:
+        self._extend_ledger(upto=end["n"])
+        if end["n"] > len(self._ledger):
+            raise RuntimeError(
+                f"avro stream: offset {end['n']} beyond the {len(self._ledger)} "
+                f"landed files — files were removed from {self.path!r}, which the "
+                "landing-zone convention (atomic, immutable) forbids"
+            )
+        splits = []
+        for path in self._ledger[start["n"] : end["n"]]:
+            size = os.path.getsize(path)
+            with open(path, "rb") as fh:
+                header = read_header(fh.read(1 << 16))
+            splits.append(
+                AvroSplit(
+                    path=path,
+                    start=0,
+                    end=size,
+                    schema_json=header.schema_json,
+                    codec=header.codec,
+                    sync=header.sync,
+                    header_len=header.header_len,
+                )
+            )
+        return splits
+
+    def read(self, partition: AvroSplit) -> Iterator[Any]:
+        return _decode_split(self.spark_schema, self.reader_schema_json, partition)
+
+    def commit(self, end: dict) -> None:
+        self._committed = end["n"]
+
+    def stop(self) -> None:
+        pass
+
+
+def read_avro_stream(
+    spark: SparkSession,
+    path: str,
+    reader_schema: Union[AvroSchema, str, dict, None] = None,
+    max_files_per_batch: Optional[int] = None,
+) -> DataFrame:
+    """Stream Avro container files landing in ``path`` (micro-batch;
+    offsets checkpointed; one input partition per file, executor-side
+    decode). See :class:`AvroStreamReader` for the landing-zone
+    contract."""
+    register_avro_datasource(spark)
+    reader = spark.readStream.format("avro_py").option("path", path)
+    if reader_schema is not None:
+        if not isinstance(reader_schema, AvroSchema):
+            reader_schema = parse_schema(reader_schema)
+        reader = reader.option("avroSchema", json.dumps(reader_schema.to_json()))
+    if max_files_per_batch is not None:
+        reader = reader.option("maxFilesPerBatch", str(max_files_per_batch))
+    return reader.load()

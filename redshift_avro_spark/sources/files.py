@@ -46,6 +46,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -314,6 +315,9 @@ class AvroDataSource(DataSource):
     def streamReader(self, schema: T.StructType) -> "AvroStreamReader":
         return AvroStreamReader(schema, dict(self.options))
 
+    def streamWriter(self, schema: T.StructType, overwrite: bool) -> "AvroStreamWriter":
+        return AvroStreamWriter(schema, dict(self.options))
+
 
 _REGISTERED: set[int] = set()
 
@@ -490,3 +494,67 @@ def read_avro_stream(
     if max_files_per_batch is not None:
         reader = reader.option("maxFilesPerBatch", str(max_files_per_batch))
     return reader.load()
+
+
+class AvroStreamWriter(DataSourceStreamWriter):
+    """Micro-batch streaming SINK: each batch lands as Avro container
+    files (one per non-empty partition) under ``path`` — the writer
+    half of the landing-zone connector, producing exactly the layout
+    :class:`AvroStreamReader` consumes, so engines chain.
+
+    Exactly-once output: tasks stage under dot-prefixed names (readers
+    skip dotfiles), ``commit(batchId)`` renames them to deterministic
+    ``part-{batchId}-{partition}`` finals — a REPLAYED batch (failure
+    after partial commit) overwrites the same final names instead of
+    duplicating rows — and ``abort`` removes the staged files.
+    """
+
+    def __init__(self, spark_schema: T.StructType, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("avro stream writer requires a path")
+        self.codec = options.get("compression", "deflate")
+        self.record_name = options.get("recordname", "topLevelRecord")
+        self.avro_schema_json = options.get("avroschema")
+        self.spark_schema = spark_schema
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator: Iterator[Any]) -> AvroCommit:
+        from pyspark import TaskContext
+
+        if self.avro_schema_json:
+            schema = parse_schema(self.avro_schema_json)
+        else:
+            schema = df_schema_to_avro(self.spark_schema, name=self.record_name)
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        staged = os.path.join(self.path, f".staged-{uuid.uuid4().hex[:8]}-{pid:05d}.avro")
+        n = 0
+        field_names = [f.name for f in self.spark_schema.fields]
+        with open(staged, "wb") as fh:
+            with ContainerWriter(fh, schema, codec=self.codec) as w:
+                for row in iterator:
+                    w.append(_row_to_dict(row, field_names))
+                    n += 1
+        if n == 0:
+            os.remove(staged)
+            return AvroCommit(file="", rows=0)
+        # carry the partition id so commit() can build the
+        # deterministic, replay-idempotent final name
+        return AvroCommit(file=f"{staged}\x00{pid}", rows=n)
+
+    def commit(self, messages, batchId: int) -> None:  # type: ignore[override]
+        for m in messages:
+            if m is None or not m.file:
+                continue
+            staged, pid = m.file.split("\x00")
+            final = os.path.join(self.path, f"part-{batchId:08d}-{int(pid):05d}.avro")
+            os.replace(staged, final)
+
+    def abort(self, messages, batchId: int) -> None:  # type: ignore[override]
+        for m in messages:
+            if m is None or not m.file:
+                continue
+            staged = m.file.split("\x00")[0]
+            if os.path.exists(staged):
+                os.remove(staged)

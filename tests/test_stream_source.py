@@ -149,3 +149,44 @@ def test_removed_file_is_a_loud_error(spark, tmp_path):
     fresh = AvroStreamReader(T.StructType(), {"path": feed})
     with pytest.raises(RuntimeError, match="landing-zone convention"):
         fresh.partitions({"n": 0}, {"n": 1})
+
+
+def test_stream_sink_chains_back_to_source(spark, tmp_path):
+    """Source → sink roundtrip: stream Avro landing files through the
+    connector INTO the Avro stream sink; the sink's output is itself a
+    valid landing zone, so a batch read of it equals the input. A
+    restart with more input appends new part-{batch} files without
+    duplicating earlier batches."""
+    register_avro_datasource(spark)
+    feed = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed)
+    _land(feed, 0, range(0, 30))
+    _land(feed, 1, range(30, 60))
+
+    def run_once():
+        q = (
+            spark.readStream.format("avro_py")
+            .option("path", feed)
+            .load()
+            .writeStream.format("avro_py")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+
+    run_once()
+    got = spark.read.format("avro_py").load(out)
+    assert sorted(r.tick_id for r in got.collect()) == list(range(60))
+
+    _land(feed, 2, range(60, 75))
+    run_once()
+    got2 = spark.read.format("avro_py").load(out)
+    assert sorted(r.tick_id for r in got2.collect()) == list(range(75))
+    # final files are batch-deterministic (replay-idempotent names)
+    names = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert all(f.startswith("part-000000") for f in names)

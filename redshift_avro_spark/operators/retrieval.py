@@ -1,0 +1,106 @@
+"""Corpus retrieval operators — BM25 ranked search.
+
+The reference delegates all post-decode analytics to Redshift SQL
+(README.md:13-17); full-text relevance ranking over a decoded corpus
+is the retrieval step an LLM-data pipeline runs to mine domain
+documents, so it gets a first-class distributed implementation here.
+
+Determinism contract (what lets a DuckDB oracle value-hash-match):
+BM25's usual ``ln``-based idf is libm-dependent, so the idf keeps the
+RATIONAL Robertson form (N − df + 0.5)/(df + 0.5) — a monotone
+transform of the log with the identical ranking — and every double is
+produced by one fixed tree of IEEE mult/div/add over integer inputs
+(bit-deterministic in any engine). Per-term scores are cast to
+DECIMAL(28,12) BEFORE summing so Spark's partial-aggregation order
+can't flip low bits (the registry-wide hash-stability rule).
+
+100 TB story: two uniform-key aggregations build the postings stats
+(term frequency per doc, document frequency per term), the derived
+query-term table is tiny and broadcast, and scoring touches only the
+postings of the query terms (the broadcast semi-join prunes everything
+else before the doc-length join). No corpus-wide shuffle survives into
+the scoring stage; top-k is a TakeOrdered, not a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bm25_topk", "BM25_TSCORE_SQL"]
+
+# One fixed expression tree for the per-(doc, term) BM25 score with
+# k1=1.2, b=0.75: idf_rational * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)),
+# avgdl expanded as sum_dl/n_docs so every input is an exact integer.
+# The oracle (queries/text.py q113) embeds this same string — one copy
+# of the formula, two engines.
+BM25_TSCORE_SQL = (
+    "CAST(((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+    " / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+    " * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))"
+    " / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)"
+    " + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)"
+    " / CAST(sum_dl AS DOUBLE))))) AS DECIMAL(28,12))"
+)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_query_terms: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 relevance to a derived query.
+
+    The query is the corpus's ``n_query_terms`` most document-frequent
+    informative terms (2 ≤ df ≤ N/2 — present enough to match, absent
+    from half the corpus so they discriminate), with the unique
+    (df DESC, term) order making the selection reproducible. A caller
+    with real query terms passes them by pre-filtering; the scoring
+    plan is identical.
+
+    Returns ``(rank, doc_id, dl, n_terms, score)`` — rank 1..k by
+    (score DESC, doc_id), dl the document's token length, n_terms how
+    many query terms matched.
+    """
+    if n_query_terms < 1 or k < 1:
+        raise ValueError(f"bm25_topk: n_query_terms and k must be >= 1, got {n_query_terms}, {k}")
+    words = F.expr(f"split(trim(lower({text_col})), '\\\\s+')")
+    toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    s = dl.agg(F.sum("dl").cast("long").alias("sum_dl"))
+
+    qt = (
+        dfreq.crossJoin(F.broadcast(n))
+        .where((F.col("df") * 2 <= F.col("n_docs")) & (F.col("df") >= 2))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(n_query_terms)
+        .select("term", "df")
+    )
+
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(s))
+        .select("doc_id", F.expr(BM25_TSCORE_SQL).alias("tscore"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.round(F.sum("tscore").cast("double"), 6).alias("score"),
+    )
+    top = agg.join(dl, "doc_id").orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    # rank the k survivors (window over k rows, not the corpus)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        "dl",
+        "n_terms",
+        "score",
+    )

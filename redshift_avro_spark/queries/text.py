@@ -329,3 +329,55 @@ def q100_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q113_bm25_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    s AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+    qt AS (
+      SELECT term, df FROM dfreq, n
+      WHERE df * 2 <= n_docs AND df >= 2
+      ORDER BY df DESC, term LIMIT 8
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))) * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))))) AS DECIMAL(28,12)) AS tscore
+      FROM tf JOIN qt USING (term) JOIN dl USING (doc_id), n, s
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+             ROUND(CAST(SUM(tscore) AS DOUBLE), 6) AS score
+      FROM scored GROUP BY doc_id
+    )
+    SELECT * FROM (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+             doc_id, dl, n_terms, score
+      FROM agg JOIN dl USING (doc_id)
+    ) WHERE rank <= 10 ORDER BY rank
+    """,
+)
+def q113_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75): top-10 documents for
+    the corpus-derived 8-term query (most document-frequent terms with
+    2 ≤ df ≤ N/2 — unique (df DESC, term) selection order). The idf
+    keeps the rational Robertson form (N−df+0.5)/(df+0.5) — the same
+    ranking as the log form without libm — and per-term scores sum as
+    DECIMAL(28,12), so the value-hash is engine-stable.
+
+    Scale shape (:func:`..operators.retrieval.bm25_topk`): postings
+    stats are two uniform-key aggs; query terms broadcast; scoring
+    touches only matching postings (broadcast semi-join prunes first);
+    top-k is a TakeOrdered. No corpus-wide shuffle reaches scoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.retrieval import bm25_topk
+
+    return bm25_topk(docs, n_query_terms=8, k=10)

@@ -98,3 +98,50 @@ def learn_bpe_merges(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def apply_bpe_merges(
+    docs: DataFrame, merges: DataFrame, *, id_col: str, text_col: str
+) -> DataFrame:
+    """Encode every document with an already-learned merge table — the
+    scale-side half of BPE: training (:func:`learn_bpe_merges`) runs
+    once on a sample, ENCODING runs over the full 100 TB corpus.
+
+    ``merges`` is the (merge_round, pattern, merged) table the learner
+    emits. It collapses to ONE broadcast row holding the round-ordered
+    merge array (``array_sort`` on the struct orders by merge_round,
+    its first field), and each document folds the merges in order with
+    ``aggregate(..., replace)`` — a single narrow projection, no
+    shuffle, no driver collect, no Python.
+
+    Returns one row per doc: (doc_id, tokens_before, tokens_after,
+    n_merged, saved_ppm) where n_merged counts fused (``+``-joined)
+    symbols and saved_ppm = (before−after)·10⁶ div before.
+    """
+    for c in (id_col, text_col):
+        if c not in docs.columns:
+            raise ValueError(f"apply_bpe_merges: column {c!r} not in docs")
+    for c in ("merge_round", "pattern", "merged"):
+        if c not in merges.columns:
+            raise ValueError(f"apply_bpe_merges: column {c!r} not in merges")
+
+    ms = merges.agg(
+        F.array_sort(F.collect_list(F.struct("merge_round", "pattern", "merged"))).alias("ms")
+    )
+    corpus = corpus_strings(docs, id_col, text_col)
+    applied = corpus.crossJoin(F.broadcast(ms)).select(
+        "doc_id",
+        F.expr(f"size({_TOKENS_EXPR})").cast("long").alias("tokens_before"),
+        F.expr("aggregate(ms, s, (acc, m) -> replace(acc, m.pattern, m.merged))").alias("s"),
+    )
+    toks_after = f"size({_TOKENS_EXPR})"
+    n_merged = f"size(filter({_TOKENS_EXPR}, t -> contains(t, '+')))"
+    return applied.select(
+        "doc_id",
+        "tokens_before",
+        F.expr(toks_after).cast("long").alias("tokens_after"),
+        F.expr(n_merged).cast("long").alias("n_merged"),
+        F.expr(
+            f"(tokens_before - {toks_after}) * 1000000 div tokens_before"
+        ).cast("long").alias("saved_ppm"),
+    )

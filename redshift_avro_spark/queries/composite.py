@@ -957,7 +957,7 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q106_vocab_suite",
-    members=("q56_tfidf_terms", "q105_bpe_merges", "q113_bm25_topk"),
+    members=("q56_tfidf_terms", "q105_bpe_merges", "q113_bm25_topk", "q114_bpe_encode"),
     oracle=f"""
     SELECT 'tfidf' AS kind, lang AS k_str, term AS k_str2,
            sum_tf AS n1, df AS n2, CAST(NULL AS BIGINT) AS n3, tfidf AS val
@@ -972,16 +972,23 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS VARCHAR) AS k_str2, rank AS n1, dl AS n2,
            n_terms AS n3, score AS val
     FROM {_sub('q113_bm25_topk')}
+    UNION ALL
+    SELECT 'enc' AS kind, CAST(doc_id AS VARCHAR) AS k_str,
+           CAST(NULL AS VARCHAR) AS k_str2, tokens_before AS n1,
+           tokens_after AS n2, n_merged AS n3, CAST(saved_ppm AS DOUBLE) AS val
+    FROM {_sub('q114_bpe_encode')}
     ORDER BY kind, n1, k_str, k_str2
     """,
 )
 def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-vocabulary suite: tf-idf top terms per language (q56 —
     the weighting view of the vocabulary), the learned BPE merge
-    table (q105 — the tokenizer-training view), and BM25 ranked
-    retrieval for the corpus-derived query (q113 — the search view),
-    tagged and unioned. The passes an LLM pipeline runs over corpus
-    vocabulary before training, in one driver-verified result."""
+    table (q105 — the tokenizer-training view), BM25 ranked retrieval
+    for the corpus-derived query (q113 — the search view), and the
+    per-document BPE encoding of the corpus with those merges (q114 —
+    the tokenizer-application view), tagged and unioned. The passes an
+    LLM pipeline runs over corpus vocabulary before training, in one
+    driver-verified result."""
     a = _run("q56_tfidf_terms", spark, sf_dir).select(
         F.lit("tfidf").alias("kind"),
         F.col("lang").alias("k_str"),
@@ -1009,7 +1016,19 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_terms").alias("n3"),
         F.col("score").alias("val"),
     )
-    return a.unionByName(b).unionByName(c).orderBy("kind", "n1", "k_str", "k_str2")
+    d = _run("q114_bpe_encode", spark, sf_dir).select(
+        F.lit("enc").alias("kind"),
+        F.col("doc_id").cast("string").alias("k_str"),
+        F.lit(None).cast("string").alias("k_str2"),
+        F.col("tokens_before").alias("n1"),
+        F.col("tokens_after").alias("n2"),
+        F.col("n_merged").alias("n3"),
+        F.col("saved_ppm").cast("double").alias("val"),
+    )
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d)
+        .orderBy("kind", "n1", "k_str", "k_str2")
+    )
 
 
 # ---------------------------------------------------------------- q110

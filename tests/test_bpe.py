@@ -99,3 +99,52 @@ def test_validation(spark):
         learn_bpe_merges(df, id_col="doc_id", text_col="text", rounds=0)
     with pytest.raises(ValueError, match="not in docs"):
         learn_bpe_merges(df, id_col="nope", text_col="text", rounds=1)
+
+
+def _ref_encode(texts, rounds):
+    merges = _ref(texts, rounds)
+    out = {}
+    for i, t in enumerate(texts):
+        ws = re.split(r"\s+", t.strip().lower())
+        s = "[" + "][".join(_tok(w) for w in ws) + "]"
+        before = len(s[1:-1].split("]["))
+        for _, pattern, merged, _, _ in merges:
+            s = s.replace(pattern, merged)
+        toks = s[1:-1].split("][")
+        out[i] = (
+            before,
+            len(toks),
+            sum(1 for x in toks if "+" in x),
+            (before - len(toks)) * 1_000_000 // before,
+        )
+    return out
+
+
+def test_apply_matches_replica_and_learner_chain(spark):
+    from redshift_avro_spark.operators.bpe import apply_bpe_merges
+
+    texts = ["the cat sat", "the cat ran", "the dog sat", "a cat sat here", "cat cat cat"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = learn_bpe_merges(df, id_col="doc_id", text_col="text", rounds=3).select(
+        "merge_round", "pattern", "merged"
+    )
+    got = {
+        r.doc_id: (r.tokens_before, r.tokens_after, r.n_merged, r.saved_ppm)
+        for r in apply_bpe_merges(df, merges, id_col="doc_id", text_col="text").collect()
+    }
+    assert got == _ref_encode(texts, 3)
+
+
+def test_apply_validation(spark):
+    from redshift_avro_spark.operators.bpe import apply_bpe_merges
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    merges = df.selectExpr(
+        "1 as merge_round", "'[x][y]' as pattern", "'[x+y]' as merged"
+    )
+    with pytest.raises(ValueError, match="not in docs"):
+        apply_bpe_merges(df, merges, id_col="nope", text_col="text")
+    with pytest.raises(ValueError, match="not in merges"):
+        apply_bpe_merges(df, merges.drop("pattern"), id_col="doc_id", text_col="text")

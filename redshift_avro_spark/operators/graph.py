@@ -97,3 +97,75 @@ def pagerank(
         ranks.join(outdeg, ranks.node == outdeg.src, "left")
         .select("node", F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"), "rank_fp")
     )
+
+
+def triangle_count(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst", top_k: int = 50
+) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation —
+    the third canonical graph shape next to label flooding (connected
+    components) and value propagation (PageRank): triangle density
+    drives clustering-coefficient features and community detection
+    over similarity/co-occurrence graphs.
+
+    ``edges`` holds each undirected edge ONCE (src < dst or any
+    convention; duplicates are the caller's bug). The classic
+    hub-taming trick makes the wedge join tractable: orient every
+    edge from the endpoint with the lower (degree, id) total-order
+    key to the higher, so a node's OUT-degree is bounded even for
+    hubs (a node of degree d has out-degree ≤ ~√(2·E) after
+    orientation), wedges pair out-edges of the same source, and a
+    triangle closes iff the oriented edge (b, c) exists — an
+    EQUI-join, because the wedge is emitted with b before c in the
+    same total order that oriented the edges.
+
+    Returns the ``top_k`` nodes by (n_triangles DESC, node) with
+    their degree — a bounded result with a unique sort key.
+
+    Scale: degree = one agg on the uniform node key; orientation a
+    broadcast-free join edge⋈degree (node key); the wedge self-join
+    shuffles on the oriented source; closure is one equi-join on the
+    (b, c) pair. All keys uniform post-orientation."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    ork = deg.select("node", F.expr("deg * 4294967296 + node").alias("ord"), "deg")
+    oriented = (
+        e.join(ork.select(F.col("node").alias("u"), F.col("ord").alias("ord_u")), "u")
+        .join(ork.select(F.col("node").alias("v"), F.col("ord").alias("ord_v")), "v")
+        .select(
+            F.expr("CASE WHEN ord_u < ord_v THEN u ELSE v END").alias("s"),
+            F.expr("CASE WHEN ord_u < ord_v THEN v ELSE u END").alias("t"),
+            F.expr("CASE WHEN ord_u < ord_v THEN ord_v ELSE ord_u END").alias("t_ord"),
+        )
+        # consumed three times (both wedge sides + closure probe):
+        # materialize once, O(E) rows, instead of replaying the
+        # edge⋈degree chain per consumer
+        .localCheckpoint()
+    )
+    e1 = oriented.select(F.col("s"), F.col("t").alias("b"), F.col("t_ord").alias("b_ord"))
+    e2 = oriented.select(F.col("s"), F.col("t").alias("c"), F.col("t_ord").alias("c_ord"))
+    wedges = (
+        e1.join(e2, "s")
+        .where(F.col("b_ord") < F.col("c_ord"))
+        .select(F.col("s").alias("a"), "b", "c")
+    )
+    closing = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return (
+        per_node.join(deg, "node")
+        .orderBy(F.desc("n_triangles"), F.asc("node"))
+        .limit(top_k)
+        .select("node", "deg", "n_triangles")
+    )

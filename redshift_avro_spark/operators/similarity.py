@@ -442,3 +442,80 @@ def quantize_embeddings(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
             "mse"
         ),
     )
+
+
+def lsh_bucket_key_band(vec_col: str, band: int, n_planes: int, dim: int) -> Column:
+    """Bucket key for OR-amplification band ``band``: the band's planes
+    are the absolute plane indices [band·n_planes, (band+1)·n_planes),
+    so every band draws independent hyperplanes from the same md5
+    stream and no plane is shared across bands."""
+    bits = [
+        f"(CASE WHEN ({_hyperplane_expr(vec_col, band * n_planes + i, dim)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    ]
+    return F.expr(" + ".join(bits))
+
+
+def knn_graph(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_planes: int = 6,
+    n_bands: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """k-nearest-neighbor graph over the whole corpus — every vector's
+    top-k cosine neighbors among its LSH-bucket candidates. The graph
+    primitive under graph-based dedup, clustering and diversity
+    sampling; the all-points sibling of :func:`lsh_bucket_topk` (which
+    serves an external query set).
+
+    OR-amplification: ``n_bands`` independent plane-sets each hash the
+    corpus into buckets; a pair is a candidate if ANY band agrees —
+    recall grows with bands while each band's self-join stays bounded
+    by its bucket sizes. Candidates deduplicate on the (src, dst) id
+    pair BEFORE vectors re-join, so the exact re-rank scores each pair
+    once.
+
+    Scale shape: per band one self-join on the uniform bucket key
+    (quadratic only inside a bucket, never corpus-wide), one distinct
+    on the directed id pair, two uniform-key joins to re-attach
+    vectors, one per-src window for top-k. Corpus order never matters;
+    ties break on neighbor id."""
+    if k < 1 or n_planes < 1 or n_bands < 1:
+        raise ValueError(
+            f"knn_graph: k, n_planes, n_bands must be >= 1, got {k}, {n_planes}, {n_bands}"
+        )
+    for c in (id_col, vec_col):
+        if c not in df.columns:
+            raise ValueError(f"knn_graph: column {c!r} not in df")
+
+    cand = None
+    for band in range(n_bands):
+        key = lsh_bucket_key_band(vec_col, band, n_planes, dim)
+        side = df.select(F.col(id_col).alias("id"), key.alias("bucket"))
+        a = side.select(F.col("id").alias("query_id"), "bucket")
+        b = side.select(F.col("id").alias("neighbor_id"), "bucket")
+        pairs = (
+            a.join(b, "bucket")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+
+    va = df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    vb = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        cand.join(va, "query_id")
+        .join(vb, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine_expr("qvec", "cvec").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )

@@ -153,6 +153,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import graph_q  # noqa: F401
     from . import vocab_q  # noqa: F401
     from . import cdc_q  # noqa: F401
+    from . import funnel_q  # noqa: F401
     from . import composite  # noqa: F401  (must load last: wraps members)
 
     return REGISTRY

@@ -2,9 +2,9 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 107 operator demonstrations. Rather
+names), but the registry carries 116 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
-2–4 member queries into one DataFrame with one combined oracle, so
+2–5 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
 to exactly 50 entries — every operator family lands inside the gated
 window with a full value-hash row (VERDICT r2 "Next round" #1).
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-107 still registered) keep guarding it. A composite can only pass if
+116 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -398,7 +398,12 @@ def q83_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q84_event_window_suite",
-    members=("q47_session_windows", "q48_sliding_windows"),
+    members=(
+        "q47_session_windows",
+        "q48_sliding_windows",
+        "q120_funnel_conversion",
+        "q121_cohort_retention",
+    ),
     oracle=f"""
     SELECT 'session' AS kind, user_id, session_start AS w_start,
            session_end AS w_end, CAST(NULL AS VARCHAR) AS event_type,
@@ -408,13 +413,27 @@ def q83_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'sliding' AS kind, CAST(NULL AS BIGINT) AS user_id, w_start,
            CAST(NULL AS TIMESTAMP) AS w_end, event_type, n, total
     FROM {_sub('q48_sliding_windows')}
+    UNION ALL
+    SELECT 'funnel' AS kind, stage AS user_id, CAST(NULL AS TIMESTAMP) AS w_start,
+           CAST(NULL AS TIMESTAMP) AS w_end, event_type,
+           n_users AS n, CAST(conv_ppm AS DOUBLE) AS total
+    FROM {_sub('q120_funnel_conversion')}
+    UNION ALL
+    SELECT 'cohort' AS kind, week_offset AS user_id, cohort_week AS w_start,
+           CAST(NULL AS TIMESTAMP) AS w_end, CAST(NULL AS VARCHAR) AS event_type,
+           n_users AS n, CAST(retained_ppm AS DOUBLE) AS total
+    FROM {_sub('q121_cohort_retention')}
     ORDER BY kind, user_id NULLS FIRST, w_start, event_type NULLS FIRST
     """,
 )
 def q84_event_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time window suite: 30-minute-gap session windows (q47) and
-    1h/30m sliding windows (q48) — the two non-tumbling window shapes —
-    tagged and unioned. (Tumbling stays q17's own gated row.)"""
+    """Event-analytics suite: 30-minute-gap session windows (q47) and
+    1h/30m sliding windows (q48) — the two non-tumbling window shapes
+    (tumbling stays q17's own gated row) — plus the two behavioral
+    aggregations a warehouse serves on the same stream: sequential
+    funnel conversion (q120, stage rides the user_id slot) and weekly
+    cohort retention (q121, week offset rides it), tagged and
+    unioned."""
     a = _run("q47_session_windows", spark, sf_dir).select(
         F.lit("session").alias("kind"),
         "user_id",
@@ -433,7 +452,25 @@ def q84_event_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total",
     )
-    return a.unionByName(b).orderBy(
+    c = _run("q120_funnel_conversion", spark, sf_dir).select(
+        F.lit("funnel").alias("kind"),
+        F.col("stage").alias("user_id"),
+        F.lit(None).cast("timestamp").alias("w_start"),
+        F.lit(None).cast("timestamp").alias("w_end"),
+        "event_type",
+        F.col("n_users").alias("n"),
+        F.col("conv_ppm").cast("double").alias("total"),
+    )
+    d = _run("q121_cohort_retention", spark, sf_dir).select(
+        F.lit("cohort").alias("kind"),
+        F.col("week_offset").alias("user_id"),
+        F.col("cohort_week").alias("w_start"),
+        F.lit(None).cast("timestamp").alias("w_end"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("n_users").alias("n"),
+        F.col("retained_ppm").cast("double").alias("total"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).orderBy(
         "kind", F.asc_nulls_first("user_id"), "w_start", F.asc_nulls_first("event_type")
     )
 
@@ -445,7 +482,7 @@ def q84_event_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q85_ann_suite",
-    members=("q35_cosine_topk", "q36_ann_lsh_topk", "q45_ivf_topk"),
+    members=("q35_cosine_topk", "q36_ann_lsh_topk", "q45_ivf_topk", "q116_knn_graph"),
     oracle=f"""
     SELECT 'brute' AS method, query_id, rank, neighbor_id, cosine
     FROM {_sub('q35_cosine_topk')}
@@ -455,19 +492,24 @@ def q84_event_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'ivf' AS method, query_id, rank, neighbor_id, cosine
     FROM {_sub('q45_ivf_topk')}
+    UNION ALL
+    SELECT 'knn' AS method, query_id, rank, neighbor_id, cosine
+    FROM {_sub('q116_knn_graph')}
     ORDER BY method, query_id, rank
     """,
 )
 def q85_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN suite: the exact brute-force baseline (q35), the
     random-hyperplane LSH path (q36) and the Lloyd-refined IVF path
-    (q45) over the same query set, tagged by method — exact answers
-    grade both approximate families in one result."""
+    (q45) over the same query set, plus the all-points kNN graph
+    (q116 — banded LSH candidates, per-node top-3), tagged by method —
+    exact answers grade the approximate families in one result."""
     parts = []
     for method, name in (
         ("brute", "q35_cosine_topk"),
         ("lsh", "q36_ann_lsh_topk"),
         ("ivf", "q45_ivf_topk"),
+        ("knn", "q116_knn_graph"),
     ):
         parts.append(
             _run(name, spark, sf_dir).select(
@@ -788,24 +830,28 @@ def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q93_embedding_curation",
-    members=("q64_embedding_quantize", "q94_semantic_dedup"),
+    members=("q64_embedding_quantize", "q94_semantic_dedup", "q115_pca_projection"),
     oracle=f"""
-    SELECT q.*, s.cid, s.component_id, s.n_dups, s.is_keeper
+    SELECT q.*, s.cid, s.component_id, s.n_dups, s.is_keeper, p.pc1
     FROM {_sub('q64_embedding_quantize')} q
     JOIN {_sub('q94_semantic_dedup')} s USING (vec_id)
+    JOIN {_sub('q115_pca_projection')} p USING (vec_id)
     ORDER BY vec_id
     """,
 )
 def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector embedding curation: symmetric int8 quantization stats
     (q64) ⋈ SemDeDup semantic-dedup status (q94 — k-means cells bound
-    the near-dup scan, components pick one keeper) on the corpus key.
-    The storage-compression and semantic-dedup passes a 100 TB
+    the near-dup scan, components pick one keeper) ⋈ top-principal-
+    component projection (q115 — power iteration on broadcast-size
+    covariance state) on the corpus key. The storage-compression,
+    semantic-dedup and dimensionality-analysis passes a 100 TB
     embedding store runs before ANN indexing, in one driver-verified
     result."""
     q = _run("q64_embedding_quantize", spark, sf_dir)
     s = _run("q94_semantic_dedup", spark, sf_dir)
-    return q.join(s, "vec_id").orderBy("vec_id")
+    p = _run("q115_pca_projection", spark, sf_dir)
+    return q.join(s, "vec_id").join(p, "vec_id").orderBy("vec_id")
 
 
 # ---------------------------------------------------------------- q97
@@ -914,40 +960,54 @@ def q92_super_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q103_graph_suite",
-    members=("q63_dedup_clusters", "q102_pagerank"),
+    members=("q63_dedup_clusters", "q102_pagerank", "q119_triangle_count"),
     oracle=f"""
     SELECT 'components' AS src, doc_id AS k1, component_id AS k2,
-           cluster_size AS n, is_keeper AS flag
+           cluster_size AS n, CAST(is_keeper AS INTEGER) AS flag
     FROM {_sub('q63_dedup_clusters')}
     UNION ALL
     SELECT 'pagerank' AS src, node_id AS k1, outdeg AS k2,
-           rank_fp AS n, is_supplier AS flag
+           rank_fp AS n, CAST(is_supplier AS INTEGER) AS flag
     FROM {_sub('q102_pagerank')}
+    UNION ALL
+    SELECT 'triangles' AS src, node AS k1, deg AS k2,
+           n_triangles AS n, CAST(NULL AS INTEGER) AS flag
+    FROM {_sub('q119_triangle_count')}
     ORDER BY src, k1
     """,
 )
 def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative-graph suite: min-label-propagation connected
     components over the verified near-dup edge set (q63 — fixpoint
-    label flooding) and fixed-point PageRank over the customer–
-    supplier trade graph (q102 — fixed-round value propagation),
-    tagged and unioned. The two canonical iterative dataflow shapes,
-    each O(E) per round with per-round lineage cuts."""
+    label flooding), fixed-point PageRank over the customer–supplier
+    trade graph (q102 — fixed-round value propagation), and top
+    triangle-count nodes of the part co-order graph (q119 —
+    degree-oriented wedge closure), tagged and unioned. The three
+    canonical distributed-graph shapes; booleans ride as INTEGER so
+    the null flag on triangle rows hashes identically in both
+    engines."""
     a = _run("q63_dedup_clusters", spark, sf_dir).select(
         F.lit("components").alias("src"),
         F.col("doc_id").alias("k1"),
         F.col("component_id").alias("k2"),
         F.col("cluster_size").alias("n"),
-        F.col("is_keeper").alias("flag"),
+        F.col("is_keeper").cast("int").alias("flag"),
     )
     b = _run("q102_pagerank", spark, sf_dir).select(
         F.lit("pagerank").alias("src"),
         F.col("node_id").alias("k1"),
         F.col("outdeg").alias("k2"),
         F.col("rank_fp").alias("n"),
-        F.col("is_supplier").alias("flag"),
+        F.col("is_supplier").cast("int").alias("flag"),
     )
-    return a.unionByName(b).orderBy("src", "k1")
+    c = _run("q119_triangle_count", spark, sf_dir).select(
+        F.lit("triangles").alias("src"),
+        F.col("node").alias("k1"),
+        F.col("deg").alias("k2"),
+        F.col("n_triangles").alias("n"),
+        F.lit(None).cast("int").alias("flag"),
+    )
+    return a.unionByName(b).unionByName(c).orderBy("src", "k1")
 
 
 # ---------------------------------------------------------------- q106
@@ -1110,3 +1170,61 @@ def q110_incremental_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).unionByName(c).orderBy(
         "kind", "k", F.asc_nulls_first("n2")
     )
+
+
+# ---------------------------------------------------------------- q118
+# q58 + q117: the write-layout suite — shard sizing (how big files
+# are) and z-order clustering with zone maps (how rows are arranged
+# across them), the two halves of planning a 100 TB table's physical
+# layout.
+
+
+@register(
+    "q118_layout_suite",
+    members=("q58_compaction_plan", "q117_zorder_layout"),
+    oracle=f"""
+    SELECT 'shards' AS kind, CAST(NULL AS VARCHAR) AS s1,
+           bucket AS k1, shard AS k2, n_docs AS n1, total_bytes AS n2,
+           first_id AS n3, last_id AS n4, CAST(NULL AS BIGINT) AS n5,
+           CAST(NULL AS INTEGER) AS flag
+    FROM {_sub('q58_compaction_plan')}
+    UNION ALL
+    SELECT 'zones' AS kind, layout AS s1,
+           file_id AS k1, CAST(NULL AS BIGINT) AS k2, n_rows AS n1,
+           min_x AS n2, max_x AS n3, min_y AS n4, max_y AS n5,
+           CAST(hit AS INTEGER) AS flag
+    FROM {_sub('q117_zorder_layout')}
+    ORDER BY kind, s1, k1, k2
+    """,
+)
+def q118_layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout suite: target-size shard packing (q58 — file
+    SIZING) and z-order clustering with zone-map pruning stats (q117 —
+    row ARRANGEMENT across files), tagged on one schema. Together the
+    plan a large-scale writer executes before a table rewrite, in one
+    driver-verified result."""
+    a = _run("q58_compaction_plan", spark, sf_dir).select(
+        F.lit("shards").alias("kind"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("bucket").cast("long").alias("k1"),
+        F.col("shard").cast("long").alias("k2"),
+        F.col("n_docs").cast("long").alias("n1"),
+        F.col("total_bytes").alias("n2"),
+        F.col("first_id").alias("n3"),
+        F.col("last_id").alias("n4"),
+        F.lit(None).cast("long").alias("n5"),
+        F.lit(None).cast("int").alias("flag"),
+    )
+    b = _run("q117_zorder_layout", spark, sf_dir).select(
+        F.lit("zones").alias("kind"),
+        F.col("layout").alias("s1"),
+        F.col("file_id").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.col("n_rows").alias("n1"),
+        F.col("min_x").alias("n2"),
+        F.col("max_x").alias("n3"),
+        F.col("min_y").alias("n4"),
+        F.col("max_y").alias("n5"),
+        F.col("hit").cast("int").alias("flag"),
+    )
+    return a.unionByName(b).orderBy("kind", "s1", "k1", "k2")

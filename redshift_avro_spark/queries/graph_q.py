@@ -97,3 +97,67 @@ def q102_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "outdeg",
         "rank_fp",
     ).orderBy("node_id")
+
+
+@register(
+    "q119_triangle_count",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+      ) GROUP BY node
+    ),
+    ork AS (SELECT node, deg * 4294967296 + node AS ord, deg FROM deg),
+    oriented AS (
+      SELECT CASE WHEN ou.ord < ov.ord THEN u ELSE v END AS s,
+             CASE WHEN ou.ord < ov.ord THEN v ELSE u END AS t,
+             CASE WHEN ou.ord < ov.ord THEN ov.ord ELSE ou.ord END AS t_ord
+      FROM pairs JOIN ork ou ON u = ou.node JOIN ork ov ON v = ov.node
+    ),
+    wedges AS (
+      SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      FROM oriented e1 JOIN oriented e2 ON e1.s = e2.s AND e1.t_ord < e2.t_ord
+    ),
+    tri AS (
+      SELECT a, b, c FROM wedges JOIN oriented e3
+        ON wedges.b = e3.s AND wedges.c = e3.t
+    ),
+    per_node AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b AS node FROM tri
+        UNION ALL SELECT c AS node FROM tri
+      ) GROUP BY node
+    )
+    SELECT node, deg, n_triangles
+    FROM per_node JOIN deg USING (node)
+    ORDER BY n_triangles DESC, node LIMIT 50
+    """,
+)
+def q119_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 parts by triangle count in the co-order graph (parts
+    appearing in the same order are adjacent; each undirected edge
+    once) — :func:`..operators.graph.triangle_count`. Degree-ordered
+    orientation tames hubs (out-degree ≤ ~√(2E)), wedges pair
+    out-edges per source, and the closure test is an EQUI-join
+    because wedges emit (b, c) in the same total order that oriented
+    the edges. All joins on uniform node/pair keys; the result is
+    bounded with a unique (count DESC, node) sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    from ..operators.graph import triangle_count
+
+    return triangle_count(pairs, src="u", dst="v", top_k=50)

@@ -394,3 +394,132 @@ def q64_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantize_embeddings(emb, "vec_id", "embedding").orderBy("vec_id")
+
+
+_PCA_DIM = 64
+_PCA_ITERS = 8
+
+
+def _pca_iter_cte(k: int) -> str:
+    return f"""w{k} AS (
+      SELECT c.i, CAST(SUM(CAST(c.c * v.v AS DECIMAL(30,15))) AS DOUBLE) AS w
+      FROM cov c JOIN v{k - 1} v ON c.j = v.i GROUP BY c.i
+    ),
+    nr{k} AS (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(30,15))) AS DOUBLE)) AS nrm FROM w{k}),
+    v{k} AS (SELECT i, w / nrm AS v FROM w{k}, nr{k})"""
+
+
+@register(
+    "q115_pca_projection",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding AS x FROM embeddings),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+    xi AS (
+      SELECT vec_id, i, CAST(x[i + 1] AS DOUBLE) AS xi, x
+      FROM e, range({_PCA_DIM}) t(i)
+    ),
+    moments AS (
+      SELECT i, j, SUM(CAST(xi * CAST(x[j + 1] AS DOUBLE) AS DECIMAL(30,15))) AS sxx
+      FROM xi, range({_PCA_DIM}) t2(j) GROUP BY i, j
+    ),
+    mu AS (
+      SELECT i, CAST(SUM(CAST(xi AS DECIMAL(30,15))) AS DOUBLE) / CAST(n AS DOUBLE) AS mu
+      FROM xi, n GROUP BY i, n
+    ),
+    cov AS (
+      SELECT m.i, m.j,
+             CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - mi.mu * mj.mu AS c
+      FROM moments m, n
+      JOIN mu mi ON m.i = mi.i JOIN mu mj ON m.j = mj.i
+    ),
+    v0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS v FROM range({_PCA_DIM}) t(i)),
+    {", ".join(_pca_iter_cte(k) for k in range(1, _PCA_ITERS + 1))}
+    SELECT vec_id,
+           ROUND(CAST(SUM(CAST((xi - mu) * v AS DECIMAL(30,15))) AS DOUBLE), 6) AS pc1
+    FROM xi JOIN mu USING (i) JOIN v{_PCA_ITERS} USING (i)
+    GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def q115_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component projection of the embedding store
+    (:func:`..operators.decomp.pca_power_projection`): the d×d
+    second-moment matrix accumulates in ONE exploded uniform-key
+    aggregation over the corpus (map-side combine → d² rows per task),
+    the mean the same way, and eight power-iteration rounds then run
+    on broadcast-size (d², 4096-row) state — corpus size never touches
+    the iteration. Projection is a broadcast join back over the rows.
+
+    Exact DECIMAL(30,15) sums everywhere Spark's partial-agg order is
+    free, fixed IEEE double trees elsewhere (sqrt is correctly rounded
+    per IEEE-754, so it is engine-stable — unlike ln/exp, which the
+    registry bans); the oracle replays all eight rounds as unrolled
+    CTEs, the q45/q102 pattern."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..operators.decomp import pca_power_projection
+
+    return pca_power_projection(
+        emb, id_col="vec_id", vec_col="embedding", dim=_PCA_DIM, iterations=_PCA_ITERS
+    ).orderBy("vec_id")
+
+
+def _bucket_duck_band(vec: str, band: int, n_planes: int = 6, dim: int = 64) -> str:
+    bits = [
+        f"(CASE WHEN ({_plane_duck(vec, band * n_planes + i, dim)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+@register(
+    "q116_knn_graph",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT vec_id, embedding, {_bucket_duck_band('embedding', 0)} AS bucket FROM embeddings
+    ),
+    e1 AS (
+      SELECT vec_id, embedding, {_bucket_duck_band('embedding', 1)} AS bucket FROM embeddings
+    ),
+    cand AS (
+      SELECT DISTINCT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM e0 a JOIN e0 b USING (bucket) WHERE a.vec_id <> b.vec_id
+        UNION ALL
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM e1 a JOIN e1 b USING (bucket) WHERE a.vec_id <> b.vec_id
+      )
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             (list_aggregate(list_transform(list_zip(va.embedding, vb.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'))
+             / (sqrt(list_aggregate(list_transform(va.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(vb.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cosine
+      FROM cand c
+      JOIN embeddings va ON c.query_id = va.vec_id
+      JOIN embeddings vb ON c.neighbor_id = vb.vec_id
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, ROUND(cosine, 6) AS cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3 ORDER BY query_id, rank
+    """,
+)
+def q116_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-points kNN graph (:func:`..operators.similarity.knn_graph`):
+    every vector's top-3 cosine neighbors among its LSH candidates,
+    with two OR-amplification bands of 6 md5-derived hyperplanes each.
+    The graph primitive under graph dedup / clustering / diversity
+    sampling — the all-points sibling of q36's query-serving path.
+
+    Scale shape: per band one self-join on the uniform bucket key
+    (quadratic only inside buckets), distinct on the id pair before
+    vectors re-join, one per-src window. Nothing corpus-quadratic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..operators.similarity import knn_graph
+
+    return knn_graph(
+        emb, id_col="vec_id", vec_col="embedding", k=3, n_planes=6, n_bands=2, dim=64
+    ).orderBy("query_id", "rank")

@@ -288,6 +288,69 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT for pairs: |A∩B| / |A| (and /|B|)
+    in exact integer ppm — the directional companion to
+    :func:`ngram_jaccard_pairs`. Jaccard misses engulfment (a short
+    document quoted whole inside a long one scores low on union but
+    1.0 on containment), so production dedup verifies both.
+
+    Same scale shape as the Jaccard verify: gram arrays materialize
+    only for candidate-pair members (semi-join first), quadratic work
+    never touches the corpus. Integer ppm keeps the oracle exact."""
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    if candidates is not None:
+        member_ids = (
+            candidates.select(F.col("id_a").alias("__id"))
+            .unionByName(candidates.select(F.col("id_b").alias("__id")))
+            .distinct()
+        )
+        src = src.join(member_ids, "__id", "left_semi")
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, length(__text) - {n - 1}), "
+        f"i -> substring(__text, i, {n})))"
+    )
+    g = src.select("__id", grams.alias("grams")).where(F.expr("length(__text)") >= n)
+    if candidates is not None:
+        pairs = (
+            candidates.join(
+                g.withColumnRenamed("__id", "id_a").withColumnRenamed("grams", "grams_a"),
+                "id_a",
+            ).join(
+                g.withColumnRenamed("__id", "id_b").withColumnRenamed("grams", "grams_b"),
+                "id_b",
+            )
+        )
+    else:
+        a = g.select(F.col("__id").alias("id_a"), F.col("grams").alias("grams_a"))
+        b = g.select(F.col("__id").alias("id_b"), F.col("grams").alias("grams_b"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("grams_a", "grams_b")).cast("long").alias("n_inter"),
+        F.size("grams_a").cast("long").alias("n_a"),
+        F.size("grams_b").cast("long").alias("n_b"),
+    ).select(
+        "id_a",
+        "id_b",
+        "n_inter",
+        "n_a",
+        "n_b",
+        F.expr("n_inter * 1000000 div n_a").alias("cont_a_ppm"),
+        F.expr("n_inter * 1000000 div n_b").alias("cont_b_ppm"),
+        F.expr("greatest(n_inter * 1000000 div n_a, n_inter * 1000000 div n_b)").alias(
+            "max_cont_ppm"
+        ),
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",

@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 116 operator demonstrations. Rather
+names), but the registry carries 119 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–5 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-116 still registered) keep guarding it. A composite can only pass if
+119 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -482,7 +482,13 @@ def q84_event_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q85_ann_suite",
-    members=("q35_cosine_topk", "q36_ann_lsh_topk", "q45_ivf_topk", "q116_knn_graph"),
+    members=(
+        "q35_cosine_topk",
+        "q36_ann_lsh_topk",
+        "q45_ivf_topk",
+        "q116_knn_graph",
+        "q124_rrf_fusion",
+    ),
     oracle=f"""
     SELECT 'brute' AS method, query_id, rank, neighbor_id, cosine
     FROM {_sub('q35_cosine_topk')}
@@ -495,15 +501,21 @@ def q84_event_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'knn' AS method, query_id, rank, neighbor_id, cosine
     FROM {_sub('q116_knn_graph')}
+    UNION ALL
+    SELECT 'rrf' AS method, query_id, CAST(fused_rank AS INTEGER) AS rank,
+           neighbor_id, CAST(rrf_score AS DOUBLE) AS cosine
+    FROM {_sub('q124_rrf_fusion')}
     ORDER BY method, query_id, rank
     """,
 )
 def q85_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN suite: the exact brute-force baseline (q35), the
     random-hyperplane LSH path (q36) and the Lloyd-refined IVF path
-    (q45) over the same query set, plus the all-points kNN graph
-    (q116 — banded LSH candidates, per-node top-3), tagged by method —
-    exact answers grade the approximate families in one result."""
+    (q45) over the same query set, the all-points kNN graph (q116 —
+    banded LSH candidates, per-node top-3), and the reciprocal-rank
+    fusion of the three query rankings (q124 — integer RRF, the
+    hybrid-search combiner), tagged by method — exact answers grade
+    the approximate families in one result."""
     parts = []
     for method, name in (
         ("brute", "q35_cosine_topk"),
@@ -516,6 +528,15 @@ def q85_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(method).alias("method"), "query_id", "rank", "neighbor_id", "cosine"
             )
         )
+    parts.append(
+        _run("q124_rrf_fusion", spark, sf_dir).select(
+            F.lit("rrf").alias("method"),
+            "query_id",
+            F.col("fused_rank").cast("int").alias("rank"),
+            "neighbor_id",
+            F.col("rrf_score").cast("double").alias("cosine"),
+        )
+    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -529,25 +550,40 @@ def q85_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q86_lsh_verify_suite",
-    members=("q31_minhash_lsh_candidates", "q33_lsh_jaccard_verify"),
+    members=(
+        "q31_minhash_lsh_candidates",
+        "q33_lsh_jaccard_verify",
+        "q123_containment_verify",
+    ),
     oracle=f"""
-    SELECT c.id_a, c.id_b, v.jaccard, (v.jaccard IS NOT NULL) AS verified
+    SELECT c.id_a, c.id_b, v.jaccard,
+           CAST((v.jaccard IS NOT NULL) AS INTEGER) AS verified,
+           ct.n_inter, ct.n_a, ct.n_b, ct.cont_a_ppm, ct.cont_b_ppm, ct.max_cont_ppm
     FROM {_sub('q31_minhash_lsh_candidates')} c
     LEFT JOIN {_sub('q33_lsh_jaccard_verify')} v
       ON c.id_a = v.id_a AND c.id_b = v.id_b
+    JOIN {_sub('q123_containment_verify')} ct
+      ON c.id_a = ct.id_a AND c.id_b = ct.id_b
     ORDER BY c.id_a, c.id_b
     """,
 )
 def q86_lsh_verify_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup discovery + verify in one result: every MinHash-LSH
     candidate pair (q31) with its exact 3-gram Jaccard where it passed
-    the ≥0.5 verification (q33); verified=false rows are the LSH false
-    positives the verify stage exists to reject."""
+    the ≥0.5 verification (q33; verified=0 rows are the LSH false
+    positives the verify stage exists to reject) and its asymmetric
+    containment ppm in both directions (q123 — the check that catches
+    engulfed documents Jaccard under-scores)."""
     c = _run("q31_minhash_lsh_candidates", spark, sf_dir)
     v = _run("q33_lsh_jaccard_verify", spark, sf_dir)
+    ct = _run("q123_containment_verify", spark, sf_dir)
     return (
         c.join(v, ["id_a", "id_b"], "left")
-        .select("id_a", "id_b", "jaccard", F.col("jaccard").isNotNull().alias("verified"))
+        .select(
+            "id_a", "id_b", "jaccard",
+            F.col("jaccard").isNotNull().cast("int").alias("verified"),
+        )
+        .join(ct, ["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
 
@@ -768,7 +804,12 @@ def q90_timeseries_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q91_sketch_suite",
-    members=("q75_count_min_sketch", "q77_bloom_filter", "q104_hyperloglog"),
+    members=(
+        "q75_count_min_sketch",
+        "q77_bloom_filter",
+        "q104_hyperloglog",
+        "q122_histogram_quantiles",
+    ),
     oracle=f"""
     SELECT 'user' AS kind, CAST(NULL AS VARCHAR) AS k_str, b.user_id AS k_num,
            CAST(b.is_member AS INTEGER) AS flag1, CAST(b.bloom_positive AS INTEGER) AS flag2,
@@ -782,6 +823,12 @@ def q90_timeseries_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_exact AS n1, hll_floor AS n2, n_registers AS n3,
            err_ppm AS n4, reg_digest AS s
     FROM {_sub('q104_hyperloglog')}
+    UNION ALL
+    SELECT 'histq' AS kind, l_returnflag AS k_str, q_pct AS k_num,
+           CAST(NULL AS INTEGER) AS flag1, CAST(NULL AS INTEGER) AS flag2,
+           n AS n1, bin AS n2, bin_lo_cents AS n3, cum AS n4,
+           CAST(NULL AS VARCHAR) AS s
+    FROM {_sub('q122_histogram_quantiles')}
     ORDER BY kind, k_str NULLS FIRST, k_num NULLS FIRST
     """,
 )
@@ -790,8 +837,10 @@ def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     every distinct user (q77, false positives included by design) with
     count-min-sketch heavy-hitter estimates (q75) attached ('user'
     rows), plus the bit-exact HyperLogLog distinct-customer estimates
-    with their register-state digests (q104, 'hll' rows). All three
-    sketches are fixed-size mergeable state."""
+    with their register-state digests (q104, 'hll' rows) and the
+    equi-width histogram p50/p95 quantile estimates per return flag
+    (q122, 'histq' rows). All four sketches are fixed-size mergeable
+    state — frequency, membership, cardinality and quantiles."""
     b = _run("q77_bloom_filter", spark, sf_dir)
     c = _run("q75_count_min_sketch", spark, sf_dir)
     u = b.join(c, "user_id", "left").select(
@@ -818,7 +867,19 @@ def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("err_ppm").alias("n4"),
         F.col("reg_digest").alias("s"),
     )
-    return u.unionByName(h).orderBy(
+    hq = _run("q122_histogram_quantiles", spark, sf_dir).select(
+        F.lit("histq").alias("kind"),
+        F.col("l_returnflag").alias("k_str"),
+        F.col("q_pct").alias("k_num"),
+        F.lit(None).cast("int").alias("flag1"),
+        F.lit(None).cast("int").alias("flag2"),
+        F.col("n").alias("n1"),
+        F.col("bin").alias("n2"),
+        F.col("bin_lo_cents").alias("n3"),
+        F.col("cum").alias("n4"),
+        F.lit(None).cast("string").alias("s"),
+    )
+    return u.unionByName(h).unionByName(hq).orderBy(
         "kind", F.asc_nulls_first("k_str"), F.asc_nulls_first("k_num")
     )
 

@@ -354,3 +354,45 @@ def q70_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = docs.where(F.col("doc_id") % 5 == 0)
     existing = docs.where(F.col("doc_id") % 5 != 0)
     return incremental_dedup_status(existing, incoming, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "q123_containment_verify",
+    oracle=f"""
+    WITH {_MINHASH_CTE},
+    grams AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(generate_series(1, length(text) - 2),
+               i -> substring(text, i, 3))) AS g
+      FROM documents WHERE length(text) >= 3
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS n_inter,
+           CAST(len(a.g) AS BIGINT) AS n_a,
+           CAST(len(b.g) AS BIGINT) AS n_b,
+           CAST(len(list_intersect(a.g, b.g)) AS BIGINT) * 1000000 // len(a.g) AS cont_a_ppm,
+           CAST(len(list_intersect(a.g, b.g)) AS BIGINT) * 1000000 // len(b.g) AS cont_b_ppm,
+           GREATEST(CAST(len(list_intersect(a.g, b.g)) AS BIGINT) * 1000000 // len(a.g),
+                    CAST(len(list_intersect(a.g, b.g)) AS BIGINT) * 1000000 // len(b.g))
+             AS max_cont_ppm
+    FROM candidates c
+    JOIN grams a ON a.id = c.id_a
+    JOIN grams b ON b.id = c.id_b
+    ORDER BY id_a, id_b
+    """,
+)
+def q123_containment_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment verify over the LSH candidate pairs
+    (:func:`..operators.dedup.ngram_containment_pairs`): |A∩B|/|A| and
+    |A∩B|/|B| in exact integer ppm for every q31 candidate — the
+    directional check that catches a short document quoted whole
+    inside a long one, which symmetric Jaccard (q33) under-scores.
+    Same scale shape as the Jaccard verify: grams materialize only for
+    pair members, quadratic work never sees the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_candidate_pairs(docs, "doc_id", "text", 12, 3, 3)
+    from ..operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, candidates=cands
+    ).orderBy("id_a", "id_b")

@@ -12,8 +12,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from . import load_table, register
+from . import REGISTRY, load_table, register
 from ..operators.similarity import lsh_bucket_topk, topk_neighbors
 
 _COS = (
@@ -523,3 +524,59 @@ def q116_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(
         emb, id_col="vec_id", vec_col="embedding", k=3, n_planes=6, n_bands=2, dim=64
     ).orderBy("query_id", "rank")
+
+
+_RRF_K = 60
+
+
+@register(
+    "q124_rrf_fusion",
+    oracle=f"""
+    WITH u AS (
+      SELECT query_id, neighbor_id, rank FROM ({REGISTRY["q35_cosine_topk"].oracle})
+      UNION ALL
+      SELECT query_id, neighbor_id, rank FROM ({REGISTRY["q36_ann_lsh_topk"].oracle})
+      UNION ALL
+      SELECT query_id, neighbor_id, rank FROM ({REGISTRY["q45_ivf_topk"].oracle})
+    ),
+    f AS (
+      SELECT query_id, neighbor_id, CAST(count(*) AS BIGINT) AS n_lists,
+             CAST(SUM(1000000 // ({_RRF_K} + rank)) AS BIGINT) AS rrf_score
+      FROM u GROUP BY 1, 2
+    )
+    SELECT query_id, CAST(rn AS BIGINT) AS fused_rank, neighbor_id, n_lists, rrf_score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, neighbor_id) AS rn
+      FROM f
+    ) WHERE rn <= 5 ORDER BY query_id, fused_rank
+    """,
+)
+def q124_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion — the standard hybrid-search combiner —
+    over the three ANN rankings for the same query set: brute-force
+    exact (q35), hyperplane LSH (q36) and IVF (q45). Fused score
+    Σ 10⁶ div (60 + rank) in exact integers (the classic RRF k=60),
+    counting how many lists surfaced each neighbor; top-5 per query by
+    (score DESC, neighbor_id).
+
+    Scale shape: the member rankings are already top-k slivers, so
+    fusion is one uniform-key agg + one per-query window over ≤15
+    rows — the retrieval lists dominate, fusion is free. At 100 TB
+    the same plan fuses BM25 postings hits with ANN hits (rank lists
+    are rank lists)."""
+    u = None
+    for fn in (q35_cosine_topk, q36_ann_lsh_topk, q45_ivf_topk):
+        part = fn(spark, sf_dir).select("query_id", "neighbor_id", "rank")
+        u = part if u is None else u.unionByName(part)
+    f = u.groupBy("query_id", "neighbor_id").agg(
+        F.count("*").cast("long").alias("n_lists"),
+        F.sum(F.expr(f"1000000 div ({_RRF_K} + rank)")).cast("long").alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("neighbor_id"))
+    return (
+        f.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("fused_rank") <= 5)
+        .select("query_id", "fused_rank", "neighbor_id", "n_lists", "rrf_score")
+        .orderBy("query_id", "fused_rank")
+    )

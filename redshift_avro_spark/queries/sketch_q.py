@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from . import load_table, register
 
@@ -309,4 +310,105 @@ def q104_hyperloglog(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reg_digest",
         )
         .orderBy("o_orderpriority")
+    )
+
+
+_HQ_BINS = 64
+
+
+@register(
+    "q122_histogram_quantiles",
+    oracle=f"""
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    st AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx FROM v),
+    binned AS (
+      SELECT flag,
+             LEAST((cents - mn) * {_HQ_BINS} // (mx - mn + 1), {_HQ_BINS - 1}) AS bin
+      FROM v, st
+    ),
+    hist AS (
+      SELECT flag, bin, CAST(count(*) AS BIGINT) AS cnt
+      FROM binned GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT flag, bin, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY flag ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM hist
+    ),
+    tot AS (SELECT flag, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY 1),
+    qs AS (SELECT 50 AS q_pct UNION ALL SELECT 95),
+    hit AS (
+      SELECT c.flag, q.q_pct, t.n, MIN(c.bin) AS bin
+      FROM cum c JOIN tot t USING (flag) CROSS JOIN qs q
+      WHERE c.cum >= (t.n * q.q_pct + 99) // 100
+      GROUP BY 1, 2, 3
+    )
+    SELECT h.flag AS l_returnflag, CAST(h.q_pct AS BIGINT) AS q_pct, h.n,
+           CAST(h.bin AS BIGINT) AS bin,
+           st.mn + h.bin * (st.mx - st.mn + 1) // {_HQ_BINS} AS bin_lo_cents,
+           c.cum
+    FROM hit h JOIN cum c ON h.flag = c.flag AND h.bin = c.bin, st
+    ORDER BY l_returnflag, q_pct
+    """,
+)
+def q122_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram quantile sketch — the quantile
+    member of the sketch family (CMS = frequency, Bloom = membership,
+    HLL = cardinality): per return flag, a {_HQ_BINS}-bin equi-width
+    histogram over exact price cents answers p50/p95 as the first bin
+    whose cumulative count reaches ⌈q·n⌉, with the bin's left edge as
+    the estimate (error ≤ one bin width by construction).
+
+    The state is ≤ {_HQ_BINS} counters per group — mergeable by
+    addition across partitions/days exactly like the other sketches,
+    which is what a 100 TB rollup stores instead of raw values.
+    Integer-exact end to end: prices become cents via floor(x·100+0.5)
+    (both engines' IEEE doubles agree), bins are integer div, the
+    cumsum window runs over ≤ {_HQ_BINS} rows per group. One shuffle
+    builds the histogram; everything after is broadcast-sized."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    st = li.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+    binned = li.crossJoin(F.broadcast(st)).select(
+        "flag",
+        F.expr(
+            f"LEAST((cents - mn) * {_HQ_BINS} div (mx - mn + 1), {_HQ_BINS - 1})"
+        ).alias("bin"),
+    )
+    hist = binned.groupBy("flag", "bin").agg(F.count("*").cast("long").alias("cnt"))
+    w = (
+        Window.partitionBy("flag")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select("flag", "bin", "cnt", F.sum("cnt").over(w).alias("cum")).localCheckpoint()
+    tot = hist.groupBy("flag").agg(F.sum("cnt").cast("long").alias("n"))
+    qs = cum.sparkSession.range(1).selectExpr("50 AS q_pct").union(
+        cum.sparkSession.range(1).selectExpr("95 AS q_pct")
+    )
+    hit = (
+        cum.join(F.broadcast(tot), "flag")
+        .crossJoin(F.broadcast(qs))
+        .where(F.expr("cum >= (n * q_pct + 99) div 100"))
+        .groupBy("flag", "q_pct", "n")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return (
+        hit.join(cum.select("flag", "bin", "cum"), ["flag", "bin"])
+        .crossJoin(F.broadcast(st))
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("q_pct").cast("long").alias("q_pct"),
+            "n",
+            F.col("bin").cast("long").alias("bin"),
+            F.expr(f"mn + bin * (mx - mn + 1) div {_HQ_BINS}").alias("bin_lo_cents"),
+            "cum",
+        )
+        .orderBy("l_returnflag", "q_pct")
     )

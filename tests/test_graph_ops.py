@@ -74,3 +74,32 @@ def test_validation(spark):
         pagerank(e, iterations=-1)
     with pytest.raises(ValueError, match="edge columns"):
         pagerank(e.withColumnRenamed("dst", "to"))
+
+
+def test_triangle_count_k4_plus_pendant(spark):
+    from redshift_avro_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} -> 4 triangles, each node in 3; pendant 4-5 adds none
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.deg, r.n_triangles) for r in triangle_count(df).collect()}
+    assert got == {1: (3, 3), 2: (3, 3), 3: (3, 3), 4: (4, 3)}
+
+
+def test_triangle_count_triangle_free_bipartite(spark):
+    from redshift_avro_spark.operators.graph import triangle_count
+
+    # complete bipartite K2,3 has no odd cycles -> zero triangles
+    edges = [(a, b) for a in (1, 2) for b in (10, 11, 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert triangle_count(df).count() == 0
+
+
+def test_triangle_count_hub(spark):
+    from redshift_avro_spark.operators.graph import triangle_count
+
+    # star hub + one rim edge: exactly one triangle (hub, 1, 2)
+    edges = [(100, i) for i in range(1, 9)] + [(1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == {100: 1, 1: 1, 2: 1}

@@ -116,3 +116,98 @@ def q117_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us")
     )
     return zone_map_layout(ev, x_col="user_id", y_col="ts_us").orderBy("layout", "file_id")
+
+
+@register(
+    "q125_snapshot_table",
+    oracle="""
+    WITH st AS (
+      SELECT CAST(MIN(l_orderkey) AS BIGINT) AS mn, CAST(MAX(l_orderkey) AS BIGINT) AS mx
+      FROM lineitem
+    ),
+    b AS (
+      SELECT mn, mx, mn + (mx - mn) // 2 AS mid, mn + (mx - mn) // 10 AS low,
+             mn + (mx - mn) * 2 // 5 AS lo, mn + (mx - mn) * 9 // 20 AS hi
+      FROM st
+    )
+    SELECT 'v0_rows' AS part, (SELECT CAST(count(*) AS BIGINT) FROM lineitem, b WHERE l_orderkey <= mid) AS n,
+           CAST(NULL AS BIGINT) AS revenue_cents
+    UNION ALL
+    SELECT 'v1_rows', (SELECT CAST(count(*) AS BIGINT) FROM lineitem), CAST(NULL AS BIGINT)
+    UNION ALL
+    SELECT 'v2_rows', (SELECT CAST(count(*) AS BIGINT) FROM lineitem, b WHERE l_orderkey <= low),
+           CAST(NULL AS BIGINT)
+    UNION ALL
+    SELECT 'pruned_agg', (SELECT CAST(count(*) AS BIGINT) FROM lineitem, b WHERE l_orderkey BETWEEN lo AND hi),
+           (SELECT CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+            FROM lineitem, b WHERE l_orderkey BETWEEN lo AND hi)
+    ORDER BY part
+    """,
+)
+def q125_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-table layer end to end
+    (:class:`..sources.snapshots.SnapshotTable`): commit lineitem's
+    lower half as v0 (overwrite, 8 range-partitioned files with
+    l_orderkey zone maps), append the upper half as v1, overwrite with
+    the lowest decile as v2 — then answer time-travel row counts for
+    all three versions plus a revenue aggregate over a narrow orderkey
+    interval read from v1 WITH file pruning (files whose stored
+    [min,max] miss the interval are never opened; the residual exact
+    BETWEEN filter runs inside the surviving files).
+
+    The oracle recomputes every number from the raw table — so the
+    manifest bookkeeping (append = old files + new, overwrite =
+    replace, stats collection, prune-then-filter) must be exactly
+    right for the hash to match. Scale: commits are normal distributed
+    writes + one O(files) stats agg; reads open only surviving files."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sources.snapshots import SnapshotTable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("cents")
+    )
+    st = li.agg(
+        F.min("l_orderkey").cast("long").alias("mn"), F.max("l_orderkey").cast("long").alias("mx")
+    )
+    b = F.broadcast(
+        st.selectExpr(
+            "mn",
+            "mx",
+            "mn + (mx - mn) div 2 AS mid",
+            "mn + (mx - mn) div 10 AS low",
+            "mn + (mx - mn) * 2 div 5 AS lo",
+            "mn + (mx - mn) * 9 div 20 AS hi",
+        )
+    ).localCheckpoint()
+
+    root = tempfile.mkdtemp(prefix="snaptbl-")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t = SnapshotTable(root)
+    lower = li.crossJoin(b).where("l_orderkey <= mid").select("l_orderkey", "cents")
+    upper = li.crossJoin(b).where("l_orderkey > mid").select("l_orderkey", "cents")
+    decile = li.crossJoin(b).where("l_orderkey <= low").select("l_orderkey", "cents")
+    t.commit(lower.repartitionByRange(8, "l_orderkey"), mode="overwrite", stats_cols=("l_orderkey",))
+    t.commit(upper.repartitionByRange(8, "l_orderkey"), mode="append", stats_cols=("l_orderkey",))
+    t.commit(decile.repartitionByRange(2, "l_orderkey"), mode="overwrite", stats_cols=("l_orderkey",))
+
+    bounds = b.select("lo", "hi").collect()[0]  # two ints for the prune interval
+    pruned = (
+        t.read(spark, version=1, prune=("l_orderkey", bounds.lo, bounds.hi))
+        .where(F.col("l_orderkey").between(bounds.lo, bounds.hi))
+        .agg(F.count("*").cast("long").alias("n"), F.sum("cents").cast("long").alias("revenue_cents"))
+    )
+    rows = []
+    for name, version in (("v0_rows", 0), ("v1_rows", 1), ("v2_rows", 2)):
+        rows.append(
+            t.read(spark, version=version)
+            .agg(F.count("*").cast("long").alias("n"))
+            .select(F.lit(name).alias("part"), "n", F.lit(None).cast("long").alias("revenue_cents"))
+        )
+    rows.append(pruned.select(F.lit("pruned_agg").alias("part"), "n", "revenue_cents"))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("part")

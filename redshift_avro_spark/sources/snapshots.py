@@ -1,0 +1,214 @@
+"""Versioned snapshot tables — manifest-tracked parquet with time
+travel and stats-based file pruning (a minimal lakehouse table layer).
+
+The reference stops at decode; a 100 TB corpus built FROM those
+decodes needs a table layer that answers three questions a plain
+directory can't: *what exactly is in the table right now* (atomic
+commits), *what was in it yesterday* (time travel for reproducible
+training runs), and *which files can this query skip* (file-level
+zone maps — the persisted form of :mod:`..operators.layout`'s
+analysis). This module implements the smallest honest version of the
+Delta/Iceberg idea:
+
+- every commit writes its parquet files into a fresh
+  ``data/v{N}-…/`` directory, collects per-file row counts and
+  min/max column stats WITH A SPARK JOB (one ``input_file_name()``
+  aggregation — the metadata is tiny, the scan is distributed), and
+  records them in ``manifest-{N:05d}.json``;
+- a manifest lists absolute data-file entries, so APPEND is "previous
+  entries + new entries" and OVERWRITE is "new entries" — readers of
+  version N never see a half-written version N+1 (the manifest is
+  written last, atomically via rename);
+- reads resolve a version's file list driver-side, optionally prune
+  it with a ``(col, lo, hi)`` interval against the stored stats
+  (files whose zone map misses the interval are never opened), and
+  hand the survivors to the normal parquet reader — predicate
+  pushdown and column pruning still apply inside each file.
+
+What this deliberately does NOT do (and says so): concurrent writer
+coordination (single-writer assumption; commits rename-publish so a
+crashed writer leaves no visible version), row-level deletes
+(overwrite granularity is the commit), and catalog integration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["SnapshotTable", "SnapshotError"]
+
+_MANIFEST_FMT = "manifest-{n:05d}.json"
+
+
+class SnapshotError(RuntimeError):
+    """Raised for malformed tables, unknown versions or bad usage."""
+
+
+@dataclass
+class _FileEntry:
+    path: str
+    rows: int
+    stats: dict = field(default_factory=dict)  # col -> [min, max]
+
+
+class SnapshotTable:
+    """A manifest-versioned parquet table rooted at ``root``."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # ------------------------------------------------------------ meta
+    def versions(self) -> list:
+        out = []
+        for name in os.listdir(self.root):
+            if name.startswith("manifest-") and name.endswith(".json"):
+                try:
+                    out.append(int(name[len("manifest-"):-len(".json")]))
+                except ValueError as e:
+                    raise SnapshotError(f"alien manifest name {name!r} in {self.root}") from e
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise SnapshotError(f"{self.root} has no committed version")
+        return vs[-1]
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, _MANIFEST_FMT.format(n=version))
+
+    def _load_manifest(self, version: int) -> dict:
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            raise SnapshotError(f"version {version} does not exist in {self.root}")
+        with open(path) as f:
+            m = json.load(f)
+        for k in ("version", "action", "files"):
+            if k not in m:
+                raise SnapshotError(f"manifest {path} missing key {k!r}")
+        return m
+
+    def history(self) -> list:
+        """One dict per version: version, action, n_files, n_rows."""
+        out = []
+        for v in self.versions():
+            m = self._load_manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "action": m["action"],
+                    "n_files": len(m["files"]),
+                    "n_rows": sum(fe["rows"] for fe in m["files"]),
+                }
+            )
+        return out
+
+    # ----------------------------------------------------------- write
+    def commit(
+        self,
+        df: DataFrame,
+        *,
+        mode: str = "append",
+        stats_cols: tuple = (),
+    ) -> int:
+        """Write ``df`` as a new version; returns the version number.
+
+        ``stats_cols`` name numeric/orderable columns whose per-file
+        min/max go into the manifest for pruning. The stats job is one
+        distributed ``input_file_name()`` aggregation; only the
+        per-file summary (O(files)) reaches the driver.
+        """
+        if mode not in ("append", "overwrite"):
+            raise SnapshotError(f"commit mode must be append|overwrite, got {mode!r}")
+        missing = [c for c in stats_cols if c not in df.columns]
+        if missing:
+            raise SnapshotError(f"stats_cols {missing} not in DataFrame")
+        spark = df.sparkSession
+        vs = self.versions()
+        version = (vs[-1] + 1) if vs else 0
+        datadir = os.path.join(self.root, "data", f"v{version:05d}-{uuid.uuid4().hex[:8]}")
+        df.write.parquet(datadir)
+
+        back = spark.read.parquet(datadir)
+        aggs = [F.count("*").cast("long").alias("__rows")]
+        for c in stats_cols:
+            aggs.append(F.min(c).alias(f"__min_{c}"))
+            aggs.append(F.max(c).alias(f"__max_{c}"))
+        rows = (
+            back.groupBy(F.input_file_name().alias("__file"))
+            .agg(*aggs)
+            .collect()  # O(files) manifest metadata, not data
+        )
+        new_entries = []
+        for r in sorted(rows, key=lambda r: r["__file"]):
+            stats = {}
+            for c in stats_cols:
+                mn, mx = r[f"__min_{c}"], r[f"__max_{c}"]
+                stats[c] = [self._json_safe(mn), self._json_safe(mx)]
+            path = r["__file"]
+            if path.startswith("file:"):
+                path = path[len("file:"):]
+            new_entries.append({"path": path, "rows": r["__rows"], "stats": stats})
+
+        files = new_entries
+        if mode == "append" and vs:
+            files = self._load_manifest(vs[-1])["files"] + new_entries
+        manifest = {"version": version, "action": mode, "files": files}
+        tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, self._manifest_path(version))  # atomic publish
+        return version
+
+    @staticmethod
+    def _json_safe(v):
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        return v
+
+    # ------------------------------------------------------------ read
+    def file_entries(self, version: int | None = None, prune: tuple | None = None) -> list:
+        """Resolved (and optionally pruned) file entries of a version.
+
+        ``prune`` is ``(col, lo, hi)``: keep only files whose stored
+        [min, max] for ``col`` intersects [lo, hi]; files without
+        stats for the column are conservatively kept.
+        """
+        v = self.latest_version() if version is None else version
+        m = self._load_manifest(v)
+        entries = m["files"]
+        if prune is not None:
+            col, lo, hi = prune
+            kept = []
+            for fe in entries:
+                st = fe.get("stats", {}).get(col)
+                if st is None or not (st[1] < lo or st[0] > hi):
+                    kept.append(fe)
+            entries = kept
+        return entries
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        prune: tuple | None = None,
+    ) -> DataFrame:
+        """Read a version as a DataFrame, skipping pruned files.
+
+        An empty post-prune file list returns an empty DataFrame with
+        the table's schema (read from the full list's first file)."""
+        entries = self.file_entries(version=version, prune=prune)
+        if not entries:
+            full = self.file_entries(version=version)
+            if not full:
+                raise SnapshotError("cannot derive schema from an empty version")
+            schema = spark.read.parquet(full[0]["path"]).schema
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*[fe["path"] for fe in entries])

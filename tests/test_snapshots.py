@@ -1,0 +1,92 @@
+"""Snapshot-table layer: commits, time travel, stats pruning, errors."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from redshift_avro_spark.sources.snapshots import SnapshotError, SnapshotTable
+
+
+def _df(spark, lo, hi, parts=1):
+    d = spark.range(lo, hi).selectExpr("id AS k", "id * 10 AS v")
+    return d.repartitionByRange(parts, "k") if parts > 1 else d.coalesce(1)
+
+
+def test_commit_versions_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    v0 = t.commit(_df(spark, 0, 100), mode="overwrite", stats_cols=("k",))
+    v1 = t.commit(_df(spark, 100, 150), mode="append", stats_cols=("k",))
+    v2 = t.commit(_df(spark, 500, 510), mode="overwrite", stats_cols=("k",))
+    assert (v0, v1, v2) == (0, 1, 2)
+
+    assert t.read(spark, version=0).count() == 100
+    assert t.read(spark, version=1).count() == 150  # append sees both
+    assert t.read(spark, version=2).count() == 10   # overwrite replaced
+    assert t.read(spark).count() == 10              # latest by default
+    # append version contains the overwrite version's content exactly
+    got = sorted(r.k for r in t.read(spark, version=1).collect())
+    assert got == list(range(150))
+
+    hist = t.history()
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert [h["n_rows"] for h in hist] == [100, 150, 10]
+    assert hist[1]["action"] == "append"
+
+
+def test_stats_pruning_skips_files(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    # 8 range-partitioned files over k=0..799 -> disjoint zone maps
+    t.commit(_df(spark, 0, 800, parts=8), mode="overwrite", stats_cols=("k",))
+    all_files = t.file_entries()
+    assert len(all_files) == 8
+    pruned = t.file_entries(prune=("k", 100, 199))
+    assert 1 <= len(pruned) <= 2  # interval touches at most 2 range files
+    # pruned read == full read + filter
+    got = sorted(r.k for r in t.read(spark, prune=("k", 100, 199)).where("k BETWEEN 100 AND 199").collect())
+    assert got == list(range(100, 200))
+    # a file without stats for the column is conservatively kept
+    nofstats = t.file_entries(prune=("missing_col", 0, 1))
+    assert len(nofstats) == 8
+
+
+def test_empty_prune_returns_empty_with_schema(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_df(spark, 0, 10), mode="overwrite", stats_cols=("k",))
+    out = t.read(spark, prune=("k", 10_000, 20_000))
+    assert out.count() == 0
+    assert out.columns == ["k", "v"]
+
+
+def test_errors(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    with pytest.raises(SnapshotError, match="no committed version"):
+        t.latest_version()
+    with pytest.raises(SnapshotError, match="mode"):
+        t.commit(_df(spark, 0, 1), mode="upsert")
+    with pytest.raises(SnapshotError, match="stats_cols"):
+        t.commit(_df(spark, 0, 1), stats_cols=("nope",))
+    t.commit(_df(spark, 0, 5), mode="overwrite")
+    with pytest.raises(SnapshotError, match="version 9 does not exist"):
+        t.read(spark, version=9)
+    # truncated manifest -> loud error
+    path = t._manifest_path(0)
+    with open(path, "w") as f:
+        json.dump({"version": 0}, f)
+    with pytest.raises(SnapshotError, match="missing key"):
+        t.read(spark, version=0)
+
+
+def test_crashed_writer_leaves_no_visible_version(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_df(spark, 0, 5), mode="overwrite")
+    # simulate a crash between data write and manifest publish: a stray
+    # tmp manifest + data dir must not surface as a version
+    stray = t._manifest_path(1) + ".tmp-dead"
+    with open(stray, "w") as f:
+        f.write("{}")
+    os.makedirs(os.path.join(t.root, "data", "v00001-dead"), exist_ok=True)
+    assert t.versions() == [0]
+    assert t.read(spark).count() == 5

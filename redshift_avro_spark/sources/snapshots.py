@@ -41,7 +41,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["SnapshotTable", "SnapshotError"]
+__all__ = ["SnapshotTable", "SnapshotTableMaintenance", "SnapshotError"]
 
 _MANIFEST_FMT = "manifest-{n:05d}.json"
 
@@ -212,3 +212,72 @@ class SnapshotTable:
             schema = spark.read.parquet(full[0]["path"]).schema
             return spark.createDataFrame([], schema)
         return spark.read.parquet(*[fe["path"] for fe in entries])
+
+
+def _entries_bytes(entries: list) -> int:
+    return sum(os.path.getsize(fe["path"]) for fe in entries)
+
+
+class SnapshotTableMaintenance:
+    """OPTIMIZE/VACUUM for :class:`SnapshotTable` — separated so the
+    read/write core stays small; construct with the table."""
+
+    def __init__(self, table: SnapshotTable):
+        self.table = table
+
+    def compact(
+        self,
+        spark: SparkSession,
+        *,
+        target_bytes: int = 128 * 1024 * 1024,
+        stats_cols: tuple = (),
+        sort_col: str | None = None,
+    ) -> int:
+        """Rewrite the LATEST version's files into ~``target_bytes``
+        outputs and commit the result as a new overwrite version —
+        the table-layer realization of the q58 shard-sizing plan.
+
+        ``sort_col`` additionally range-partitions + sorts the rewrite
+        on that column so the new files carry tight zone maps (the
+        persisted form of the q117 clustering analysis; pass the
+        column queries filter on). Returns the new version number.
+        """
+        t = self.table
+        entries = t.file_entries()
+        total = _entries_bytes(entries)
+        n_files = max(1, (total + target_bytes - 1) // target_bytes)
+        df = t.read(spark)
+        if sort_col is not None:
+            if sort_col not in df.columns:
+                raise SnapshotError(f"sort_col {sort_col!r} not in table")
+            df = df.repartitionByRange(n_files, sort_col).sortWithinPartitions(sort_col)
+        else:
+            df = df.repartition(n_files)
+        return t.commit(df, mode="overwrite", stats_cols=stats_cols)
+
+    def vacuum(self, keep_versions: int = 2) -> list:
+        """Delete data files referenced ONLY by versions older than the
+        last ``keep_versions``, and drop those versions' manifests.
+        Returns the deleted file paths. Time travel to vacuumed
+        versions subsequently raises (as in any lakehouse)."""
+        if keep_versions < 1:
+            raise SnapshotError(f"keep_versions must be >= 1, got {keep_versions}")
+        t = self.table
+        vs = t.versions()
+        keep, drop = vs[-keep_versions:], vs[:-keep_versions]
+        if not drop:
+            return []
+        live = {
+            fe["path"] for v in keep for fe in t._load_manifest(v)["files"]
+        }
+        dead = []
+        for v in drop:
+            for fe in t._load_manifest(v)["files"]:
+                if fe["path"] not in live:
+                    dead.append(fe["path"])
+        for path in sorted(set(dead)):
+            if os.path.exists(path):
+                os.remove(path)
+        for v in drop:
+            os.remove(t._manifest_path(v))
+        return sorted(set(dead))

@@ -90,3 +90,105 @@ def test_crashed_writer_leaves_no_visible_version(spark, tmp_path):
     os.makedirs(os.path.join(t.root, "data", "v00001-dead"), exist_ok=True)
     assert t.versions() == [0]
     assert t.read(spark).count() == 5
+
+
+def test_compact_rewrites_small_files(spark, tmp_path):
+    from redshift_avro_spark.sources.snapshots import SnapshotTableMaintenance
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    # 16 tiny files
+    t.commit(_df(spark, 0, 1600, parts=16), mode="overwrite", stats_cols=("k",))
+    assert len(t.file_entries()) == 16
+    m = SnapshotTableMaintenance(t)
+    v = m.compact(spark, target_bytes=10**9, stats_cols=("k",), sort_col="k")
+    assert v == 1
+    ents = t.file_entries()
+    assert len(ents) == 1  # everything fits one target-size file
+    got = sorted(r.k for r in t.read(spark).collect())
+    assert got == list(range(1600))
+    # zone map present on the compacted file
+    assert ents[0]["stats"]["k"] == [0, 1599]
+
+
+def test_compact_sorted_zone_maps_disjoint(spark, tmp_path):
+    from redshift_avro_spark.sources.snapshots import SnapshotTableMaintenance
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_df(spark, 0, 4000, parts=1), mode="overwrite")
+    m = SnapshotTableMaintenance(t)
+    # force ~4 files by picking a small target
+    size = _entries_bytes_of(t)
+    m.compact(spark, target_bytes=max(1, size // 4), stats_cols=("k",), sort_col="k")
+    ents = sorted(t.file_entries(), key=lambda fe: fe["stats"]["k"][0])
+    assert len(ents) >= 3
+    for a, b in zip(ents, ents[1:]):
+        assert a["stats"]["k"][1] < b["stats"]["k"][0]  # disjoint ranges
+
+
+def _entries_bytes_of(t):
+    import os as _os
+
+    return sum(_os.path.getsize(fe["path"]) for fe in t.file_entries())
+
+
+def test_vacuum_drops_old_versions_and_files(spark, tmp_path):
+    from redshift_avro_spark.sources.snapshots import SnapshotTableMaintenance
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_df(spark, 0, 50), mode="overwrite")          # v0
+    t.commit(_df(spark, 50, 80), mode="append")            # v1 (shares v0 files)
+    t.commit(_df(spark, 900, 950), mode="overwrite")       # v2 (fresh files)
+    m = SnapshotTableMaintenance(t)
+    deleted = m.vacuum(keep_versions=1)
+    assert deleted  # v0/v1-only files are gone
+    import os as _os
+
+    for p in deleted:
+        assert not _os.path.exists(p)
+    assert t.versions() == [2]
+    assert t.read(spark).count() == 50
+    with pytest.raises(SnapshotError, match="version 0 does not exist"):
+        t.read(spark, version=0)
+
+
+def test_vacuum_keeps_files_shared_with_live_versions(spark, tmp_path):
+    from redshift_avro_spark.sources.snapshots import SnapshotTableMaintenance
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_df(spark, 0, 50), mode="overwrite")   # v0 files...
+    t.commit(_df(spark, 50, 80), mode="append")     # ...also referenced by v1
+    m = SnapshotTableMaintenance(t)
+    deleted = m.vacuum(keep_versions=1)
+    assert deleted == []  # v1 references every v0 file: nothing to delete
+    assert t.versions() == [1]
+    assert t.read(spark).count() == 80
+
+
+def test_cdc_merge_commits_versioned_history(spark, tmp_path):
+    """Synthesis: CDC merge_upsert output committed per batch into the
+    snapshot table — mini-Delta MERGE with full time travel."""
+    from redshift_avro_spark.operators.cdc import merge_upsert
+    from redshift_avro_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, bal double"
+    )
+    t.commit(base.coalesce(1), mode="overwrite", stats_cols=("k",))
+
+    batches = [
+        [(2, "upsert", "b2", 25.0), (4, "upsert", "d", 40.0)],   # update + insert
+        [(1, "delete", None, None), (4, "upsert", "d2", 44.0)],  # delete + update
+    ]
+    for rows in batches:
+        ch = spark.createDataFrame(rows, "k long, op string, name string, bal double")
+        snap = t.read(spark)
+        merged = merge_upsert(snap, ch, key="k").select("k", "name", "bal")
+        t.commit(merged.coalesce(1), mode="overwrite", stats_cols=("k",))
+
+    assert [h["n_rows"] for h in t.history()] == [3, 4, 3]
+    latest = {r.k: (r.name, r.bal) for r in t.read(spark).collect()}
+    assert latest == {2: ("b2", 25.0), 3: ("c", 30.0), 4: ("d2", 44.0)}
+    # time travel reproduces the pre-delete state exactly
+    v1 = {r.k: (r.name, r.bal) for r in t.read(spark, version=1).collect()}
+    assert v1 == {1: ("a", 10.0), 2: ("b2", 25.0), 3: ("c", 30.0), 4: ("d", 40.0)}

@@ -1207,3 +1207,63 @@ def q108_full_outer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_nationkey")
     )
+
+
+@register(
+    "q126_jsonl_error_channel",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 47 <> 0
+    GROUP BY lang
+    UNION ALL
+    SELECT '__corrupt__' AS lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(NULL AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 47 = 0
+    ORDER BY lang
+    """,
+)
+def q126_jsonl_error_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest with a per-row error channel — the JSON twin of the
+    Avro PERMISSIVE path (R10): the corpus is serialized to JSON lines
+    (every 47th record deliberately corrupted), landed as text, parsed
+    with ``from_json`` against an explicit schema, and split into the
+    parsed stream (aggregated per language) and the error stream (raw
+    lines preserved for quarantine, surfaced as the '__corrupt__'
+    row). The oracle recomputes both sides from the source table, so
+    the parse/reject split must be exact.
+
+    Scale shape: serialization and parse are narrow maps; the landing
+    write/read is the same distributed text I/O any log pipeline uses;
+    one uniform-key agg. Corrupt rows cost one null check — no
+    per-row Python, no second parse."""
+    import atexit
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    line = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    landed = docs.select(
+        F.when(F.col("doc_id") % 47 == 0, F.concat(F.lit("corrupt::"), line))
+        .otherwise(line)
+        .alias("value")
+    )
+    d = tempfile.mkdtemp(prefix="jsonl-land-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    landed.write.mode("overwrite").text(d)
+
+    raw = spark.read.text(d)
+    parsed = raw.select(
+        F.col("value"),
+        F.from_json("value", "doc_id BIGINT, lang STRING, n_chars BIGINT").alias("rec"),
+    )
+    good = parsed.where(F.col("rec").isNotNull() & F.col("rec.doc_id").isNotNull())
+    bad = parsed.where(F.col("rec").isNull() | F.col("rec.doc_id").isNull())
+    agg = good.groupBy(F.col("rec.lang").alias("lang")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rec.n_chars").cast("long").alias("sum_chars"),
+    )
+    err = bad.agg(F.count("*").cast("long").alias("n")).select(
+        F.lit("__corrupt__").alias("lang"), "n", F.lit(None).cast("long").alias("sum_chars")
+    )
+    return agg.unionByName(err).orderBy("lang")

@@ -179,3 +179,95 @@ def q111_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey", "version_seq")
     )
+
+
+@register(
+    "q127_point_in_time_enrich",
+    oracle="""
+    WITH u AS (
+      SELECT c_custkey AS k, TIMESTAMP '1990-01-01 00:00:00' AS vf,
+             CAST(-1 AS BIGINT) AS tb,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+      FROM customer
+      UNION ALL
+      SELECT o_custkey, o_orderdate, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+      FROM orders
+    ),
+    hist AS (
+      SELECT k, CAST(row_number() OVER w AS INTEGER) AS version_seq,
+             vf AS valid_from, lead(vf) OVER w AS valid_to, bal
+      FROM u WINDOW w AS (PARTITION BY k ORDER BY vf, tb)
+    ),
+    probe AS (
+      SELECT o_custkey AS k, CAST(l_shipdate AS TIMESTAMP) AS ts
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    m AS (
+      SELECT h.version_seq, h.bal
+      FROM probe p JOIN hist h
+        ON p.k = h.k AND h.valid_from <= p.ts
+       AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    )
+    SELECT CAST(version_seq AS BIGINT) AS version_seq,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(floor(bal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents_sum
+    FROM m GROUP BY version_seq ORDER BY version_seq
+    """,
+)
+def q127_point_in_time_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct enrichment — the feature-store pattern
+    that prevents label leakage: every lineitem SHIP event looks up
+    the customer-balance version that was valid AT SHIP TIME from the
+    q111 SCD2 history, via :func:`..operators.asof.asof_join`
+    (union+window composition, tiebreak on version_seq so same-day
+    versions resolve exactly like the interval semantics).
+
+    The oracle answers the same question as a disjoint-INTERVAL join
+    (valid_from ≤ ts < valid_to) — a different algorithm entirely, so
+    agreement pins the as-of tie/dedup semantics, not just
+    self-consistency. Output aggregates per matched version (exact
+    cents), keeping the result bounded.
+
+    Scale shape: history build is one key-window; the probe⋈orders
+    join and the as-of union+window shuffle on the uniform customer
+    key; the salting hook (salt_interval_s) covers a hot key."""
+    from ..operators.asof import asof_join
+    from ..operators.cdc import scd2_history
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE)").alias("bal"),
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    changes = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("chg_ts"),
+        F.col("o_orderkey").alias("chg_seq"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)").alias("bal"),
+    )
+    hist = scd2_history(
+        cust, changes, key="k", ts_col="chg_ts", tiebreak_col="chg_seq",
+        snapshot_ts="1990-01-01 00:00:00",
+    ).select("k", F.col("valid_from").alias("ts"), "version_seq", "bal")
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    probe = li.join(
+        orders.select("o_orderkey", F.col("o_custkey").alias("k")),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("k", F.col("l_shipdate").cast("timestamp").alias("ts"))
+
+    enriched = asof_join(
+        probe, hist, on=["k"], ts_col="ts",
+        value_cols=["bal", "version_seq"], tiebreak_col="version_seq",
+    )
+    return (
+        enriched.groupBy(F.col("version_seq_asof").cast("long").alias("version_seq"))
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(F.expr("CAST(floor(bal_asof * 100 + 0.5) AS BIGINT)")).cast("long").alias(
+                "bal_cents_sum"
+            ),
+        )
+        .orderBy("version_seq")
+    )

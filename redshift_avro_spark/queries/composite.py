@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 121 operator demonstrations. Rather
+names), but the registry carries 122 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–5 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-121 still registered) keep guarding it. A composite can only pass if
+122 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -1176,7 +1176,12 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q110_incremental_suite",
-    members=("q70_incremental_dedup", "q109_cdc_merge", "q111_scd2_history"),
+    members=(
+        "q70_incremental_dedup",
+        "q109_cdc_merge",
+        "q111_scd2_history",
+        "q127_point_in_time_enrich",
+    ),
     oracle=f"""
     SELECT 'dedup' AS kind, doc_id AS k, status AS s1,
            CAST(NULL AS VARCHAR) AS s2, CAST(NULL AS VARCHAR) AS s3,
@@ -1196,6 +1201,13 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            bal AS val, CAST(version_seq AS BIGINT) AS n2,
            valid_from AS t1, valid_to AS t2, CAST(is_current AS INTEGER) AS b1
     FROM {_sub('q111_scd2_history')}
+    UNION ALL
+    SELECT 'pit' AS kind, version_seq AS k, CAST(NULL AS VARCHAR) AS s1,
+           CAST(NULL AS VARCHAR) AS s2, CAST(NULL AS VARCHAR) AS s3,
+           CAST(bal_cents_sum AS DOUBLE) AS val, n_items AS n2,
+           CAST(NULL AS TIMESTAMP) AS t1, CAST(NULL AS TIMESTAMP) AS t2,
+           CAST(NULL AS INTEGER) AS b1
+    FROM {_sub('q127_point_in_time_enrich')}
     ORDER BY kind, k, n2 NULLS FIRST
     """,
 )
@@ -1205,8 +1217,11 @@ def q110_incremental_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     on content-hash and LSH band keys), applying a CDC change feed to
     a snapshot (q109 — full-outer merge with action provenance), and
     the Type-2 interval-versioned history the same feed builds (q111),
+    and the point-in-time enrichment that history exists to serve
+    (q127 — as-of lookups at event time, aggregated per version),
     tagged on one schema. Together: how a 100 TB corpus/table absorbs
-    new data without recomputing itself."""
+    new data without recomputing itself, and how consumers read it
+    leakage-free."""
     def pad_ts():
         return [
             F.lit(None).cast("bigint").alias("n2"),
@@ -1244,7 +1259,17 @@ def q110_incremental_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_to").alias("t2"),
         F.col("is_current").cast("int").alias("b1"),
     )
-    return a.unionByName(b).unionByName(c).orderBy(
+    d = _run("q127_point_in_time_enrich", spark, sf_dir).select(
+        F.lit("pit").alias("kind"),
+        F.col("version_seq").alias("k"),
+        F.lit(None).cast("string").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.lit(None).cast("string").alias("s3"),
+        F.col("bal_cents_sum").cast("double").alias("val"),
+        F.col("n_items").alias("n2"),
+        *pad_ts()[1:],
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).orderBy(
         "kind", "k", F.asc_nulls_first("n2")
     )
 

@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 122 operator demonstrations. Rather
+names), but the registry carries 124 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–5 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-122 still registered) keep guarding it. A composite can only pass if
+124 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -624,11 +624,17 @@ def q87_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q88_training_mix_suite",
-    members=("q60_stratified_sample", "q61_train_test_split", "q62_mixture_rebalance"),
+    members=(
+        "q60_stratified_sample",
+        "q61_train_test_split",
+        "q62_mixture_rebalance",
+        "q128_quota_sample",
+    ),
     oracle=f"""
     SELECT s.lang, s.n_total, s.n_sampled, s.sampled_tokens,
            sp.train_docs, sp.train_tokens, sp.test_docs, sp.test_tokens,
-           m.n_after, m.share_ppm
+           m.n_after, m.share_ppm,
+           q.quota_n, q.quota_chars, q.quota_min_doc, q.quota_max_doc
     FROM {_sub('q60_stratified_sample')} s
     JOIN (
       SELECT lang,
@@ -639,14 +645,19 @@ def q87_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM {_sub('q61_train_test_split')} GROUP BY lang
     ) sp USING (lang)
     JOIN (SELECT lang, n_after, share_ppm FROM {_sub('q62_mixture_rebalance')}) m USING (lang)
+    JOIN (SELECT lang, n_sampled AS quota_n, sampled_chars AS quota_chars,
+                 min_doc AS quota_min_doc, max_doc AS quota_max_doc
+          FROM {_sub('q128_quota_sample')}) q USING (lang)
     ORDER BY lang
     """,
 )
 def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-selection suite per language: deterministic stratified
-    sampling (q60) ⋈ leakage-safe train/test split pivoted to columns
-    (q61) ⋈ mixture rebalance (q62). Joins are on the 5-value lang key
-    of already-tiny aggregates."""
+    sampling (q60, Bernoulli rate) ⋈ leakage-safe train/test split
+    pivoted to columns (q61) ⋈ mixture rebalance (q62) ⋈ exact-quota
+    sampling (q128, fixed k per stratum — the rate mode's fixed-count
+    companion). Joins are on the 5-value lang key of already-tiny
+    aggregates."""
     s = _run("q60_stratified_sample", spark, sf_dir)
     sp = (
         _run("q61_train_test_split", spark, sf_dir)
@@ -667,7 +678,14 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     m = _run("q62_mixture_rebalance", spark, sf_dir).select("lang", "n_after", "share_ppm")
-    return s.join(sp, "lang").join(m, "lang").orderBy("lang")
+    q = _run("q128_quota_sample", spark, sf_dir).select(
+        "lang",
+        F.col("n_sampled").alias("quota_n"),
+        F.col("sampled_chars").alias("quota_chars"),
+        F.col("min_doc").alias("quota_min_doc"),
+        F.col("max_doc").alias("quota_max_doc"),
+    )
+    return s.join(sp, "lang").join(m, "lang").join(q, "lang").orderBy("lang")
 
 
 # ---------------------------------------------------------------- q89
@@ -809,6 +827,7 @@ def q90_timeseries_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q77_bloom_filter",
         "q104_hyperloglog",
         "q122_histogram_quantiles",
+        "q129_column_profile",
     ),
     oracle=f"""
     SELECT 'user' AS kind, CAST(NULL AS VARCHAR) AS k_str, b.user_id AS k_num,
@@ -829,6 +848,12 @@ def q90_timeseries_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            n AS n1, bin AS n2, bin_lo_cents AS n3, cum AS n4,
            CAST(NULL AS VARCHAR) AS s
     FROM {_sub('q122_histogram_quantiles')}
+    UNION ALL
+    SELECT 'corr' AS kind, col_a AS k_str, CAST(NULL AS BIGINT) AS k_num,
+           CAST(NULL AS INTEGER) AS flag1, CAST(NULL AS INTEGER) AS flag2,
+           n AS n1, CAST(ROUND(corr * 1000000) AS BIGINT) AS n2,
+           CAST(NULL AS BIGINT) AS n3, CAST(NULL AS BIGINT) AS n4, col_b AS s
+    FROM {_sub('q129_column_profile')}
     ORDER BY kind, k_str NULLS FIRST, k_num NULLS FIRST
     """,
 )
@@ -839,8 +864,11 @@ def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows), plus the bit-exact HyperLogLog distinct-customer estimates
     with their register-state digests (q104, 'hll' rows) and the
     equi-width histogram p50/p95 quantile estimates per return flag
-    (q122, 'histq' rows). All four sketches are fixed-size mergeable
-    state — frequency, membership, cardinality and quantiles."""
+    (q122, 'histq' rows), with the one-pass pairwise correlation
+    profile joined in as ppm rows (q129, 'corr') — the moment sums it
+    reduces to are fixed-size mergeable state exactly like the
+    sketches. Frequency, membership, cardinality, quantiles and
+    second moments in one driver-verified result."""
     b = _run("q77_bloom_filter", spark, sf_dir)
     c = _run("q75_count_min_sketch", spark, sf_dir)
     u = b.join(c, "user_id", "left").select(
@@ -867,6 +895,18 @@ def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("err_ppm").alias("n4"),
         F.col("reg_digest").alias("s"),
     )
+    cr = _run("q129_column_profile", spark, sf_dir).select(
+        F.lit("corr").alias("kind"),
+        F.col("col_a").alias("k_str"),
+        F.lit(None).cast("bigint").alias("k_num"),
+        F.lit(None).cast("int").alias("flag1"),
+        F.lit(None).cast("int").alias("flag2"),
+        F.col("n").alias("n1"),
+        F.expr("CAST(ROUND(corr * 1000000) AS BIGINT)").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+        F.lit(None).cast("bigint").alias("n4"),
+        F.col("col_b").alias("s"),
+    )
     hq = _run("q122_histogram_quantiles", spark, sf_dir).select(
         F.lit("histq").alias("kind"),
         F.col("l_returnflag").alias("k_str"),
@@ -879,7 +919,7 @@ def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum").alias("n4"),
         F.lit(None).cast("string").alias("s"),
     )
-    return u.unionByName(h).unionByName(hq).orderBy(
+    return u.unionByName(h).unionByName(hq).unionByName(cr).orderBy(
         "kind", F.asc_nulls_first("k_str"), F.asc_nulls_first("k_num")
     )
 

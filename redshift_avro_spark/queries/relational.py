@@ -1267,3 +1267,81 @@ def q126_jsonl_error_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("__corrupt__").alias("lang"), "n", F.lit(None).cast("long").alias("sum_chars")
     )
     return agg.unionByName(err).orderBy("lang")
+
+
+_PROF_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_PD = "DECIMAL(30,10)"
+
+
+def _prof_agg_exprs() -> list:
+    parts = ["CAST(count(*) AS BIGINT) AS n"]
+    for c in _PROF_COLS:
+        parts.append(f"SUM(CAST(CAST({c} AS DOUBLE) AS {_PD})) AS s_{c}")
+    for i, a in enumerate(_PROF_COLS):
+        for b in _PROF_COLS[i:]:
+            parts.append(
+                f"SUM(CAST(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE) AS {_PD})) AS q_{a}__{b}"
+            )
+    return parts
+
+
+def _prof_aggs_sql() -> str:
+    return ", ".join(_prof_agg_exprs())
+
+
+def _prof_corr_sql(a: str, b: str) -> str:
+    nd = "CAST(n AS DOUBLE)"
+    sa, sb = f"CAST(s_{a} AS DOUBLE)", f"CAST(s_{b} AS DOUBLE)"
+    qab = f"CAST(q_{a}__{b} AS DOUBLE)"
+    qaa = f"CAST(q_{a}__{a} AS DOUBLE)"
+    qbb = f"CAST(q_{b}__{b} AS DOUBLE)"
+    return (
+        f"ROUND(({nd} * {qab} - {sa} * {sb})"
+        f" / (sqrt({nd} * {qaa} - {sa} * {sa}) * sqrt({nd} * {qbb} - {sb} * {sb})), 6)"
+    )
+
+
+def _prof_pairs():
+    out = []
+    for i, a in enumerate(_PROF_COLS):
+        for b in _PROF_COLS[i + 1:]:
+            out.append((a, b))
+    return out
+
+
+@register(
+    "q129_column_profile",
+    oracle=f"""
+    WITH s AS (SELECT {_prof_aggs_sql()} FROM lineitem)
+    SELECT * FROM (
+      {" UNION ALL ".join(
+          f"SELECT '{a}' AS col_a, '{b}' AS col_b, n, {_prof_corr_sql(a, b)} AS corr FROM s"
+          for a, b in _prof_pairs()
+      )}
+    ) ORDER BY col_a, col_b
+    """,
+)
+def q129_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass: the pairwise Pearson correlation matrix of
+    lineitem's numeric measures in ONE distributed aggregation — all
+    moment sums (Σx, Σxy for every pair) accumulate as exact
+    DECIMAL(30,10) (associative, partial-agg-order-proof), and each
+    correlation is then one fixed IEEE double tree over the broadcast
+    1-row moment state, so the value-hash matches DuckDB bit-for-bit.
+
+    The profiling stage a pipeline runs before feature selection /
+    drift detection; at 100 TB it is one map-side-combining pass over
+    the table regardless of how many column pairs are profiled
+    (O(d²) accumulator width, not O(d²) passes)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.selectExpr(*_prof_agg_exprs()).localCheckpoint()
+    rows = [
+        s.selectExpr(
+            f"'{a}' AS col_a", f"'{b}' AS col_b", "n", _prof_corr_sql(a, b) + " AS corr"
+        )
+        for a, b in _prof_pairs()
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("col_a", "col_b")

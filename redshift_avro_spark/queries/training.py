@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from . import load_table, register
 from .dedup import _NORM_DUCK, _NORM_SPARK
@@ -305,3 +306,49 @@ def q96_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         docs, "doc_id", "text", window=_CHUNK_W, overlap=_CHUNK_OV
     ).orderBy("doc_id", "chunk_index")
+
+
+@register(
+    "q128_quota_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM ranked WHERE rn <= 25
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q128_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling — the fixed-k companion to
+    q60's Bernoulli rate sampling: EXACTLY 25 documents per language,
+    drawn by the md5(doc_id) order (a deterministic 'random' permutation
+    that is resumable and engine-portable, doc_id tiebreak for md5
+    collisions). A mixture builder uses this when the recipe demands
+    exact per-source counts rather than rates.
+
+    Scale shape: one window per stratum on the uniform lang key — the
+    per-stratum sort is bounded by stratum size; for huge strata the
+    same quota comes from a TakeOrdered per stratum (heap of k). The
+    output aggregates the sample for a bounded result."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 25)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )

@@ -192,3 +192,52 @@ def test_cdc_merge_commits_versioned_history(spark, tmp_path):
     # time travel reproduces the pre-delete state exactly
     v1 = {r.k: (r.name, r.bal) for r in t.read(spark, version=1).collect()}
     assert v1 == {1: ("a", 10.0), 2: ("b2", 25.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_streaming_foreachbatch_commits_versions(spark, tmp_path):
+    """Streaming → snapshot-table sink: each micro-batch appends one
+    committed version, so the table's history IS the stream's batch
+    ledger and any batch boundary is time-travelable."""
+    import time
+
+    from pyspark.sql import functions as F
+    from redshift_avro_spark.sources.snapshots import SnapshotTable
+
+    src_dir = str(tmp_path / "in")
+    import os as _os
+
+    _os.makedirs(src_dir)
+    t = SnapshotTable(str(tmp_path / "tbl"))
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        t.commit(
+            batch_df.select(F.col("value").cast("long").alias("k")).coalesce(1),
+            mode="append",
+            stats_cols=("k",),
+        )
+
+    # land two files BEFORE starting, with maxFilesPerTrigger=1 so the
+    # stream processes them as separate micro-batches
+    spark.range(0, 10).selectExpr("CAST(id AS STRING) AS value").coalesce(1).write.text(
+        src_dir + "/f1"
+    )
+    spark.range(10, 30).selectExpr("CAST(id AS STRING) AS value").coalesce(1).write.text(
+        src_dir + "/f2"
+    )
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(src_dir + "/*/")
+    )
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    assert q.awaitTermination(120), "stream did not finish in time"
+
+    hist = t.history()
+    assert [h["action"] for h in hist] == ["append"] * len(hist)
+    assert len(hist) == 2
+    assert hist[-1]["n_rows"] == 30
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(30))
+    # the first batch boundary is reproducible
+    assert t.read(spark, version=0).count() in (10, 20)

@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 124 operator demonstrations. Rather
+names), but the registry carries 125 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–5 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-124 still registered) keep guarding it. A composite can only pass if
+125 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -181,25 +181,56 @@ def q79_payload_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q80_tpch_scalar_suite",
-    members=("q42_promo_revenue_ratio", "q43_small_qty_revenue", "q44_idle_rich_customers"),
+    members=(
+        "q42_promo_revenue_ratio",
+        "q43_small_qty_revenue",
+        "q44_idle_rich_customers",
+        "q130_market_share",
+    ),
     oracle=f"""
-    SELECT c.c_mktsegment, c.n_custs, c.total_bal, a.promo_revenue_pct, b.avg_yearly
+    SELECT 'segment' AS kind, c.c_mktsegment AS k, c.n_custs AS n1,
+           c.total_bal AS v1, a.promo_revenue_pct AS v2, b.avg_yearly AS v3
     FROM {_sub('q44_idle_rich_customers')} c
     CROSS JOIN {_sub('q42_promo_revenue_ratio')} a
     CROSS JOIN {_sub('q43_small_qty_revenue')} b
-    ORDER BY c.c_mktsegment
+    UNION ALL
+    SELECT 'mkt_share' AS kind, CAST(o_year AS VARCHAR) AS k, n_items AS n1,
+           CAST(volume_cents AS DOUBLE) AS v1, CAST(nation_cents AS DOUBLE) AS v2,
+           CAST(share_ppm AS DOUBLE) AS v3
+    FROM {_sub('q130_market_share')}
+    ORDER BY kind, k
     """,
 )
 def q80_tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H scalar-subquery suite: Q22-shape idle-rich segments (q44)
-    with the Q14 promo ratio (q42) and Q17 small-quantity revenue (q43)
-    scalars attached to every row (1-row broadcast cross joins)."""
+    """TPC-H relational suite: Q22-shape idle-rich segments (q44) with
+    the Q14 promo ratio (q42) and Q17 small-quantity revenue (q43)
+    scalars attached to every row (1-row broadcast cross joins), plus
+    the Q8-shape national market share per year (q130 — the deep
+    star join with nation in two roles), tagged and unioned."""
     c = _run("q44_idle_rich_customers", spark, sf_dir)
     a = _run("q42_promo_revenue_ratio", spark, sf_dir)
     b = _run("q43_small_qty_revenue", spark, sf_dir)
-    return (
-        c.crossJoin(F.broadcast(a)).crossJoin(F.broadcast(b)).orderBy("c_mktsegment")
+    seg = (
+        c.crossJoin(F.broadcast(a))
+        .crossJoin(F.broadcast(b))
+        .select(
+            F.lit("segment").alias("kind"),
+            F.col("c_mktsegment").alias("k"),
+            F.col("n_custs").alias("n1"),
+            F.col("total_bal").alias("v1"),
+            F.col("promo_revenue_pct").alias("v2"),
+            F.col("avg_yearly").alias("v3"),
+        )
     )
+    ms = _run("q130_market_share", spark, sf_dir).select(
+        F.lit("mkt_share").alias("kind"),
+        F.col("o_year").cast("string").alias("k"),
+        F.col("n_items").alias("n1"),
+        F.col("volume_cents").cast("double").alias("v1"),
+        F.col("nation_cents").cast("double").alias("v2"),
+        F.col("share_ppm").cast("double").alias("v3"),
+    )
+    return seg.unionByName(ms).orderBy("kind", "k")
 
 
 # ---------------------------------------------------------------- q81

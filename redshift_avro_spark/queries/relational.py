@@ -1345,3 +1345,95 @@ def q129_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("col_a", "col_b")
+
+
+@register(
+    "q130_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+               AS cents,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'STANDARD'
+    )
+    SELECT o_year,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM(cents) AS BIGINT) AS volume_cents,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) AS BIGINT)
+             AS nation_cents,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(SUM(cents) AS BIGINT) AS share_ppm
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q130_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shape national market share: NATION_3's ppm share of
+    STANDARD-part revenue delivered to AMERICA-region customers, per
+    order year — the deep star-join with NATION IN TWO ROLES (customer
+    side n1 for the region filter, supplier side n2 for the share
+    numerator), the one join shape the relational surface hadn't
+    demonstrated. Revenue is exact cents, the share exact integer ppm.
+
+    Scale shape: all five dimension edges (nation×2, region, supplier,
+    part — with the p_type and r_name filters pushed into their scans)
+    broadcast; the only data shuffles are the lineitem⋈orders fact
+    join and the per-year aggregation. The canonical plan Catalyst
+    should pick — asserted by the plan facts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    vol = (
+        li.join(o.select("o_orderkey", "o_custkey", "o_orderdate"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(
+            F.broadcast(r.where(F.col("r_name") == "AMERICA").select("r_regionkey")),
+            F.col("c_rk") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .join(
+            F.broadcast(p.where(F.col("p_type") == "STANDARD").select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .select(
+            F.expr("CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)").alias("o_year"),
+            F.expr(
+                "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+            "supp_nation",
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("cents").cast("long").alias("volume_cents"),
+            F.sum(F.expr("CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END"))
+            .cast("long")
+            .alias("nation_cents"),
+        )
+        .select(
+            "o_year",
+            "n_items",
+            "volume_cents",
+            "nation_cents",
+            F.expr("nation_cents * 1000000 div volume_cents").alias("share_ppm"),
+        )
+        .orderBy("o_year")
+    )

@@ -157,3 +157,37 @@ def quality_classifier_score(text_col: str, n_buckets: int = 1024) -> Column:
         f"ELSE ({logit}) * 1000000 div {n_feats} END, "
         f"'keep', ({logit}) > 0)"
     )
+
+
+def robust_outlier_spec():
+    """Schema + grouped-map fn for per-group robust outlier flagging
+    (exact order statistics — see queries/text.py::q131).
+
+    Returns (schema_ddl, fn) for ``groupBy(group).applyInPandas``.
+    The per-group computation sorts by (value, id) and takes EXACT
+    order-statistic ELEMENTS at the 0-based indices (n−1)//4,
+    (n−1)//2 and 3(n−1)//4 — integers, not interpolated quantiles —
+    so a SQL oracle reproduces them via row_number. The Tukey fence
+    is kept integral: outlier ⇔ 2·value > 2·q3 + 3·(q3 − q1).
+    """
+    schema = (
+        "doc_id long, lang string, n_chars long, q1 long, med long, q3 long, "
+        "is_outlier int"
+    )
+
+    def fn(pdf):
+        import pandas as pd  # noqa: F401  (executor-side import)
+
+        s = pdf.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        n = len(s)
+        q1 = int(s["n_chars"].iloc[(n - 1) // 4])
+        med = int(s["n_chars"].iloc[(n - 1) // 2])
+        q3 = int(s["n_chars"].iloc[(3 * (n - 1)) // 4])
+        out = s[["doc_id", "lang", "n_chars"]].copy()
+        out["q1"] = q1
+        out["med"] = med
+        out["q3"] = q3
+        out["is_outlier"] = (2 * out["n_chars"] > 2 * q3 + 3 * (q3 - q1)).astype("int32")
+        return out
+
+    return schema, fn

@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 125 operator demonstrations. Rather
+names), but the registry carries 126 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–5 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-125 still registered) keep guarding it. A composite can only pass if
+126 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -54,28 +54,39 @@ def _sub(name: str) -> str:
         "q38_token_stats",
         "q39_doc_fingerprint",
         "q95_quality_classifier",
+        "q131_robust_outliers",
     ),
     oracle=f"""
     SELECT a.*, b.n_tokens_est, c.fingerprint,
-           d.n_feats, d.logit_sum, d.logit_ppm, d.keep
+           d.n_feats, d.logit_sum, d.logit_ppm, d.keep,
+           e.q1, e.med, e.q3, e.is_outlier
     FROM {_sub('q37_text_quality')} a
     JOIN (SELECT doc_id, n_tokens_est FROM {_sub('q38_token_stats')}) b USING (doc_id)
     JOIN {_sub('q39_doc_fingerprint')} c USING (doc_id)
     JOIN {_sub('q95_quality_classifier')} d USING (doc_id)
+    JOIN (SELECT doc_id, q1, med, q3, is_outlier
+          FROM {_sub('q131_robust_outliers')}) e USING (doc_id)
     ORDER BY doc_id
     """,
 )
 def q78_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile: language-ID + quality features (q37)
     ⋈ token counts (q38) ⋈ rolling-hash fingerprint (q39) ⋈ hashed
-    linear quality-classifier logits (q95) on doc_id. Four narrow
-    projections joined on the table's own key — each member is
-    shuffle-free, the joins are co-keyed."""
+    linear quality-classifier logits (q95) ⋈ grouped-map robust
+    outlier stats (q131 — the applyInPandas path) on doc_id. Narrow
+    projections joined on the table's own key; only q131 shuffles (on
+    the uniform lang key)."""
     a = _run("q37_text_quality", spark, sf_dir)
     b = _run("q38_token_stats", spark, sf_dir).select("doc_id", "n_tokens_est")
     c = _run("q39_doc_fingerprint", spark, sf_dir)
     d = _run("q95_quality_classifier", spark, sf_dir)
-    return a.join(b, "doc_id").join(c, "doc_id").join(d, "doc_id").orderBy("doc_id")
+    e = _run("q131_robust_outliers", spark, sf_dir).select(
+        "doc_id", "q1", "med", "q3", "is_outlier"
+    )
+    return (
+        a.join(b, "doc_id").join(c, "doc_id").join(d, "doc_id").join(e, "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------- q79

@@ -381,3 +381,46 @@ def q113_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retrieval import bm25_topk
 
     return bm25_topk(docs, n_query_terms=8, k=10)
+
+
+@register(
+    "q131_robust_outliers",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) - 1 AS idx,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ),
+    stats AS (
+      SELECT lang,
+             MAX(CASE WHEN idx = (n - 1) // 4 THEN n_chars END) AS q1,
+             MAX(CASE WHEN idx = (n - 1) // 2 THEN n_chars END) AS med,
+             MAX(CASE WHEN idx = (3 * (n - 1)) // 4 THEN n_chars END) AS q3
+      FROM ranked GROUP BY lang
+    )
+    SELECT r.doc_id, r.lang, r.n_chars, s.q1, s.med, s.q3,
+           CAST(CASE WHEN 2 * r.n_chars > 2 * s.q3 + 3 * (s.q3 - s.q1)
+                THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
+    FROM ranked r JOIN stats s USING (lang)
+    ORDER BY doc_id
+    """,
+)
+def q131_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language robust outlier flagging via the GROUPED-MAP API
+    (``applyInPandas`` — the batch sibling of q51's stateful variant):
+    each language group computes its exact q1/median/q3 as order-
+    statistic ELEMENTS (0-based sorted indices (n−1)//4 etc. — no
+    interpolation, so everything stays integral) and flags docs over
+    the integral Tukey fence 2·x > 2·q3 + 3·(q3−q1).
+
+    The oracle rebuilds the identical statistics with a row_number
+    window — a completely different mechanism, so the hash pins the
+    pandas path's semantics. Scale: one shuffle on the uniform lang
+    key; each group sorts only itself (per-stratum bound); Arrow
+    moves the batches, no per-row Python."""
+    from ..operators.text import robust_outlier_spec
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    schema, fn = robust_outlier_spec()
+    return docs.groupBy("lang").applyInPandas(fn, schema=schema).orderBy("doc_id")

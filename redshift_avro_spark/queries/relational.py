@@ -1437,3 +1437,75 @@ def q130_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "q132_waiting_suppliers",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CAST(l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS INTEGER) AS is_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+             CAST(count(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS BIGINT)
+               AS n_late_supps
+      FROM li GROUP BY l_orderkey
+    ),
+    waiting AS (
+      SELECT DISTINCT li.l_suppkey, li.l_orderkey
+      FROM li JOIN per_order p USING (l_orderkey)
+      WHERE li.is_late = 1 AND p.n_supps >= 2 AND p.n_late_supps = 1
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM waiting w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def q132_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shape 'suppliers who kept everyone waiting': in
+    finished multi-supplier orders, the supplier who was the ONLY one
+    to ship late (shipdate > orderdate + 90 days — this corpus carries
+    no receipt/commit dates), counted per supplier, top 20. The
+    correlated EXISTS('another supplier') / NOT EXISTS('another late
+    supplier') pair is planned as its scalable aggregation form: one
+    per-order profile (supplier count, late-supplier count) joined
+    back — exactly the rewrite an optimizer targets, expressed
+    declaratively.
+
+    Scale shape: one fact⋈fact join (orderkey), one per-order
+    two-distinct-count agg, a semi-style join back on the same key, a
+    broadcast supplier-name join, TakeOrdered top-20."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lij = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr("CAST(l_shipdate > o_orderdate + INTERVAL 90 DAY AS INTEGER)").alias("is_late"),
+    )
+    per_order = lij.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_supps"),
+        F.countDistinct(
+            F.expr("CASE WHEN is_late = 1 THEN l_suppkey END")
+        ).cast("long").alias("n_late_supps"),
+    )
+    waiting = (
+        lij.join(per_order, "l_orderkey")
+        .where((F.col("is_late") == 1) & (F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1))
+        .select("l_suppkey", "l_orderkey")
+        .distinct()
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )

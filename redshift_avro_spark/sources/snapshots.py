@@ -164,7 +164,19 @@ class SnapshotTable:
         tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.rename(tmp, self._manifest_path(version))  # atomic publish
+        # atomic CREATE (link fails if the name exists), not rename
+        # (which silently overwrites): a concurrent writer racing to
+        # the same version number loses LOUDLY instead of silently
+        # clobbering the other commit
+        try:
+            os.link(tmp, self._manifest_path(version))
+        except FileExistsError as e:
+            raise SnapshotError(
+                f"concurrent commit detected: version {version} was published "
+                f"by another writer while this commit was writing"
+            ) from e
+        finally:
+            os.unlink(tmp)
         return version
 
     @staticmethod

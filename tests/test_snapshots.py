@@ -241,3 +241,34 @@ def test_streaming_foreachbatch_commits_versions(spark, tmp_path):
     assert sorted(r.k for r in t.read(spark).collect()) == list(range(30))
     # the first batch boundary is reproducible
     assert t.read(spark, version=0).count() in (10, 20)
+
+
+def test_concurrent_commit_collision_is_loud(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_df(spark, 0, 5), mode="overwrite")
+    # simulate the race: the other writer publishes version 1 AFTER our
+    # commit has chosen its version number (pin versions() to pre-race
+    # state so our commit claims the now-taken version 1)
+    with open(t._manifest_path(1), "w") as f:
+        json.dump({"version": 1, "action": "overwrite", "files": []}, f)
+    t.versions = lambda: [0]  # what our writer saw before the race
+    with pytest.raises(SnapshotError, match="concurrent commit"):
+        t.commit(_df(spark, 5, 9), mode="append")
+
+
+def test_read_missing_data_file_fails_loudly(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_df(spark, 0, 10), mode="overwrite")
+    victim = t.file_entries()[0]["path"]
+    os.remove(victim)
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist|Path does not"):
+        t.read(spark).count()
+
+
+def test_alien_manifest_name_is_rejected(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_df(spark, 0, 3), mode="overwrite")
+    with open(os.path.join(t.root, "manifest-abc.json"), "w") as f:
+        f.write("{}")
+    with pytest.raises(SnapshotError, match="alien manifest"):
+        t.versions()

@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 127 operator demonstrations. Rather
+names), but the registry carries 128 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–5 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-127 still registered) keep guarding it. A composite can only pass if
+128 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -1192,7 +1192,13 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q106_vocab_suite",
-    members=("q56_tfidf_terms", "q105_bpe_merges", "q113_bm25_topk", "q114_bpe_encode"),
+    members=(
+        "q56_tfidf_terms",
+        "q105_bpe_merges",
+        "q113_bm25_topk",
+        "q114_bpe_encode",
+        "q133_training_schedule",
+    ),
     oracle=f"""
     SELECT 'tfidf' AS kind, lang AS k_str, term AS k_str2,
            sum_tf AS n1, df AS n2, CAST(NULL AS BIGINT) AS n3, tfidf AS val
@@ -1212,6 +1218,11 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS VARCHAR) AS k_str2, tokens_before AS n1,
            tokens_after AS n2, n_merged AS n3, CAST(saved_ppm AS DOUBLE) AS val
     FROM {_sub('q114_bpe_encode')}
+    UNION ALL
+    SELECT 'sched' AS kind, source AS k_str, CAST(doc_id AS VARCHAR) AS k_str2,
+           seq AS n1, pos AS n2, CAST(NULL AS BIGINT) AS n3,
+           CAST(NULL AS DOUBLE) AS val
+    FROM {_sub('q133_training_schedule')}
     ORDER BY kind, n1, k_str, k_str2
     """,
 )
@@ -1221,9 +1232,10 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (q105 — the tokenizer-training view), BM25 ranked retrieval
     for the corpus-derived query (q113 — the search view), and the
     per-document BPE encoding of the corpus with those merges (q114 —
-    the tokenizer-application view), tagged and unioned. The passes an
-    LLM pipeline runs over corpus vocabulary before training, in one
-    driver-verified result."""
+    the tokenizer-application view), and the stride-scheduled training
+    order prefix (q133 — the data-ordering view), tagged and unioned.
+    The passes an LLM pipeline runs over the corpus before training,
+    in one driver-verified result."""
     a = _run("q56_tfidf_terms", spark, sf_dir).select(
         F.lit("tfidf").alias("kind"),
         F.col("lang").alias("k_str"),
@@ -1260,8 +1272,17 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_merged").alias("n3"),
         F.col("saved_ppm").cast("double").alias("val"),
     )
+    e = _run("q133_training_schedule", spark, sf_dir).select(
+        F.lit("sched").alias("kind"),
+        F.col("source").alias("k_str"),
+        F.col("doc_id").cast("string").alias("k_str2"),
+        F.col("seq").alias("n1"),
+        F.col("pos").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+        F.lit(None).cast("double").alias("val"),
+    )
     return (
-        a.unionByName(b).unionByName(c).unionByName(d)
+        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
         .orderBy("kind", "n1", "k_str", "k_str2")
     )
 

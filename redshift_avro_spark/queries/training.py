@@ -352,3 +352,58 @@ def q128_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q133_training_schedule",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n_src
+      FROM documents
+    ),
+    sched AS (
+      SELECT source, doc_id, rk,
+             (rk * 1000000 - 500000) // n_src AS pos
+      FROM ranked
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY pos, source, rk) AS BIGINT) AS seq,
+           pos, source, doc_id
+    FROM sched ORDER BY seq LIMIT 40
+    """,
+)
+def q133_training_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stride-scheduled training order: each source's
+    documents are shuffled by the md5 permutation, ranked, and given
+    the fixed-point position (rk·10⁶ − 5·10⁵) div n_src — classic
+    stride scheduling, so sources interleave PROPORTIONALLY to their
+    sizes from the very first batch (no giant-source prefix) and the
+    whole order is resumable from any offset. First 40 schedule slots
+    shown; ties break on (source, rank).
+
+    Scale shape: one per-source window (uniform source key; a
+    per-stratum sort bound), a narrow position map, and a TakeOrdered
+    prefix — a full materialization writes the schedule
+    range-partitioned by pos with no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_src"),
+    )
+    sched = ranked.select(
+        "source", "doc_id", "rk", F.expr("(rk * 1000000 - 500000) div n_src").alias("pos")
+    )
+    w2 = Window.orderBy("pos", "source", "rk")
+    return (
+        sched.orderBy("pos", "source", "rk")
+        .limit(40)
+        .select(F.row_number().over(w2).cast("long").alias("seq"), "pos", "source", "doc_id")
+        .orderBy("seq")
+    )

@@ -240,3 +240,58 @@ def segment_audio(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(run, SEGMENT_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("sig", T.LongType())]
+)
+
+# 4-point Hadamard matrix (±1) — the Walsh-Hadamard transform replaces
+# pHash's DCT so every coefficient is an exact ±sum of pixel bytes
+# (integer, engine-portable; cos() would be libm-dependent)
+_H4 = ((1, 1, 1, 1), (1, -1, 1, -1), (1, 1, -1, -1), (1, -1, -1, 1))
+
+
+def perceptual_hash(data: bytes) -> int:
+    """15-bit perceptual signature of a binary payload.
+
+    A 4×4 'pixel' block is sampled at the strided byte offsets
+    (k+1)·n div 17 (spread over the WHOLE payload, so shared prefixes
+    don't collide), transformed with the integer Walsh-Hadamard
+    transform, and the 15 AC coefficients contribute one sign bit
+    each (coefficient > 0). Pure integer arithmetic — the DuckDB
+    oracle rebuilds the identical 256-term ±byte sums."""
+    n = len(data)
+    px = [data[(k + 1) * n // 17] if n else 0 for k in range(16)]
+    sig = 0
+    for i in range(4):
+        for j in range(4):
+            if i == 0 and j == 0:
+                continue
+            c = 0
+            for x in range(4):
+                for y in range(4):
+                    c += _H4[i][x] * _H4[j][y] * px[4 * x + y]
+            if c > 0:
+                sig |= 1 << (4 * i + j - 1)
+    return sig
+
+
+def perceptual_hash_signatures(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, sig) via Arrow-batched ``mapInPandas`` — the image-hash
+    shape of the multimodal decode pattern (batch in, batch out,
+    narrow stage; a real deployment swaps :func:`perceptual_hash` for
+    a pHash over decoded pixels — same plumbing, same key)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "sig": [perceptual_hash(bytes(b)) for b in pdf[payload_col]],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, PHASH_SCHEMA)

@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 128 operator demonstrations. Rather
+names), but the registry carries 129 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–5 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-128 still registered) keep guarding it. A composite can only pass if
+129 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -653,25 +653,56 @@ def q86_lsh_verify_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q87_near_dup_suite",
-    members=("q34_embedding_near_dup", "q57_bucketed_near_dup"),
+    members=("q34_embedding_near_dup", "q57_bucketed_near_dup", "q134_phash_clusters"),
     oracle=f"""
-    SELECT 'exact' AS method, id_a, id_b, cosine FROM {_sub('q34_embedding_near_dup')}
+    SELECT 'exact' AS method, id_a, id_b, cosine, CAST(NULL AS BIGINT) AS k,
+           CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS extra
+    FROM {_sub('q34_embedding_near_dup')}
     UNION ALL
-    SELECT 'bucketed' AS method, id_a, id_b, cosine FROM {_sub('q57_bucketed_near_dup')}
+    SELECT 'bucketed' AS method, id_a, id_b, cosine, CAST(NULL AS BIGINT) AS k,
+           CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS extra
+    FROM {_sub('q57_bucketed_near_dup')}
+    UNION ALL
+    SELECT 'phash' AS method, keeper_doc AS id_a, max_doc AS id_b,
+           CAST(NULL AS DOUBLE) AS cosine, sig AS k, n_docs AS n, n_h1 AS extra
+    FROM {_sub('q134_phash_clusters')}
     ORDER BY method, id_a, id_b
     """,
 )
 def q87_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup suite: exact all-pairs cosine (q34, the
-    oracle-exact baseline) and the hyperplane-bucketed scale path
-    (q57) in one tagged result."""
+    """Near-dup suite across modalities: exact all-pairs embedding
+    cosine (q34, the oracle-exact baseline), the hyperplane-bucketed
+    scale path (q57), and perceptual-hash clusters over binary media
+    payloads with bit-flip hamming-1 neighbor counts (q134), in one
+    tagged result."""
     a = _run("q34_embedding_near_dup", spark, sf_dir).select(
-        F.lit("exact").alias("method"), "id_a", "id_b", "cosine"
+        F.lit("exact").alias("method"),
+        "id_a",
+        "id_b",
+        "cosine",
+        F.lit(None).cast("long").alias("k"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("long").alias("extra"),
     )
     b = _run("q57_bucketed_near_dup", spark, sf_dir).select(
-        F.lit("bucketed").alias("method"), "id_a", "id_b", "cosine"
+        F.lit("bucketed").alias("method"),
+        "id_a",
+        "id_b",
+        "cosine",
+        F.lit(None).cast("long").alias("k"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("long").alias("extra"),
     )
-    return a.unionByName(b).orderBy("method", "id_a", "id_b")
+    c = _run("q134_phash_clusters", spark, sf_dir).select(
+        F.lit("phash").alias("method"),
+        F.col("keeper_doc").alias("id_a"),
+        F.col("max_doc").alias("id_b"),
+        F.lit(None).cast("double").alias("cosine"),
+        F.col("sig").alias("k"),
+        F.col("n_docs").alias("n"),
+        F.col("n_h1").alias("extra"),
+    )
+    return a.unionByName(b).unionByName(c).orderBy("method", "id_a", "id_b")
 
 
 # ---------------------------------------------------------------- q88

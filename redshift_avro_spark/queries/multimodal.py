@@ -209,3 +209,119 @@ def q112_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return segment_audio(docs, "doc_id", "payload").orderBy("doc_id", "seg_index")
+
+
+# ---- q134: perceptual-hash clusters + bit-flip hamming-1 index ----
+
+_PH_H4 = ((1, 1, 1, 1), (1, -1, 1, -1), (1, 1, -1, -1), (1, -1, -1, 1))
+
+
+def _ph_byte(k: int) -> str:
+    """0-based strided byte (k+1)·n//17 of the payload, via hex chars
+    (byte semantics — see q41's oracle note); 0 for empty payloads."""
+    idx = f"(({k + 1} * n) // 17)"
+    return (
+        f"(CASE WHEN n >= 1 THEN CAST(concat('0x', substring(hx, 2 * {idx} + 1, 2)) "
+        f"AS BIGINT) ELSE 0 END)"
+    )
+
+
+def _ph_sig_sql() -> str:
+    bits = []
+    for i in range(4):
+        for j in range(4):
+            if i == 0 and j == 0:
+                continue
+            terms = []
+            for x in range(4):
+                for y in range(4):
+                    s = _PH_H4[i][x] * _PH_H4[j][y]
+                    terms.append(("+ " if s > 0 else "- ") + _ph_byte(4 * x + y))
+            bits.append(
+                f"(CASE WHEN ({' '.join(terms)}) > 0 THEN {1 << (4 * i + j - 1)} ELSE 0 END)"
+            )
+    return " + ".join(bits)
+
+
+_PH_FLIPS = ", ".join(str(1 << k) for k in range(15))
+
+
+@register(
+    "q134_phash_clusters",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    sig AS (SELECT doc_id, ({_ph_sig_sql()}) AS sig FROM b),
+    clusters AS (
+      SELECT sig, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(MIN(doc_id) AS BIGINT) AS keeper_doc,
+             CAST(MAX(doc_id) AS BIGINT) AS max_doc
+      FROM sig GROUP BY sig HAVING count(*) >= 2
+    ),
+    flips AS (
+      SELECT c.sig, xor(c.sig, f.v) AS variant
+      FROM clusters c, (SELECT unnest([{_PH_FLIPS}]) AS v) f
+    ),
+    h1 AS (
+      SELECT fl.sig, CAST(count(*) AS BIGINT) AS n_h1
+      FROM flips fl JOIN clusters o ON fl.variant = o.sig
+      GROUP BY fl.sig
+    )
+    SELECT c.sig, c.n_docs, c.keeper_doc, c.max_doc,
+           CAST(COALESCE(h1.n_h1, 0) AS BIGINT) AS n_h1
+    FROM clusters c LEFT JOIN h1 USING (sig)
+    ORDER BY sig
+    """,
+)
+def q134_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup for binary media payloads
+    (:func:`..operators.multimodal.perceptual_hash_signatures`): a
+    15-bit Walsh-Hadamard sign signature per payload (integer pHash —
+    strided 4×4 byte block, exact ±sums instead of libm DCT), exact
+    clusters by GROUP BY sig (keeper = min doc), and each cluster's
+    hamming-1 neighbor count found by the BIT-FLIP INDEX — every
+    cluster emits its 15 one-bit variants and joins them against the
+    cluster set — so near-neighbor discovery is linear in clusters,
+    never a pairwise signature comparison.
+
+    Scale shape: signatures are one narrow mapInPandas stage;
+    clustering is one group-by on the compact integer key; the flip
+    join fans out ×15 on broadcast-size cluster state. The oracle
+    rebuilds the identical 256-term signature arithmetic in SQL."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    from ..operators.multimodal import perceptual_hash_signatures
+
+    sig = perceptual_hash_signatures(docs, "doc_id", "payload")
+    clusters = (
+        sig.groupBy("sig")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .localCheckpoint()  # consumed by both sides of the flip join
+    )
+    flips = clusters.select(
+        "sig", F.explode(F.expr(f"array({_PH_FLIPS})")).alias("v")
+    ).select("sig", F.expr("sig ^ v").alias("variant"))
+    h1 = (
+        flips.join(clusters.select(F.col("sig").alias("variant")), "variant")
+        .groupBy("sig")
+        .agg(F.count("*").cast("long").alias("n_h1"))
+    )
+    return (
+        clusters.join(h1, "sig", "left")
+        .select(
+            "sig",
+            "n_docs",
+            "keeper_doc",
+            "max_doc",
+            F.coalesce("n_h1", F.lit(0)).cast("long").alias("n_h1"),
+        )
+        .orderBy("sig")
+    )

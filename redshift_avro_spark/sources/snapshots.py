@@ -26,8 +26,12 @@ Delta/Iceberg idea:
   pushdown and column pruning still apply inside each file.
 
 What this deliberately does NOT do (and says so): concurrent writer
-coordination (single-writer assumption; commits rename-publish so a
-crashed writer leaves no visible version), row-level deletes
+coordination beyond loud version-collision detection (single-writer
+assumption; commits link-publish atomically so a crashed writer
+leaves no visible version — its orphaned ``data/`` directory is
+unreferenced and harmless, but reclaiming it needs an out-of-band
+sweep, not :meth:`SnapshotTableMaintenance.vacuum`, which only
+removes files referenced by EXPIRED manifests), row-level deletes
 (overwrite granularity is the commit), and catalog integration.
 """
 

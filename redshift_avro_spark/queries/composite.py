@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 129 operator demonstrations. Rather
+names), but the registry carries 130 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–5 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-129 still registered) keep guarding it. A composite can only pass if
+130 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -1331,6 +1331,7 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q109_cdc_merge",
         "q111_scd2_history",
         "q127_point_in_time_enrich",
+        "q135_data_quality",
     ),
     oracle=f"""
     SELECT 'dedup' AS kind, doc_id AS k, status AS s1,
@@ -1358,6 +1359,12 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS TIMESTAMP) AS t1, CAST(NULL AS TIMESTAMP) AS t2,
            CAST(NULL AS INTEGER) AS b1
     FROM {_sub('q127_point_in_time_enrich')}
+    UNION ALL
+    SELECT 'dq' AS kind, constraint_id AS k, q.kind AS s1, expr AS s2,
+           CAST(NULL AS VARCHAR) AS s3, CAST(n_rows AS DOUBLE) AS val,
+           n_violations AS n2, CAST(NULL AS TIMESTAMP) AS t1,
+           CAST(NULL AS TIMESTAMP) AS t2, passed AS b1
+    FROM {_sub('q135_data_quality')} q
     ORDER BY kind, k, n2 NULLS FIRST
     """,
 )
@@ -1367,11 +1374,13 @@ def q110_incremental_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     on content-hash and LSH band keys), applying a CDC change feed to
     a snapshot (q109 — full-outer merge with action provenance), and
     the Type-2 interval-versioned history the same feed builds (q111),
-    and the point-in-time enrichment that history exists to serve
-    (q127 — as-of lookups at event time, aggregated per version),
+    the point-in-time enrichment that history exists to serve (q127 —
+    as-of lookups at event time, aggregated per version), and the
+    declarative data-quality report ingestion gates on (q135 —
+    range/null/unique/FK constraints quantified as violation counts),
     tagged on one schema. Together: how a 100 TB corpus/table absorbs
-    new data without recomputing itself, and how consumers read it
-    leakage-free."""
+    new data without recomputing itself, how consumers read it
+    leakage-free, and how every batch is validated first."""
     def pad_ts():
         return [
             F.lit(None).cast("bigint").alias("n2"),
@@ -1419,7 +1428,19 @@ def q110_incremental_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_items").alias("n2"),
         *pad_ts()[1:],
     )
-    return a.unionByName(b).unionByName(c).unionByName(d).orderBy(
+    e = _run("q135_data_quality", spark, sf_dir).select(
+        F.lit("dq").alias("kind"),
+        F.col("constraint_id").alias("k"),
+        F.col("kind").alias("s1"),
+        F.col("expr").alias("s2"),
+        F.lit(None).cast("string").alias("s3"),
+        F.col("n_rows").cast("double").alias("val"),
+        F.col("n_violations").alias("n2"),
+        F.lit(None).cast("timestamp").alias("t1"),
+        F.lit(None).cast("timestamp").alias("t2"),
+        F.col("passed").alias("b1"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e).orderBy(
         "kind", "k", F.asc_nulls_first("n2")
     )
 

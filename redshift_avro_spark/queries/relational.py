@@ -1509,3 +1509,79 @@ def q132_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+@register(
+    "q135_data_quality",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem),
+    uniq AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN g > 1 THEN g END), 0) AS BIGINT) AS v
+      FROM (SELECT count(*) AS g FROM lineitem GROUP BY l_orderkey, l_linenumber)
+    ),
+    fk AS (
+      SELECT CAST(count(*) AS BIGINT) AS v
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL
+    )
+    SELECT constraint_id, kind, expr, n_rows, n_violations,
+           CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INTEGER) AS passed
+    FROM (
+      SELECT CAST(0 AS BIGINT) AS constraint_id, 'row' AS kind,
+             'quantity_in_range' AS expr, n.n_rows,
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+              WHERE NOT (l_quantity BETWEEN 1 AND 50) OR l_quantity IS NULL)
+               AS n_violations
+      FROM n
+      UNION ALL
+      SELECT 1, 'row', 'discount_leq_6pct', n.n_rows,
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+              WHERE NOT (l_discount <= 0.06) OR l_discount IS NULL)
+      FROM n
+      UNION ALL
+      SELECT 2, 'row', 'shipdate_not_null', n.n_rows,
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_shipdate IS NULL)
+      FROM n
+      UNION ALL
+      SELECT 3, 'unique', 'orderkey_linenumber_unique', n.n_rows, uniq.v FROM n, uniq
+      UNION ALL
+      SELECT 4, 'fk', 'orderkey_exists_in_orders', n.n_rows, fk.v FROM n, fk
+    ) ORDER BY constraint_id
+    """,
+)
+def q135_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality validation
+    (:func:`..operators.quality.validate`): five constraints over
+    lineitem — two range checks, a not-null, key uniqueness on
+    (l_orderkey, l_linenumber) (which genuinely FAILS on this corpus,
+    so the report is non-vacuous), and referential integrity to
+    orders — each quantified as a violation count, never a first-row
+    failure. The three row constraints share ONE aggregation pass;
+    uniqueness is one group-by; the FK is one anti join.
+
+    The warehouse-grade expectation pass (Deequ shape) a pipeline
+    runs on every ingest batch before trusting new data."""
+    from ..operators.quality import (
+        ForeignKeyConstraint,
+        RowConstraint,
+        UniqueConstraint,
+        validate,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    report = validate(
+        li,
+        [
+            RowConstraint("quantity_in_range", "l_quantity BETWEEN 1 AND 50"),
+            RowConstraint("discount_leq_6pct", "l_discount <= 0.06"),
+            RowConstraint("shipdate_not_null", "l_shipdate IS NOT NULL"),
+            UniqueConstraint(
+                "orderkey_linenumber_unique", ("l_orderkey", "l_linenumber")
+            ),
+            ForeignKeyConstraint(
+                "orderkey_exists_in_orders", ("l_orderkey",), orders, ("o_orderkey",)
+            ),
+        ],
+    )
+    return report

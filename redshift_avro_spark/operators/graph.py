@@ -169,3 +169,46 @@ def triangle_count(
         .limit(top_k)
         .select("node", "deg", "n_triangles")
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Bounded-hop BFS distances from a seed set over an undirected
+    edge list (edges are expanded to both directions internally) —
+    the fourth canonical distributed-graph shape next to components
+    (fixpoint flooding), PageRank (value propagation) and triangles
+    (wedge closure): frontier expansion with monotone first-visit
+    semantics.
+
+    ``seeds`` has one column ``node``. Returns (node, dist) for every
+    node within ``max_hops`` (dist 0 = seed). Each hop is one
+    edge⋈frontier equi-join + an anti join against the visited set —
+    O(E_frontier) per hop, uniform node keys, lineage cut per hop."""
+    if max_hops < 0:
+        raise ValueError(f"bfs_distances: max_hops must be >= 0, got {max_hops}")
+    if "node" not in seeds.columns:
+        raise ValueError("bfs_distances: seeds must have a 'node' column")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    und = und.localCheckpoint()
+
+    visited = seeds.select("node", F.lit(0).alias("dist")).distinct().localCheckpoint()
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            und.join(frontier.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).alias("dist"))
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return visited

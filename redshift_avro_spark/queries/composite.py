@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 130 operator demonstrations. Rather
+names), but the registry carries 131 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–5 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-130 still registered) keep guarding it. A composite can only pass if
+131 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -1166,7 +1166,12 @@ def q92_super_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q103_graph_suite",
-    members=("q63_dedup_clusters", "q102_pagerank", "q119_triangle_count"),
+    members=(
+        "q63_dedup_clusters",
+        "q102_pagerank",
+        "q119_triangle_count",
+        "q136_bfs_distances",
+    ),
     oracle=f"""
     SELECT 'components' AS src, doc_id AS k1, component_id AS k2,
            cluster_size AS n, CAST(is_keeper AS INTEGER) AS flag
@@ -1179,6 +1184,10 @@ def q92_super_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'triangles' AS src, node AS k1, deg AS k2,
            n_triangles AS n, CAST(NULL AS INTEGER) AS flag
     FROM {_sub('q119_triangle_count')}
+    UNION ALL
+    SELECT 'bfs' AS src, dist AS k1, min_node AS k2,
+           n_nodes AS n, CAST(max_node AS INTEGER) AS flag
+    FROM {_sub('q136_bfs_distances')}
     ORDER BY src, k1
     """,
 )
@@ -1186,9 +1195,10 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative-graph suite: min-label-propagation connected
     components over the verified near-dup edge set (q63 — fixpoint
     label flooding), fixed-point PageRank over the customer–supplier
-    trade graph (q102 — fixed-round value propagation), and top
+    trade graph (q102 — fixed-round value propagation), top
     triangle-count nodes of the part co-order graph (q119 —
-    degree-oriented wedge closure), tagged and unioned. The three
+    degree-oriented wedge closure), and bounded-hop BFS distance
+    layers (q136 — frontier expansion), tagged and unioned. The four
     canonical distributed-graph shapes; booleans ride as INTEGER so
     the null flag on triangle rows hashes identically in both
     engines."""
@@ -1213,7 +1223,14 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_triangles").alias("n"),
         F.lit(None).cast("int").alias("flag"),
     )
-    return a.unionByName(b).unionByName(c).orderBy("src", "k1")
+    d = _run("q136_bfs_distances", spark, sf_dir).select(
+        F.lit("bfs").alias("src"),
+        F.col("dist").alias("k1"),
+        F.col("min_node").alias("k2"),
+        F.col("n_nodes").alias("n"),
+        F.col("max_node").cast("int").alias("flag"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).orderBy("src", "k1")
 
 
 # ---------------------------------------------------------------- q106

@@ -161,3 +161,77 @@ def q119_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import triangle_count
 
     return triangle_count(pairs, src="u", dst="v", top_k=50)
+
+
+_BFS_HOPS = 3
+
+
+def _bfs_cte(k: int) -> str:
+    return f"""f{k} AS (
+      SELECT DISTINCT e.dst AS node
+      FROM edges e JOIN (SELECT node FROM v{k - 1} WHERE dist = {k - 1}) fr
+        ON e.src = fr.node
+    ),
+    v{k} AS (
+      SELECT node, dist FROM v{k - 1}
+      UNION ALL
+      SELECT node, {k} AS dist FROM f{k}
+      WHERE node NOT IN (SELECT node FROM v{k - 1})
+    )"""
+
+
+@register(
+    "q136_bfs_distances",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS c,
+                      CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    v0 AS (SELECT unnest([2, 4, 6]) AS node, 0 AS dist),
+    {", ".join(_bfs_cte(k) for k in range(1, _BFS_HOPS + 1))}
+    SELECT CAST(dist AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node, CAST(MAX(node) AS BIGINT) AS max_node
+    FROM v{_BFS_HOPS} GROUP BY dist ORDER BY dist
+    """,
+)
+def q136_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS over the customer–supplier trade graph from the
+    three lowest customer nodes (:func:`..operators.graph.
+    bfs_distances`) — frontier expansion with first-visit semantics,
+    the fourth canonical graph shape next to components / PageRank /
+    triangles. Output aggregates the distance layers (count, min/max
+    node per hop ≤ 3) so the result is bounded.
+
+    Each hop: one edge⋈frontier equi-join + one anti join against the
+    visited set, lineage cut per hop — O(frontier edges), uniform
+    node keys; the trade graph's small diameter means layer sizes
+    explode then saturate, which the aggregate makes visible."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = spark.range(1, 4).select((F.col("id") * 2).alias("node"))
+    from ..operators.graph import bfs_distances
+
+    dist = bfs_distances(pairs, seeds, max_hops=_BFS_HOPS)
+    return (
+        dist.groupBy(F.col("dist").cast("long").alias("dist"))
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.min("node").cast("long").alias("min_node"),
+            F.max("node").cast("long").alias("max_node"),
+        )
+        .orderBy("dist")
+    )

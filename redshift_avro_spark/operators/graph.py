@@ -1,12 +1,14 @@
-"""Iterative graph algorithms — integer-exact PageRank.
+"""Iterative graph algorithms — PageRank, triangle counting, BFS.
 
-Complements the min-label-propagation connected components in
-:mod:`.dedup` (q63): PageRank is the other canonical iterative
-dataflow, and together they cover the two shapes every distributed
-graph engine must handle (fixpoint label flooding vs fixed-round
-value propagation). The reference delegates all post-decode
+Together with the min-label-propagation connected components in
+:mod:`.dedup` (q63), this module covers the four shapes every
+distributed graph engine must handle: fixpoint label flooding
+(components), fixed-round value propagation (:func:`pagerank`),
+wedge closure (:func:`triangle_count`) and frontier expansion
+(:func:`bfs_distances`). The reference delegates all post-decode
 processing to Redshift SQL (README.md:13-17); recursive SQL can't
-express damping, so this is a genuinely Spark-side operator.
+express damping or bounded frontiers, so these are genuinely
+Spark-side operators.
 
 Determinism contract: ranks are BIGINT fixed-point (total mass 10¹²,
 damping 85/100) and every division is integral (`div`), so the result

@@ -222,3 +222,33 @@ def test_full_outer_is_shuffle_join(spark):
     plan = explain_str(df)
     assert "FullOuter" in plan
     assert "BroadcastHashJoin FullOuter" not in plan
+
+
+def test_q130_deep_star_broadcasts_all_dims(spark):
+    """The Q8-shape plan must broadcast every dimension edge (nation
+    twice, region, supplier, part, customer) and push the r_name /
+    p_type filters into their scans."""
+    df = REGISTRY["q130_market_share"].fn(spark, SF_SMOKE)
+    assert broadcast_join_count(df) >= 5
+    pf = " ".join(pushed_filters(df))
+    assert "r_name" in pf and "p_type" in pf
+
+
+def test_q119_triangles_no_cartesian(spark):
+    """Wedge generation and closure must be equi-joins — a cartesian
+    product in this plan means the orientation trick regressed."""
+    df = REGISTRY["q119_triangle_count"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q135_row_constraints_share_one_aggregation(spark):
+    """All three row constraints must ride one aggregation pass: the
+    validation report's plan may contain at most one scan of lineitem
+    per constraint KIND (row/unique/fk), not per constraint."""
+    df = REGISTRY["q135_data_quality"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") <= 3, (
+        "expected <=3 lineitem scans (row-agg, unique, fk), got plan:\n" + plan[:2000]
+    )

@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 131 operator demonstrations. Rather
+names), but the registry carries 132 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–5 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-131 still registered) keep guarding it. A composite can only pass if
+132 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -461,6 +461,7 @@ def q83_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q48_sliding_windows",
         "q120_funnel_conversion",
         "q121_cohort_retention",
+        "q137_event_transitions",
     ),
     oracle=f"""
     SELECT 'session' AS kind, user_id, session_start AS w_start,
@@ -481,6 +482,12 @@ def q83_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS TIMESTAMP) AS w_end, CAST(NULL AS VARCHAR) AS event_type,
            n_users AS n, CAST(retained_ppm AS DOUBLE) AS total
     FROM {_sub('q121_cohort_retention')}
+    UNION ALL
+    SELECT 'markov' AS kind, CAST(NULL AS BIGINT) AS user_id,
+           CAST(NULL AS TIMESTAMP) AS w_start, CAST(NULL AS TIMESTAMP) AS w_end,
+           concat(from_type, '>', to_type) AS event_type,
+           n, CAST(prob_ppm AS DOUBLE) AS total
+    FROM {_sub('q137_event_transitions')}
     ORDER BY kind, user_id NULLS FIRST, w_start, event_type NULLS FIRST
     """,
 )
@@ -489,9 +496,10 @@ def q84_event_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     1h/30m sliding windows (q48) — the two non-tumbling window shapes
     (tumbling stays q17's own gated row) — plus the two behavioral
     aggregations a warehouse serves on the same stream: sequential
-    funnel conversion (q120, stage rides the user_id slot) and weekly
-    cohort retention (q121, week offset rides it), tagged and
-    unioned."""
+    funnel conversion (q120, stage rides the user_id slot), weekly
+    cohort retention (q121, week offset rides it) and sessionized
+    Markov transitions (q137, the from>to pair rides the event_type
+    slot), tagged and unioned."""
     a = _run("q47_session_windows", spark, sf_dir).select(
         F.lit("session").alias("kind"),
         "user_id",
@@ -528,7 +536,16 @@ def q84_event_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_users").alias("n"),
         F.col("retained_ppm").cast("double").alias("total"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d).orderBy(
+    e = _run("q137_event_transitions", spark, sf_dir).select(
+        F.lit("markov").alias("kind"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.lit(None).cast("timestamp").alias("w_start"),
+        F.lit(None).cast("timestamp").alias("w_end"),
+        F.concat_ws(">", "from_type", "to_type").alias("event_type"),
+        F.col("n"),
+        F.col("prob_ppm").cast("double").alias("total"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e).orderBy(
         "kind", F.asc_nulls_first("user_id"), "w_start", F.asc_nulls_first("event_type")
     )
 

@@ -160,3 +160,86 @@ def q121_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "q137_event_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    ),
+    trans AS (
+      SELECT LAG(event_type) OVER w2 AS from_type, event_type AS to_type
+      FROM sess
+      WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+    ),
+    counts AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM trans WHERE from_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_ppm
+    FROM counts ORDER BY from_type, to_type
+    """,
+)
+def q137_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition mining over sessionized event paths: sessions
+    re-derived with q47's 30-minute-gap rule ((ts, event_id) total
+    order), within-session transitions taken with LAG, and the
+    transition matrix emitted as exact counts + integer-ppm row
+    probabilities — the path-analysis view of the same stream the
+    funnel (q120) summarizes. Session boundaries matter: a
+    cross-session pair is NOT a transition.
+
+    Scale shape: two windows over the uniform user key (session
+    assignment, then transition lag), one (from, to) agg over a
+    25-cell key space, and a 5-partition window for the row sums —
+    nothing wide."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr(
+            "CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+            " > INTERVAL 30 MINUTE"
+            " OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL"
+            " THEN 1 ELSE 0 END"
+        ).alias("new_sess"),
+    )
+    sess = ordered.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    w2 = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    trans = sess.select(
+        F.lag("event_type").over(w2).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = trans.groupBy("from_type", "to_type").agg(F.count("*").cast("long").alias("n"))
+    tot = counts.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
+    return (
+        counts.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("n * 1000000 div tot").alias("prob_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 132 operator demonstrations. Rather
+names), but the registry carries 133 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–5 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-132 still registered) keep guarding it. A composite can only pass if
+133 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -198,6 +198,7 @@ def q79_payload_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q44_idle_rich_customers",
         "q130_market_share",
         "q132_waiting_suppliers",
+        "q138_association_rules",
     ),
     oracle=f"""
     SELECT 'segment' AS kind, c.c_mktsegment AS k, c.n_custs AS n1,
@@ -215,6 +216,11 @@ def q79_payload_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
            CAST(NULL AS DOUBLE) AS v3
     FROM {_sub('q132_waiting_suppliers')}
+    UNION ALL
+    SELECT 'rules' AS kind, concat(CAST(ante AS VARCHAR), '>', CAST(cons AS VARCHAR)) AS k,
+           n_pair AS n1, CAST(n_ante AS DOUBLE) AS v1,
+           CAST(conf_ppm AS DOUBLE) AS v2, CAST(supp_ppm AS DOUBLE) AS v3
+    FROM {_sub('q138_association_rules')}
     ORDER BY kind, k
     """,
 )
@@ -223,9 +229,11 @@ def q80_tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Q14 promo ratio (q42) and Q17 small-quantity revenue (q43)
     scalars attached to every row (1-row broadcast cross joins), plus
     the Q8-shape national market share per year (q130 — the deep
-    star join with nation in two roles) and the Q21-shape
+    star join with nation in two roles), the Q21-shape
     only-late-supplier counts (q132 — correlated exists/not-exists in
-    its scalable aggregation form), tagged and unioned."""
+    its scalable aggregation form), and market-basket association
+    rules (q138 — co-purchase confidence/support mining), tagged and
+    unioned."""
     c = _run("q44_idle_rich_customers", spark, sf_dir)
     a = _run("q42_promo_revenue_ratio", spark, sf_dir)
     b = _run("q43_small_qty_revenue", spark, sf_dir)
@@ -257,7 +265,15 @@ def q80_tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("v2"),
         F.lit(None).cast("double").alias("v3"),
     )
-    return seg.unionByName(ms).unionByName(nw).orderBy("kind", "k")
+    ru = _run("q138_association_rules", spark, sf_dir).select(
+        F.lit("rules").alias("kind"),
+        F.concat_ws(">", F.col("ante").cast("string"), F.col("cons").cast("string")).alias("k"),
+        F.col("n_pair").alias("n1"),
+        F.col("n_ante").cast("double").alias("v1"),
+        F.col("conf_ppm").cast("double").alias("v2"),
+        F.col("supp_ppm").cast("double").alias("v3"),
+    )
+    return seg.unionByName(ms).unionByName(nw).unionByName(ru).orderBy("kind", "k")
 
 
 # ---------------------------------------------------------------- q81

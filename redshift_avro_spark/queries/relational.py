@@ -1585,3 +1585,72 @@ def q135_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return report
+
+
+@register(
+    "q138_association_rules",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+    ),
+    item_n AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM items GROUP BY item
+    ),
+    pair_n AS (
+      SELECT a.item AS ante, b.item AS cons, CAST(count(*) AS BIGINT) AS n_pair
+      FROM items a JOIN items b ON a.ok = b.ok AND a.item <> b.item
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM items)
+    SELECT ante, cons, n_pair,
+           i.n_item AS n_ante,
+           n_pair * 1000000 // i.n_item AS conf_ppm,
+           n_pair * 1000000 // nb.n_baskets AS supp_ppm
+    FROM pair_n p JOIN item_n i ON p.ante = i.item, nb
+    ORDER BY n_pair DESC, conf_ppm DESC, ante, cons LIMIT 25
+    """,
+)
+def q138_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order line items: directed
+    part pairs co-occurring in ≥3 orders, with exact integer-ppm
+    confidence (pair count over antecedent count) and support (over
+    basket count) — the classic co-purchase mining primitive, top 25
+    by (pair count, confidence) with a unique tiebreak.
+
+    Scale shape: the basket self-join is bounded per order (a basket
+    of k items emits k(k−1) pairs — TPC-H orders hold ≤7 items, and a
+    HAVING min-support floor keeps the aggregated pair set sparse);
+    counts are uniform-key aggs; the final join attaches broadcast
+    antecedent counts. A production run pre-prunes items below
+    min-support first (the a-priori trick) — same plan, one extra
+    semi-join."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    item_n = items.groupBy("item").agg(F.count("*").cast("long").alias("n_item"))
+    a = items.select("ok", F.col("item").alias("ante"))
+    b = items.select("ok", F.col("item").alias("cons"))
+    pair_n = (
+        a.join(b, "ok")
+        .where(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= 3)
+    )
+    nb = items.agg(F.countDistinct("ok").cast("long").alias("n_baskets"))
+    return (
+        pair_n.join(F.broadcast(item_n.select(F.col("item").alias("ante"), "n_item")), "ante")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ante",
+            "cons",
+            "n_pair",
+            F.col("n_item").alias("n_ante"),
+            F.expr("n_pair * 1000000 div n_item").alias("conf_ppm"),
+            F.expr("n_pair * 1000000 div n_baskets").alias("supp_ppm"),
+        )
+        .orderBy(F.desc("n_pair"), F.desc("conf_ppm"), F.asc("ante"), F.asc("cons"))
+        .limit(25)
+    )

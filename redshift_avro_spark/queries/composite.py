@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 133 operator demonstrations. Rather
+names), but the registry carries 134 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–5 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-133 still registered) keep guarding it. A composite can only pass if
+134 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -1382,6 +1382,7 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q111_scd2_history",
         "q127_point_in_time_enrich",
         "q135_data_quality",
+        "q139_entity_resolution",
     ),
     oracle=f"""
     SELECT 'dedup' AS kind, doc_id AS k, status AS s1,
@@ -1415,6 +1416,13 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_violations AS n2, CAST(NULL AS TIMESTAMP) AS t1,
            CAST(NULL AS TIMESTAMP) AS t2, passed AS b1
     FROM {_sub('q135_data_quality')} q
+    UNION ALL
+    SELECT 'er' AS kind, diff_pos AS k, CAST(NULL AS VARCHAR) AS s1,
+           CAST(NULL AS VARCHAR) AS s2, CAST(NULL AS VARCHAR) AS s3,
+           CAST(min_id_a AS DOUBLE) AS val, n_pairs AS n2,
+           CAST(NULL AS TIMESTAMP) AS t1, CAST(NULL AS TIMESTAMP) AS t2,
+           CAST(max_id_b AS INTEGER) AS b1
+    FROM {_sub('q139_entity_resolution')}
     ORDER BY kind, k, n2 NULLS FIRST
     """,
 )
@@ -1428,7 +1436,9 @@ def q110_incremental_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     as-of lookups at event time, aggregated per version), and the
     declarative data-quality report ingestion gates on (q135 —
     range/null/unique/FK constraints quantified as violation counts),
-    tagged on one schema. Together: how a 100 TB corpus/table absorbs
+    and masked-position fuzzy record linkage (q139 — the blocking
+    pass entity resolution runs on new records), tagged on one
+    schema. Together: how a 100 TB corpus/table absorbs
     new data without recomputing itself, how consumers read it
     leakage-free, and how every batch is validated first."""
     def pad_ts():
@@ -1490,8 +1500,21 @@ def q110_incremental_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp").alias("t2"),
         F.col("passed").alias("b1"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e).orderBy(
-        "kind", "k", F.asc_nulls_first("n2")
+    g = _run("q139_entity_resolution", spark, sf_dir).select(
+        F.lit("er").alias("kind"),
+        F.col("diff_pos").alias("k"),
+        F.lit(None).cast("string").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.lit(None).cast("string").alias("s3"),
+        F.col("min_id_a").cast("double").alias("val"),
+        F.col("n_pairs").alias("n2"),
+        F.lit(None).cast("timestamp").alias("t1"),
+        F.lit(None).cast("timestamp").alias("t2"),
+        F.col("max_id_b").cast("int").alias("b1"),
+    )
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e).unionByName(g)
+        .orderBy("kind", "k", F.asc_nulls_first("n2"))
     )
 
 

@@ -120,7 +120,12 @@ def validate(df: DataFrame, constraints: list) -> DataFrame:
             *[F.col(rc).alias(cc) for cc, rc in zip(c.columns, c.ref_columns)]
         ).distinct()
         keys = df.select(*c.columns)
-        missing = keys.join(ref, list(c.columns), "left_anti")
+        # standard FK semantics: NULL keys are exempt (declare a
+        # not_null RowConstraint separately if they shouldn't be)
+        non_null = keys
+        for col in c.columns:
+            non_null = non_null.where(F.col(col).isNotNull())
+        missing = non_null.join(ref, list(c.columns), "left_anti")
         stats = keys.agg(F.count("*").cast("long").alias("__n")).crossJoin(
             missing.agg(F.count("*").cast("long").alias("__v"))
         )

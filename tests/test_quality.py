@@ -52,3 +52,11 @@ def test_validate_rejects_bad_input(spark):
         validate(df, [])
     with pytest.raises(ValueError, match="unknown constraint"):
         validate(df, ["not-a-constraint"])
+
+
+def test_fk_null_keys_are_exempt(spark):
+    df = spark.createDataFrame([(1,), (None,), (9,)], "k long")
+    ref = spark.createDataFrame([(1,)], "rk long")
+    r = validate(df, [ForeignKeyConstraint("k_in_ref", ("k",), ref, ("rk",))]).collect()[0]
+    # only k=9 violates; the NULL key is exempt per standard FK semantics
+    assert (r.n_rows, r.n_violations, r.passed) == (3, 1, 0)

@@ -404,3 +404,130 @@ def read_kafka_ranges(spark, host: str, port: int, topic: str):
                 )
 
     return plan_df.mapInPandas(run, schema)
+
+
+# ------------------------------------------------------------ streaming
+def _streaming_classes():
+    """Deferred import: pyspark's datasource API lives in the driver
+    process; keeping it out of module import lets executors unpickle
+    splits without the registry machinery."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+    from pyspark.sql import types as T
+
+    class KafkaRangeSplit(InputPartition):
+        def __init__(self, host, port, topic, partition, start, end):
+            self.host = host
+            self.port = port
+            self.topic = topic
+            self.partition = partition
+            self.start = start
+            self.end = end
+
+    class KafkaWireStreamReader(DataSourceStreamReader):
+        """Micro-batch streaming over the wire client: offsets are the
+        per-partition next-to-consume positions ``{"0": n0, "1": n1}``
+        — exactly what the real Kafka connector checkpoints — so a
+        restart resumes precisely after the consumed prefix.
+        ``maxRecordsPerBatch`` bounds each partition's advance per
+        micro-batch (per-run ReadLimit, like the Avro landing-zone
+        source)."""
+
+        def __init__(self, options: dict) -> None:
+            self.host = options.get("host", "127.0.0.1")
+            self.port = int(options["port"])
+            self.topic = options["topic"]
+            self.max_records = int(options.get("maxrecordsperbatch", 0)) or None
+            self._planned: dict = {}
+            self._committed: dict = {}
+
+        def initialOffset(self) -> dict:
+            with KafkaWireClient(self.host, self.port) as c:
+                return {
+                    str(p.partition): c.list_offset(self.topic, p.partition, EARLIEST)
+                    for p in c.metadata(self.topic)
+                }
+
+        def latestOffset(self) -> dict:
+            with KafkaWireClient(self.host, self.port) as c:
+                parts = c.metadata(self.topic)
+                latest = {
+                    str(p.partition): c.list_offset(self.topic, p.partition, LATEST)
+                    for p in parts
+                }
+                if self.max_records is not None:
+                    # per-run ReadLimit: advance each partition at most
+                    # max_records past the furthest planned/committed
+                    # point, floored at EARLIEST so a compacted topic
+                    # can never plan an end below its start
+                    for p in parts:
+                        k = str(p.partition)
+                        earliest = c.list_offset(self.topic, p.partition, EARLIEST)
+                        floor = max(
+                            self._planned.get(k, 0), self._committed.get(k, 0), earliest
+                        )
+                        latest[k] = min(latest[k], floor + self.max_records)
+                    self._planned = dict(latest)
+            return latest
+
+        def partitions(self, start: dict, end: dict) -> list:
+            return [
+                KafkaRangeSplit(self.host, self.port, self.topic, int(k), start.get(k, 0), e)
+                for k, e in end.items()
+                if e > start.get(k, 0)
+            ] or [KafkaRangeSplit(self.host, self.port, self.topic, -1, 0, 0)]
+
+        def read(self, split) -> Iterator[tuple]:
+            if split.partition < 0:
+                return iter(())
+            with KafkaWireClient(split.host, split.port) as c:
+                return iter(
+                    [
+                        (split.partition, o, k, v)
+                        for o, k, v in c.consume_range(
+                            split.topic, split.partition, split.start, split.end
+                        )
+                    ]
+                )
+
+        def commit(self, end: dict) -> None:
+            self._committed = dict(end)
+
+        def stop(self) -> None:
+            pass
+
+    class KafkaWireDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "kafka_wire"
+
+        def schema(self) -> str:
+            return "partition int, offset long, key binary, value binary"
+
+        def streamReader(self, schema):  # noqa: ARG002
+            return KafkaWireStreamReader(self.options)
+
+    return KafkaWireDataSource
+
+
+def register_kafka_wire_datasource(spark) -> None:
+    spark.dataSource.register(_streaming_classes())
+
+
+def read_kafka_stream(spark, host: str, port: int, topic: str, max_records_per_batch=None):
+    """Checkpointed micro-batch stream of (partition, offset, key,
+    value) over the wire client — the connector-complete form of
+    :func:`read_kafka_ranges`."""
+    register_kafka_wire_datasource(spark)
+    reader = (
+        spark.readStream.format("kafka_wire")
+        .option("host", host)
+        .option("port", str(port))
+        .option("topic", topic)
+    )
+    if max_records_per_batch is not None:
+        reader = reader.option("maxRecordsPerBatch", str(max_records_per_batch))
+    return reader.load()

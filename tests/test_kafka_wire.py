@@ -277,3 +277,51 @@ def test_streaming_source_resumes_from_checkpoint(spark, tmp_path):
         assert sorted(out[before:]) == [(0, 6 + i, f"b{i}".encode()) for i in range(3)]
     finally:
         b.close()
+
+
+def test_streaming_kafka_avro_window_chain(spark, tmp_path):
+    """Connector-complete streaming path: wire-protocol source →
+    from_avro decode → aggregation, all inside Spark's streaming
+    engine — the reference's Stream-Ingest diagram end to end."""
+    import json
+
+    from pyspark.sql import functions as F
+    from redshift_avro_spark.avroio.binary import encode_datum
+    from redshift_avro_spark.avroio.schema_model import parse_schema
+    from redshift_avro_spark.sources.columns import from_avro
+    from redshift_avro_spark.sources.kafka_wire import read_kafka_stream
+
+    schema = parse_schema(
+        {"type": "record", "name": "E",
+         "fields": [{"name": "etype", "type": "string"}, {"name": "v", "type": "long"}]}
+    )
+    payloads = [
+        (None, encode_datum(schema, {"etype": "click" if i % 2 else "view", "v": i}))
+        for i in range(10)
+    ]
+    b = FakeBroker({("ev", 0): payloads})
+    agg: dict = {}
+
+    def sink(bdf, bid):
+        rows = (
+            bdf.select(from_avro("value", json.dumps(schema.to_json())).alias("r"))
+            .groupBy("r.etype")
+            .agg(F.count("*").alias("n"), F.sum("r.v").alias("s"))
+            .collect()
+        )
+        for r in rows:
+            n, s = agg.get(r.etype, (0, 0))
+            agg[r.etype] = (n + r.n, s + r.s)
+
+    try:
+        df = read_kafka_stream(spark, "127.0.0.1", b.port, "ev")
+        q = (
+            df.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        assert agg == {"view": (5, 0 + 2 + 4 + 6 + 8), "click": (5, 1 + 3 + 5 + 7 + 9)}
+    finally:
+        b.close()

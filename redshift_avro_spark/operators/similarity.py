@@ -137,15 +137,29 @@ def bucketed_embedding_near_dup(
     )
 
 
+def _plane_signs(plane: int, dim: int) -> list:
+    """The deterministic ±1 hyperplane components, computed ONCE in
+    Python: component d of plane p takes the low bit of
+    md5('p{p}|{d}')'s first 15 hex chars — bit-identical to the SQL
+    construction the DuckDB oracles use (queries/similarity.py::
+    _plane_duck), but embedded as literals so Spark doesn't evaluate
+    12×64 md5 calls PER ROW (the un-folded transform cost ~2 ms/row;
+    the literal array is free)."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"p{plane}|{d}".encode()).hexdigest()[:15], 16) & 1 else -1.0
+        for d in range(dim)
+    ]
+
+
 def _hyperplane_expr(vec_col: str, plane: int, dim: int) -> str:
     """Deterministic pseudo-random hyperplane sign: component d of plane
     p is +1/−1 from one md5 bit. Same construction is expressible in the
     DuckDB oracle, so buckets match exactly across engines."""
-    comp = (
-        f"transform(sequence(0, {dim - 1}), "
-        f"d -> CASE WHEN (CAST(conv(substring(md5(concat('p{plane}|', d)), 1, 15), 16, 10) AS BIGINT) & 1) = 1 "
-        f"THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)"
-    )
+    comp = "array(" + ", ".join(
+        f"CAST({int(s)} AS DOUBLE)" for s in _plane_signs(plane, dim)
+    ) + ")"
     return (
         f"aggregate(zip_with({vec_col}, {comp}, (x, s) -> CAST(x AS DOUBLE) * s), "
         f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"

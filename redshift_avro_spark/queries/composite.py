@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 134 operator demonstrations. Rather
+names), but the registry carries 135 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–5 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-134 still registered) keep guarding it. A composite can only pass if
+135 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -866,6 +866,7 @@ def q89_scrub_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q74_trailing_window_counts",
         "q98_range_join",
         "q101_hypertable_rollup",
+        "q140_gapfill_locf",
     ),
     oracle=f"""
     SELECT 'event' AS kind, t.event_id AS k1, t.user_id AS x1,
@@ -884,6 +885,12 @@ def q89_scrub_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BIGINT) AS x1, CAST(NULL AS BIGINT) AS x2,
            w_start AS t1, CAST(NULL AS TIMESTAMP) AS t2, n, total AS val
     FROM {_sub('q101_hypertable_rollup')}
+    UNION ALL
+    SELECT concat('gapfill_', event_type) AS kind, CAST(NULL AS BIGINT) AS k1,
+           cents AS x1, CAST(is_gap AS BIGINT) AS x2,
+           bucket AS t1, CAST(NULL AS TIMESTAMP) AS t2, n,
+           CAST(locf_cents AS DOUBLE) AS val
+    FROM {_sub('q140_gapfill_locf')}
     ORDER BY kind, k1 NULLS FIRST, t1
     """,
 )
@@ -892,10 +899,12 @@ def q90_timeseries_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-minute burst counts (q74) with the as-of signup enrichment
     (q73) left-joined on ('event' rows); the bucketed interval-overlap
     range join of clicks into incident windows (q98, 'incident' rows);
-    and the minute/hour/day hypertable rollup (q101, 'rollup_*' rows).
-    q73/q74 shuffle once on user_id and join on the unique event_id;
-    q98 shuffles on the uniform time-bucket key; q101 on the minute
-    bucket — no composition-added shuffles beyond the union."""
+    the minute/hour/day hypertable rollup (q101, 'rollup_*' rows); and
+    the gap-filled hourly series with LOCF interpolation (q140,
+    'gapfill_*' rows). q73/q74 shuffle once on user_id and join on the
+    unique event_id; q98 shuffles on the uniform time-bucket key; q101
+    on the minute bucket; q140 on (type, hour) — no composition-added
+    shuffles beyond the union."""
     t = _run("q74_trailing_window_counts", spark, sf_dir)
     a = _run("q73_asof_join", spark, sf_dir).select(
         "event_id", "ts_asof", "event_id_asof", "value_asof"
@@ -930,9 +939,20 @@ def q90_timeseries_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n"),
         F.col("total").alias("val"),
     )
+    gf = _run("q140_gapfill_locf", spark, sf_dir).select(
+        F.concat(F.lit("gapfill_"), F.col("event_type")).alias("kind"),
+        F.lit(None).cast("bigint").alias("k1"),
+        F.col("cents").alias("x1"),
+        F.col("is_gap").cast("bigint").alias("x2"),
+        F.col("bucket").alias("t1"),
+        F.lit(None).cast("timestamp").alias("t2"),
+        F.col("n"),
+        F.col("locf_cents").cast("double").alias("val"),
+    )
     return (
         ev.unionByName(inc)
         .unionByName(ro)
+        .unionByName(gf)
         .orderBy("kind", F.asc_nulls_first("k1"), "t1")
     )
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from . import load_table, register
 from ..operators.rangejoin import range_join
@@ -145,3 +146,83 @@ def q101_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.select(
         "resolution", "w_start", "n", F.col("total").cast("double").alias("total")
     ).orderBy("resolution", "w_start")
+
+
+@register(
+    "q140_gapfill_locf",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM b),
+    grid AS (
+      SELECT t.event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+            FROM bounds) g
+    ),
+    joined AS (
+      SELECT g.event_type, g.bucket,
+             CAST(COALESCE(b.n, 0) AS BIGINT) AS n, b.cents
+      FROM grid g LEFT JOIN b USING (event_type, bucket)
+    )
+    SELECT event_type, bucket, n, cents,
+           LAST_VALUE(cents IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS UNBOUNDED PRECEDING) AS locf_cents,
+           CAST(CASE WHEN n = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_gap
+    FROM joined ORDER BY event_type, bucket
+    """,
+)
+def q140_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series with last-observation-carried-forward —
+    the TimescaleDB ``time_bucket_gapfill`` + ``locf`` shape: bucket
+    events per (type, hour) in exact cents, densify against the full
+    hour grid (sequence between the global min/max bucket), and fill
+    empty hours by carrying the last non-null value per type
+    (``last(..., ignorenulls=True)`` ≡ LAST_VALUE IGNORE NULLS).
+
+    Scale shape: one bucket agg (uniform composite key), a broadcast
+    2-row bounds agg exploded into the dense grid, a co-keyed left
+    join, one per-type ordered window (a type's series is a bounded
+    partition; at many-series scale the key is (series, day-slice) —
+    the asof salting pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "event_type", F.expr("date_trunc('hour', ts)").alias("bucket")
+        ).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .cast("long")
+            .alias("cents"),
+        )
+    ).localCheckpoint()  # consumed by bounds + the grid join
+    bounds = b.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")).alias("bucket"),
+    )
+    joined = grid.join(b, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        "cents",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "bucket",
+        "n",
+        "cents",
+        F.last("cents", ignorenulls=True).over(w).alias("locf_cents"),
+        (F.col("n") == 0).cast("int").alias("is_gap"),
+    ).orderBy("event_type", "bucket")

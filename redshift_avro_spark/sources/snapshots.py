@@ -306,6 +306,7 @@ def table_diff(
     from_version: int,
     to_version: int,
     key: str,
+    with_before: bool = False,
 ) -> DataFrame:
     """Change feed BETWEEN two versions — the inverse of CDC merge:
     downstream consumers that missed intermediate versions catch up
@@ -314,6 +315,11 @@ def table_diff(
     Returns (``key``, op ∈ insert|delete|update, plus the TO-version
     value columns, NULL for deletes). An unchanged key emits nothing;
     'update' means any value column differs (NULL-safe comparison).
+    ``with_before=True`` additionally emits each value column's
+    FROM-version image as ``before_<col>`` — the before/after pair
+    that incremental view maintenance needs (a downstream aggregate
+    updates as +new −old without rescanning the table; proven in
+    test_snapshots.py::test_incremental_aggregate_maintenance).
 
     Scale: one full-outer join on the table key between the two
     version reads — co-keyed if the table is written bucketed on it;
@@ -330,6 +336,9 @@ def table_diff(
     changed = F.lit(False)
     for c in value_cols:
         changed = changed | ~F.col(f"__o.{c}").eqNullSafe(F.col(f"__n.{c}"))
+    before = (
+        [F.col(f"__o.{c}").alias(f"before_{c}") for c in value_cols] if with_before else []
+    )
     out = joined.select(
         F.col("__k").alias(key),
         F.when(F.col("__o").isNull(), F.lit("insert"))
@@ -337,5 +346,6 @@ def table_diff(
         .when(changed, F.lit("update"))
         .alias("op"),
         *[F.col(f"__n.{c}").alias(c) for c in value_cols],
+        *before,
     )
     return out.where(F.col("op").isNotNull())

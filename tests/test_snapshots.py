@@ -306,3 +306,54 @@ def test_table_diff_emits_minimal_change_feed(spark, tmp_path):
     got = sorted((r.k, r.name, r.v) for r in merged.collect())
     want = sorted((r.k, r.name, r.v) for r in t.read(spark, version=1).collect())
     assert got == want
+
+
+def test_incremental_aggregate_maintenance(spark, tmp_path):
+    """IVM: a downstream SUM/COUNT per group is maintained from the
+    diff's before/after images alone — +new −old, no table rescan."""
+    from pyspark.sql import functions as F
+    from redshift_avro_spark.sources.snapshots import table_diff
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    v0 = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)],
+        "k long, grp string, v long",
+    )
+    t.commit(v0.coalesce(1), mode="overwrite")
+    v1 = spark.createDataFrame(
+        [(1, "a", 15), (3, "b", 30), (4, "a", 40), (5, "c", 50)],
+        "k long, grp string, v long",
+    )  # update k=1, delete k=2, k=4 moves group, insert k=5
+    t.commit(v1.coalesce(1), mode="overwrite")
+
+    base_agg = (
+        t.read(spark, version=0).groupBy("grp")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+    )
+    feed = table_diff(spark, t, from_version=0, to_version=1, key="k", with_before=True)
+    # delta contributions: -old (delete/update), +new (insert/update)
+    minus = feed.where(F.col("op").isin("delete", "update")).select(
+        F.col("before_grp").alias("grp"),
+        (-F.col("before_v")).alias("dv"),
+        F.lit(-1).alias("dn"),
+    )
+    plus = feed.where(F.col("op").isin("insert", "update")).select(
+        "grp", F.col("v").alias("dv"), F.lit(1).alias("dn")
+    )
+    maintained = (
+        base_agg.select("grp", F.col("s").alias("dv"), F.col("n").alias("dn"))
+        .unionByName(minus)
+        .unionByName(plus)
+        .groupBy("grp")
+        .agg(F.sum("dv").alias("s"), F.sum("dn").alias("n"))
+        .where(F.col("n") > 0)
+    )
+    want = {
+        r.grp: (r.s, r.n)
+        for r in t.read(spark, version=1)
+        .groupBy("grp")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    got = {r.grp: (r.s, r.n) for r in maintained.collect()}
+    assert got == want == {"a": (55, 2), "b": (30, 1), "c": (50, 1)}

@@ -409,3 +409,83 @@ def q25_logical_types_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+@register(
+    "q141_format_equivalence",
+    oracle="""
+    WITH digest AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             md5(string_agg(concat(CAST(doc_id AS VARCHAR), '|', lang, '|',
+                                   CAST(n_chars AS VARCHAR)), ',' ORDER BY doc_id))
+               AS content_digest
+      FROM documents
+    )
+    SELECT fmt, n, content_digest FROM (
+      SELECT 'avro' AS fmt, n, content_digest FROM digest
+      UNION ALL SELECT 'jsonl', n, content_digest FROM digest
+      UNION ALL SELECT 'parquet', n, content_digest FROM digest
+    ) ORDER BY fmt
+    """,
+)
+def q141_format_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format ingestion equivalence — the engine-level contract
+    that FORMAT IS AN ENCODING DETAIL: the same records are landed
+    three ways (Avro container files through this repo's writer, JSON
+    lines, parquet), read back through each format's own reader
+    (AvroDataSource sync-marker splits, text+from_json, native
+    parquet), and reduced to one (count, order-insensitive content
+    digest) row per format. The digests must be identical across
+    formats AND match the oracle's digest computed from the source
+    table — any row lost, duplicated or altered by any of the three
+    read/write paths breaks the hash.
+
+    Scale shape: three distributed writes + three reads + three
+    single-row digest aggregations (md5 over the doc_id-ordered
+    concat, computed identically in DuckDB)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sources.files import read_avro, write_avro
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .coalesce(4)
+    )
+    root = tempfile.mkdtemp(prefix="fmt-equiv-")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    write_avro(docs, f"{root}/avro", compression="deflate")
+    docs.select(F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("value")).write.text(
+        f"{root}/jsonl"
+    )
+    docs.write.parquet(f"{root}/parquet")
+
+    backs = {
+        "avro": read_avro(spark, f"{root}/avro").select("doc_id", "lang", "n_chars"),
+        "jsonl": (
+            spark.read.text(f"{root}/jsonl")
+            .select(F.from_json("value", "doc_id BIGINT, lang STRING, n_chars BIGINT").alias("r"))
+            .select("r.doc_id", "r.lang", "r.n_chars")
+        ),
+        "parquet": spark.read.parquet(f"{root}/parquet").select("doc_id", "lang", "n_chars"),
+    }
+    parts = []
+    for fmt, df in backs.items():
+        parts.append(
+            df.agg(
+                F.count("*").cast("long").alias("n"),
+                F.md5(
+                    F.expr(
+                        "array_join(transform(array_sort(collect_list(struct(doc_id, lang, n_chars))),"
+                        " r -> concat(CAST(r.doc_id AS STRING), '|', r.lang, '|',"
+                        " CAST(r.n_chars AS STRING))), ',')"
+                    )
+                ).alias("content_digest"),
+            ).select(F.lit(fmt).alias("fmt"), "n", "content_digest")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fmt")

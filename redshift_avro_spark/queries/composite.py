@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 136 operator demonstrations. Rather
+names), but the registry carries 137 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–5 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-136 still registered) keep guarding it. A composite can only pass if
+137 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -1320,6 +1320,7 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q113_bm25_topk",
         "q114_bpe_encode",
         "q133_training_schedule",
+        "q142_vocab_growth",
     ),
     oracle=f"""
     SELECT 'tfidf' AS kind, lang AS k_str, term AS k_str2,
@@ -1345,6 +1346,11 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            seq AS n1, pos AS n2, CAST(NULL AS BIGINT) AS n3,
            CAST(NULL AS DOUBLE) AS val
     FROM {_sub('q133_training_schedule')}
+    UNION ALL
+    SELECT 'growth' AS kind, CAST(NULL AS VARCHAR) AS k_str,
+           CAST(NULL AS VARCHAR) AS k_str2, n_docs AS n1, vocab_size AS n2,
+           new_at_cutoff AS n3, CAST(NULL AS DOUBLE) AS val
+    FROM {_sub('q142_vocab_growth')}
     ORDER BY kind, n1, k_str, k_str2
     """,
 )
@@ -1355,9 +1361,10 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the corpus-derived query (q113 — the search view), and the
     per-document BPE encoding of the corpus with those merges (q114 —
     the tokenizer-application view), and the stride-scheduled training
-    order prefix (q133 — the data-ordering view), tagged and unioned.
-    The passes an LLM pipeline runs over the corpus before training,
-    in one driver-verified result."""
+    order prefix (q133 — the data-ordering view), and the vocabulary
+    growth curve (q142 — the Heaps'-law corpus statistic), tagged and
+    unioned. The passes an LLM pipeline runs over the corpus before
+    training, in one driver-verified result."""
     a = _run("q56_tfidf_terms", spark, sf_dir).select(
         F.lit("tfidf").alias("kind"),
         F.col("lang").alias("k_str"),
@@ -1403,8 +1410,17 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n3"),
         F.lit(None).cast("double").alias("val"),
     )
+    g = _run("q142_vocab_growth", spark, sf_dir).select(
+        F.lit("growth").alias("kind"),
+        F.lit(None).cast("string").alias("k_str"),
+        F.lit(None).cast("string").alias("k_str2"),
+        F.col("n_docs").alias("n1"),
+        F.col("vocab_size").alias("n2"),
+        F.col("new_at_cutoff").alias("n3"),
+        F.lit(None).cast("double").alias("val"),
+    )
     return (
-        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e).unionByName(g)
         .orderBy("kind", "n1", "k_str", "k_str2")
     )
 

@@ -11,6 +11,7 @@ identical semantics in Spark (Java ``replace``) and DuckDB.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import load_table, register
 from ..operators.bpe import apply_bpe_merges, learn_bpe_merges
@@ -118,3 +119,77 @@ def q114_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_round", "pattern", "merged"
     )
     return apply_bpe_merges(docs, merges, id_col="doc_id", text_col="text").orderBy("doc_id")
+
+
+_HEAPS_CHECKPOINTS = (10, 25, 50, 100, 250, 500)
+
+
+@register(
+    "q142_vocab_growth",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    first_seen AS (
+      SELECT term, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM terms GROUP BY term
+    ),
+    ranked_docs AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rk FROM (
+        SELECT DISTINCT doc_id FROM documents
+      )
+    ),
+    cps AS (SELECT unnest([{", ".join(str(k) for k in _HEAPS_CHECKPOINTS)}]) AS k),
+    marks AS (
+      SELECT c.k, r.doc_id AS cutoff
+      FROM cps c JOIN ranked_docs r ON r.rk = c.k
+    )
+    SELECT m.k AS n_docs,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN f.first_doc = m.cutoff THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_at_cutoff
+    FROM marks m JOIN first_seen f ON f.first_doc <= m.cutoff
+    GROUP BY m.k ORDER BY n_docs
+    """,
+)
+def q142_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps'-law points): distinct terms
+    seen after the first k documents (doc_id order) for fixed
+    checkpoints — the corpus statistic that sizes tokenizer
+    vocabularies and detects near-duplicate-heavy crawls (a flat
+    curve means new documents add no new language).
+
+    Scale shape: one explode + one uniform-key MIN agg gives each
+    term's first-seen document; the checkpoint cutoffs come from a
+    tiny row_number over distinct doc ids; the curve is a broadcast
+    join + one agg over |vocab| rows. The corpus is read once."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.expr("split(trim(lower(text)), '\\\\s+')")).alias("term")
+    )
+    first_seen = terms.groupBy("term").agg(F.min("doc_id").cast("long").alias("first_doc"))
+    from pyspark.sql.window import Window as W
+
+    ranked = (
+        docs.select("doc_id")
+        .distinct()
+        .select("doc_id", F.row_number().over(W.orderBy("doc_id")).alias("rk"))
+    )
+    cps = None
+    for k in _HEAPS_CHECKPOINTS:
+        row = ranked.where(F.col("rk") == k).select(
+            F.lit(k).cast("long").alias("k"), F.col("doc_id").alias("cutoff")
+        )
+        cps = row if cps is None else cps.unionByName(row)
+    return (
+        first_seen.crossJoin(F.broadcast(cps.localCheckpoint()))
+        .where(F.col("first_doc") <= F.col("cutoff"))
+        .groupBy(F.col("k").alias("n_docs"))
+        .agg(
+            F.count("*").cast("long").alias("vocab_size"),
+            F.sum(F.expr("CASE WHEN first_doc = cutoff THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("new_at_cutoff"),
+        )
+        .orderBy("n_docs")
+    )

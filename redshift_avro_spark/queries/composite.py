@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 137 operator demonstrations. Rather
+names), but the registry carries 139 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–5 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-137 still registered) keep guarding it. A composite can only pass if
+139 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -751,12 +751,15 @@ def q87_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q61_train_test_split",
         "q62_mixture_rebalance",
         "q128_quota_sample",
+        "q143_pps_sample",
+        "q144_temperature_weights",
     ),
     oracle=f"""
     SELECT s.lang, s.n_total, s.n_sampled, s.sampled_tokens,
            sp.train_docs, sp.train_tokens, sp.test_docs, sp.test_tokens,
            m.n_after, m.share_ppm,
-           q.quota_n, q.quota_chars, q.quota_min_doc, q.quota_max_doc
+           q.quota_n, q.quota_chars, q.quota_min_doc, q.quota_max_doc,
+           pp.pps_n, pp.pps_chars, tw.temp_ppm, tw.natural_ppm
     FROM {_sub('q60_stratified_sample')} s
     JOIN (
       SELECT lang,
@@ -770,6 +773,10 @@ def q87_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN (SELECT lang, n_sampled AS quota_n, sampled_chars AS quota_chars,
                  min_doc AS quota_min_doc, max_doc AS quota_max_doc
           FROM {_sub('q128_quota_sample')}) q USING (lang)
+    JOIN (SELECT lang, n_sampled AS pps_n, sampled_chars AS pps_chars
+          FROM {_sub('q143_pps_sample')}) pp USING (lang)
+    JOIN (SELECT lang, weight_ppm AS temp_ppm, natural_ppm
+          FROM {_sub('q144_temperature_weights')}) tw USING (lang)
     ORDER BY lang
     """,
 )
@@ -777,8 +784,10 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-selection suite per language: deterministic stratified
     sampling (q60, Bernoulli rate) ⋈ leakage-safe train/test split
     pivoted to columns (q61) ⋈ mixture rebalance (q62) ⋈ exact-quota
-    sampling (q128, fixed k per stratum — the rate mode's fixed-count
-    companion). Joins are on the 5-value lang key of already-tiny
+    sampling (q128, fixed k) ⋈ length-weighted PPS sampling (q143) ⋈
+    temperature-scaled mixture weights (q144, α=0.5) — all four
+    sampling modes plus both weighting recipes a mixture builder
+    needs, joined on the 5-value lang key of already-tiny
     aggregates."""
     s = _run("q60_stratified_sample", spark, sf_dir)
     sp = (
@@ -807,7 +816,20 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_doc").alias("quota_min_doc"),
         F.col("max_doc").alias("quota_max_doc"),
     )
-    return s.join(sp, "lang").join(m, "lang").join(q, "lang").orderBy("lang")
+    pp = _run("q143_pps_sample", spark, sf_dir).select(
+        "lang",
+        F.col("n_sampled").alias("pps_n"),
+        F.col("sampled_chars").alias("pps_chars"),
+    )
+    tw = _run("q144_temperature_weights", spark, sf_dir).select(
+        "lang",
+        F.col("weight_ppm").alias("temp_ppm"),
+        "natural_ppm",
+    )
+    return (
+        s.join(sp, "lang").join(m, "lang").join(q, "lang").join(pp, "lang").join(tw, "lang")
+        .orderBy("lang")
+    )
 
 
 # ---------------------------------------------------------------- q89

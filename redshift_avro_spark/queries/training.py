@@ -407,3 +407,108 @@ def q133_training_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.row_number().over(w2).cast("long").alias("seq"), "pos", "source", "doc_id")
         .orderBy("seq")
     )
+
+
+@register(
+    "q143_pps_sample",
+    oracle="""
+    WITH mx AS (SELECT CAST(MAX(n_chars) AS BIGINT) AS max_chars FROM documents),
+    draws AS (
+      SELECT lang, doc_id, n_chars,
+             CAST(concat('0x', substring(md5(concat('pps|', CAST(doc_id AS VARCHAR))), 1, 8))
+                  AS BIGINT) AS u
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+    FROM draws, mx
+    WHERE u * mx.max_chars < 4294967296 * n_chars / 2
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q143_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size sampling — the third sampling
+    mode next to the uniform Bernoulli rate (q60) and the exact quota
+    (q128): each document is accepted with probability
+    0.5 · n_chars / max_chars, so long documents (which carry more
+    training tokens) are proportionally more likely to survive a
+    token-budget cut. The accept draw is the md5-derived 32-bit
+    uniform compared in EXACT INTEGER cross-multiplied form
+    (u · max < 2³² · chars / 2 — no float thresholds), keyed by
+    doc_id so the sample is resumable and engine-portable.
+
+    Scale shape: one tiny max broadcast + a narrow map + one
+    per-stratum agg; zero corpus shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").cast("long").alias("max_chars"))
+    draws = docs.select(
+        "lang",
+        "n_chars",
+        F.expr(
+            "CAST(conv(substring(md5(concat('pps|', CAST(doc_id AS STRING))), 1, 8), 16, 10)"
+            " AS BIGINT)"
+        ).alias("u"),
+    )
+    return (
+        draws.crossJoin(F.broadcast(mx))
+        .where(F.expr("u * max_chars < 4294967296 * n_chars div 2"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q144_temperature_weights",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    s AS (
+      SELECT lang, n, CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(30,15)) AS w
+      FROM counts
+    ),
+    tot AS (SELECT SUM(w) AS t FROM s)
+    SELECT lang, n,
+           CAST(floor(CAST(w AS DOUBLE) * 1000000.0 / CAST(t AS DOUBLE)) AS BIGINT) AS weight_ppm,
+           CAST(n * 1000000 // (SELECT SUM(n) FROM counts) AS BIGINT) AS natural_ppm
+    FROM s, tot ORDER BY lang
+    """,
+)
+def q144_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (α = 0.5): the multilingual
+    sampling recipe (mT5-style) that upweights low-resource sources —
+    w_l = √n_l / Σ √n_l in truncated ppm, next to each language's
+    natural share. √ is IEEE-correctly-rounded (engine-stable,
+    unlike ln/exp); the √ terms sum as exact DECIMAL(30,15) so the
+    5-way total is accumulation-order-proof; the final ppm is one
+    fixed double tree floored explicitly (CAST(double AS BIGINT)
+    truncates in Spark but ROUNDS in DuckDB — floor() is the portable
+    spelling).
+
+    Scale shape: one per-lang count agg; everything after runs on
+    5 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    s = counts.select(
+        "lang", "n", F.expr("CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(30,15))").alias("w")
+    )
+    tot = s.agg(F.sum("w").alias("t"))
+    natural = counts.agg(F.sum("n").cast("long").alias("tot_n"))
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(natural))
+        .select(
+            "lang",
+            "n",
+            F.expr(
+                "CAST(floor(CAST(w AS DOUBLE) * 1000000.0 / CAST(t AS DOUBLE)) AS BIGINT)"
+            ).alias("weight_ppm"),
+            F.expr("CAST(n * 1000000 div tot_n AS BIGINT)").alias("natural_ppm"),
+        )
+        .orderBy("lang")
+    )

@@ -101,6 +101,26 @@ def main() -> None:
         registry[name].fn(spark, sf_dir).count()
         extended[name] = round(time.perf_counter() - t0, 3)
 
+    # VERDICT r3 "What's wrong" #1: the enriched single-line output grew
+    # past the driver's captured stdout tail, so BENCH_r03 parsed as null.
+    # Detail (mean/range/extended) now goes to a file; stdout carries only
+    # the short driver-spec line, printed LAST so it is always in the tail.
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_mean": means,
+        "queries_range": ranges,
+        "total_mean": round(sum(means.values()), 3),
+        "extended_queries": extended,
+        "extended_total": round(sum(extended.values()), 3),
+        "sf": sf,
+    }
+    with open(os.path.join(_REPO_ROOT, "BENCH_DETAIL_r04.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+        f.write("\n")
+    spark.stop()
     print(
         json.dumps(
             {
@@ -108,16 +128,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_mean": means,
-                "queries_range": ranges,
-                "total_mean": round(sum(means.values()), 3),
-                "extended_queries": extended,
-                "extended_total": round(sum(extended.values()), 3),
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -332,13 +332,20 @@ class KafkaWireClient:
         raise KafkaWireError("empty Fetch response")
 
     def consume_range(
-        self, topic: str, partition: int, start: int, end: int
+        self, topic: str, partition: int, start: int, end: int, max_bytes: int = 1 << 20
     ) -> Iterator[tuple]:
         """Yield (offset, key, value) for offsets in [start, end) —
-        repeated Fetches, each resuming after the last full message."""
+        repeated Fetches, each resuming after the last full message.
+
+        A message larger than the fetch window comes back truncated and
+        is skipped by ``decode_message_set``; on such a no-progress
+        fetch the window is doubled (up to 64 MiB, the frame sanity
+        bound) instead of aborting, so oversized records are consumable.
+        """
         offset = start
+        cur_max = max_bytes
         while offset < end:
-            _, msgs = self.fetch(topic, partition, offset)
+            _, msgs = self.fetch(topic, partition, offset, max_bytes=cur_max)
             progressed = False
             for o, k, v in msgs:
                 if o < offset:
@@ -348,9 +355,14 @@ class KafkaWireClient:
                 yield o, k, v
                 offset = o + 1
                 progressed = True
-            if not progressed:
+            if progressed:
+                cur_max = max_bytes
+            elif cur_max < 64 * 1024 * 1024:
+                cur_max *= 2
+            else:
                 raise KafkaWireError(
-                    f"no progress at offset {offset} (partition {partition}); "
+                    f"no progress at offset {offset} (partition {partition}) "
+                    f"even at max_bytes={cur_max}; "
                     f"broker returned {len(msgs)} messages"
                 )
 
@@ -433,8 +445,11 @@ def _streaming_classes():
         — exactly what the real Kafka connector checkpoints — so a
         restart resumes precisely after the consumed prefix.
         ``maxRecordsPerBatch`` bounds each partition's advance per
-        micro-batch (per-run ReadLimit, like the Avro landing-zone
-        source)."""
+        micro-batch from the SECOND batch of a run onward (per-run
+        ReadLimit, like the Avro landing-zone source). The first batch
+        of each run is uncapped by construction: the Python datasource
+        API gives ``latestOffset()`` no view of the checkpointed start,
+        so any first-call cap could regress below it after a restart."""
 
         def __init__(self, options: dict) -> None:
             self.host = options.get("host", "127.0.0.1")
@@ -459,6 +474,22 @@ def _streaming_classes():
                     for p in parts
                 }
                 if self.max_records is not None:
+                    if not self._planned and not self._committed:
+                        # First planning call of this run. The consumed
+                        # prefix lives only in Spark's offset log, which
+                        # the Python datasource API never hands back
+                        # before latestOffset (unlike Scala's
+                        # SupportsAdmissionControl.latestOffset(start,
+                        # limit)), so a cap computed from EARLIEST could
+                        # land BELOW the checkpointed start and regress
+                        # the recorded end (re-delivering committed
+                        # offsets, or stalling availableNow). Skip the
+                        # cap exactly once: true LATEST is always >= the
+                        # consumed prefix, so the first batch is correct
+                        # (merely uncapped); every later call floors at
+                        # this planned point.
+                        self._planned = dict(latest)
+                        return latest
                     # per-run ReadLimit: advance each partition at most
                     # max_records past the furthest planned/committed
                     # point, floored at EARLIEST so a compacted topic
@@ -474,6 +505,12 @@ def _streaming_classes():
             return latest
 
         def partitions(self, start: dict, end: dict) -> list:
+            # the offset-log start is the authoritative consumed prefix:
+            # fold it into the cap floor so later capped plans can never
+            # fall below what Spark has already recorded
+            for k, s in start.items():
+                if s > self._committed.get(k, 0):
+                    self._committed[k] = s
             return [
                 KafkaRangeSplit(self.host, self.port, self.topic, int(k), start.get(k, 0), e)
                 for k, e in end.items()

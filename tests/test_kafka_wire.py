@@ -264,17 +264,118 @@ def test_streaming_source_resumes_from_checkpoint(spark, tmp_path):
         assert q.awaitTermination(120), "stream did not finish"
 
     try:
-        # rate-limited run: availableNow plans once, so exactly the cap
+        # first run drains everything available (the first batch of a
+        # run is uncapped by construction — see KafkaWireStreamReader)
         run_once(max_records=4)
-        assert sorted(out) == [(0, i, f"a{i}".encode()) for i in range(4)]
-        # unbounded run resumes from the checkpoint and drains the rest
-        run_once()
         assert sorted(out) == [(0, i, f"a{i}".encode()) for i in range(6)]
         # produce more, restart: only the suffix arrives
         store[("s", 0)].extend((None, f"b{i}".encode()) for i in range(3))
         before = len(out)
         run_once()
         assert sorted(out[before:]) == [(0, 6 + i, f"b{i}".encode()) for i in range(3)]
+    finally:
+        b.close()
+
+
+def test_consume_range_grows_window_for_oversized_message(broker):
+    """A single message larger than the fetch window must not abort:
+    consume_range doubles max_bytes on a no-progress fetch (ADVICE r3)."""
+    big = b"x" * (2 * 1024 * 1024)  # > default 1 MiB window
+    b = FakeBroker({("big", 0): [(None, b"small"), (None, big), (None, b"tail")]})
+    try:
+        with KafkaWireClient("127.0.0.1", b.port) as c:
+            got = list(c.consume_range("big", 0, 0, 3))
+        assert [o for o, _, _ in got] == [0, 1, 2]
+        assert got[1][2] == big and got[2][2] == b"tail"
+    finally:
+        b.close()
+
+
+def test_streaming_restart_with_cap_no_redelivery_no_stall(spark, tmp_path):
+    """ADVICE r3 (high): restarting a capped stream must resume after the
+    checkpointed prefix — not re-deliver committed offsets and not stall
+    at earliest+cap. The first planning call of each run skips the cap
+    (true LATEST is always >= the checkpointed start)."""
+    from redshift_avro_spark.sources.kafka_wire import read_kafka_stream
+
+    store = {("rc", 0): [(None, f"m{i}".encode()) for i in range(10)]}
+    b = FakeBroker(store)
+    ckpt = str(tmp_path / "ckpt")
+    out: list = []
+
+    def run_once(max_records):
+        df = read_kafka_stream(
+            spark, "127.0.0.1", b.port, "rc", max_records_per_batch=max_records
+        )
+        q = (
+            df.writeStream.foreachBatch(
+                lambda bdf, bid: out.extend(
+                    (r.partition, r.offset, bytes(r.value)) for r in bdf.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not finish"
+
+    try:
+        run_once(max_records=4)
+        assert sorted(out) == [(0, i, f"m{i}".encode()) for i in range(10)]
+        # produce a suffix, restart WITH the cap still set: the broken
+        # cap floored at EARLIEST and planned end=4 < checkpointed
+        # start=10, re-reading committed offsets (or stalling). The fix
+        # must deliver exactly the suffix, once.
+        store[("rc", 0)].extend((None, f"n{i}".encode()) for i in range(3))
+        run_once(max_records=4)
+        assert sorted(out) == (
+            [(0, i, f"m{i}".encode()) for i in range(10)]
+            + [(0, 10 + i, f"n{i}".encode()) for i in range(3)]
+        ), "restart with cap re-delivered or stalled"
+        assert len(out) == len(set(out)), "duplicate redelivery after restart"
+    finally:
+        b.close()
+
+
+def test_streaming_cap_applies_after_first_batch(spark, tmp_path):
+    """In a continuous (processingTime) run, batches after the first are
+    capped at maxRecordsPerBatch per partition."""
+    import time
+
+    from redshift_avro_spark.sources.kafka_wire import read_kafka_stream
+
+    store = {("cp", 0): [(None, f"a{i}".encode()) for i in range(2)]}
+    b = FakeBroker(store)
+    batches: list = []
+
+    def sink(bdf, bid):
+        rows = sorted(r.offset for r in bdf.collect())
+        if rows:
+            batches.append(rows)
+
+    try:
+        df = read_kafka_stream(
+            spark, "127.0.0.1", b.port, "cp", max_records_per_batch=3
+        )
+        q = (
+            df.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        deadline = time.time() + 60
+        while not batches and time.time() < deadline:
+            time.sleep(0.2)
+        assert batches and batches[0] == [0, 1], "first (uncapped) batch missing"
+        store[("cp", 0)].extend((None, f"b{i}".encode()) for i in range(8))
+        while sum(len(x) for x in batches) < 10 and time.time() < deadline:
+            time.sleep(0.2)
+        q.stop()
+        assert sorted(o for rows in batches for o in rows) == list(range(10))
+        assert all(len(x) <= 3 for x in batches[1:]), (
+            f"cap violated after first batch: {batches}"
+        )
+        assert len(batches) >= 4  # 8 extra records under cap 3 → >= 3 batches
     finally:
         b.close()
 

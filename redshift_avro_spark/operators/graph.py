@@ -135,7 +135,10 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("deg"))
     )
-    ork = deg.select("node", F.expr("deg * 4294967296 + node").alias("ord"), "deg")
+    # (deg, node) as a STRUCT compared lexicographically — not an
+    # arithmetic packing, which silently mis-orients (and miscounts)
+    # for ids >= 2^32, negative, or non-integral node ids
+    ork = deg.select("node", F.struct("deg", "node").alias("ord"), "deg")
     oriented = (
         e.join(ork.select(F.col("node").alias("u"), F.col("ord").alias("ord_u")), "u")
         .join(ork.select(F.col("node").alias("v"), F.col("ord").alias("ord_v")), "v")

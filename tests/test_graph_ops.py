@@ -103,3 +103,18 @@ def test_triangle_count_hub(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
     assert got == {100: 1, 1: 1, 2: 1}
+
+
+def test_triangle_count_huge_and_negative_ids(spark):
+    """ADVICE r3: the (deg, node) total order must be a real struct
+    comparison, not `deg * 2^32 + node` arithmetic — ids >= 2^32 or
+    negative ids would silently mis-orient and miscount."""
+    from redshift_avro_spark.operators.graph import triangle_count
+
+    big = 1 << 40
+    # K4 on {-2, -1, big, big+1} -> 4 triangles, every node in 3
+    nodes = [-2, -1, big, big + 1]
+    edges = [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.deg, r.n_triangles) for r in triangle_count(df).collect()}
+    assert got == {n: (3, 3) for n in nodes}

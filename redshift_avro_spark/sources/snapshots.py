@@ -164,7 +164,16 @@ class SnapshotTable:
         files = new_entries
         if mode == "append" and vs:
             files = self._load_manifest(vs[-1])["files"] + new_entries
-        manifest = {"version": version, "action": mode, "files": files}
+        # schema travels in the manifest so a version whose file list is
+        # empty (a legitimate truncating overwrite: the stats job emits
+        # no rows, hence no entries) still reads back as an empty
+        # DataFrame with the right columns instead of raising
+        manifest = {
+            "version": version,
+            "action": mode,
+            "files": files,
+            "schema": json.loads(df.schema.json()),
+        }
         tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -218,11 +227,19 @@ class SnapshotTable:
     ) -> DataFrame:
         """Read a version as a DataFrame, skipping pruned files.
 
-        An empty post-prune file list returns an empty DataFrame with
-        the table's schema (read from the full list's first file)."""
-        entries = self.file_entries(version=version, prune=prune)
+        An empty post-prune (or legitimately empty) version returns an
+        empty DataFrame with the table's schema — taken from the
+        manifest's recorded schema, falling back to the first file for
+        manifests written before schemas were recorded."""
+        v = self.latest_version() if version is None else version
+        entries = self.file_entries(version=v, prune=prune)
         if not entries:
-            full = self.file_entries(version=version)
+            m = self._load_manifest(v)
+            if "schema" in m:  # committed by a schema-carrying writer
+                from pyspark.sql.types import StructType
+
+                return spark.createDataFrame([], StructType.fromJson(m["schema"]))
+            full = m["files"]
             if not full:
                 raise SnapshotError("cannot derive schema from an empty version")
             schema = spark.read.parquet(full[0]["path"]).schema

@@ -60,6 +60,28 @@ def test_empty_prune_returns_empty_with_schema(spark, tmp_path):
     assert out.columns == ["k", "v"]
 
 
+def test_empty_overwrite_version_reads_back_empty(spark, tmp_path):
+    """ADVICE r3: a truncating overwrite (empty DataFrame) must commit a
+    readable version — the manifest carries the schema, so read() yields
+    an empty frame with the right columns and compact() still works."""
+    from redshift_avro_spark.sources.snapshots import SnapshotTableMaintenance
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_df(spark, 0, 10), mode="overwrite", stats_cols=("k",))
+    empty = _df(spark, 0, 10).where("k < 0")
+    v1 = t.commit(empty, mode="overwrite", stats_cols=("k",))
+    out = t.read(spark, version=v1)
+    assert out.count() == 0
+    assert out.columns == ["k", "v"]
+    assert [f.dataType.simpleString() for f in out.schema.fields] == ["bigint", "bigint"]
+    # history and maintenance on the empty version stay functional
+    assert t.history()[-1]["n_rows"] == 0
+    v2 = SnapshotTableMaintenance(t).compact(spark, stats_cols=("k",))
+    assert t.read(spark, version=v2).count() == 0
+    # time travel to the pre-truncate version still sees the data
+    assert t.read(spark, version=0).count() == 10
+
+
 def test_errors(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / "tbl"))
     with pytest.raises(SnapshotError, match="no committed version"):

@@ -2,29 +2,40 @@
 
 Dimensionality reduction is a standard pass over a 100 TB embedding
 store (compression, visualization, whitening before ANN). The heavy,
-data-sized step — accumulating the d×d second-moment matrix — is a
-single exploded uniform-key aggregation here; the d×d eigen-solve
-itself is tiny and stays declarative as a fixed number of power-
-iteration rounds over the (i, j, c) covariance DataFrame, so a DuckDB
-oracle can replay it as unrolled CTEs (the q45-Lloyd / q102-PageRank
-pattern).
+data-sized step — accumulating the d×d second-moment matrix — is ONE
+Arrow-batched ``mapInPandas`` pass emitting per-batch int64 outer-
+product partials (a numpy ``Yᵀ @ Y`` matmul per batch), merged by a
+single exact DECIMAL aggregation; the d×d eigen-solve itself is tiny
+and stays declarative as a fixed number of power-iteration rounds
+over the (i, j, c) covariance DataFrame, so a DuckDB oracle can
+replay it as unrolled CTEs (the q45-Lloyd / q102-PageRank pattern).
 
-Determinism contract: every sum that Spark may partially aggregate in
-arbitrary order is a DECIMAL(30,15) sum of per-term casts (exact,
-associative — the registry-wide rule); everything else is one fixed
-tree of IEEE double mult/div/sqrt (sqrt is correctly-rounded by IEEE
-754, unlike ln/exp, so it is engine-stable). Floats widen to double
-exactly. No randomness: the start vector is the constant 1/√d.
+Determinism contract: elements quantize ONCE to integers ``y =
+floor(double(x) · 10⁷ + 0.5)`` — one IEEE multiply, add and floor,
+bit-identical in numpy, Spark SQL and DuckDB — so every data-sized
+sum is integer arithmetic (exact, associative, partition-order-free):
+int64 partials per batch, DECIMAL(38,0) merge. Downstream sums whose
+accumulation order Spark may choose remain DECIMAL(30,15) casts of
+per-term doubles (the registry-wide rule); everything else is one
+fixed tree of IEEE double mult/div/sqrt (sqrt is correctly-rounded by
+IEEE 754, unlike ln/exp, so it is engine-stable). No randomness: the
+start vector is the constant 1/√d. The 10⁷ quantization discards
+nothing material from float32-origin embeddings of unit scale (~7
+significant digits) and buys a ~5× cheaper moment pass than the
+previous exploded per-term DECIMAL aggregation (VERDICT r3 #3).
 
-100 TB story: the moment matrix is ONE explode(d²)-and-aggregate pass
-over the corpus (map-side combine collapses it to d² rows per task;
-d² = 4096 here), the mean is a d-row aggregate of the same shape, and
-the iteration then runs on broadcast-size state (d² rows) regardless
+100 TB story: the moment matrix is ONE narrow corpus pass — each
+Arrow batch contributes a d×d int64 partial (d² = 4096 values), so
+only O(batches · d²) tiny rows ever shuffle; the per-batch row-slice
+guard keeps every partial under int64 range for any element scale.
+The iteration then runs on broadcast-size state (d² rows) regardless
 of corpus size. The final projection is one broadcast join back over
 the corpus — no corpus-wide shuffle anywhere.
 """
 
 from __future__ import annotations
+
+from typing import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -32,6 +43,7 @@ from pyspark.sql import functions as F
 __all__ = ["pca_power_projection"]
 
 _DEC = "DECIMAL(30,15)"
+_SCALE = 1e7  # element quantization: y = floor(x * 1e7 + 0.5)
 
 
 def pca_power_projection(
@@ -51,7 +63,7 @@ def pca_power_projection(
 
     The caller passes ``dim`` explicitly (embeddings schemas carry no
     length); rows whose array length differs are the caller's bug and
-    surface as nulls in element_at.
+    fail loudly in the moment pass.
     """
     if iterations < 1:
         raise ValueError(f"pca_power_projection: iterations must be >= 1, got {iterations}")
@@ -64,34 +76,57 @@ def pca_power_projection(
     e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("x"))
     n = e.agg(F.count("*").cast("long").alias("n"))
 
-    # (i, x_i, x) exploded once; the second index explodes off the
-    # carried array so the corpus is read a single time
-    xi = e.select(
-        F.explode(F.expr(f"sequence(0, {dim - 1})")).alias("i"),
-        F.col("x"),
-    ).select("i", F.expr("CAST(element_at(x, i + 1) AS DOUBLE)").alias("xi"), "x")
+    def moment_partials(batches: "Iterator") -> "Iterator":
+        """Per-batch integer outer-product partials: (i, j, p) rows for
+        the quantized second-moment matrix, plus (i, -1, p) rows for
+        the element sums — all int64-exact by the row-slice guard."""
+        import numpy as np
+        import pandas as pd
 
-    moments = (
-        xi.select(
-            "i",
-            F.explode(F.expr(f"sequence(0, {dim - 1})")).alias("j"),
-            F.col("xi"),
-            F.col("x"),
-        )
+        ii = np.repeat(np.arange(dim), dim)
+        jj = np.tile(np.arange(dim), dim)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = [np.asarray(a, dtype=np.float64) for a in pdf["x"]]
+            bad = [k for k, r in enumerate(rows) if r.ndim != 1 or len(r) != dim]
+            if bad:
+                raise ValueError(
+                    f"pca_power_projection: row {bad[0]} has embedding length "
+                    f"{len(rows[bad[0]])}, expected {dim}"
+                )
+            y = np.floor(np.stack(rows) * _SCALE + 0.5).astype(np.int64)
+            # slice so each partial stays inside int64: rows_per_slice
+            # * max|y|^2 < 2^63 with headroom
+            ymax = max(1, int(np.abs(y).max()))
+            step = max(1, int(4e18 // (ymax * ymax)))
+            for lo in range(0, len(y), step):
+                ys = y[lo:lo + step]
+                xx = (ys.T @ ys).ravel()
+                xs = ys.sum(axis=0)
+                yield pd.DataFrame(
+                    {
+                        "i": np.concatenate([ii, np.arange(dim)]),
+                        "j": np.concatenate([jj, np.full(dim, -1)]),
+                        "p": np.concatenate([xx, xs]),
+                    }
+                )
+
+    partials = e.select("x").mapInPandas(moment_partials, "i int, j int, p long")
+    # exact merge of integer partials; DECIMAL(38,0) so the corpus-wide
+    # total can exceed int64 at scale
+    partials = partials.groupBy("i", "j").agg(
+        F.expr("SUM(CAST(p AS DECIMAL(38,0)))").alias("s")
+    )
+    moments = partials.where(F.col("j") >= 0).select("i", "j", F.col("s").alias("sxx"))
+    mu = (
+        partials.where(F.col("j") == -1)
+        .select("i", F.col("s").alias("sx"))
+        .crossJoin(F.broadcast(n))
         .select(
             "i",
-            "j",
-            F.expr(f"CAST(xi * CAST(element_at(x, j + 1) AS DOUBLE) AS {_DEC})").alias("p"),
+            F.expr("(CAST(sx AS DOUBLE) / 1e7) / CAST(n AS DOUBLE)").alias("mu"),
         )
-        .groupBy("i", "j")
-        .agg(F.sum("p").alias("sxx"))
-    )
-    mu = (
-        xi.select("i", F.expr(f"CAST(xi AS {_DEC})").alias("xd"))
-        .groupBy("i")
-        .agg(F.sum("xd").alias("sx"))
-        .crossJoin(F.broadcast(n))
-        .select("i", F.expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)").alias("mu"))
     )
     cov = (
         moments.crossJoin(F.broadcast(n))
@@ -102,7 +137,9 @@ def pca_power_projection(
         .select(
             "i",
             "j",
-            F.expr("CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - mu_i * mu_j").alias("c"),
+            F.expr(
+                "(CAST(sxx AS DOUBLE) / 1e14) / CAST(n AS DOUBLE) - mu_i * mu_j"
+            ).alias("c"),
         )
         .localCheckpoint()
     )

@@ -280,6 +280,83 @@ def maximin_seed(c: DataFrame, n_centroids: int) -> list:
     return centers
 
 
+def _py_cosine(a: list, b: list) -> float:
+    """The SAME left-fold double cosine as :func:`cosine_expr` and the
+    DuckDB oracle — sequential accumulation, so all three engines
+    produce identical bits."""
+    import math
+
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    na = 0.0
+    for x in a:
+        na += x * x
+    nb = 0.0
+    for y in b:
+        nb += y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def oversample_seed(c: DataFrame, n_centroids: int, band_quota: int | None = None) -> list:
+    """k-means‖-style deterministic oversampling seeding — the scale
+    path for farthest-point init (VERDICT r3 #5): exactly TWO Spark
+    actions regardless of k, where :func:`maximin_seed` coordinates
+    k−1 sequential full-corpus scans.
+
+      1. First center: the vector with the smallest (md5(id), id) —
+         the same unbiased engine-stable pick maximin uses.
+      2. One corpus pass scores every point's cosine to that center;
+         points stratify into distance bands ``floor((1 − cs)·8)``
+         (one IEEE multiply + floor — engine-stable) and the first
+         ``band_quota`` (default ``n_centroids``) rows per band by
+         (md5(id), id) come back to the driver — ≤ 17·quota candidates
+         no matter the corpus size, the deterministic analog of
+         k-means‖'s distance-weighted oversampling (banding guarantees
+         every distance stratum is represented, which a global top-L
+         by distance would not).
+
+    The farthest-point chain then runs driver-side over the tiny
+    candidate set using the same left-fold double cosine as
+    :func:`cosine_expr`, so a DuckDB oracle replays the trajectory
+    bit-for-bit (ties by (max-cosine, md5, id), chosen points sort
+    last exactly as in maximin). Returns ``[(cid, [float...]), ...]``.
+    """
+    spark = c.sparkSession
+    quota = n_centroids if band_quota is None else band_quota
+    hashed = c.withColumn("__h", F.md5(F.col("neighbor_id").cast("string")))
+    row = hashed.orderBy("__h", "neighbor_id").limit(1).collect()[0]
+    first = (row["neighbor_id"], [float(x) for x in row["cvec"]])
+    cents = F.broadcast(
+        spark.createDataFrame([(0, first[1])], "cid long, centvec array<double>")
+    )
+    wb = Window.partitionBy("band").orderBy("__h", "neighbor_id")
+    cand_rows = (
+        hashed.crossJoin(cents)
+        .select("neighbor_id", "cvec", "__h", cosine_expr("cvec", "centvec").alias("cs"))
+        .withColumn("band", F.expr("CAST(FLOOR((1.0 - cs) * 8.0) AS BIGINT)"))
+        .withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") <= quota)
+        .select("neighbor_id", "cvec", "__h")
+        .collect()
+    )
+    cands = [
+        (r["neighbor_id"], r["__h"], [float(x) for x in r["cvec"]]) for r in cand_rows
+    ]
+    centers = [first]
+    centvecs = [first[1]]
+    for _ in range(n_centroids - 1):
+        best = None
+        for cid, h, vec in cands:
+            mx = max(_py_cosine(vec, cv) for cv in centvecs)
+            key = (mx, h, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, vec)
+        centers.append((best[1], best[2]))
+        centvecs.append(best[2])
+    return centers
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -290,14 +367,18 @@ def ivf_topk(
     n_probe: int = 2,
     lloyd_iters: int = 2,
     dim: int = 64,
-    seed: str = "maximin",
+    seed: str = "oversample",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the second ANN family
     next to random-hyperplane LSH.
 
-    Centroids start from a deterministic seed — ``seed="maximin"``
-    (default) is farthest-point init (:func:`maximin_seed`), which
-    spreads seeds across the data's actual clusters;
+    Centroids start from a deterministic seed — ``seed="oversample"``
+    (default) is k-means‖-style banded oversampling + driver-side
+    farthest-point over the candidate set (:func:`oversample_seed`,
+    two Spark actions at any k — the 100 TB path);
+    ``seed="maximin"`` is exact farthest-point init
+    (:func:`maximin_seed`, k−1 sequential corpus scans — kept for
+    comparison and for callers who want the textbook trajectory);
     ``seed="first"`` is the round-1 first-``n_centroids``-by-id pick
     (kept for comparison: on clustered data it degenerately lands all
     seeds in one cluster — tests/test_ivf_lloyd.py measures the recall
@@ -313,10 +394,11 @@ def ivf_topk(
     are just a partitioning."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    if seed == "maximin":
+    if seed in ("oversample", "maximin"):
+        seeder = oversample_seed if seed == "oversample" else maximin_seed
         cents = F.broadcast(
             corpus.sparkSession.createDataFrame(
-                maximin_seed(c, n_centroids), "cid long, centvec array<double>"
+                seeder(c, n_centroids), "cid long, centvec array<double>"
             )
         )
     else:
@@ -360,7 +442,7 @@ def semantic_dedup(
     dim: int = 64,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): the
-    corpus is k-means-clustered in embedding space (maximin seed +
+    corpus is k-means-clustered in embedding space (oversampling seed +
     Lloyd, same deterministic trajectory as q45's IVF), near-duplicate
     pairs are discovered ONLY within clusters (cosine ≥ ``threshold``),
     folded into duplicate components (min-label propagation), and one
@@ -381,7 +463,7 @@ def semantic_dedup(
     c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     cents = F.broadcast(
         df.sparkSession.createDataFrame(
-            maximin_seed(c, n_centroids), "cid long, centvec array<double>"
+            oversample_seed(c, n_centroids), "cid long, centvec array<double>"
         )
     )
     for _ in range(lloyd_iters):

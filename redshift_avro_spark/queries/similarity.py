@@ -189,13 +189,54 @@ def _maximin_cte(n_centroids: int) -> str:
     return ",\n    ".join(parts)
 
 
+def _oversample_cte(n_centroids: int, quota: int | None = None) -> str:
+    """Unrolled oversampling-seed chain, mirroring
+    operators.similarity.oversample_seed step for step: first center =
+    min (md5(id), id); candidates = first ``quota`` rows per distance
+    band floor((1 − cos)·8) by (md5(id), id); then the farthest-point
+    chain runs over the candidate set only (mc1..mc{k-1}) with the
+    same (max-cosine, md5, id) tie order as :func:`_maximin_cte`."""
+    q = n_centroids if quota is None else quota
+    cos = _cent_cos("s.embedding")
+    parts = [
+        "seedh AS (\n      SELECT vec_id, embedding,"
+        " md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings\n    )",
+        "mc0 AS (\n      SELECT vec_id AS cid, embedding AS centvec"
+        " FROM seedh ORDER BY h, vec_id LIMIT 1\n    )",
+        f"""cand AS (
+      SELECT vec_id, embedding, h FROM (
+        SELECT s.vec_id, s.embedding, s.h,
+               ROW_NUMBER() OVER (
+                 PARTITION BY CAST(FLOOR((1.0 - {cos}) * 8.0) AS BIGINT)
+                 ORDER BY s.h, s.vec_id) AS rn
+        FROM seedh s CROSS JOIN mc0 c
+      ) WHERE rn <= {q}
+    )""",
+    ]
+    for i in range(1, n_centroids):
+        parts.append(
+            f"""mx{i} AS (
+      SELECT vec_id, embedding FROM (
+        SELECT s.vec_id, s.embedding, s.h, MAX({cos}) AS mx
+        FROM cand s CROSS JOIN mc{i - 1} c
+        GROUP BY s.vec_id, s.embedding, s.h
+      ) ORDER BY mx ASC, h ASC, vec_id ASC LIMIT 1
+    )"""
+        )
+        parts.append(
+            f"mc{i} AS (\n      SELECT * FROM mc{i - 1} UNION ALL"
+            f" SELECT vec_id AS cid, embedding AS centvec FROM mx{i}\n    )"
+        )
+    return ",\n    ".join(parts)
+
+
 def _ivf_cents_cte(lloyd_iters: int, n_centroids: int = 8) -> tuple[str, str]:
-    """Unrolled Lloyd chain: cents0 (maximin farthest-point seed) →
-    assignI → centsI+1 (decimal-exact element-wise means, mirroring
+    """Unrolled Lloyd chain: cents0 (oversampling farthest-point seed)
+    → assignI → centsI+1 (decimal-exact element-wise means, mirroring
     operators.similarity.lloyd_step bit-for-bit). Returns (CTE text,
     final cents name)."""
     ctes = [
-        _maximin_cte(n_centroids),
+        _oversample_cte(n_centroids),
         # Spark ships the seed as array<double> (exact float→double);
         # mirror the representation so downstream cosines are identical
         f"cents0 AS (\n      SELECT cid,"
@@ -261,14 +302,17 @@ _CENTS_CTE, _FINAL_CENTS = _ivf_cents_cte(lloyd_iters=2, n_centroids=8)
     """,
 )
 def q45_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: deterministic farthest-point (maximin) centroid seed —
-    md5 tiebreaks keep it oracle-reproducible, and unlike the round-2
-    first-N-ids seed it spreads across the data's actual clusters —
-    refined by two bit-reproducible Lloyd iterations (decimal-exact
-    cluster means), nearest-centroid inverted lists, 2-probe exact
-    re-rank. Complements q36's LSH — the two standard ANN families,
-    both oracle-checked against the same unrolled seeding + k-means
-    trajectory in DuckDB."""
+    """IVF ANN: deterministic k-means‖-style oversampling seed
+    (:func:`..operators.similarity.oversample_seed` — two Spark
+    actions at any k, banded distance strata + driver-side
+    farthest-point over ≤17·k candidates; VERDICT r3 #5 replaced the
+    k−1 sequential corpus scans of pure maximin) — md5 tiebreaks keep
+    it oracle-reproducible, and like maximin it spreads across the
+    data's actual clusters — refined by two bit-reproducible Lloyd
+    iterations (decimal-exact cluster means), nearest-centroid
+    inverted lists, 2-probe exact re-rank. Complements q36's LSH —
+    the two standard ANN families, both oracle-checked against the
+    same unrolled seeding + k-means trajectory in DuckDB."""
     from ..operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -232,6 +232,65 @@ class ContainerWriter:
         self._buffered_count = 0
         self._buffered_size = 0
 
+    def append_block_rows(self, count: int, raw: bytes) -> None:
+        """Write ``count`` already-encoded datums (concatenated in
+        ``raw``) as ONE block — the vectorized batch write path. Any
+        buffered per-datum appends flush first so ordering holds."""
+        self.flush_block()
+        if count == 0:
+            return
+        payload = self._codec.compress(raw)
+        w = BinaryWriter()
+        w.write_long(count)
+        w.write_long(len(payload))
+        w.write(payload)
+        w.write(self.sync)
+        self._sink.write(w.getvalue())
+
+    def append_pandas(self, pdf) -> None:
+        """Encode a pandas batch and append it as whole blocks, using
+        the numpy vector encoder when the schema is eligible (VERDICT
+        r3 #6 — the contiguous buffer it produces IS the block payload
+        shape), the generated batch encoder otherwise, and the closure
+        path last. Block boundaries replicate :meth:`append_encoded`'s
+        greedy rule (flush after the row that reaches sync_interval),
+        so the layout matches the per-datum path."""
+        import numpy as np
+
+        from .codegen import get_batch_encoder
+        from .vectorized import VectorFallback, get_vector_encoder
+
+        n = len(pdf)
+        if n == 0:
+            return
+        sj = json.dumps(self.schema.to_json())
+        ve = get_vector_encoder(sj)
+        if ve is not None:
+            try:
+                offs, data = ve.encode_pandas_buffer(pdf)
+                start = 0
+                while start < n:
+                    k = int(
+                        np.searchsorted(
+                            offs, int(offs[start]) + self._sync_interval, side="left"
+                        )
+                    )
+                    j = min(max(k, start + 1), n)
+                    self.append_block_rows(
+                        j - start, data[int(offs[start]):int(offs[j])].tobytes()
+                    )
+                    start = j
+                return
+            except VectorFallback:
+                pass
+        be = get_batch_encoder(sj)
+        if be is not None:
+            for blob in be.encode_columns(be.columns_from_pandas(pdf), n):
+                self.append_encoded(blob)
+            return
+        for rec in pdf.to_dict("records"):
+            self.append(rec)
+
     def close(self) -> None:
         self.flush_block()
 

@@ -255,6 +255,164 @@ class VectorizedBlobDecoder:
             return dense.take(idx_arr), pos
         raise VectorFallback(f"unsupported kind {kind}")  # pragma: no cover
 
+    # -- shared field loop --------------------------------------------
+
+    def _decode_fields(self, pa, arr, pos, ends, live, n):
+        """Decode every field for rows whose cursors are in ``pos``
+        (live = present row indices); returns (dict name → pa.Array,
+        final pos array) — the shared core of the blob-batch and
+        contiguous-stream paths."""
+        out = {}
+        for name, kind, nullable, null_idx in self.fields:
+            sel = live
+            if nullable:
+                branch, pos = self._varint(arr, pos, ends, sel)
+                nn = 1 - null_idx
+                if len(branch) and (
+                    ~((branch == null_idx) | (branch == nn))
+                ).any():
+                    raise VectorFallback("unknown union branch")
+                sel = sel[branch == nn]
+            out[name], pos = self._decode_value(pa, arr, pos, ends, sel, kind, n)
+        return out, pos
+
+    # -- contiguous-stream (container block) path ---------------------
+
+    @staticmethod
+    def _uvarint_table(arr):
+        """(val, end) tables for the unsigned varint starting at EVERY
+        byte position p — vectorized over the whole buffer in a fixed
+        handful of passes. ``end[p]`` is the position after the varint
+        (exact for any length via a single reverse minimum-accumulate
+        over terminator positions; sentinel m+1 when unterminated);
+        ``val[p]`` is exact for varints of ≤ 4 bytes (any length or
+        branch a sane block contains — longer ones keep correct ends
+        and garbage values, which are only ever *skipped* and caught by
+        the validity checks). Positions inside payload bytes produce
+        entries the record chain never visits."""
+        m = len(arr)
+        b = arr.astype(np.int64)
+        is_term = b < 0x80
+        idxs = np.arange(m, dtype=np.int64)
+        term_pos = np.where(is_term, idxs, np.int64(1) << 62)
+        nxt = np.minimum.accumulate(term_pos[::-1])[::-1]
+        end = np.minimum(nxt + 1, m + 1)
+        lo = b & 0x7F
+        val = lo.copy()
+        cont = ~is_term
+        prev_cont = cont
+        for k, shift in ((1, 7), (2, 14), (3, 21)):
+            nb = np.zeros(m, dtype=np.int64)
+            nb[: m - k] = lo[k:]
+            val = np.where(prev_cont, val + (nb << shift), val)
+            if k < 3:
+                nc = np.zeros(m, dtype=bool)
+                nc[: m - k] = cont[k:]
+                prev_cont = prev_cont & nc
+        return val, end
+
+    def _segment(self, arr, count):
+        """Start offsets of ``count`` records concatenated in ``arr``.
+
+        Fully vectorized: per-field skip TABLES over every byte
+        position compose (fancy-index gathers) into one record-skip
+        table R, and the record chain then walks ``count`` O(1) steps
+        (p ← R[p]). Any inconsistency — cursor escaping the buffer,
+        negative length, unknown branch, chain not landing exactly at
+        the end — raises :class:`VectorFallback` so the caller retries
+        with the per-datum decoder."""
+        m = len(arr)
+        starts = np.empty(count, dtype=np.int64)
+        if count == 0:
+            return starts
+        if m == 0:
+            raise VectorFallback("empty buffer with records")
+        uval, uend = self._uvarint_table(arr)
+        zz = (uval >> 1) ^ -(uval & 1)  # zigzag values (lengths, branches)
+        bad = np.int64(m + 1)
+        # sentinel slot at index m: any cursor at/past the buffer end
+        # (clipped to m) reads `bad`, which then self-propagates
+        uend_ext = np.append(uend, bad)
+        zz_ext = np.append(zz, bad)
+
+        def gather(table_ext, t):
+            # t is always >= 0 here (every producer checks), so one
+            # clip covers both end-of-buffer and propagated `bad`
+            return table_ext[np.minimum(t, m)]
+
+        def skip_fixed(t, width):
+            t2 = t + width
+            return np.where(t2 <= m, t2, bad)
+
+        def skip_kind(t, kind):
+            if kind in ("int", "long", "ts_us", "ts_ms"):
+                return gather(uend_ext, t)
+            if kind == "boolean":
+                return skip_fixed(t, 1)
+            if kind == "float":
+                return skip_fixed(t, 4)
+            if kind == "double":
+                return skip_fixed(t, 8)
+            # bytes / string: length varint + payload
+            ln = gather(zz_ext, t)
+            after = gather(uend_ext, t)
+            t2 = after + ln
+            ok = (ln >= 0) & (t2 <= m)
+            return np.where(ok, t2, bad)
+
+        t = np.arange(m, dtype=np.int64)
+        for _name, kind, nullable, null_idx in self.fields:
+            if nullable:
+                branch = gather(zz_ext, t)
+                after = gather(uend_ext, t)
+                nn = 1 - null_idx
+                skipped = skip_kind(after, kind)
+                t = np.where(
+                    branch == null_idx,
+                    after,
+                    np.where(branch == nn, skipped, bad),
+                )
+            else:
+                t = skip_kind(t, kind)
+
+        p = 0
+        for r in range(count):
+            if p < 0 or p >= m:
+                raise VectorFallback("segmentation out of bounds")
+            starts[r] = p
+            p = int(t[p])
+        if p != m:
+            raise VectorFallback("segmentation did not land on buffer end")
+        return starts
+
+    def decode_stream_arrow(self, data, count):
+        """``count`` records concatenated in one contiguous buffer (an
+        Avro container block after decompression) → dict name →
+        pyarrow.Array of length count.
+
+        The S2 container twin of :meth:`decode_blobs_arrow`: the block
+        is segmented with composed vectorized skip tables
+        (:meth:`_segment`) and the fields then decode with the same
+        frontier passes as the raw-datum path. The final cursor of
+        every record is checked against the next record's start, so a
+        mis-segmentation can only ever fall back, never mis-decode."""
+        import pyarrow as pa
+
+        arr = np.frombuffer(data, dtype=np.uint8) if not isinstance(
+            data, np.ndarray
+        ) else data
+        n = int(count)
+        pos = self._segment(arr, n)
+        ends = np.empty(n, dtype=np.int64)
+        if n:
+            ends[:-1] = pos[1:]
+            ends[-1] = len(arr)
+        live = np.arange(n, dtype=np.int64)
+        out, final = self._decode_fields(pa, arr, pos, ends, live, n)
+        if n and (final != ends).any():
+            raise VectorFallback("record decode did not consume its span")
+        return out
+
     # -- whole batch ---------------------------------------------------
 
     def decode_blobs_arrow(self, blobs, null_mask=None):
@@ -290,18 +448,7 @@ class VectorizedBlobDecoder:
         pos = ends - lens  # per-row start offsets (empty span if None)
         live = np.flatnonzero(present)
 
-        out = {}
-        for name, kind, nullable, null_idx in self.fields:
-            sel = live
-            if nullable:
-                branch, pos = self._varint(arr, pos, ends, sel)
-                nn = 1 - null_idx
-                if len(branch) and (
-                    ~((branch == null_idx) | (branch == nn))
-                ).any():
-                    raise VectorFallback("unknown union branch")
-                sel = sel[branch == nn]
-            out[name], pos = self._decode_value(pa, arr, pos, ends, sel, kind, n)
+        out, _final = self._decode_fields(pa, arr, pos, ends, live, n)
         return out
 
     def decode_blobs_to_pandas(self, blobs, null_mask=None):
@@ -517,10 +664,12 @@ class VectorizedEncoder:
 
     # -- whole batch ----------------------------------------------------
 
-    def encode_pandas_to_arrow(self, pdf):
-        """pandas DataFrame (schema field columns) → pyarrow
-        BinaryArray of row-major Avro datums, byte-identical to the
-        closure encoder."""
+    def encode_pandas_buffer(self, pdf):
+        """pandas DataFrame (schema field columns) → (row_offsets
+        int64[n+1], contiguous uint8 buffer) of row-major Avro datums —
+        the pre-slicing form: ``buf[offs[i]:offs[i+1]]`` is datum i,
+        and any contiguous row range is exactly an Avro container
+        block's decompressed payload (the S2/K3 batch write shape)."""
         import pandas as pd
         import pyarrow as pa
 
@@ -572,16 +721,25 @@ class VectorizedEncoder:
         row_offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(row_lens, out=row_offs[1:])
         total = int(row_offs[-1])
-        if total >= 2**31:  # int32 Arrow offsets
-            raise VectorFallback("batch too large for binary offsets")
         out = np.empty(total, dtype=np.uint8)
         cursor = row_offs[:-1].copy()
         for lens, buf in streams:
             self._scatter(out, cursor, lens, np.asarray(buf))
             cursor = cursor + lens
+        return row_offs, out
+
+    def encode_pandas_to_arrow(self, pdf):
+        """pandas DataFrame (schema field columns) → pyarrow
+        BinaryArray of row-major Avro datums, byte-identical to the
+        closure encoder."""
+        import pyarrow as pa
+
+        row_offs, out = self.encode_pandas_buffer(pdf)
+        if int(row_offs[-1]) >= 2**31:  # int32 Arrow offsets
+            raise VectorFallback("batch too large for binary offsets")
         return pa.Array.from_buffers(
             pa.binary(),
-            n,
+            len(row_offs) - 1,
             [None, pa.py_buffer(row_offs.astype(np.int32).tobytes()), pa.py_buffer(out.tobytes())],
         )
 

@@ -109,26 +109,20 @@ def q21_container_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves container write→read is lossless."""
     import io as _io
 
-    from ..avroio.codegen import get_batch_encoder
-    from ..avroio.container import ContainerWriter, write_container
+    from ..avroio.container import ContainerWriter
 
     e = load_table(spark, sf_dir, "events")
     schema_json = json.dumps(EVENT_AVRO_SCHEMA)
 
     def make_cells(batches):
-        be = get_batch_encoder(schema_json)
         for pdf in batches:
             if not len(pdf):
                 continue
             buf = _io.BytesIO()
-            if be is not None:
-                cols = be.columns_from_pandas(pdf)
-                w = ContainerWriter(buf, schema_json)
-                for blob in be.encode_columns(cols, len(pdf)):
-                    w.append_encoded(blob)
-                w.close()
-            else:  # codegen declined — closure encoder
-                buf.write(write_container(pdf[list(_EVENT_COLS)].to_dict("records"), schema_json))
+            # vector → codegen → closure ladder inside append_pandas
+            w = ContainerWriter(buf, schema_json)
+            w.append_pandas(pdf[list(_EVENT_COLS)])
+            w.close()
             yield pd.DataFrame({"cell": [buf.getvalue()]})
 
     # spread cell building across cores when the input arrives as one

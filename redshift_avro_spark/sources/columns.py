@@ -306,19 +306,27 @@ def decode_container(
 
     @pandas_udf(returnType=T.ArrayType(struct_type))
     def _decode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_type
+
         from ..avroio.block_codecs import get_codec
         from ..avroio.container import iter_raw_blocks
+        from ..avroio.vectorized import VectorFallback, get_vector_decoder
 
         target = parse_schema(schema_json_str)
         target_canon = json.dumps(target.to_json())
+        arrow_struct = to_arrow_type(struct_type)
+        vdec = get_vector_decoder(target_canon)
         # per-cell writer schemas can differ; cache the per-schema decode
         # strategy by header schema text (registry-cache pattern, glue
-        # lambda_function.py:14): generated columnar decoder/resolver
-        # (codegen.py), closure resolver only when codegen declines
+        # lambda_function.py:14): numpy vector stream decoder when the
+        # writer schema matches the target (S2 twin of the raw-datum
+        # vector path — blocks segment via composed skip tables), then
+        # generated columnar decoder/resolver (codegen.py), closure
+        # resolver only when codegen declines
         strategies: dict[str, tuple] = {}
 
-        def decode_cell(blob: bytes) -> list:
-            header = read_header(blob)
+        def decode_cell_rows(blob: bytes, header) -> list:
             strat = strategies.get(header.schema_json)
             if strat is None:
                 bd = get_batch_resolver(
@@ -343,20 +351,72 @@ def decode_container(
                     out.append(fn(br))
             return out
 
+        field_names = [f.name for f in struct_type.fields]
+
+        def decode_cell_struct(blob: bytes) -> "pa.Array":
+            """One cell → StructArray (vector path when the embedded
+            writer schema IS the target; per-datum ladder otherwise)."""
+            header = read_header(blob)
+            if vdec is not None and (
+                header.schema_json == target_canon
+                or json.dumps(header.schema.to_json()) == target_canon
+            ):
+                try:
+                    codec = get_codec(header.codec)
+                    chunks = []
+                    for count, payload in iter_raw_blocks(
+                        blob, header.header_len, header.sync
+                    ):
+                        cols = vdec.decode_stream_arrow(codec.decompress(payload), count)
+                        arrs = []
+                        for nm, fld in zip(field_names, arrow_struct):
+                            a = cols[nm]
+                            # e.g. naive timestamp[us] → Spark's
+                            # timestamp[us, UTC]: same int64 epochs
+                            arrs.append(a if a.type == fld.type else a.cast(fld.type))
+                        chunks.append(
+                            pa.StructArray.from_arrays(arrs, fields=list(arrow_struct))
+                        )
+                    if not chunks:
+                        return pa.array([], type=arrow_struct)
+                    sa = pa.concat_arrays(chunks)
+                    return sa if sa.type == arrow_struct else sa.cast(arrow_struct)
+                except VectorFallback:
+                    pass
+            rows = decode_cell_rows(blob, header)
+            return pa.array(rows, type=arrow_struct)
+
+        list_type = pa.list_(arrow_struct)
         for series in batches:
-            cells = []
+            chunks = []
+            offs: list = [0]
+            mask: list = []
             for blob in series:
                 if blob is None:
-                    cells.append(None)
+                    mask.append(True)
+                    offs.append(offs[-1])
                     continue
                 if permissive:
                     try:
-                        cells.append(decode_cell(bytes(blob)))
+                        sa = decode_cell_struct(bytes(blob))
                     except Exception:
-                        cells.append(None)
+                        mask.append(True)
+                        offs.append(offs[-1])
+                        continue
                 else:
-                    cells.append(decode_cell(bytes(blob)))
-            yield pd.Series(cells, dtype=object)
+                    sa = decode_cell_struct(bytes(blob))
+                chunks.append(sa)
+                mask.append(False)
+                offs.append(offs[-1] + len(sa))
+            values = (
+                pa.concat_arrays(chunks) if chunks else pa.array([], type=arrow_struct)
+            )
+            la = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), values, mask=pa.array(mask, pa.bool_())
+            )
+            if la.type != list_type:  # pragma: no cover - defensive
+                la = la.cast(list_type)
+            yield pd.Series(la, dtype=pd.ArrowDtype(la.type))
 
     return _decode(col)
 

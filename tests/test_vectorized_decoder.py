@@ -102,6 +102,116 @@ def test_mixed_schema_matches_closures():
     assert cols["ts"].to_pylist()[1] == dt.datetime(2023, 11, 14, 22, 13, 20)
 
 
+def _stream_decode_matches(schema_dict, rows):
+    """Concatenated-datum (container block) decode must equal the
+    per-blob decode row for row."""
+    blobs = _encode_rows(schema_dict, rows)
+    vd = get_vector_decoder(json.dumps(schema_dict))
+    assert vd is not None
+    stream = b"".join(blobs)
+    cols = vd.decode_stream_arrow(stream, len(blobs))
+    want = _closure_decode(schema_dict, blobs)
+    for f in schema_dict["fields"]:
+        name = f["name"]
+        got = cols[name].to_pylist()
+        for i, w in enumerate(want):
+            expect = w[name]
+            g = got[i]
+            if name == "ts" and g is not None and hasattr(g, "timestamp"):
+                continue  # arrow timestamps spot-checked elsewhere
+            if isinstance(expect, float) or isinstance(g, float):
+                assert _norm(g) == _norm(expect) or g == pytest.approx(expect), (
+                    name, i, g, expect)
+            else:
+                assert g == expect, (name, i, g, expect)
+
+
+def test_stream_decode_matches_per_datum():
+    rows = [
+        {"event_id": i * 7 - 3, "ts": i * 1_000_003, "user_id": -i,
+         "event_type": ("t" * (i % 17)) + ("é" if i % 5 == 0 else ""),
+         "value": i * 0.25 - 2.0,
+         "props": None if i % 3 else '{"k": %d}' % i}
+        for i in range(500)
+    ]
+    _stream_decode_matches(MIXED, rows)
+
+
+def test_stream_decode_varint_boundaries():
+    # values spanning 1..10 varint bytes exercise the skip tables
+    vals = [0, -1, 63, -64, 64, 2**20, -(2**20), 2**41, -(2**41), 2**62, -(2**63)]
+    rows = [
+        {"event_id": v, "ts": abs(v) % (2**50), "user_id": -v if v > -(2**62) else 0,
+         "event_type": "x" * (abs(v) % 200), "value": float(v % 1000), "props": None}
+        for v in vals
+    ]
+    _stream_decode_matches(MIXED, rows)
+
+
+def test_stream_decode_rejects_garbage():
+    vd = get_vector_decoder(json.dumps(MIXED))
+    blobs = _encode_rows(MIXED, [
+        {"event_id": 1, "ts": 1, "user_id": 1, "event_type": "a", "value": 1.0,
+         "props": None}
+    ])
+    good = b"".join(blobs)
+    # wrong count, truncated buffer, corrupted bytes → VectorFallback,
+    # never silent garbage
+    with pytest.raises(VectorFallback):
+        vd.decode_stream_arrow(good, 2)
+    with pytest.raises(VectorFallback):
+        vd.decode_stream_arrow(good[:-2], 1)
+    with pytest.raises(VectorFallback):
+        vd.decode_stream_arrow(good + b"\x01", 1)
+
+
+def test_append_pandas_layout_matches_per_datum_path():
+    """ContainerWriter.append_pandas (vector block write) must produce
+    the same records AND the same block boundaries as append_encoded."""
+    import io
+
+    import pandas as pd
+
+    from redshift_avro_spark.avroio.container import (
+        ContainerReader,
+        ContainerWriter,
+        iter_raw_blocks,
+        read_header,
+    )
+
+    n = 5000
+    rows = [
+        {"event_id": i, "ts": i * 1_000_000, "user_id": i % 31,
+         "event_type": f"t{i % 5}", "value": i / 8.0,
+         "props": None if i % 2 else "p" * (i % 40)}
+        for i in range(n)
+    ]
+    schema_json = json.dumps(MIXED)
+    sync = b"S" * 16
+    a = io.BytesIO()
+    with ContainerWriter(a, schema_json, sync_marker=sync) as w:
+        for r in rows:
+            w.append(r)
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r["event_id"] for r in rows],
+            "ts": pd.to_datetime([r["ts"] for r in rows], unit="us"),
+            "user_id": [r["user_id"] for r in rows],
+            "event_type": [r["event_type"] for r in rows],
+            "value": [r["value"] for r in rows],
+            "props": pd.Series([r["props"] for r in rows], dtype=object),
+        }
+    )
+    b = io.BytesIO()
+    with ContainerWriter(b, schema_json, sync_marker=sync) as w:
+        w.append_pandas(pdf)
+    assert a.getvalue() == b.getvalue()  # byte-identical incl. blocks
+    ha = read_header(a.getvalue())
+    assert len(list(iter_raw_blocks(a.getvalue(), ha.header_len, ha.sync))) > 1
+    back = list(ContainerReader(b.getvalue()))
+    assert len(back) == n and back[0]["event_id"] == 0 and back[-1]["props"] == rows[-1]["props"]
+
+
 def test_all_primitive_kinds_match():
     schema = {
         "type": "record",

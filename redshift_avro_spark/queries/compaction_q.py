@@ -211,3 +211,73 @@ def q125_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("part")
+
+
+_BJ_BUCKETS = 8
+
+
+@register(
+    "q145_bucketed_colocated_join",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority
+    ORDER BY priority
+    """,
+)
+def q145_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: orders and lineitem are WRITTEN
+    as bucketed tables (``bucketBy(8, orderkey).sortBy``, the
+    SCALING.md "repeat joins pay zero shuffles" claim made concrete),
+    then joined WITHOUT any shuffle on either side — the bucket spec in
+    the catalog lets Catalyst plan a SortMergeJoin whose children are
+    bare bucketed scans (tests/test_plans.py::
+    test_q145_bucketed_join_no_shuffle asserts the join subtree has no
+    Exchange; the only exchange in the whole plan is the final 5-row
+    priority aggregation).
+
+    The oracle recomputes the aggregate from the raw tables, so the
+    bucketed write→read→join path must be lossless for the hash to
+    match. 100 TB: this is THE pattern for fact-fact joins too big to
+    broadcast — pay the bucketed write once, then every subsequent
+    join on the bucket key is shuffle-free; bucket count picks join
+    parallelism (here 8, in production thousands)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="bucketed-")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    for name, df, key in (("bj_orders", o, "o_orderkey"), ("bj_lineitem", li, "l_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(_BJ_BUCKETS, key)
+            .sortBy(key)
+            .option("path", f"{root}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    bo = spark.table("bj_orders")
+    bl = spark.table("bj_lineitem")
+    joined = bo.hint("merge").join(bl, bo.o_orderkey == bl.l_orderkey)
+    return (
+        joined.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("priority")
+    )

@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 139 operator demonstrations. Rather
+names), but the registry carries 140 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–5 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-139 still registered) keep guarding it. A composite can only pass if
+140 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -1606,13 +1606,25 @@ def q110_incremental_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q118_layout_suite",
-    members=("q58_compaction_plan", "q117_zorder_layout", "q125_snapshot_table"),
+    members=(
+        "q58_compaction_plan",
+        "q117_zorder_layout",
+        "q125_snapshot_table",
+        "q145_bucketed_colocated_join",
+    ),
     oracle=f"""
     SELECT 'shards' AS kind, CAST(NULL AS VARCHAR) AS s1,
            bucket AS k1, shard AS k2, n_docs AS n1, total_bytes AS n2,
            first_id AS n3, last_id AS n4, CAST(NULL AS BIGINT) AS n5,
            CAST(NULL AS INTEGER) AS flag
     FROM {_sub('q58_compaction_plan')}
+    UNION ALL
+    SELECT 'bjoin' AS kind, priority AS s1,
+           CAST(NULL AS BIGINT) AS k1, CAST(NULL AS BIGINT) AS k2,
+           n_items AS n1, revenue_cents AS n2, CAST(NULL AS BIGINT) AS n3,
+           CAST(NULL AS BIGINT) AS n4, CAST(NULL AS BIGINT) AS n5,
+           CAST(NULL AS INTEGER) AS flag
+    FROM {_sub('q145_bucketed_colocated_join')}
     UNION ALL
     SELECT 'zones' AS kind, layout AS s1,
            file_id AS k1, CAST(NULL AS BIGINT) AS k2, n_rows AS n1,
@@ -1634,9 +1646,11 @@ def q118_layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIZING), z-order clustering with zone-map pruning stats (q117 —
     row ARRANGEMENT across files), and the snapshot-table layer
     exercised end to end (q125 — versioned manifests, time-travel
-    counts, stats-pruned reads), tagged on one schema. Together the
-    physical-layout lifecycle a large-scale table goes through, in one
-    driver-verified result."""
+    counts, stats-pruned reads), and the bucketed-table co-located
+    join (q145 — bucketBy write, then a shuffle-free SortMergeJoin,
+    plan-asserted), tagged on one schema. Together the physical-layout
+    lifecycle a large-scale table goes through, in one driver-verified
+    result."""
     a = _run("q58_compaction_plan", spark, sf_dir).select(
         F.lit("shards").alias("kind"),
         F.lit(None).cast("string").alias("s1"),
@@ -1673,4 +1687,19 @@ def q118_layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n5"),
         F.lit(None).cast("int").alias("flag"),
     )
-    return a.unionByName(b).unionByName(c).orderBy("kind", "s1", "k1", "k2")
+    d = _run("q145_bucketed_colocated_join", spark, sf_dir).select(
+        F.lit("bjoin").alias("kind"),
+        F.col("priority").alias("s1"),
+        F.lit(None).cast("long").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.col("n_items").alias("n1"),
+        F.col("revenue_cents").alias("n2"),
+        F.lit(None).cast("long").alias("n3"),
+        F.lit(None).cast("long").alias("n4"),
+        F.lit(None).cast("long").alias("n5"),
+        F.lit(None).cast("int").alias("flag"),
+    )
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d)
+        .orderBy("kind", "s1", "k1", "k2")
+    )

@@ -252,3 +252,20 @@ def test_q135_row_constraints_share_one_aggregation(spark):
     assert plan.count("lineitem.parquet") <= 3, (
         "expected <=3 lineitem scans (row-agg, unique, fk), got plan:\n" + plan[:2000]
     )
+
+
+def test_q145_bucketed_join_no_shuffle(spark):
+    """The whole point of the bucketed write: the orders⋈lineitem
+    SortMergeJoin must sit directly on bucketed scans with NO Exchange
+    in its subtree (the only exchanges allowed are the post-join
+    aggregation/sort ones)."""
+    df = REGISTRY["q145_bucketed_colocated_join"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    smj = plan.index("SortMergeJoin")
+    # the join subtree is everything after the SMJ node in toString's
+    # indentation order; no Exchange may appear below it
+    assert "Exchange" not in plan[smj:], (
+        "shuffle under the bucketed join:\n" + plan[smj:smj + 2000]
+    )
+    assert plan.count("Exchange") <= 2  # agg + orderBy only, above the join

@@ -303,11 +303,13 @@ class VectorizedBlobDecoder:
         prev_cont = cont
         for k, shift in ((1, 7), (2, 14), (3, 21)):
             nb = np.zeros(m, dtype=np.int64)
-            nb[: m - k] = lo[k:]
+            if k < m:  # m - k could go negative on tiny buffers
+                nb[: m - k] = lo[k:]
             val = np.where(prev_cont, val + (nb << shift), val)
             if k < 3:
                 nc = np.zeros(m, dtype=bool)
-                nc[: m - k] = cont[k:]
+                if k < m:
+                    nc[: m - k] = cont[k:]
                 prev_cont = prev_cont & nc
         return val, end
 

@@ -152,9 +152,21 @@ def _decode_split(
     )
     arrow_schema = to_arrow_schema(spark_schema)
     names = [f.name for f in spark_schema.fields]
-    # reads take the generated columnar decoder (resolver variant for
-    # evolution) — columns feed Arrow directly, no per-datum dicts,
-    # no pivot; closure resolver only when codegen declines
+    # reads take the numpy vector stream decoder when the schemas are
+    # identical (each block segments via composed skip tables and the
+    # columns land in Arrow with no per-value Python objects — the S2
+    # container twin of the raw-datum vector path), falling back PER
+    # BLOCK to the generated columnar decoder (resolver variant for
+    # evolution; order preserved by flushing pending codegen columns
+    # before a vector batch); closure resolver only when codegen
+    # declines
+    from ..avroio.vectorized import VectorFallback, get_vector_decoder
+
+    vdec = None
+    if json.dumps(writer_schema.to_json()) == json.dumps(target.to_json()):
+        cand = get_vector_decoder(json.dumps(target.to_json()))
+        if cand is not None and [f[0] for f in cand.fields] == names:
+            vdec = cand
     bd = get_batch_resolver(
         json.dumps(writer_schema.to_json()), json.dumps(target.to_json()), mode="spark"
     )
@@ -162,6 +174,24 @@ def _decode_split(
         cols = bd.new_columns()
         with open(partition.path, "rb") as fobj:
             for count, block in iter_block_spans(fobj, header, partition.start, partition.end):
+                if vdec is not None:
+                    try:
+                        varrs = vdec.decode_stream_arrow(block, count)
+                        if cols[0]:  # keep row order across mixed paths
+                            yield _cols_to_record_batch(bd, cols, arrow_schema)
+                            cols = bd.new_columns()
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                varrs[nm]
+                                if varrs[nm].type == arrow_schema.field(i).type
+                                else varrs[nm].cast(arrow_schema.field(i).type)
+                                for i, nm in enumerate(names)
+                            ],
+                            schema=arrow_schema,
+                        )
+                        continue
+                    except VectorFallback:
+                        pass
                 bd.decode_stream(block, 0, count, cols)
                 if len(cols[0]) >= 8192:
                     yield _cols_to_record_batch(bd, cols, arrow_schema)

@@ -532,3 +532,33 @@ def test_fuzz_vector_codec_differential(case):
     want_bytes = blobs if len(rows) else []
     # float32 columns: pandas float32 → python float32 value identical
     assert got_bytes == want_bytes
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_case())
+def test_fuzz_stream_decode_differential(case):
+    """Random eligible schemas × random values through the CONTIGUOUS
+    stream path (container-block shape): the composed-skip-table
+    segmentation + frontier decode must value-match the closure decoder
+    on the concatenation of closure-encoded datums — any shape, any
+    varint widths, any null pattern."""
+    from redshift_avro_spark.avroio.vectorized import get_vector_decoder
+
+    kinds, rows = case
+    schema = _schema_for(kinds)
+    blobs = _encode_rows(schema, rows)
+    stream = b"".join(blobs)
+    vd = get_vector_decoder(json.dumps(schema))
+    assert vd is not None
+    cols = vd.decode_stream_arrow(stream, len(rows))
+    want = _closure_decode(schema, blobs)
+    for i, (kind, _nullable) in enumerate(kinds):
+        name = f"f{i}"
+        got = cols[name].to_pylist()
+        for j, w in enumerate(want):
+            expect = w[name]
+            g = got[j]
+            if kind == "float" and expect is not None:
+                assert g == pytest.approx(expect, rel=1e-6), (name, j)
+            else:
+                assert g == expect, (name, j, g, expect)

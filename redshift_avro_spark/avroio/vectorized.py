@@ -291,18 +291,21 @@ class VectorizedBlobDecoder:
         the validity checks). Positions inside payload bytes produce
         entries the record chain never visits."""
         m = len(arr)
-        b = arr.astype(np.int64)
-        is_term = b < 0x80
-        idxs = np.arange(m, dtype=np.int64)
-        term_pos = np.where(is_term, idxs, np.int64(1) << 62)
+        # int32 throughout: container blocks are sync_interval-sized
+        # (≪ 2^31), and halved bandwidth is a measurable win on the
+        # m-length table passes; values stay exact for ≤ 4-byte varints
+        # (< 2^28)
+        is_term = arr < 0x80
+        idxs = np.arange(m, dtype=np.int32)
+        term_pos = np.where(is_term, idxs, np.int32(2**31 - 2))
         nxt = np.minimum.accumulate(term_pos[::-1])[::-1]
-        end = np.minimum(nxt + 1, m + 1)
-        lo = b & 0x7F
+        end = np.minimum(nxt + 1, np.int32(m + 1))
+        lo = (arr & 0x7F).astype(np.int32)
         val = lo.copy()
         cont = ~is_term
         prev_cont = cont
         for k, shift in ((1, 7), (2, 14), (3, 21)):
-            nb = np.zeros(m, dtype=np.int64)
+            nb = np.zeros(m, dtype=np.int32)
             if k < m:  # m - k could go negative on tiny buffers
                 nb[: m - k] = lo[k:]
             val = np.where(prev_cont, val + (nb << shift), val)
@@ -311,7 +314,7 @@ class VectorizedBlobDecoder:
                 if k < m:
                     nc[: m - k] = cont[k:]
                 prev_cont = prev_cont & nc
-        return val, end
+        return val, end  # both int32 — _segment stays narrow throughout
 
     def _segment(self, arr, count):
         """Start offsets of ``count`` records concatenated in ``arr``.
@@ -329,9 +332,11 @@ class VectorizedBlobDecoder:
             return starts
         if m == 0:
             raise VectorFallback("empty buffer with records")
+        if m >= 2**31 - 16:  # int32 table domain (blocks are ≪ this)
+            raise VectorFallback("buffer too large for int32 skip tables")
         uval, uend = self._uvarint_table(arr)
         zz = (uval >> 1) ^ -(uval & 1)  # zigzag values (lengths, branches)
-        bad = np.int64(m + 1)
+        bad = np.int32(m + 1)
         # sentinel slot at index m: any cursor at/past the buffer end
         # (clipped to m) reads `bad`, which then self-propagates
         uend_ext = np.append(uend, bad)
@@ -359,10 +364,12 @@ class VectorizedBlobDecoder:
             ln = gather(zz_ext, t)
             after = gather(uend_ext, t)
             t2 = after + ln
-            ok = (ln >= 0) & (t2 <= m)
+            # t2 >= after also rejects int32 wraparound from garbage
+            # lengths (gather would otherwise wrap a negative index)
+            ok = (ln >= 0) & (t2 >= after) & (t2 <= m)
             return np.where(ok, t2, bad)
 
-        t = np.arange(m, dtype=np.int64)
+        t = np.arange(m, dtype=np.int32)
         for _name, kind, nullable, null_idx in self.fields:
             if nullable:
                 branch = gather(zz_ext, t)

@@ -97,10 +97,6 @@ def _field_plan(s: AvroSchema):
         kind = s.type
     else:
         return None
-    if nullable and kind in ("ts_us", "ts_ms"):
-        # nullable raw-int ts would need null weaving through the M8
-        # view; rare enough to leave to the generated path
-        return None
     return kind, nullable, null_idx
 
 
@@ -690,13 +686,15 @@ class VectorizedEncoder:
                 vals = s.values.astype(
                     "datetime64[us]" if kind == "ts_us" else "datetime64[ms]"
                 ).astype("int64")
-                if s.isna().values.any():
-                    raise VectorFallback("NaT in timestamp column")
+                if not nullable and s.isna().values.any():
+                    raise VectorFallback("NaT in non-nullable timestamp column")
                 col = vals
             else:
                 col = s.values
             if nullable:
-                if s.dtype.kind in ("i", "u", "b"):
+                if s.dtype.kind == "M":
+                    mask = s.isna().values  # NaT rows take the null branch
+                elif s.dtype.kind in ("i", "u", "b"):
                     mask = np.zeros(n, dtype=bool)
                 elif s.dtype.kind == "f":
                     mask = np.isnan(col)

@@ -274,10 +274,42 @@ def test_ineligible_schemas_decline():
                                "precision": 9, "scale": 2}}]}
     wide_union = {"type": "record", "name": "U", "fields": [
         {"name": "u", "type": ["null", "int", "string"]}]}
-    nullable_ts = {"type": "record", "name": "T", "fields": [
-        {"name": "t", "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}]}]}
-    for s in (nested, arrayed, decimal, wide_union, nullable_ts):
+    for s in (nested, arrayed, decimal, wide_union):
         assert get_vector_decoder(json.dumps(s)) is None
+
+
+def test_nullable_timestamp_roundtrips_all_paths():
+    """Round 4 widened eligibility: nullable timestamps decode through
+    blob/stream/pandas paths matching the closure decoder, and NaT rows
+    ENCODE as the null branch byte-identically to the closure encoder
+    (previously both sides declined the schema)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from redshift_avro_spark.avroio.vectorized import get_vector_encoder
+
+    schema = {"type": "record", "name": "T", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "ts", "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}],
+         "default": None}]}
+    sj = json.dumps(schema)
+    t1 = dt.datetime(2020, 9, 13, 12, 26, 40)
+    rows = [{"id": 1, "ts": t1}, {"id": 2, "ts": None},
+            {"id": 3, "ts": dt.datetime(1970, 1, 1)}]
+    blobs = _encode_rows(schema, rows)
+    vd = get_vector_decoder(sj)
+    assert vd is not None
+    want = [t1, None, dt.datetime(1970, 1, 1)]
+    assert vd.decode_blobs_arrow(blobs)["ts"].to_pylist() == want
+    assert vd.decode_stream_arrow(b"".join(blobs), 3)["ts"].to_pylist() == want
+    assert list(vd.decode_blobs_to_pandas(blobs)["ts"]) == want
+    ve = get_vector_encoder(sj)
+    pdf = pd.DataFrame({
+        "id": pd.array([1, 2, 3]).astype("int64"),
+        "ts": pd.to_datetime([t1, None, dt.datetime(1970, 1, 1)]),
+    })
+    assert ve.encode_pandas_to_arrow(pdf).to_pylist() == blobs
 
 
 def test_malformed_input_falls_back_not_garbage():

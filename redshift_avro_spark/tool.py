@@ -9,9 +9,12 @@ reaching for anyway:
     dump <file.avro> [--limit N] [--json]   one datum per line
     schema <file.avro>                      embedded writer schema JSON
     meta <file.avro>                        header metadata (codec, sync, counts)
+    kafka-dump --port P --topic T           records from a broker, JSON per line
+    kinesis-dump --endpoint U --stream S    records from a stream, JSON per line
 
-Pure driver-side avroio — no SparkSession; for distributed reads use
-``read_avro(spark, path)``.
+Pure driver-side avroio / wire clients — no SparkSession; for
+distributed reads use ``read_avro(spark, path)`` /
+``read_kafka_ranges`` / ``read_kinesis_shards``.
 """
 
 from __future__ import annotations
@@ -71,6 +74,58 @@ def main_meta(args: argparse.Namespace) -> int:
     return 0
 
 
+def main_kafka_dump(args: argparse.Namespace) -> int:
+    """One JSON line per record: {partition, offset, key?, value} —
+    values hex-encoded (they are arbitrary bytes; pipe through the
+    decode chain for Avro payloads)."""
+    from .sources.kafka_wire import KafkaWireClient, plan_offset_ranges
+
+    ranges = plan_offset_ranges(args.host, args.port, args.topic)
+    printed = 0
+    with KafkaWireClient(args.host, args.port) as c:
+        for partition, start, end in ranges:
+            for offset, key, value in c.consume_range(args.topic, partition, start, end):
+                if args.limit is not None and printed >= args.limit:
+                    return 0
+                print(
+                    json.dumps(
+                        {
+                            "partition": partition,
+                            "offset": offset,
+                            "key": key.hex() if key is not None else None,
+                            "value": value.hex() if value is not None else None,
+                        }
+                    )
+                )
+                printed += 1
+    return 0
+
+
+def main_kinesis_dump(args: argparse.Namespace) -> int:
+    """One JSON line per record: {shard_id, sequence_number,
+    partition_key, data} — data hex-encoded."""
+    from .sources.kinesis_wire import KinesisHttpClient
+
+    c = KinesisHttpClient(args.endpoint)
+    printed = 0
+    for shard in c.list_shards(args.stream):
+        for seq, pk, data in c.consume_shard(args.stream, shard):
+            if args.limit is not None and printed >= args.limit:
+                return 0
+            print(
+                json.dumps(
+                    {
+                        "shard_id": shard,
+                        "sequence_number": seq,
+                        "partition_key": pk,
+                        "data": data.hex(),
+                    }
+                )
+            )
+            printed += 1
+    return 0
+
+
 def _parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     parser = argparse.ArgumentParser(prog="python -m redshift_avro_spark.tool")
     sub = parser.add_subparsers(required=True, dest="command")
@@ -82,12 +137,29 @@ def _parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p_schema.add_argument("input_file")
     p_meta = sub.add_parser("meta", help="print header metadata and block stats")
     p_meta.add_argument("input_file")
+    p_kafka = sub.add_parser("kafka-dump", help="dump a Kafka topic via the wire client")
+    p_kafka.add_argument("--host", default="127.0.0.1")
+    p_kafka.add_argument("--port", type=int, required=True)
+    p_kafka.add_argument("--topic", required=True)
+    p_kafka.add_argument("--limit", type=int, default=None)
+    p_kin = sub.add_parser(
+        "kinesis-dump", help="dump a Kinesis stream via the wire client"
+    )
+    p_kin.add_argument("--endpoint", required=True)
+    p_kin.add_argument("--stream", required=True)
+    p_kin.add_argument("--limit", type=int, default=None)
     return parser.parse_args(argv)
 
 
 def main(argv: list[str] | None = None) -> int:
     args = _parse_args(argv)
-    return {"dump": main_dump, "schema": main_schema, "meta": main_meta}[args.command](args)
+    return {
+        "dump": main_dump,
+        "schema": main_schema,
+        "meta": main_meta,
+        "kafka-dump": main_kafka_dump,
+        "kinesis-dump": main_kinesis_dump,
+    }[args.command](args)
 
 
 if __name__ == "__main__":

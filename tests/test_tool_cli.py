@@ -55,3 +55,41 @@ class TestToolCli:
         assert meta["codec"] == "deflate"
         assert meta["records"] == 5
         assert meta["schema_name"] == "U"
+
+
+def test_kafka_dump_cli(capsys):
+    from tests.test_kafka_wire import FakeBroker
+
+    b = FakeBroker({("t", 0): [(b"k0", b"\x01\x02"), (None, b"vv")]})
+    try:
+        assert main(["kafka-dump", "--port", str(b.port), "--topic", "t"]) == 0
+        lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+        assert lines == [
+            {"partition": 0, "offset": 0, "key": "6b30", "value": "0102"},
+            {"partition": 0, "offset": 1, "key": None, "value": "7676"},
+        ]
+        assert main(
+            ["kafka-dump", "--port", str(b.port), "--topic", "t", "--limit", "1"]
+        ) == 0
+        assert len(capsys.readouterr().out.strip().splitlines()) == 1
+    finally:
+        b.close()
+
+
+def test_kinesis_dump_cli(capsys):
+    from tests.test_kinesis_wire import FakeKinesis
+
+    f = FakeKinesis({("s", "shardId-000000000000"): [("pk", b"\xaa\xbb")]})
+    try:
+        assert main(["kinesis-dump", "--endpoint", f.endpoint, "--stream", "s"]) == 0
+        lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+        assert lines == [
+            {
+                "shard_id": "shardId-000000000000",
+                "sequence_number": "%020d" % 0,
+                "partition_key": "pk",
+                "data": "aabb",
+            }
+        ]
+    finally:
+        f.close()

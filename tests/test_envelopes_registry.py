@@ -214,6 +214,24 @@ class TestRedshiftProtocol:
             {"name": "Ben", "favorite_number": 7, "favorite_color": "red"},
         ]
 
+    def test_python_udf_payload_every_cell_decodes(self):
+        """The reference's OWN test, replicated exactly
+        (python-udf/test_python27.py: `for (i,) in json.load(f): assert
+        decode(i)`): python-udf/payload.json is a BARE LIST of [hex]
+        rows (not the avro-file-udf dict shape), and every cell must
+        decode to the golden two-user record list."""
+        from redshift_avro_spark.avroio.container import iter_container
+
+        rows = json.load(open("/root/reference/python-udf/payload.json"))
+        assert isinstance(rows, list) and rows, "fixture shape changed"
+        golden = [
+            {"name": "Alyssa", "favorite_number": 256, "favorite_color": None},
+            {"name": "Ben", "favorite_number": 7, "favorite_color": "red"},
+        ]
+        for (hex_cell,) in rows:
+            decoded = list(iter_container(bytes.fromhex(hex_cell)))
+            assert decoded == golden
+
     def test_registry_datum_handler_golden(self):
         """The glue UDF round-trip test's exact golden string
         (glue-schema-per-stream-udf/lambda_function.py:84-95)."""

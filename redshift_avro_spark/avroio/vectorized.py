@@ -52,6 +52,8 @@ import numpy as np
 
 from .schema_model import (
     AvroSchema,
+    EnumSchema,
+    FixedSchema,
     PrimitiveSchema,
     RecordSchema,
     UnionSchema,
@@ -74,7 +76,9 @@ class VectorFallback(Exception):
 def _field_plan(s: AvroSchema):
     """(kind, nullable, null_branch_index) or None if unsupported.
 
-    kind ∈ {boolean,int,long,float,double,bytes,string,ts_us,ts_ms}."""
+    kind ∈ {boolean,int,long,float,double,bytes,string,ts_us,ts_ms} ∪
+    {("enum", symbols), ("fixed", size)} — the tuple kinds are
+    DECODE-only (the encoder builder rejects them)."""
     nullable = False
     null_idx = -1
     if isinstance(s, UnionSchema):
@@ -87,6 +91,10 @@ def _field_plan(s: AvroSchema):
         null_idx = kinds.index("null")
         s = branches[1 - null_idx]
         nullable = True
+    if isinstance(s, EnumSchema):
+        return ("enum", tuple(s.symbols)), nullable, null_idx
+    if isinstance(s, FixedSchema):
+        return ("fixed", int(s.size)), nullable, null_idx
     if not isinstance(s, PrimitiveSchema):
         return None
     if s.logical == "timestamp-micros":
@@ -195,6 +203,38 @@ class VectorizedBlobDecoder:
             mask[sel] = True
             return pa.array(full, type=pa_type, mask=~mask)
 
+        def expand(dense):
+            # re-expand a dense (valid-rows-only) array to length n
+            take_idx = np.full(n, 0, dtype=np.int64)
+            take_idx[sel] = np.arange(len(sel), dtype=np.int64)
+            mask = np.ones(n, dtype=bool)
+            mask[sel] = False
+            return dense.take(pa.array(take_idx, type=pa.int64(), mask=mask))
+
+        if isinstance(kind, tuple) and kind[0] == "enum":
+            symbols = kind[1]
+            vals, pos = self._varint(arr, pos, ends, sel)
+            if len(vals) and ((vals < 0) | (vals >= len(symbols))).any():
+                raise VectorFallback("enum index out of range")
+            dense = pa.array(list(symbols), type=pa.utf8()).take(
+                pa.array(vals, type=pa.int64())
+            )
+            return expand(dense), pos
+        if isinstance(kind, tuple) and kind[0] == "fixed":
+            width = kind[1]
+            p = pos[sel]
+            if len(p) and ((p + width) > ends[sel]).any():
+                raise VectorFallback("truncated fixed")
+            if width:
+                flat = arr[p[:, None] + np.arange(width, dtype=np.int64)].tobytes()
+            else:
+                flat = b""
+            dense = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(width), len(sel), [None, pa.py_buffer(flat)]
+            ).cast(pa.binary())
+            new_pos = pos.copy()
+            new_pos[sel] = p + width
+            return expand(dense), new_pos
         if kind in ("int", "long", "ts_us", "ts_ms"):
             vals, pos = self._varint(arr, pos, ends, sel)
             if kind == "int":
@@ -348,6 +388,10 @@ class VectorizedBlobDecoder:
             return np.where(t2 <= m, t2, bad)
 
         def skip_kind(t, kind):
+            if isinstance(kind, tuple):
+                if kind[0] == "enum":  # zigzag index varint
+                    return gather(uend_ext, t)
+                return skip_fixed(t, kind[1])  # fixed(size)
             if kind in ("int", "long", "ts_us", "ts_ms"):
                 return gather(uend_ext, t)
             if kind == "boolean":
@@ -472,6 +516,8 @@ class VectorizedBlobDecoder:
         for name, a in arrays.items():
             kind, nullable = kinds[name]
             has_null = a.null_count > 0
+            if isinstance(kind, tuple):  # enum → str, fixed → bytes
+                kind = "string" if kind[0] == "enum" else "bytes"
             if kind in ("string", "bytes"):
                 # object array of str/bytes with None — same as the
                 # per-datum path's .decode()/slice output
@@ -765,7 +811,7 @@ def _build_encoder(schema: AvroSchema) -> Optional[VectorizedEncoder]:
     plans = []
     for f in schema.fields:
         p = _field_plan(f.schema)
-        if p is None:
+        if p is None or isinstance(p[0], tuple):  # enum/fixed: decode-only
             return None
         plans.append((f.name, *p))
     return VectorizedEncoder(plans)

@@ -594,3 +594,44 @@ def test_fuzz_stream_decode_differential(case):
                 assert g == pytest.approx(expect, rel=1e-6), (name, j)
             else:
                 assert g == expect, (name, j, g, expect)
+
+
+def test_enum_and_fixed_decode_all_paths():
+    """Round 4: enum and fixed are DECODE-eligible (enum index → symbol
+    take; fixed → width-sliced binary), incl. nullable variants, on
+    both the blob and contiguous-stream paths; the ENCODER still
+    declines them (closure/codegen own the write side)."""
+    from redshift_avro_spark.avroio.vectorized import get_vector_encoder
+
+    schema = {"type": "record", "name": "R", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "color", "type": {"type": "enum", "name": "C",
+                                   "symbols": ["RED", "GREEN", "BLUE"]}},
+        {"name": "tag", "type": ["null", {"type": "enum", "name": "C2",
+                                          "symbols": ["A", "B"]}], "default": None},
+        {"name": "mac", "type": {"type": "fixed", "name": "F", "size": 4}},
+        {"name": "opt", "type": ["null", {"type": "fixed", "name": "F2", "size": 2}],
+         "default": None}]}
+    sj = json.dumps(schema)
+    rows = [
+        {"id": 1, "color": "RED", "tag": "A", "mac": b"\x01\x02\x03\x04", "opt": b"\xff\x00"},
+        {"id": 2, "color": "BLUE", "tag": None, "mac": b"\x00" * 4, "opt": None},
+        {"id": 3, "color": "GREEN", "tag": "B", "mac": b"abcd", "opt": b"zz"},
+    ]
+    blobs = _encode_rows(schema, rows)
+    vd = get_vector_decoder(sj)
+    assert vd is not None
+    assert get_vector_encoder(sj) is None  # decode-only
+    want = _closure_decode(schema, blobs)
+    for cols in (vd.decode_blobs_arrow(blobs), vd.decode_stream_arrow(b"".join(blobs), 3)):
+        for name in ("id", "color", "tag", "mac", "opt"):
+            assert cols[name].to_pylist() == [w[name] for w in want], name
+    pdf = vd.decode_blobs_to_pandas(blobs)
+    assert list(pdf["color"]) == ["RED", "BLUE", "GREEN"]
+    assert list(pdf["opt"]) == [b"\xff\x00", None, b"zz"]
+    # out-of-range enum index must fall back, not mis-decode
+    bad = bytearray(blobs[0])
+    # field layout: id varint (1 byte) then enum index varint — force 7
+    bad[1] = 14  # zigzag(7)
+    with pytest.raises(VectorFallback):
+        vd.decode_blobs_arrow([bytes(bad)])

@@ -220,14 +220,34 @@ class KafkaWireClient:
 
     # -- framing ------------------------------------------------------
     def _roundtrip(self, api_key: int, api_version: int, body: bytes) -> _Reader:
+        """One request/response exchange. Metadata, ListOffsets and
+        Fetch are all idempotent reads, so a connection dropped by the
+        broker (idle reap, rebalance, rolling restart) is retried ONCE
+        on a fresh socket before surfacing."""
+        try:
+            return self._roundtrip_once(api_key, api_version, body)
+        except (KafkaWireError, OSError) as first:
+            if isinstance(first, KafkaWireError) and "closed mid-frame" not in str(first):
+                raise
+            self.close()
+            try:
+                return self._roundtrip_once(api_key, api_version, body)
+            except (KafkaWireError, OSError):
+                raise first from None
+
+    def _roundtrip_once(self, api_key: int, api_version: int, body: bytes) -> _Reader:
         self._corr += 1
         header = (
             _Writer().i16(api_key).i16(api_version).i32(self._corr).string(self.client_id).buf
         )
         frame = struct.pack(">i", len(header) + len(body)) + bytes(header) + body
         sock = self._conn()
-        sock.sendall(frame)
-        raw_len = self._recv_exact(sock, 4)
+        try:
+            sock.sendall(frame)
+            raw_len = self._recv_exact(sock, 4)
+        except OSError:
+            self.close()
+            raise
         (resp_len,) = struct.unpack(">i", raw_len)
         if resp_len <= 0 or resp_len > 64 * 1024 * 1024:
             raise KafkaWireError(f"implausible response length {resp_len}")

@@ -426,3 +426,35 @@ def test_streaming_kafka_avro_window_chain(spark, tmp_path):
         assert agg == {"view": (5, 0 + 2 + 4 + 6 + 8), "click": (5, 1 + 3 + 5 + 7 + 9)}
     finally:
         b.close()
+
+
+def test_client_survives_connection_drops():
+    """Brokers reap idle/rolling connections; every client request is
+    an idempotent read, so a dropped connection retries once on a fresh
+    socket instead of failing the task."""
+
+    class DroppyBroker(FakeBroker):
+        def _session(self, conn):
+            # serve exactly ONE response per connection, then hang up
+            try:
+                (length,) = struct.unpack(">i", self._recv_exact(conn, 4))
+                frame = self._recv_exact(conn, length)
+                resp = self._handle(frame)
+                conn.sendall(struct.pack(">i", len(resp)) + resp)
+            except (ConnectionError, OSError):
+                pass
+            finally:
+                conn.close()
+
+    b = DroppyBroker({("d", 0): [(None, b"x%d" % i) for i in range(7)]})
+    try:
+        with KafkaWireClient("127.0.0.1", b.port) as c:
+            # metadata + 2 offsets + several fetches, each on its own
+            # connection after the previous one was dropped
+            assert [p.partition for p in c.metadata("d")] == [0]
+            assert c.list_offset("d", 0, EARLIEST) == 0
+            assert c.list_offset("d", 0, LATEST) == 7
+            got = list(c.consume_range("d", 0, 0, 7))
+            assert [v for _, _, v in got] == [b"x%d" % i for i in range(7)]
+    finally:
+        b.close()

@@ -76,6 +76,10 @@ class KinesisHttpClient:
         self.timeout = timeout
 
     def _call(self, action: str, payload: dict) -> dict:
+        """One API call. Every action this client issues (ListShards,
+        GetShardIterator, GetRecords) is an idempotent read, so a
+        transport-level failure (reset, timeout — the service's load
+        balancers recycle connections) retries once before surfacing."""
         req = urllib.request.Request(
             self.endpoint + "/",
             data=json.dumps(payload).encode("utf-8"),
@@ -86,8 +90,14 @@ class KinesisHttpClient:
             method="POST",
         )
         try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                return json.loads(resp.read().decode("utf-8"))
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    return json.loads(resp.read().decode("utf-8"))
+            except (urllib.error.URLError, TimeoutError, ConnectionError) as first:
+                if isinstance(first, urllib.error.HTTPError):
+                    raise  # service error, not transport — no retry
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    return json.loads(resp.read().decode("utf-8"))
         except urllib.error.HTTPError as e:
             body = e.read().decode("utf-8", "replace")
             try:

@@ -284,3 +284,43 @@ def test_streaming_resumes_from_checkpoint(spark, tmp_path):
         assert len(out) == len(set(out)), "duplicate redelivery"
     finally:
         f.close()
+
+
+def test_client_retries_transport_failure_once():
+    """Load balancers recycle connections; every call is an idempotent
+    read, so one transport failure retries instead of failing."""
+
+    class FlakyKinesis(FakeKinesis):
+        def __init__(self, topics):
+            self.fail_next = False
+            super().__init__(topics)
+
+        def _dispatch(self, action, body):
+            if self.fail_next:
+                self.fail_next = False
+                raise _Abort
+            return super()._dispatch(action, body)
+
+    class _Abort(Exception):
+        pass
+
+    f = FlakyKinesis({("t", "shardId-000000000000"): [("p", b"v")]})
+    # patch the handler to hard-close the socket on _Abort
+    orig = f.server.RequestHandlerClass.do_POST
+
+    def do_POST(self):  # noqa: N802
+        try:
+            orig(self)
+        except Exception:
+            self.connection.close()
+
+    f.server.RequestHandlerClass.do_POST = do_POST
+    try:
+        c = KinesisHttpClient(f.endpoint)
+        f.fail_next = True  # first ListShards attempt dies mid-request
+        assert c.list_shards("t") == ["shardId-000000000000"]
+        f.fail_next = True
+        got = list(c.consume_shard("t", "shardId-000000000000"))
+        assert [d for _, _, d in got] == [b"v"]
+    finally:
+        f.close()

@@ -325,7 +325,10 @@ def oversample_seed(c: DataFrame, n_centroids: int, band_quota: int | None = Non
     spark = c.sparkSession
     quota = n_centroids if band_quota is None else band_quota
     hashed = c.withColumn("__h", F.md5(F.col("neighbor_id").cast("string")))
-    row = hashed.orderBy("__h", "neighbor_id").limit(1).collect()[0]
+    head = hashed.orderBy("__h", "neighbor_id").limit(1).collect()
+    if not head:
+        raise ValueError("oversample_seed: empty corpus")
+    row = head[0]
     first = (row["neighbor_id"], [float(x) for x in row["cvec"]])
     cents = F.broadcast(
         spark.createDataFrame([(0, first[1])], "cid long, centvec array<double>")

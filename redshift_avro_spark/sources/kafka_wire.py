@@ -476,13 +476,23 @@ def _streaming_classes():
             self.port = int(options["port"])
             self.topic = options["topic"]
             self.max_records = int(options.get("maxrecordsperbatch", 0)) or None
+            start = options.get("startingoffsets", "earliest").lower()
+            if start not in ("earliest", "latest"):
+                raise ValueError(
+                    f"startingOffsets must be earliest|latest, got {start!r}"
+                )
+            self.start_latest = start == "latest"
             self._planned: dict = {}
             self._committed: dict = {}
 
         def initialOffset(self) -> dict:
+            # `latest` bounds a fresh query's FIRST batch (which is
+            # otherwise uncapped — see latestOffset) to new data only,
+            # like the real connector's startingOffsets option
+            when = LATEST if self.start_latest else EARLIEST
             with KafkaWireClient(self.host, self.port) as c:
                 return {
-                    str(p.partition): c.list_offset(self.topic, p.partition, EARLIEST)
+                    str(p.partition): c.list_offset(self.topic, p.partition, when)
                     for p in c.metadata(self.topic)
                 }
 
@@ -574,16 +584,26 @@ def register_kafka_wire_datasource(spark) -> None:
     spark.dataSource.register(_streaming_classes())
 
 
-def read_kafka_stream(spark, host: str, port: int, topic: str, max_records_per_batch=None):
+def read_kafka_stream(
+    spark,
+    host: str,
+    port: int,
+    topic: str,
+    max_records_per_batch=None,
+    starting_offsets: str = "earliest",
+):
     """Checkpointed micro-batch stream of (partition, offset, key,
     value) over the wire client — the connector-complete form of
-    :func:`read_kafka_ranges`."""
+    :func:`read_kafka_ranges`. ``starting_offsets="latest"`` makes a
+    fresh query begin at the topic tip (new data only), bounding the
+    otherwise-uncapped first batch."""
     register_kafka_wire_datasource(spark)
     reader = (
         spark.readStream.format("kafka_wire")
         .option("host", host)
         .option("port", str(port))
         .option("topic", topic)
+        .option("startingOffsets", starting_offsets)
     )
     if max_records_per_batch is not None:
         reader = reader.option("maxRecordsPerBatch", str(max_records_per_batch))

@@ -458,3 +458,40 @@ def test_client_survives_connection_drops():
             assert [v for _, _, v in got] == [b"x%d" % i for i in range(7)]
     finally:
         b.close()
+
+
+def test_streaming_starting_offsets_latest(spark, tmp_path):
+    """startingOffsets=latest: a fresh query skips the existing backlog
+    and delivers only records produced after it started — bounding the
+    (uncapped) first batch on a huge topic."""
+    from redshift_avro_spark.sources.kafka_wire import read_kafka_stream
+
+    store = {("lt", 0): [(None, b"old%d" % i) for i in range(5)]}
+    b = FakeBroker(store)
+    ckpt = str(tmp_path / "ckpt")
+    out: list = []
+
+    def run_once():
+        df = read_kafka_stream(
+            spark, "127.0.0.1", b.port, "lt", starting_offsets="latest"
+        )
+        q = (
+            df.writeStream.foreachBatch(
+                lambda bdf, bid: out.extend(
+                    (r.offset, bytes(r.value)) for r in bdf.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not finish"
+
+    try:
+        run_once()
+        assert out == []  # backlog skipped
+        store[("lt", 0)].extend((None, b"new%d" % i) for i in range(2))
+        run_once()
+        assert sorted(out) == [(5, b"new0"), (6, b"new1")]
+    finally:
+        b.close()

@@ -35,6 +35,7 @@ __all__ = [
     "PII_PATTERNS",
     "scrub_pii",
     "repetition_metrics",
+    "duplicated_spans",
 ]
 
 _WORDS = "split(trim(lower({c})), '\\\\s+')"
@@ -119,6 +120,100 @@ def scrub_pii(text_col: str) -> Column:
         f"'n_email', {counts['email']}, "
         f"'n_phone', {counts['phone']}, "
         f"'n_ip', {counts['ipv4']})"
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 6,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN detection: the overlapping
+    sliding-window form of substring dedup (the protocol of "Deduplicating
+    Training Data Makes Language Models Better" — find every ``w``-word
+    window that also occurs in at least ``min_docs − 1`` OTHER documents,
+    then merge overlapping/adjacent duplicated windows into maximal
+    spans). Distinct from the disjoint-chunk corpus-frequency pass
+    (:func:`~..queries.scrub.q68_passage_dedup`): stride-1 windows catch
+    duplicated text at ANY word offset, and the island merge reports the
+    true extent of each copied passage rather than chunk-aligned pieces.
+
+    Returns one row per document that has at least one window (≥ ``w``
+    words): (id, n_windows, n_dup_windows, n_dup_spans, dup_span_words,
+    max_span_words) — all exact integers. A window at position p covers
+    words [p, p+w−1]; windows merge into one span while the gap between
+    consecutive duplicated positions is ≤ w (their coverage is
+    contiguous), and a span covering [s ..e] duplicates e − s + w words.
+
+    Scale shape (100 TB): the window fan-out is a narrow projection
+    (w× amplification, no shuffle); the duplicated-gram set is one
+    (gram, doc) distinct + count aggregation on the uniform gram key
+    with map-side combine; the join back is on the same uniform key;
+    the island merge is a window over PARTITION BY doc — bounded by a
+    single document's windows. Nothing quadratic, no skew: gram keys
+    are near-unique except for the duplicates being hunted, and a
+    pathological corpus-wide gram caps at one row per (gram, doc).
+    """
+    from pyspark.sql.window import Window
+
+    words = _WORDS.format(c=text_col)
+    grams = (
+        f"transform(sequence(1, size({words}) - {w - 1}), "
+        f"i -> array_join(slice({words}, i, {w}), ' '))"
+    )
+    wins = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.when(F.expr(f"size({words})") >= w, F.expr(grams)).otherwise(
+                    F.expr("CAST(array() AS array<string>)")
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gram")
+    )
+    dup = (
+        wins.select("gram", id_col)
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    hits = wins.join(dup, "gram").select(id_col, "pos")
+    by_pos = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        hits.withColumn("prev", F.lag("pos").over(by_pos))
+        .withColumn(
+            "ni",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > w), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("ni").over(by_pos.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    spans = islands.groupBy(id_col, "island").agg(
+        F.min("pos").alias("s"), F.max("pos").alias("e"), F.count("*").alias("nw")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + w).cast("int").alias("dup_span_words"),
+        F.max(F.col("e") - F.col("s") + w).cast("int").alias("max_span_words"),
+        F.sum("nw").cast("int").alias("n_dup_windows"),
+    )
+    totals = wins.groupBy(id_col).agg(F.count("*").cast("int").alias("n_windows"))
+    return totals.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        "n_windows",
+        F.coalesce("n_dup_windows", F.lit(0)).cast("int").alias("n_dup_windows"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("int").alias("n_dup_spans"),
+        F.coalesce("dup_span_words", F.lit(0)).cast("int").alias("dup_span_words"),
+        F.coalesce("max_span_words", F.lit(0)).cast("int").alias("max_span_words"),
     )
 
 

@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 140 operator demonstrations. Rather
+names), but the registry carries 141 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–5 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-140 still registered) keep guarding it. A composite can only pass if
+141 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -1127,17 +1127,20 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q97_passage_suite",
-    members=("q68_passage_dedup", "q96_doc_chunking"),
+    members=("q68_passage_dedup", "q96_doc_chunking", "q146_duplicated_spans"),
     oracle=f"""
     SELECT p.doc_id, p.cleaned_text, p.n_chunks, p.n_dropped,
            CAST(COALESCE(c.n_windows, 0) AS BIGINT) AS n_windows,
-           c.windows_digest
+           c.windows_digest,
+           s.n_windows AS n_span_windows, s.n_dup_windows, s.n_dup_spans,
+           s.dup_span_words, s.max_span_words
     FROM {_sub('q68_passage_dedup')} p
     LEFT JOIN (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
              md5(string_agg(chunk_text, '|' ORDER BY chunk_index)) AS windows_digest
       FROM {_sub('q96_doc_chunking')} GROUP BY doc_id
     ) c USING (doc_id)
+    LEFT JOIN {_sub('q146_duplicated_spans')} s USING (doc_id)
     ORDER BY doc_id
     """,
 )
@@ -1145,8 +1148,10 @@ def q97_passage_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document passage handling: C4-style repeated-passage dedup
     (q68) ⋈ sliding-window chunking (q96, re-aggregated to window
     count + an order-sensitive digest over the chunk texts — the whole
-    fan-out is hashed, so any chunk-boundary drift fails the row).
-    Left join: documents with no chunkable words keep null digests."""
+    fan-out is hashed, so any chunk-boundary drift fails the row) ⋈
+    stride-1 duplicated-span report (q146 — cross-document substring
+    dedup with island merging). Left joins: documents with no
+    chunkable words / fewer than 6 words keep null columns."""
     p = _run("q68_passage_dedup", spark, sf_dir)
     c = (
         _run("q96_doc_chunking", spark, sf_dir)
@@ -1161,6 +1166,14 @@ def q97_passage_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("windows_digest"),
         )
     )
+    s = _run("q146_duplicated_spans", spark, sf_dir).select(
+        "doc_id",
+        F.col("n_windows").alias("n_span_windows"),
+        "n_dup_windows",
+        "n_dup_spans",
+        "dup_span_words",
+        "max_span_words",
+    )
     return (
         p.join(c, "doc_id", "left")
         .select(
@@ -1171,6 +1184,7 @@ def q97_passage_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
             "windows_digest",
         )
+        .join(s, "doc_id", "left")
         .orderBy("doc_id")
     )
 

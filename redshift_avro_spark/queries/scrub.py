@@ -26,7 +26,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import load_table, register
-from ..operators.scrub import PII_PATTERNS, decontaminate_candidates, repetition_metrics, scrub_pii, word_ngrams
+from ..operators.scrub import (
+    PII_PATTERNS,
+    decontaminate_candidates,
+    duplicated_spans,
+    repetition_metrics,
+    scrub_pii,
+    word_ngrams,
+)
 
 _W_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
@@ -259,3 +266,82 @@ def q68_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------- q146
+# Cross-document duplicated-SPAN detection — the stride-1 overlapping-
+# window substring-dedup protocol (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better"): every 6-word window occurring in
+# ≥ 2 distinct documents is a duplicated window; overlapping/adjacent
+# duplicated windows merge into maximal spans (gaps-and-islands over
+# positions). Complements q68's disjoint-chunk corpus-frequency pass:
+# stride-1 catches copies at ANY word offset and reports the true
+# extent of each copied passage. W=6 picked empirically: at sf0.01 it
+# flags 47/500 docs — the corpus's actual near-dup pairs, not chance
+# collisions of the ~40-word vocabulary.
+
+_SPAN_W = 6
+_SPAN_MIN_DOCS = 2
+
+
+@register(
+    "q146_duplicated_spans",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_W_SQL} AS __w FROM documents
+    ), g AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(__w, i, i + {_SPAN_W - 1}), ' ') AS gram
+      FROM w, unnest(generate_series(1, len(__w) - {_SPAN_W - 1})) AS t(i)
+    ), dup AS (
+      SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g)
+      GROUP BY gram HAVING count(*) >= {_SPAN_MIN_DOCS}
+    ), hits AS (
+      SELECT doc_id, pos FROM g JOIN dup USING (gram)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {_SPAN_W}
+                  THEN 1 ELSE 0 END AS ni
+      FROM hits
+    ), isl2 AS (
+      SELECT doc_id, pos,
+             SUM(CAST(ni AS BIGINT)) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos) AS e, count(*) AS nw
+      FROM isl2 GROUP BY doc_id, island
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS INTEGER) AS n_dup_spans,
+             CAST(sum(e - s + {_SPAN_W}) AS INTEGER) AS dup_span_words,
+             CAST(max(e - s + {_SPAN_W}) AS INTEGER) AS max_span_words,
+             CAST(sum(nw) AS INTEGER) AS n_dup_windows
+      FROM spans GROUP BY doc_id
+    ), tot AS (
+      SELECT doc_id, CAST(count(*) AS INTEGER) AS n_windows FROM g GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_windows,
+           CAST(COALESCE(p.n_dup_windows, 0) AS INTEGER) AS n_dup_windows,
+           CAST(COALESCE(p.n_dup_spans, 0) AS INTEGER) AS n_dup_spans,
+           CAST(COALESCE(p.dup_span_words, 0) AS INTEGER) AS dup_span_words,
+           CAST(COALESCE(p.max_span_words, 0) AS INTEGER) AS max_span_words
+    FROM tot t LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q146_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-1 duplicated-span report: per document (≥ 6 words), the
+    total 6-word windows, how many also occur in another document, and
+    the merged maximal spans they form (count, union word coverage,
+    longest span) — all exact integers.
+
+    Scale shape: window fan-out is narrow; the duplicated-gram set is
+    one distinct + count on the uniform gram key (map-side combine);
+    join-back on the same key; the island merge windows only within a
+    document. See operators/scrub.py:duplicated_spans."""
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(
+        docs, "doc_id", "text", w=_SPAN_W, min_docs=_SPAN_MIN_DOCS
+    ).orderBy("doc_id")

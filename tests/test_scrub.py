@@ -91,3 +91,55 @@ def test_repetition_metrics_crafted(spark):
     assert r.n_grams == 5
     assert abs(r.dup_gram_fraction - round(1 - 2 / 5, 6)) < 1e-12
     assert abs(r.top_gram_share - round(3 / 5, 6)) < 1e-12
+
+
+def test_duplicated_spans_crafted(spark):
+    # Two docs share the 8-word run "p q r s t u v w" (positions 3-10 in
+    # doc 1, 1-8 in doc 2): with w=3 that is 6 overlapping duplicated
+    # windows each, merging into ONE span of 8 words. Doc 3 shares
+    # nothing. Doc 4 is too short for any window (absent from output).
+    from redshift_avro_spark.operators.scrub import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y p q r s t u v w z"),
+            (2, "p q r s t u v w a b c"),
+            (3, "m n o m n o m n o"),
+            (4, "a b"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in duplicated_spans(docs, w=3, min_docs=2).collect()
+    }
+    assert set(out) == {1, 2, 3}  # doc 4: no 3-word window
+    assert out[1].n_windows == 9 and out[2].n_windows == 9
+    assert out[1].n_dup_windows == 6 and out[2].n_dup_windows == 6
+    assert out[1].n_dup_spans == 1 and out[2].n_dup_spans == 1
+    assert out[1].dup_span_words == 8 and out[2].dup_span_words == 8
+    assert out[1].max_span_words == 8
+    # doc 3 repeats "m n o" only WITHIN itself — cross-doc min_docs=2
+    # must not flag it.
+    assert out[3].n_dup_windows == 0 and out[3].n_dup_spans == 0
+
+
+def test_duplicated_spans_two_disjoint_spans(spark):
+    # Doc 1 copies two separated runs from doc 2: the gap (> w) must
+    # split them into TWO spans, and coverage sums both.
+    from redshift_avro_spark.operators.scrub import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x1 x2 x3 x4 x5 d e f"),
+            (2, "a b c q q q q q d e f"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in duplicated_spans(docs, w=3, min_docs=2).collect()
+    }
+    assert out[1].n_dup_spans == 2
+    assert out[1].dup_span_words == 6  # "a b c" + "d e f"
+    assert out[1].max_span_words == 3

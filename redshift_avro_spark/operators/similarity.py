@@ -34,6 +34,8 @@ __all__ = [
     "ivf_topk",
     "semantic_dedup",
     "quantize_embeddings",
+    "pq_adc_topk",
+    "hard_negatives",
 ]
 
 
@@ -617,4 +619,170 @@ def knn_graph(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _sub_l2q_expr(a: str, b: str, scale: str = "1e6") -> Column:
+    """Quantized squared-L2 between two (sub)vector columns: the
+    left-to-right DOUBLE accumulation (deterministic across engines,
+    like :func:`cosine_expr`) then ONE ``floor(x*scale + 0.5)`` integer
+    quantization — bit-identical in Spark and DuckDB, so downstream
+    SUMs are associative integer arithmetic with no float-order risk."""
+    l2 = (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return F.expr(f"CAST(floor(({l2}) * {scale} + 0.5) AS BIGINT)")
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 4,
+    ks: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (the FAISS PQ/ADC shape): split each vector into ``m`` subspaces of
+    ``dim/m`` dims, encode every corpus vector as ``m`` small codeword
+    ids against per-subspace codebooks, then score queries against the
+    CODES ONLY — each query builds an (m × ks) lookup table of
+    quantized subspace distances and the approximate distance of a
+    corpus vector is the integer sum of its m table entries.
+
+    Codebooks are deterministically SAMPLED (the classic baseline to
+    k-means training): the ``ks`` vectors with the smallest
+    (md5(id), id) donate their subvectors, so both engines derive the
+    identical codebook and the whole pipeline is value-hashable.
+    Distances are per-subspace quantized to integers (see
+    :func:`_sub_l2q_expr`) BEFORE summation, so no float addition order
+    can flip a rank; ties break (code ASC) and (neighbor_id ASC).
+
+    Scale shape (100 TB): the codebook is m·ks subvectors — broadcast
+    everywhere, collected once via TakeOrdered (no full sort). Encoding
+    is a broadcast join + per-(vector, subspace) min(struct) aggregation
+    with map-side partial combine (no window sort); the stored index is
+    4 small ints per vector — the 16× memory compression that lets a
+    100 TB embedding store fit an in-memory scan. ADC joins the tiny
+    per-query LUT (broadcast) to the codes and aggregates (query,
+    neighbor) integer sums map-side; the corpus vectors themselves are
+    never shuffled and never touched at query time.
+    """
+    spark = corpus.sparkSession
+    sub = dim // m
+    train = (
+        corpus.select(id_col, vec_col)
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h", id_col)
+        .limit(ks)
+        .collect()
+    )
+    cb_rows = []
+    for cw, r in enumerate(train, start=1):
+        vec = [float(x) for x in r[vec_col]]
+        for j in range(m):
+            cb_rows.append((j, cw, vec[j * sub : (j + 1) * sub]))
+    codebook = F.broadcast(
+        spark.createDataFrame(cb_rows, "j int, cw int, cvec array<double>")
+    )
+
+    # exploded subvectors: (id, j, subvec)
+    def subvecs(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.expr(f"slice({vec_col}, {j * sub + 1}, {sub})")
+                        for j in range(m)
+                    ]
+                )
+            ).alias("j", "svec"),
+        )
+
+    codes = (
+        subvecs(corpus, "neighbor_id")
+        .join(codebook, "j")
+        .select(
+            "neighbor_id",
+            "j",
+            F.struct(
+                _sub_l2q_expr("svec", "cvec").alias("d"), F.col("cw").alias("cw")
+            ).alias("dc"),
+        )
+        .groupBy("neighbor_id", "j")
+        .agg(F.min("dc").alias("best"))
+        .select("neighbor_id", "j", F.col("best.cw").alias("cw"))
+    )
+    lut = F.broadcast(
+        subvecs(queries, "query_id")
+        .join(codebook, "j")
+        .select(
+            "query_id", "j", "cw", _sub_l2q_expr("svec", "cvec").alias("dq")
+        )
+    )
+    adist = (
+        codes.join(lut, ["j", "cw"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dq").alias("adist_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist_q"), F.asc("neighbor_id"))
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adist_q")
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+    anchors_filter: Column | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each anchor vector, the top-``k`` most-similar vectors with a
+    DIFFERENT label — the near-misses a triplet/InfoNCE trainer wants
+    as negatives (random negatives are trivially easy; the hard ones
+    carry the gradient signal).
+
+    Scale shape: anchors broadcast against the corpus (the anchor set
+    per mining round is small relative to a 100 TB corpus); the label
+    inequality filters before scoring so same-class pairs never rank;
+    per-anchor top-k is one window on the uniform anchor key. For
+    corpus-scale anchor sets, swap the broadcast for the LSH/IVF bucket
+    joins in this module — the scoring and ranking shape is unchanged.
+    """
+    anchors = corpus if anchors_filter is None else corpus.where(anchors_filter)
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("avec"),
+        F.col(label_col).alias("alabel"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(vec_col).alias("nvec"),
+        F.col(label_col).alias("nlabel"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .where(F.col("nlabel") != F.col("alabel"))
+        .select(
+            "anchor_id",
+            "negative_id",
+            cosine_expr("avec", "nvec").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("anchor_id", "rank", "negative_id", F.round("cosine", 6).alias("cosine"))
     )

@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 141 operator demonstrations. Rather
+names), but the registry carries 143 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–5 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-141 still registered) keep guarding it. A composite can only pass if
+143 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -579,6 +579,8 @@ def q84_event_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q45_ivf_topk",
         "q116_knn_graph",
         "q124_rrf_fusion",
+        "q147_pq_adc_topk",
+        "q148_hard_negatives",
     ),
     oracle=f"""
     SELECT 'brute' AS method, query_id, rank, neighbor_id, cosine
@@ -596,6 +598,14 @@ def q84_event_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'rrf' AS method, query_id, CAST(fused_rank AS INTEGER) AS rank,
            neighbor_id, CAST(rrf_score AS DOUBLE) AS cosine
     FROM {_sub('q124_rrf_fusion')}
+    UNION ALL
+    SELECT 'pq' AS method, query_id, rank, neighbor_id,
+           CAST(adist_q AS DOUBLE) AS cosine
+    FROM {_sub('q147_pq_adc_topk')}
+    UNION ALL
+    SELECT 'hardneg' AS method, anchor_id AS query_id, rank,
+           negative_id AS neighbor_id, cosine
+    FROM {_sub('q148_hard_negatives')}
     ORDER BY method, query_id, rank
     """,
 )
@@ -605,7 +615,10 @@ def q85_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q45) over the same query set, the all-points kNN graph (q116 —
     banded LSH candidates, per-node top-3), and the reciprocal-rank
     fusion of the three query rankings (q124 — integer RRF, the
-    hybrid-search combiner), tagged by method — exact answers grade
+    hybrid-search combiner), the product-quantization/ADC path (q147
+    — cosine column carries the integer quantized distance as DOUBLE),
+    and per-anchor hard-negative mining (q148 — different-label top-k
+    for contrastive training), tagged by method — exact answers grade
     the approximate families in one result."""
     parts = []
     for method, name in (
@@ -626,6 +639,24 @@ def q85_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fused_rank").cast("int").alias("rank"),
             "neighbor_id",
             F.col("rrf_score").cast("double").alias("cosine"),
+        )
+    )
+    parts.append(
+        _run("q147_pq_adc_topk", spark, sf_dir).select(
+            F.lit("pq").alias("method"),
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.col("adist_q").cast("double").alias("cosine"),
+        )
+    )
+    parts.append(
+        _run("q148_hard_negatives", spark, sf_dir).select(
+            F.lit("hardneg").alias("method"),
+            F.col("anchor_id").alias("query_id"),
+            "rank",
+            F.col("negative_id").alias("neighbor_id"),
+            "cosine",
         )
     )
     out = parts[0]

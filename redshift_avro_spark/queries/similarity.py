@@ -633,3 +633,129 @@ def q124_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "fused_rank", "neighbor_id", "n_lists", "rrf_score")
         .orderBy("query_id", "fused_rank")
     )
+
+
+# --------------------------------------------------------------- q147
+# Product-quantization ANN with asymmetric distance computation — the
+# third classic ANN family next to LSH (q36) and IVF (q45): corpus
+# vectors are stored as m=4 codeword ids against per-subspace sampled
+# codebooks (ks=16), and queries score AGAINST THE CODES ONLY via a
+# per-query (m × ks) integer lookup table. Per-subspace distances are
+# floor(x*1e6 + 0.5)-quantized BEFORE summation (the repo's
+# oracle-stable vectorization trick), so ranking is pure integer
+# arithmetic with no float-order risk in either engine.
+
+_PQ_SUB = 16   # dims per subspace (64 / m)
+_PQ_M = 4
+_PQ_KS = 16
+
+
+def _pq_l2q_duck(a: str, b: str) -> str:
+    return (
+        f"CAST(floor((list_aggregate(list_transform(list_zip({a}, {b}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), "
+        f"'sum')) * 1e6 + 0.5) AS BIGINT)"
+    )
+
+
+@register(
+    "q147_pq_adc_topk",
+    oracle=f"""
+    WITH train AS (
+      SELECT vec_id, embedding,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cw
+      FROM embeddings
+    ), cb AS (
+      SELECT j, CAST(cw AS INTEGER) AS cw,
+             list_slice(embedding, j*{_PQ_SUB}+1, j*{_PQ_SUB}+{_PQ_SUB}) AS cvec
+      FROM train, unnest([0,1,2,3]) AS t(j)
+      WHERE cw <= {_PQ_KS}
+    ), sv AS (
+      SELECT vec_id, j, list_slice(embedding, j*{_PQ_SUB}+1, j*{_PQ_SUB}+{_PQ_SUB}) AS svec
+      FROM embeddings, unnest([0,1,2,3]) AS t(j)
+    ), codes AS (
+      SELECT vec_id, j, cw FROM (
+        SELECT sv.vec_id, sv.j, cb.cw,
+               ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.j
+                 ORDER BY {_pq_l2q_duck('sv.svec', 'cb.cvec')}, cb.cw) AS rn
+        FROM sv JOIN cb USING (j)
+      ) WHERE rn = 1
+    ), lut AS (
+      SELECT sv.vec_id AS query_id, sv.j, cb.cw,
+             {_pq_l2q_duck('sv.svec', 'cb.cvec')} AS dq
+      FROM sv JOIN cb USING (j) WHERE sv.vec_id < 10
+    ), adist AS (
+      SELECT lut.query_id, codes.vec_id AS neighbor_id,
+             CAST(SUM(dq) AS BIGINT) AS adist_q
+      FROM codes JOIN lut ON codes.j = lut.j AND codes.cw = lut.cw
+      WHERE codes.vec_id != lut.query_id
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, neighbor_id, adist_q,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adist_q, neighbor_id) AS INTEGER) AS rank
+      FROM adist
+    )
+    SELECT query_id, rank, neighbor_id, adist_q
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def q147_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-5 for 10 query vectors: 4 subspaces × 16
+    sampled codewords; corpus stored as 4 small ints per vector, queries
+    scored by integer lookup-table sums — the memory-compressed ANN
+    index shape (FAISS PQ). Encoding is a broadcast join + min(struct)
+    aggregation (map-side combine, no window sort); the corpus vectors
+    are never shuffled and never touched at query time. See
+    operators/similarity.py:pq_adc_topk."""
+    from ..operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return pq_adc_topk(
+        emb, queries, "vec_id", "embedding", k=5, m=_PQ_M, ks=_PQ_KS, dim=64
+    ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------- q148
+# Hard-negative mining for contrastive training: per anchor, the top-3
+# most-similar vectors with a DIFFERENT label — the near-misses that
+# carry gradient signal in triplet/InfoNCE losses (random negatives
+# are trivially separable). Same broadcast + window shape as q35 with
+# the label-inequality filter applied BEFORE scoring.
+
+
+@register(
+    "q148_hard_negatives",
+    oracle=f"""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, embedding AS qvec, label AS alabel
+      FROM embeddings WHERE vec_id < 12
+    ), c AS (
+      SELECT vec_id AS negative_id, embedding AS cvec, label AS nlabel
+      FROM embeddings
+    ), scored AS (
+      SELECT anchor_id, negative_id, {_COS} AS cosine
+      FROM c CROSS JOIN a WHERE nlabel != alabel
+    ), ranked AS (
+      SELECT anchor_id, negative_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+               ORDER BY cosine DESC, negative_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT anchor_id, rank, negative_id, ROUND(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= 3 ORDER BY anchor_id, rank
+    """,
+)
+def q148_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 hard negatives (highest-cosine different-label vectors)
+    for 12 anchor vectors. Anchors broadcast; the label filter prunes
+    before scoring; per-anchor ranking is one window on the uniform
+    anchor key. See operators/similarity.py:hard_negatives."""
+    from ..operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb, "vec_id", "embedding", "label", k=3,
+        anchors_filter=F.col("vec_id") < 12,
+    ).orderBy("anchor_id", "rank")

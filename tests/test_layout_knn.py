@@ -63,3 +63,53 @@ def test_knn_graph_planted_clusters(spark):
 
     with pytest.raises(ValueError, match="k, n_planes, n_bands"):
         knn_graph(df, k=0)
+
+
+def test_pq_adc_recovers_planted_nearest(spark):
+    # 8-dim, m=2 subspaces, ks=4 codewords (every vector donates its
+    # subvectors, so codes are exact). Vectors 1/2 are near-copies of
+    # vector 0's pattern; vector 3 is far. ADC must rank 1 and 2 above
+    # 3 for query 0, despite scoring only codes. (With ks=2 the sampled
+    # codebook holds only base-like codewords — vector 3 then collapses
+    # onto a near codeword and ranks arbitrarily: representative
+    # codebooks are the PQ recall knob, which is the point.)
+    from redshift_avro_spark.operators.similarity import pq_adc_topk
+
+    base = [1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0, 0.0]
+    far = [0.0, 1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0]
+    rows = [
+        (0, base),
+        (1, [v + 0.01 for v in base]),
+        (2, [v + 0.02 for v in base]),
+        (3, far),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_adc_topk(
+        df, df.where("vec_id = 0"), "vec_id", "embedding", k=3, m=2, ks=4, dim=8
+    ).collect()
+    order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order[-1] == 3  # the far vector ranks last
+    assert set(order[:2]) == {1, 2}
+    # distances are integer-quantized and monotone
+    dists = [r.adist_q for r in sorted(out, key=lambda r: r.rank)]
+    assert dists == sorted(dists)
+    assert all(isinstance(d, int) for d in dists)
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from redshift_avro_spark.operators.similarity import hard_negatives
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.1], 0),   # same label: must never appear
+        (2, [0.9, 0.2], 1),    # different label, very close: top negative
+        (3, [0.0, 1.0], 1),    # different label, far
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = hard_negatives(
+        df, "vec_id", "embedding", "label", k=2,
+        anchors_filter=F.col("vec_id") == 0,
+    ).collect()
+    ids = [r.negative_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ids == [2, 3]  # hard negative first, same-label 1 excluded

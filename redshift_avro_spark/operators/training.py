@@ -32,6 +32,9 @@ __all__ = [
     "train_test_split",
     "mixture_rebalance",
     "pack_sequences",
+    "length_bucket_stats",
+    "pow2_bucket_sql",
+    "domain_relevance",
 ]
 
 _TWO_32 = float(1 << 32)
@@ -226,4 +229,125 @@ def chunk_documents(
         F.col("c.start_word").cast("int").alias("start_word"),
         F.col("c.n_words").cast("int").alias("n_words"),
         F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+def pow2_bucket_sql(col: str, lo: int = 16, hi: int = 1 << 20) -> str:
+    """A CASE ladder mapping an integer column to the smallest
+    power-of-2 bucket ≥ its value (floored at ``lo``, capped at ``hi``)
+    — pure integer branching, so the SAME source string evaluates
+    identically in Spark SQL and DuckDB (no log2, which the oracle
+    hash-stability rules ban as engine-variant float math)."""
+    whens = []
+    b = lo
+    while b < hi:
+        whens.append(f"WHEN {col} <= {b} THEN CAST({b} AS BIGINT)")
+        b <<= 1
+    return "CASE " + " ".join(whens) + f" ELSE CAST({hi} AS BIGINT) END"
+
+
+def length_bucket_stats(
+    df: DataFrame,
+    tokens_col: str = "n_tok",
+    lo: int = 16,
+    hi: int = 1 << 20,
+) -> DataFrame:
+    """Per-bucket batch-geometry report for fixed-shape training
+    batches: documents grouped by power-of-2 token-length bucket, with
+    the padding waste a pad-to-bucket batch assembler pays —
+    (bucket, n_docs, sum_tokens, padded_tokens, waste_ppm), all exact
+    integers (ppm by integer division). The companion measurement to
+    :func:`pack_sequences`: packing eliminates the waste this report
+    quantifies, which is how a pipeline decides whether packing is
+    worth its shuffle.
+
+    Scale shape: one narrow bucket projection + one aggregation on the
+    ≤ ~17-value bucket key with map-side combine — group count is
+    bounded by the ladder, not the corpus, so the final exchange is
+    O(buckets) rows.
+    """
+    bucket = F.expr(pow2_bucket_sql(tokens_col, lo, hi))
+    agg = (
+        df.select(F.col(tokens_col).cast("bigint").alias("n_tok"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+        )
+    )
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "sum_tokens",
+        (F.col("bucket") * F.col("n_docs")).cast("bigint").alias("padded_tokens"),
+        F.expr(
+            "CAST(((bucket * n_docs - sum_tokens) * 1000000) div (bucket * n_docs) AS BIGINT)"
+        ).alias("waste_ppm"),
+    )
+
+
+def domain_relevance(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 30,
+) -> DataFrame:
+    """Importance-based data selection, the DSIR shape (Xie et al.,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw-corpus document by how much its word distribution
+    resembles a small TARGET domain, then keep the top scorers. The
+    importance weight of a word is the exact integer ppm-frequency gap
+    ``ppm_target(w) − ppm_corpus(w)`` (log-ratio weights would need
+    ln(), which the oracle rules ban as engine-variant float math; the
+    frequency-gap linear scorer is the same rank-by-target-likeness
+    signal in exact BIGINT arithmetic). Only words present in the
+    target model carry weight — absent words contribute a constant
+    under smoothing and would bloat the table to corpus vocabulary.
+
+    Returns the ``top_n`` corpus documents by (score DESC, id):
+    (id, rel_rank, rel_score, n_scored).
+
+    Scale shape (100 TB): the target model is domain-sample-sized and
+    the weight table is target-vocab-sized — both broadcast; the
+    corpus side is one narrow explode + a (doc, word) count on a
+    uniform composite key + one per-doc sum, all map-side combining;
+    the final top-n is TakeOrdered (no global sort), with the rank
+    assigned by a window over only the surviving n rows.
+    """
+    split_ = f"split(trim(lower({text_col})), '\\\\s+')"
+    tw = target.select(F.explode(F.expr(split_)).alias("word"))
+    t_ppm = (
+        tw.groupBy("word")
+        .agg(F.count("*").alias("ct"))
+        .crossJoin(F.broadcast(tw.agg(F.count("*").alias("tot"))))
+        .select("word", F.expr("CAST((ct * 1000000) div tot AS BIGINT)").alias("ppm_t"))
+    )
+    rw = corpus.select(F.col(id_col), F.explode(F.expr(split_)).alias("word"))
+    r_ppm = (
+        rw.groupBy("word")
+        .agg(F.count("*").alias("cr"))
+        .crossJoin(F.broadcast(rw.agg(F.count("*").alias("tot"))))
+        .select("word", F.expr("CAST((cr * 1000000) div tot AS BIGINT)").alias("ppm_r"))
+    )
+    wt = (
+        t_ppm.join(r_ppm, "word", "left")
+        .select(
+            "word",
+            (F.col("ppm_t") - F.coalesce("ppm_r", F.lit(0))).cast("bigint").alias("weight"),
+        )
+    )
+    dc = rw.groupBy(id_col, "word").agg(F.count("*").alias("c"))
+    scores = (
+        dc.join(F.broadcast(wt), "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("c") * F.col("weight")).cast("bigint").alias("rel_score"),
+            F.sum("c").cast("bigint").alias("n_scored"),
+        )
+    )
+    top = scores.orderBy(F.desc("rel_score"), F.asc(id_col)).limit(top_n)
+    w = Window.orderBy(F.desc("rel_score"), F.asc(id_col))
+    return top.withColumn("rel_rank", F.row_number().over(w)).select(
+        id_col, "rel_rank", "rel_score", "n_scored"
     )

@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 143 operator demonstrations. Rather
+names), but the registry carries 145 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–5 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-143 still registered) keep guarding it. A composite can only pass if
+145 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -871,15 +871,22 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q89_scrub_metrics_suite",
-    members=("q65_decontamination", "q67_repetition_filter", "q100_lm_familiarity"),
+    members=(
+        "q65_decontamination",
+        "q67_repetition_filter",
+        "q100_lm_familiarity",
+        "q150_domain_relevance",
+    ),
     oracle=f"""
     SELECT r.doc_id, r.n_grams, r.dup_gram_fraction, r.top_gram_share,
            (r.doc_id % 97 = 0) AS is_benchmark,
            CAST(COALESCE(d.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
-           l.n_bigrams, l.n_known, l.fam_sum, l.known_ppm, l.lm_keep
+           l.n_bigrams, l.n_known, l.fam_sum, l.known_ppm, l.lm_keep,
+           dr.rel_rank, dr.rel_score
     FROM {_sub('q67_repetition_filter')} r
     LEFT JOIN {_sub('q65_decontamination')} d USING (doc_id)
     JOIN {_sub('q100_lm_familiarity')} l USING (doc_id)
+    LEFT JOIN {_sub('q150_domain_relevance')} dr USING (doc_id)
     ORDER BY doc_id
     """,
 )
@@ -888,10 +895,15 @@ def q89_scrub_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     every document (q67) with benchmark-decontamination gram hits
     (q65) attached and the corpus-trained bigram-LM familiarity score
     (q100 — the CCNet-shape model filter) joined on; the held-out
-    benchmark slice is flagged. Co-keyed joins on doc_id."""
+    benchmark slice is flagged, and the DSIR-shape domain-relevance
+    selection (q150) marks its top-30 picks with rank and score.
+    Co-keyed joins on doc_id."""
     r = _run("q67_repetition_filter", spark, sf_dir)
     d = _run("q65_decontamination", spark, sf_dir)
     l = _run("q100_lm_familiarity", spark, sf_dir)
+    dr = _run("q150_domain_relevance", spark, sf_dir).select(
+        "doc_id", "rel_rank", "rel_score"
+    )
     return (
         r.join(d, "doc_id", "left")
         .select(
@@ -903,6 +915,7 @@ def q89_scrub_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_hit_grams", F.lit(0)).cast("bigint").alias("n_hit_grams"),
         )
         .join(l, "doc_id")
+        .join(dr, "doc_id", "left")
         .orderBy("doc_id")
     )
 
@@ -1388,6 +1401,7 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q114_bpe_encode",
         "q133_training_schedule",
         "q142_vocab_growth",
+        "q149_length_buckets",
     ),
     oracle=f"""
     SELECT 'tfidf' AS kind, lang AS k_str, term AS k_str2,
@@ -1418,6 +1432,11 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS VARCHAR) AS k_str2, n_docs AS n1, vocab_size AS n2,
            new_at_cutoff AS n3, CAST(NULL AS DOUBLE) AS val
     FROM {_sub('q142_vocab_growth')}
+    UNION ALL
+    SELECT 'lenbkt' AS kind, CAST(bucket AS VARCHAR) AS k_str,
+           CAST(NULL AS VARCHAR) AS k_str2, n_docs AS n1, sum_tokens AS n2,
+           padded_tokens AS n3, CAST(waste_ppm AS DOUBLE) AS val
+    FROM {_sub('q149_length_buckets')}
     ORDER BY kind, n1, k_str, k_str2
     """,
 )
@@ -1429,8 +1448,9 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document BPE encoding of the corpus with those merges (q114 —
     the tokenizer-application view), and the stride-scheduled training
     order prefix (q133 — the data-ordering view), and the vocabulary
-    growth curve (q142 — the Heaps'-law corpus statistic), tagged and
-    unioned. The passes an LLM pipeline runs over the corpus before
+    growth curve (q142 — the Heaps'-law corpus statistic), and the
+    power-of-2 length-bucket histogram with per-bucket padding waste
+    (q149 — the batch-geometry view), tagged and unioned. The passes an LLM pipeline runs over the corpus before
     training, in one driver-verified result."""
     a = _run("q56_tfidf_terms", spark, sf_dir).select(
         F.lit("tfidf").alias("kind"),
@@ -1486,8 +1506,18 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_at_cutoff").alias("n3"),
         F.lit(None).cast("double").alias("val"),
     )
+    h = _run("q149_length_buckets", spark, sf_dir).select(
+        F.lit("lenbkt").alias("kind"),
+        F.col("bucket").cast("string").alias("k_str"),
+        F.lit(None).cast("string").alias("k_str2"),
+        F.col("n_docs").alias("n1"),
+        F.col("sum_tokens").alias("n2"),
+        F.col("padded_tokens").alias("n3"),
+        F.col("waste_ppm").cast("double").alias("val"),
+    )
     return (
-        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e).unionByName(g)
+        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+        .unionByName(g).unionByName(h)
         .orderBy("kind", "n1", "k_str", "k_str2")
     )
 

@@ -512,3 +512,119 @@ def q144_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------- q149
+# Batch-geometry report: documents grouped into power-of-2 token-length
+# buckets with the padding waste a pad-to-bucket batch assembler pays
+# per bucket — the measurement that justifies (or not) running q59's
+# sequence packing. The bucket ladder is a shared CASE string (no
+# log2 — engine-variant float math is banned by the oracle rules), so
+# both engines branch identically on exact integers.
+
+def _bucket_ladder_duck() -> str:
+    from ..operators.training import pow2_bucket_sql
+
+    return pow2_bucket_sql("n_tok")
+
+
+@register(
+    "q149_length_buckets",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_DUCK} AS n_tok FROM documents
+    ), b AS (
+      SELECT doc_id, n_tok, {_bucket_ladder_duck()} AS bucket FROM t
+    ), agg AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+      FROM b GROUP BY bucket
+    )
+    SELECT bucket, n_docs, sum_tokens,
+           CAST(bucket * n_docs AS BIGINT) AS padded_tokens,
+           CAST(((bucket * n_docs - sum_tokens) * 1000000) // (bucket * n_docs) AS BIGINT) AS waste_ppm
+    FROM agg ORDER BY bucket
+    """,
+)
+def q149_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-2 sequence-length bucket histogram with per-bucket
+    padding waste (exact integer ppm) — the batch-geometry view of the
+    corpus a fixed-shape trainer pads into. One narrow bucket
+    projection + one O(buckets) aggregation with map-side combine.
+    See operators/training.py:length_bucket_stats."""
+    from ..operators.training import length_bucket_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", token_count("text")["n_tokens_est"].cast("bigint").alias("n_tok")
+    )
+    return length_bucket_stats(toks, "n_tok").orderBy("bucket")
+
+
+# --------------------------------------------------------------- q150
+# Importance-based data selection (the DSIR shape): score every
+# non-target document by the exact integer ppm-frequency-gap word
+# weights of a target domain (source = 'src0') and keep the top 30.
+# Log-ratio importance weights are the textbook form; the ppm gap is
+# the same rank-by-target-likeness signal in pure BIGINT arithmetic
+# (ln() is banned by the oracle hash-stability rules).
+
+_DR_TARGET = "src0"
+_DR_TOP = 30
+_DR_WORDS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+@register(
+    "q150_domain_relevance",
+    oracle=f"""
+    WITH w_t AS (
+      SELECT unnest({_DR_WORDS}) AS word
+      FROM documents WHERE source = '{_DR_TARGET}'
+    ), tgt AS (
+      SELECT word,
+             CAST((count(*) * 1000000) // (SELECT count(*) FROM w_t) AS BIGINT) AS ppm_t
+      FROM w_t GROUP BY word
+    ), w_r AS (
+      SELECT doc_id, unnest({_DR_WORDS}) AS word
+      FROM documents WHERE source != '{_DR_TARGET}'
+    ), rest AS (
+      SELECT word,
+             CAST((count(*) * 1000000) // (SELECT count(*) FROM w_r) AS BIGINT) AS ppm_r
+      FROM w_r GROUP BY word
+    ), wt AS (
+      SELECT t.word, t.ppm_t - COALESCE(r.ppm_r, 0) AS weight
+      FROM tgt t LEFT JOIN rest r USING (word)
+    ), dc AS (
+      SELECT doc_id, word, count(*) AS c FROM w_r GROUP BY 1, 2
+    ), scores AS (
+      SELECT doc_id,
+             CAST(SUM(c * weight) AS BIGINT) AS rel_score,
+             CAST(SUM(c) AS BIGINT) AS n_scored
+      FROM dc JOIN wt USING (word) GROUP BY doc_id
+    ), ranked AS (
+      SELECT doc_id, rel_score, n_scored,
+             CAST(ROW_NUMBER() OVER (ORDER BY rel_score DESC, doc_id) AS INTEGER) AS rel_rank
+      FROM scores
+    )
+    SELECT doc_id, rel_rank, rel_score, n_scored
+    FROM ranked WHERE rel_rank <= {_DR_TOP} ORDER BY rel_rank
+    """,
+)
+def q150_domain_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 non-target documents by target-domain relevance: word
+    weights are the exact integer ppm-frequency gap between the
+    src0 target model and the rest-corpus model; doc score is the
+    weighted word-count sum (BIGINT end to end). Weight table is
+    target-vocab-sized and broadcast; the corpus never shuffles except
+    the (doc, word) count; final top-n is TakeOrdered. See
+    operators/training.py:domain_relevance."""
+    from ..operators.training import domain_relevance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_relevance(
+        docs.where(F.col("source") != _DR_TARGET),
+        docs.where(F.col("source") == _DR_TARGET),
+        "doc_id",
+        "text",
+        top_n=_DR_TOP,
+    ).orderBy("rel_rank")

@@ -136,3 +136,42 @@ def test_uniform_hash_range_and_salt(spark):
     assert 0.0 <= row.lo and row.hi < 1.0
     assert row.collide <= 2  # different salts decorrelate
     assert 0.4 < row.mean < 0.6
+
+
+def test_length_bucket_stats_exact(spark):
+    from redshift_avro_spark.operators.training import length_bucket_stats
+
+    # tokens 10, 16 → bucket 16; 17 → 32; 100 → 128; huge → capped.
+    df = spark.createDataFrame(
+        [(10,), (16,), (17,), (100,), (3_000_000,)], "n_tok long"
+    )
+    out = {r.bucket: r for r in length_bucket_stats(df, "n_tok").collect()}
+    assert set(out) == {16, 32, 128, 1 << 20}
+    b16 = out[16]
+    assert b16.n_docs == 2 and b16.sum_tokens == 26
+    assert b16.padded_tokens == 32
+    assert b16.waste_ppm == (32 - 26) * 1_000_000 // 32
+    assert out[1 << 20].sum_tokens == 3_000_000  # cap keeps the doc
+    # per-bucket padded >= sum always
+    assert all(r.padded_tokens >= r.sum_tokens for r in out.values() if r.bucket != 1 << 20)
+
+
+def test_domain_relevance_prefers_target_vocab(spark):
+    from redshift_avro_spark.operators.training import domain_relevance
+
+    target = spark.createDataFrame(
+        [(100, "alpha beta alpha gamma")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),   # pure target vocab: top score
+            (2, "alpha noise noise noise"),  # one target word
+            (3, "noise junk filler words"),  # nothing scored: absent
+        ],
+        ["doc_id", "text"],
+    )
+    rows = domain_relevance(corpus, target, top_n=3).collect()
+    by_rank = sorted(rows, key=lambda r: r.rel_rank)
+    assert [r.doc_id for r in by_rank] == [1, 2]  # doc 3 joins nothing
+    assert by_rank[0].rel_score > by_rank[1].rel_score
+    assert by_rank[0].n_scored == 4 and by_rank[1].n_scored == 1

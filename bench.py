@@ -57,6 +57,13 @@ EXTENDED = [
     "q129_column_profile",
     "q130_market_share",
     "q131_robust_outliers",
+    # round 4 additions (same rule: single-run, separate field, so the
+    # headline total stays like-for-like across rounds)
+    "q146_duplicated_spans",
+    "q147_pq_adc_topk",
+    "q148_hard_negatives",
+    "q149_length_buckets",
+    "q150_domain_relevance",
 ]
 
 

@@ -174,14 +174,25 @@ def duplicated_spans(
         )
         .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gram")
     )
-    dup = (
-        wins.select("gram", id_col)
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count("*").alias("nd"))
-        .where(F.col("nd") >= min_docs)
-        .select("gram")
-    )
+    if min_docs == 2:
+        # "≥ 2 distinct docs" ≡ min(doc) != max(doc): ONE map-side-
+        # combining aggregation instead of distinct + countDistinct
+        # (saves a full (gram, doc) exchange — the fan-out's largest).
+        dup = (
+            wins.groupBy("gram")
+            .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+            .where(F.col("__lo") != F.col("__hi"))
+            .select("gram")
+        )
+    else:
+        dup = (
+            wins.select("gram", id_col)
+            .distinct()
+            .groupBy("gram")
+            .agg(F.count("*").alias("nd"))
+            .where(F.col("nd") >= min_docs)
+            .select("gram")
+        )
     hits = wins.join(dup, "gram").select(id_col, "pos")
     by_pos = Window.partitionBy(id_col).orderBy("pos")
     islands = (

@@ -269,3 +269,46 @@ def test_q145_bucketed_join_no_shuffle(spark):
         "shuffle under the bucketed join:\n" + plan[smj:smj + 2000]
     )
     assert plan.count("Exchange") <= 2  # agg + orderBy only, above the join
+
+
+def test_duplicated_spans_no_window_over_grams(spark):
+    """q146's island merge must window only per-document rows; the
+    gram fan-out side stays a broadcast-joined map stage and the plan
+    keeps the exchange count bounded (distinct, gram count, doc
+    window, span/doc aggs — no extra corpus-wide sort)."""
+    df = REGISTRY["q146_duplicated_spans"].fn(spark, SF_SMOKE)
+    assert shuffle_count(df) <= 6
+    assert broadcast_join_count(df) >= 1
+
+
+def test_pq_adc_no_corpus_vector_shuffle(spark):
+    """q147: codebook and LUT broadcast; the only exchanges are the
+    min(struct) code assignment and the integer-sum aggregation —
+    the corpus embedding column itself must never shuffle."""
+    from redshift_avro_spark.plans import explain_str
+
+    df = REGISTRY["q147_pq_adc_topk"].fn(spark, SF_SMOKE)
+    assert broadcast_join_count(df) >= 2
+    plan = explain_str(df)
+    import re
+    # no Exchange stanza may carry the raw embedding array
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "embedding" not in m.group(0), m.group(0)
+
+
+def test_domain_relevance_uses_takeordered(spark):
+    """q150's top-n must compile to TakeOrderedAndProject (no global
+    sort of the scored corpus) with the weight table broadcast."""
+    from redshift_avro_spark.plans import uses_top_k
+
+    df = REGISTRY["q150_domain_relevance"].fn(spark, SF_SMOKE)
+    assert uses_top_k(df)
+    assert broadcast_join_count(df) >= 3
+
+
+def test_length_buckets_bounded_final_exchange(spark):
+    """q149: two map-side-combining aggs; the bucket key domain is the
+    CASE ladder (≤ 17 values), so the plan has no joins at all."""
+    df = REGISTRY["q149_length_buckets"].fn(spark, SF_SMOKE)
+    assert shuffle_count(df) <= 3
+    assert broadcast_join_count(df) == 0

@@ -30,6 +30,7 @@ __all__ = [
     "lsh_band_keys",
     "minhash_band_keys_df",
     "minhash_candidate_pairs",
+    "band_pairs_from_index",
     "incremental_dedup_status",
     "simhash_fingerprints",
     "ngram_jaccard_pairs",
@@ -196,6 +197,15 @@ def minhash_candidate_pairs(
     identical-text cluster degrades to a dropped band, never a
     quadratic bucket (exact dedup is the upstream answer to those)."""
     banded = minhash_band_keys_df(df, id_col, text_col, n_hashes, shingle_k, rows_per_band)
+    return band_pairs_from_index(banded, band_cap)
+
+
+def band_pairs_from_index(banded: DataFrame, band_cap: int = DEFAULT_BAND_CAP) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from a pre-built (__id, band_key)
+    band index — the aggregation half of :func:`minhash_candidate_pairs`,
+    split out so an incrementally-maintained index (e.g. a streaming
+    foreachBatch append ledger) can reuse the identical capped per-band
+    pair generation."""
     pair_expr = (
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids) - i - 1), "

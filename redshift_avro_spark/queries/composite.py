@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 145 operator demonstrations. Rather
+names), but the registry carries 146 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–5 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-145 still registered) keep guarding it. A composite can only pass if
+146 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -676,16 +676,20 @@ def q85_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q31_minhash_lsh_candidates",
         "q33_lsh_jaccard_verify",
         "q123_containment_verify",
+        "q151_stream_lsh_index",
     ),
     oracle=f"""
     SELECT c.id_a, c.id_b, v.jaccard,
            CAST((v.jaccard IS NOT NULL) AS INTEGER) AS verified,
-           ct.n_inter, ct.n_a, ct.n_b, ct.cont_a_ppm, ct.cont_b_ppm, ct.max_cont_ppm
+           ct.n_inter, ct.n_a, ct.n_b, ct.cont_a_ppm, ct.cont_b_ppm, ct.max_cont_ppm,
+           si.dup_of, si.n_partners
     FROM {_sub('q31_minhash_lsh_candidates')} c
     LEFT JOIN {_sub('q33_lsh_jaccard_verify')} v
       ON c.id_a = v.id_a AND c.id_b = v.id_b
     JOIN {_sub('q123_containment_verify')} ct
       ON c.id_a = ct.id_a AND c.id_b = ct.id_b
+    JOIN {_sub('q151_stream_lsh_index')} si
+      ON c.id_b = si.doc_id
     ORDER BY c.id_a, c.id_b
     """,
 )
@@ -695,10 +699,15 @@ def q86_lsh_verify_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ≥0.5 verification (q33; verified=0 rows are the LSH false
     positives the verify stage exists to reject) and its asymmetric
     containment ppm in both directions (q123 — the check that catches
-    engulfed documents Jaccard under-scores)."""
+    engulfed documents Jaccard under-scores), plus the streaming
+    signature-index verdict for the dropped side (q151 — same capped
+    band-pair semantics maintained incrementally by a foreachBatch
+    parquet ledger, so its per-doc (dup_of, n_partners) must agree
+    with the batch candidates exactly)."""
     c = _run("q31_minhash_lsh_candidates", spark, sf_dir)
     v = _run("q33_lsh_jaccard_verify", spark, sf_dir)
     ct = _run("q123_containment_verify", spark, sf_dir)
+    si = _run("q151_stream_lsh_index", spark, sf_dir)
     return (
         c.join(v, ["id_a", "id_b"], "left")
         .select(
@@ -706,6 +715,12 @@ def q86_lsh_verify_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("jaccard").isNotNull().cast("int").alias("verified"),
         )
         .join(ct, ["id_a", "id_b"])
+        .join(si.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .select(
+            "id_a", "id_b", "jaccard", "verified",
+            "n_inter", "n_a", "n_b", "cont_a_ppm", "cont_b_ppm", "max_cont_ppm",
+            "dup_of", "n_partners",
+        )
         .orderBy("id_a", "id_b")
     )
 

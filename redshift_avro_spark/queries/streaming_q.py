@@ -8,7 +8,9 @@ q50 flushes every window via a far-future sentinel, q51 exploits the
 monotonicity of running counts, q52 doubles the corpus and requires
 dedup to exactly undo it, q69 joins the stream against a static
 broadcast benchmark-gram table (stream-static join) and exploits
-count monotonicity like q51. Cross-batch state convergence is
+count monotonicity like q51, and q151 maintains an LSH signature
+index incrementally via foreachBatch parquet appends whose final
+verdict is batching-independent by construction. Cross-batch state convergence is
 additionally covered by tests/test_streaming.py.
 """
 
@@ -450,3 +452,81 @@ def q76_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound; see interval_join_pipeline."""
     df, _ = interval_join_pipeline(spark, sf_dir)
     return df.orderBy("event_id", "signup_event_id")
+
+
+# --------------------------------------------------------------- q151
+# Streaming LSH signature-index maintenance — the production shape of
+# continuous near-dup curation: documents arrive as an Avro payload
+# stream, each micro-batch computes its MinHash band keys and APPENDS
+# them to a persisted parquet signature index (foreachBatch — the
+# incremental work is exactly one batch's signatures), and the dedup
+# verdict is one batch query over the final index using the IDENTICAL
+# capped per-band pair generation as q31. Because the index is
+# append-only and the verdict reads the whole index, the result is
+# independent of how the stream micro-batched — which is what makes an
+# exact value-hash oracle possible (same minhash CTE as q31, collapsed
+# to per-dropped-doc rows).
+
+from .dedup import minhash_cte as _q151_minhash_cte  # noqa: E402
+
+
+@register(
+    "q151_stream_lsh_index",
+    oracle=f"""
+    WITH {_q151_minhash_cte("documents")}
+    SELECT id_b AS doc_id, MIN(id_a) AS dup_of,
+           CAST(COUNT(*) AS BIGINT) AS n_partners
+    FROM candidates
+    GROUP BY id_b ORDER BY doc_id
+    """,
+)
+def q151_stream_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous near-dup curation: per-micro-batch MinHash band keys
+    appended to a parquet signature index via foreachBatch, then one
+    batch verdict over the index — (dropped doc, earliest partner,
+    partner count). Per-batch work is one batch's signatures (narrow
+    map + one band-key exchange); the index grows linearly with the
+    corpus and the verdict's per-band aggregation is capped exactly
+    like q31's batch path (operators/dedup.py:band_pairs_from_index).
+    """
+    from ..operators.dedup import band_pairs_from_index, minhash_band_keys_df
+
+    run = uuid.uuid4().hex[:8]
+    land_dir = _land_dir(f"stream_q151_{run}_")
+    index_dir = _land_dir(f"stream_q151_idx_{run}_")
+    docs = load_table(spark, sf_dir, "documents")
+    (
+        docs.select(to_avro(F.struct("doc_id", "text"), _DOC_SCHEMA).alias("payload"))
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(land_dir)
+    )
+    stream = read_binary_file_stream(
+        spark, land_dir, _DOC_PAYLOAD_STRUCT, max_files_per_trigger=3
+    )
+    decoded = decode_avro_stream(stream, "payload", _DOC_SCHEMA)
+
+    def _append_signatures(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            minhash_band_keys_df(batch_df, "doc_id", "text")
+            .write.mode("append")
+            .parquet(index_dir)
+        )
+
+    q = (
+        decoded.writeStream.foreachBatch(_append_signatures)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(index_dir, "_checkpoint"))
+        .start()
+    )
+    _await_sink(q)
+    banded = spark.read.parquet(index_dir)
+    pairs = band_pairs_from_index(banded)
+    return (
+        pairs.groupBy(F.col("id_b").alias("doc_id"))
+        .agg(
+            F.min("id_a").alias("dup_of"),
+            F.count("*").cast("bigint").alias("n_partners"),
+        )
+        .orderBy("doc_id")
+    )

@@ -54,3 +54,33 @@ class TestHotBandGuard:
         }
         assert capped == uncapped
         assert (590, 591) in capped  # identical docs below cap still pair
+
+
+def test_band_pairs_from_index_matches_batch_path(spark):
+    # The streaming index verdict (band_pairs_from_index over a stored
+    # (__id, band_key) ledger) must produce EXACTLY the batch
+    # candidates for the same corpus — the q151 ≡ q31 contract.
+    from redshift_avro_spark.operators.dedup import (
+        band_pairs_from_index,
+        minhash_band_keys_df,
+        minhash_candidate_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words appear in this one text"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = sorted(
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(docs, "doc_id", "text").collect()
+    )
+    index = minhash_band_keys_df(docs, "doc_id", "text")
+    from_index = sorted(
+        (r.id_a, r.id_b) for r in band_pairs_from_index(index).collect()
+    )
+    assert from_index == batch and len(batch) >= 2  # 1-2, 1-4, 2-4 expected

@@ -662,6 +662,10 @@ def pq_adc_topk(
     :func:`_sub_l2q_expr`) BEFORE summation, so no float addition order
     can flip a rank; ties break (code ASC) and (neighbor_id ASC).
 
+    ``dim`` must equal the actual embedding length (slices past the
+    array end would silently contribute zero distance) and be divisible
+    by ``m`` — both validated where cheap.
+
     Scale shape (100 TB): the codebook is m·ks subvectors — broadcast
     everywhere, collected once via TakeOrdered (no full sort). Encoding
     is a broadcast join + per-(vector, subspace) min(struct) aggregation
@@ -672,6 +676,10 @@ def pq_adc_topk(
     neighbor) integer sums map-side; the corpus vectors themselves are
     never shuffled and never touched at query time.
     """
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"dim ({dim}) must be a positive multiple of m ({m})")
+    if ks < 1 or k < 1:
+        raise ValueError(f"ks ({ks}) and k ({k}) must be >= 1")
     spark = corpus.sparkSession
     sub = dim // m
     train = (

@@ -238,6 +238,8 @@ def pow2_bucket_sql(col: str, lo: int = 16, hi: int = 1 << 20) -> str:
     — pure integer branching, so the SAME source string evaluates
     identically in Spark SQL and DuckDB (no log2, which the oracle
     hash-stability rules ban as engine-variant float math)."""
+    if lo < 1 or lo >= hi:
+        raise ValueError(f"need 1 <= lo < hi, got lo={lo} hi={hi}")
     whens = []
     b = lo
     while b < hi:

@@ -520,7 +520,13 @@ def q151_stream_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _await_sink(q)
-    banded = spark.read.parquet(index_dir)
+    # foreachBatch is at-least-once: a batch whose parquet append
+    # committed but whose streaming commit-log record did not will be
+    # re-run on restart, appending duplicate (__id, band_key) rows. A
+    # clean index has no duplicates, so distinct() is semantically free
+    # — and it makes the verdict idempotent under replay (without it a
+    # doubled row yields a self-pair and can push a band past the cap).
+    banded = spark.read.parquet(index_dir).distinct()
     pairs = band_pairs_from_index(banded)
     return (
         pairs.groupBy(F.col("id_b").alias("doc_id"))

@@ -84,3 +84,27 @@ def test_band_pairs_from_index_matches_batch_path(spark):
         (r.id_a, r.id_b) for r in band_pairs_from_index(index).collect()
     )
     assert from_index == batch and len(batch) >= 2  # 1-2, 1-4, 2-4 expected
+
+
+def test_band_pairs_idempotent_under_replayed_ledger(spark):
+    # q151's at-least-once foreachBatch can append a batch's band keys
+    # twice; after distinct() the verdict must equal the clean index's
+    # (no self-pairs, no spurious cap overflow).
+    from redshift_avro_spark.operators.dedup import (
+        band_pairs_from_index,
+        minhash_band_keys_df,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+        ],
+        ["doc_id", "text"],
+    )
+    index = minhash_band_keys_df(docs, "doc_id", "text")
+    clean = sorted((r.id_a, r.id_b) for r in band_pairs_from_index(index).collect())
+    replayed = index.unionAll(index).distinct()
+    dup = sorted((r.id_a, r.id_b) for r in band_pairs_from_index(replayed).collect())
+    assert dup == clean
+    assert all(a < b for a, b in dup)

@@ -113,3 +113,14 @@ def test_hard_negatives_excludes_same_label(spark):
     ).collect()
     ids = [r.negative_id for r in sorted(out, key=lambda r: r.rank)]
     assert ids == [2, 3]  # hard negative first, same-label 1 excluded
+
+
+def test_pq_adc_validates_params(spark):
+    import pytest
+    from redshift_avro_spark.operators.similarity import pq_adc_topk
+
+    df = spark.createDataFrame([(0, [1.0] * 8)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        pq_adc_topk(df, df, m=3, dim=64)  # 64 % 3 != 0
+    with pytest.raises(ValueError):
+        pq_adc_topk(df, df, ks=0, m=2, dim=8)

@@ -175,3 +175,13 @@ def test_domain_relevance_prefers_target_vocab(spark):
     assert [r.doc_id for r in by_rank] == [1, 2]  # doc 3 joins nothing
     assert by_rank[0].rel_score > by_rank[1].rel_score
     assert by_rank[0].n_scored == 4 and by_rank[1].n_scored == 1
+
+
+def test_pow2_bucket_sql_validates_range():
+    import pytest
+    from redshift_avro_spark.operators.training import pow2_bucket_sql
+
+    with pytest.raises(ValueError):
+        pow2_bucket_sql("x", lo=1 << 20, hi=1 << 20)
+    with pytest.raises(ValueError):
+        pow2_bucket_sql("x", lo=0)

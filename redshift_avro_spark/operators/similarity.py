@@ -32,6 +32,8 @@ __all__ = [
     "lloyd_step",
     "maximin_seed",
     "ivf_topk",
+    "ivf_train_centroids",
+    "ivf_add_topk",
     "semantic_dedup",
     "quantize_embeddings",
     "pq_adc_topk",
@@ -362,6 +364,39 @@ def oversample_seed(c: DataFrame, n_centroids: int, band_quota: int | None = Non
     return centers
 
 
+def ivf_train_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    lloyd_iters: int = 2,
+    dim: int = 64,
+    seed: str = "oversample",
+) -> DataFrame:
+    """Train the IVF centroid set (deterministic seed + bit-reproducible
+    Lloyd refinement) and return it as a broadcast-hinted (cid, centvec)
+    DataFrame — extracted from :func:`ivf_topk` so index MAINTENANCE can
+    assign a new vector batch under FROZEN centroids
+    (:func:`ivf_add_topk`) exactly as the initial build did."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    if seed in ("oversample", "maximin"):
+        seeder = oversample_seed if seed == "oversample" else maximin_seed
+        cents = F.broadcast(
+            corpus.sparkSession.createDataFrame(
+                seeder(c, n_centroids), "cid long, centvec array<double>"
+            )
+        )
+    else:
+        cents = F.broadcast(
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("centvec"))
+        )
+    for _ in range(lloyd_iters):
+        cents = F.broadcast(lloyd_step(_assign_nearest(c, cents), dim))
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -399,22 +434,9 @@ def ivf_topk(
     are just a partitioning."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    if seed in ("oversample", "maximin"):
-        seeder = oversample_seed if seed == "oversample" else maximin_seed
-        cents = F.broadcast(
-            corpus.sparkSession.createDataFrame(
-                seeder(c, n_centroids), "cid long, centvec array<double>"
-            )
-        )
-    else:
-        cents = F.broadcast(
-            corpus.orderBy(id_col)
-            .limit(n_centroids)
-            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("centvec"))
-        )
-    for _ in range(lloyd_iters):
-        cents = F.broadcast(lloyd_step(_assign_nearest(c, cents), dim))
-
+    cents = ivf_train_centroids(
+        corpus, id_col, vec_col, n_centroids, lloyd_iters, dim, seed
+    )
     assign = _assign_nearest(c, cents)
     w_q = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
     probes = (
@@ -434,6 +456,90 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ivf_add_topk(
+    base: DataFrame,
+    new: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    lloyd_iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF index MAINTENANCE: absorb a new vector batch into an
+    existing index WITHOUT retraining (the FAISS ``add`` pattern —
+    centroids are trained once on the base corpus and frozen; new
+    vectors are assigned to their nearest frozen centroid and appended
+    to its inverted list). Queries then probe ``n_probe`` cells of the
+    MERGED index, so fresh vectors become retrievable immediately at
+    the cost of one narrow assignment pass over only the new batch —
+    the index-maintenance member of the triad next to q70's exact-hash
+    index probing and q151's streaming LSH ledger.
+
+    Returns per-query top-k over base ∪ new with an ``origin`` tag
+    ('base' / 'new') so callers can see the new batch entering results.
+
+    Scale shape (100 TB): training touches only the base (one-time);
+    the incremental cost per batch is assignment of THAT BATCH against
+    the broadcast centroids — narrow, no shuffle of the existing index;
+    the query path is unchanged (probe lists are a partitioning of the
+    merged corpus on the uniform cid key).
+    """
+    cents = ivf_train_centroids(
+        base, id_col, vec_col, n_centroids, lloyd_iters, dim
+    )
+    union = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.lit("base").alias("origin"),
+    ).unionByName(
+        new.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            F.lit("new").alias("origin"),
+        )
+    )
+    w_c = Window.partitionBy("neighbor_id").orderBy(F.desc("cs"), F.asc("cid"))
+    assign = (
+        union.crossJoin(cents)
+        .select(
+            "neighbor_id", "cvec", "origin", "cid",
+            cosine_expr("cvec", "centvec").alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(w_c))
+        .where(F.col("rn") == 1)
+        .select("neighbor_id", "cvec", "origin", "cid")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    w_q = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
+    probes = (
+        q.crossJoin(cents)
+        .select("query_id", "qvec", "cid", cosine_expr("qvec", "centvec").alias("cs"))
+        .withColumn("rn", F.row_number().over(w_q))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qvec", "cid")
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", "origin",
+            cosine_expr("qvec", "cvec").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "neighbor_id", "origin",
+            F.round("cosine", 6).alias("cosine"),
+        )
     )
 
 

@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 146 operator demonstrations. Rather
+names), but the registry carries 147 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–5 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-146 still registered) keep guarding it. A composite can only pass if
+147 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -581,6 +581,7 @@ def q84_event_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q124_rrf_fusion",
         "q147_pq_adc_topk",
         "q148_hard_negatives",
+        "q152_ivf_incremental_add",
     ),
     oracle=f"""
     SELECT 'brute' AS method, query_id, rank, neighbor_id, cosine
@@ -606,6 +607,9 @@ def q84_event_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'hardneg' AS method, anchor_id AS query_id, rank,
            negative_id AS neighbor_id, cosine
     FROM {_sub('q148_hard_negatives')}
+    UNION ALL
+    SELECT 'ivfadd' AS method, query_id, rank, neighbor_id, cosine
+    FROM {_sub('q152_ivf_incremental_add')}
     ORDER BY method, query_id, rank
     """,
 )
@@ -618,8 +622,10 @@ def q85_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     hybrid-search combiner), the product-quantization/ADC path (q147
     — cosine column carries the integer quantized distance as DOUBLE),
     and per-anchor hard-negative mining (q148 — different-label top-k
-    for contrastive training), tagged by method — exact answers grade
-    the approximate families in one result."""
+    for contrastive training), and the frozen-centroid incremental
+    index add (q152 — the FAISS-add maintenance pattern over merged
+    inverted lists), tagged by method — exact answers grade the
+    approximate families in one result."""
     parts = []
     for method, name in (
         ("brute", "q35_cosine_topk"),
@@ -657,6 +663,12 @@ def q85_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             F.col("negative_id").alias("neighbor_id"),
             "cosine",
+        )
+    )
+    parts.append(
+        _run("q152_ivf_incremental_add", spark, sf_dir).select(
+            F.lit("ivfadd").alias("method"), "query_id", "rank",
+            "neighbor_id", "cosine",
         )
     )
     out = parts[0]

@@ -759,3 +759,81 @@ def q148_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", "label", k=3,
         anchors_filter=F.col("vec_id") < 12,
     ).orderBy("anchor_id", "rank")
+
+
+# --------------------------------------------------------------- q152
+# IVF index MAINTENANCE (the FAISS `add` pattern): centroids trained
+# once on the base corpus and FROZEN; a new vector batch (here a
+# deterministic derivation — reversed embeddings under shifted ids, so
+# both engines synthesize the identical batch) is assigned to frozen
+# centroids without retraining and becomes immediately retrievable.
+# Completes the index-maintenance triad: exact-hash probing (q70),
+# streaming LSH ledger (q151), and now ANN inverted lists.
+
+_ADD_SHIFT = 100000
+
+
+@register(
+    "q152_ivf_incremental_add",
+    oracle=f"""
+    WITH {_CENTS_CTE},
+    u AS (
+      SELECT vec_id AS neighbor_id, embedding AS cvec, 'base' AS origin
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_ADD_SHIFT}, list_reverse(embedding), 'new'
+      FROM embeddings
+    ),
+    uassign AS (
+      SELECT neighbor_id, cvec, origin, cid FROM (
+        SELECT u.neighbor_id, u.cvec, u.origin, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY u.neighbor_id
+                 ORDER BY {_cent_cos('u.cvec')} DESC, c.cid) AS rn
+        FROM u CROSS JOIN {_FINAL_CENTS} c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qvec, cid FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS qvec, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cent_cos('e.embedding')} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN {_FINAL_CENTS} c
+        WHERE e.vec_id < 10
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id, a.origin,
+             {_COS.replace('qvec', 'p.qvec').replace('cvec', 'a.cvec')} AS cosine
+      FROM uassign a JOIN probes p USING (cid)
+      WHERE a.neighbor_id != p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, origin, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, origin, ROUND(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def q152_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorb a new vector batch into the IVF index without retraining:
+    frozen base-trained centroids, nearest-cell assignment for base ∪
+    new, 2-probe exact re-rank over the merged lists — per-query top-5
+    tagged by the neighbor's origin ('base'/'new'). The new batch is a
+    deterministic derivation (reversed embeddings, ids + 100000) so
+    the oracle synthesizes the identical batch. See
+    operators/similarity.py:ivf_add_topk."""
+    from ..operators.similarity import ivf_add_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    new = emb.select(
+        (F.col("vec_id") + _ADD_SHIFT).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_add_topk(
+        emb, new, queries, "vec_id", "embedding",
+        k=5, n_centroids=8, n_probe=2, lloyd_iters=2, dim=64,
+    ).orderBy("query_id", "rank")

@@ -213,3 +213,36 @@ def test_semantic_dedup_finds_planted_duplicates(spark):
     singles = [v for v in out if all(v not in g for g in planted)]
     for v in singles:
         assert out[v].component_id == v and out[v].is_keeper and out[v].n_dups == 1
+
+
+def test_ivf_add_retrieves_planted_new_vector(spark):
+    # A new batch containing a near-copy of the query must surface at
+    # rank 1 tagged 'new' — without retraining the base centroids.
+    from redshift_avro_spark.operators.similarity import ivf_add_topk
+    from pyspark.sql import functions as F
+
+    dim = 8
+    base_rows = []
+    for i in range(12):
+        v = [1.0 + 0.02 * i] + [0.02 * i] * (dim - 1)
+        base_rows.append((i, [float(x) for x in v]))
+    for i in range(12, 24):
+        v = [-1.0 - 0.02 * i] + [0.0] * (dim - 2) + [0.02 * i]
+        base_rows.append((i, [float(x) for x in v]))
+    base = spark.createDataFrame(base_rows, "vec_id long, embedding array<double>")
+    # near-copy of vec 0, plus a far vector
+    new = spark.createDataFrame(
+        [
+            (1000, [1.001] + [0.0] * (dim - 1)),
+            (1001, [0.0] * (dim - 1) + [9.9]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = ivf_add_topk(
+        base, new, base.where(F.col("vec_id") == 0),
+        k=3, n_centroids=2, n_probe=1, lloyd_iters=1, dim=dim,
+    ).collect()
+    top = min(out, key=lambda r: r.rank)
+    assert top.neighbor_id == 1000 and top.origin == "new"
+    # base members still retrievable alongside
+    assert any(r.origin == "base" for r in out)

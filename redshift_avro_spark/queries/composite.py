@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 147 operator demonstrations. Rather
+names), but the registry carries 148 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–5 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-147 still registered) keep guarding it. A composite can only pass if
+148 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -1429,6 +1429,7 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q133_training_schedule",
         "q142_vocab_growth",
         "q149_length_buckets",
+        "q153_corpus_datasheet",
     ),
     oracle=f"""
     SELECT 'tfidf' AS kind, lang AS k_str, term AS k_str2,
@@ -1464,6 +1465,11 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS VARCHAR) AS k_str2, n_docs AS n1, sum_tokens AS n2,
            padded_tokens AS n3, CAST(waste_ppm AS DOUBLE) AS val
     FROM {_sub('q149_length_buckets')}
+    UNION ALL
+    SELECT 'sheet' AS kind, source AS k_str, top_lang AS k_str2,
+           n_docs AS n1, total_tokens AS n2, n_exact_dups AS n3,
+           CAST(mean_quality_ppm AS DOUBLE) AS val
+    FROM {_sub('q153_corpus_datasheet')}
     ORDER BY kind, n1, k_str, k_str2
     """,
 )
@@ -1477,7 +1483,9 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     order prefix (q133 — the data-ordering view), and the vocabulary
     growth curve (q142 — the Heaps'-law corpus statistic), and the
     power-of-2 length-bucket histogram with per-bucket padding waste
-    (q149 — the batch-geometry view), tagged and unioned. The passes an LLM pipeline runs over the corpus before
+    (q149 — the batch-geometry view), and the per-source corpus
+    datasheet (q153 — the release-statistics view), tagged and
+    unioned. The passes an LLM pipeline runs over the corpus before
     training, in one driver-verified result."""
     a = _run("q56_tfidf_terms", spark, sf_dir).select(
         F.lit("tfidf").alias("kind"),
@@ -1542,9 +1550,18 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("padded_tokens").alias("n3"),
         F.col("waste_ppm").cast("double").alias("val"),
     )
+    i = _run("q153_corpus_datasheet", spark, sf_dir).select(
+        F.lit("sheet").alias("kind"),
+        F.col("source").alias("k_str"),
+        F.col("top_lang").alias("k_str2"),
+        F.col("n_docs").alias("n1"),
+        F.col("total_tokens").alias("n2"),
+        F.col("n_exact_dups").alias("n3"),
+        F.col("mean_quality_ppm").cast("double").alias("val"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
-        .unionByName(g).unionByName(h)
+        .unionByName(g).unionByName(h).unionByName(i)
         .orderBy("kind", "n1", "k_str", "k_str2")
     )
 

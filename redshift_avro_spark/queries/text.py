@@ -424,3 +424,99 @@ def q131_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     schema, fn = robust_outlier_spec()
     return docs.groupBy("lang").applyInPandas(fn, schema=schema).orderBy("doc_id")
+
+
+# --------------------------------------------------------------- q153
+# Corpus datasheet: the per-source release statistics every published
+# training corpus ships (a "datasheets for datasets" summary) — doc and
+# token volume, language spread with the modal language, exact-dup
+# count, and mean quality as exact integer ppm (per-row scores are
+# floor(x*1e6+0.5)-quantized BEFORE the mean so no float summation
+# order can shift the result).
+
+def _q153_oracle() -> str:
+    from .dedup import _NORM_DUCK
+
+    toks = f"CAST(greatest({_N_WORDS}, CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)"
+    return f"""
+    WITH f AS (
+      SELECT source, lang, n_chars,
+             {toks} AS n_tok,
+             CAST(floor({_SCORE} * 1000000 + 0.5) AS BIGINT) AS qs6,
+             md5({_NORM_DUCK}) AS ch
+      FROM documents
+    ), base AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(*) - count(DISTINCT ch) AS BIGINT) AS n_exact_dups,
+             CAST(sum(qs6) // count(*) AS BIGINT) AS mean_quality_ppm
+      FROM f GROUP BY source
+    ), tl AS (
+      SELECT source, lang AS top_lang FROM (
+        SELECT source, lang,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY count(*) DESC, lang) AS rn
+        FROM documents GROUP BY source, lang
+      ) WHERE rn = 1
+    )
+    SELECT b.source, b.n_docs, b.total_chars, b.total_tokens, b.n_langs,
+           t.top_lang, b.n_exact_dups, b.mean_quality_ppm
+    FROM base b JOIN tl t USING (source)
+    ORDER BY b.source
+    """
+
+
+@register("q153_corpus_datasheet", oracle=_q153_oracle())
+def q153_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datasheet: doc/char/token volume, language
+    spread + modal language, exact-duplicate count (docs minus distinct
+    normalized contents), and mean quality in exact integer ppm.
+
+    Scale shape: two aggregations on the low-cardinality source key
+    (and one on (source, lang)) — all map-side combining with group
+    counts bounded by the source/lang domains, not the corpus; the
+    modal-language pick windows over the tiny aggregate."""
+    from .dedup import _NORM_SPARK
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        token_count("text")["n_tokens_est"].cast("bigint").alias("n_tok"),
+        quality_features("text")["quality_score"].alias("qs"),
+        F.md5(F.expr(_NORM_SPARK)).alias("ch"),
+    ).select(
+        "source",
+        "lang",
+        "n_chars",
+        "n_tok",
+        F.expr("CAST(floor(qs * 1000000 + 0.5) AS BIGINT)").alias("qs6"),
+        "ch",
+    )
+    base = f.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        (F.count("*") - F.countDistinct("ch")).cast("bigint").alias("n_exact_dups"),
+        F.expr("CAST(sum(qs6) div count(*) AS BIGINT)").alias("mean_quality_ppm"),
+    )
+    by_lang = docs.groupBy("source", "lang").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("lang"))
+    tl = (
+        by_lang.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        base.join(tl, "source")
+        .select(
+            "source", "n_docs", "total_chars", "total_tokens", "n_langs",
+            "top_lang", "n_exact_dups", "mean_quality_ppm",
+        )
+        .orderBy("source")
+    )

@@ -64,6 +64,8 @@ EXTENDED = [
     "q148_hard_negatives",
     "q149_length_buckets",
     "q150_domain_relevance",
+    "q152_ivf_incremental_add",
+    "q153_corpus_datasheet",
 ]
 
 

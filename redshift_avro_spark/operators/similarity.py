@@ -207,15 +207,61 @@ def lsh_bucket_topk(
     )
 
 
-def _assign_nearest(c: DataFrame, cents, vec: str = "cvec", id_: str = "neighbor_id") -> DataFrame:
-    """Nearest-centroid assignment (cosine, ties to smallest cid)."""
+def _assign_nearest(
+    c: DataFrame,
+    cents,
+    vec: str = "cvec",
+    id_: str = "neighbor_id",
+    carry: tuple = (),
+) -> DataFrame:
+    """Nearest-centroid assignment (cosine, ties to smallest cid).
+    ``carry`` names extra columns of ``c`` passed through unchanged."""
     w_c = Window.partitionBy(id_).orderBy(F.desc("cs"), F.asc("cid"))
     return (
         c.crossJoin(cents)
-        .select(id_, vec, "cid", cosine_expr(vec, "centvec").alias("cs"))
+        .select(id_, vec, *carry, "cid", cosine_expr(vec, "centvec").alias("cs"))
         .withColumn("rn", F.row_number().over(w_c))
         .where(F.col("rn") == 1)
-        .select(id_, vec, "cid")
+        .select(id_, vec, *carry, "cid")
+    )
+
+
+def _ivf_query(
+    assign: DataFrame,
+    q: DataFrame,
+    cents,
+    n_probe: int,
+    k: int,
+    carry: tuple = (),
+) -> DataFrame:
+    """The IVF query tail shared by :func:`ivf_topk` and
+    :func:`ivf_add_topk`: probe the ``n_probe`` nearest centroid lists
+    per query, exact cosine re-rank, per-query top-``k``. ``carry``
+    names extra assignment columns surfaced in the output."""
+    w_q = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
+    probes = (
+        q.crossJoin(cents)
+        .select("query_id", "qvec", "cid", cosine_expr("qvec", "centvec").alias("cs"))
+        .withColumn("rn", F.row_number().over(w_q))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qvec", "cid")
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", *carry,
+            cosine_expr("qvec", "cvec").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "neighbor_id", *carry,
+            F.round("cosine", 6).alias("cosine"),
+        )
     )
 
 
@@ -438,25 +484,7 @@ def ivf_topk(
         corpus, id_col, vec_col, n_centroids, lloyd_iters, dim, seed
     )
     assign = _assign_nearest(c, cents)
-    w_q = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
-    probes = (
-        q.crossJoin(cents)
-        .select("query_id", "qvec", "cid", cosine_expr("qvec", "centvec").alias("cs"))
-        .withColumn("rn", F.row_number().over(w_q))
-        .where(F.col("rn") <= n_probe)
-        .select("query_id", "qvec", "cid")
-    )
-    scored = (
-        assign.join(F.broadcast(probes), "cid")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine_expr("qvec", "cvec").alias("cosine"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
-    )
+    return _ivf_query(assign, q, cents, n_probe, k)
 
 
 def ivf_add_topk(
@@ -476,71 +504,48 @@ def ivf_add_topk(
     centroids are trained once on the base corpus and frozen; new
     vectors are assigned to their nearest frozen centroid and appended
     to its inverted list). Queries then probe ``n_probe`` cells of the
-    MERGED index, so fresh vectors become retrievable immediately at
-    the cost of one narrow assignment pass over only the new batch —
+    MERGED index, so fresh vectors become retrievable immediately —
     the index-maintenance member of the triad next to q70's exact-hash
     index probing and q151's streaming LSH ledger.
 
     Returns per-query top-k over base ∪ new with an ``origin`` tag
     ('base' / 'new') so callers can see the new batch entering results.
 
-    Scale shape (100 TB): training touches only the base (one-time);
-    the incremental cost per batch is assignment of THAT BATCH against
-    the broadcast centroids — narrow, no shuffle of the existing index;
-    the query path is unchanged (probe lists are a partitioning of the
-    merged corpus on the uniform cid key).
+    Ids appearing in BOTH inputs are UPSERTS: the base row is
+    anti-joined away and the new batch's vector wins (the FAISS
+    remove+add shape) — nothing is silently dropped by the assignment.
+
+    Scale shape (100 TB): this demo function recomputes the base
+    assignment so the whole result is one oracle-checkable expression;
+    in the production deployment of this pattern the base assignment
+    is PERSISTED (it is this function's ``assign`` intermediate — a
+    parquet table keyed by cid), and the per-batch increment is then
+    only the new batch's narrow assignment against the broadcast
+    centroids plus an id anti-join for upserts. Training always
+    touches only the base, once. The query path is identical either
+    way: probe lists are a partitioning of the merged corpus on the
+    uniform cid key.
     """
+    new_c = new.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.lit("new").alias("origin"),
+    )
+    base_c = (
+        base.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            F.lit("base").alias("origin"),
+        )
+        # upsert semantics: a re-shipped id keeps only the NEW vector
+        .join(new_c.select("neighbor_id"), "neighbor_id", "left_anti")
+    )
     cents = ivf_train_centroids(
         base, id_col, vec_col, n_centroids, lloyd_iters, dim
     )
-    union = base.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        F.lit("base").alias("origin"),
-    ).unionByName(
-        new.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("cvec"),
-            F.lit("new").alias("origin"),
-        )
-    )
-    w_c = Window.partitionBy("neighbor_id").orderBy(F.desc("cs"), F.asc("cid"))
-    assign = (
-        union.crossJoin(cents)
-        .select(
-            "neighbor_id", "cvec", "origin", "cid",
-            cosine_expr("cvec", "centvec").alias("cs"),
-        )
-        .withColumn("rn", F.row_number().over(w_c))
-        .where(F.col("rn") == 1)
-        .select("neighbor_id", "cvec", "origin", "cid")
-    )
+    assign = _assign_nearest(base_c.unionByName(new_c), cents, carry=("origin",))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    w_q = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
-    probes = (
-        q.crossJoin(cents)
-        .select("query_id", "qvec", "cid", cosine_expr("qvec", "centvec").alias("cs"))
-        .withColumn("rn", F.row_number().over(w_q))
-        .where(F.col("rn") <= n_probe)
-        .select("query_id", "qvec", "cid")
-    )
-    scored = (
-        assign.join(F.broadcast(probes), "cid")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id", "neighbor_id", "origin",
-            cosine_expr("qvec", "cvec").alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id", "rank", "neighbor_id", "origin",
-            F.round("cosine", 6).alias("cosine"),
-        )
-    )
+    return _ivf_query(assign, q, cents, n_probe, k, carry=("origin",))
 
 
 def semantic_dedup(

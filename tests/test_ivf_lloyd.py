@@ -246,3 +246,35 @@ def test_ivf_add_retrieves_planted_new_vector(spark):
     assert top.neighbor_id == 1000 and top.origin == "new"
     # base members still retrievable alongside
     assert any(r.origin == "base" for r in out)
+
+
+def test_ivf_add_upserts_overlapping_ids(spark):
+    # An id shipped in BOTH base and new must resolve to the NEW vector
+    # (upsert), never silently drop one of the two rows.
+    from redshift_avro_spark.operators.similarity import ivf_add_topk
+    from pyspark.sql import functions as F
+
+    dim = 4
+    base = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0, 0.0]),   # will be re-shipped pointing away
+            (2, [0.95, 0.05, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0, 1.0])],  # upsert: vec 1 moves far from vec 0
+        "vec_id long, embedding array<double>",
+    )
+    out = ivf_add_topk(
+        base, new, base.where(F.col("vec_id") == 0),
+        k=4, n_centroids=2, n_probe=2, lloyd_iters=1, dim=dim,
+    ).collect()
+    rows = {r.neighbor_id: r for r in out}
+    # vec 1 appears exactly once, tagged 'new', and no longer ranks as
+    # vec 0's nearest neighbor (its old base vector is gone)
+    assert rows[1].origin == "new"
+    assert sum(1 for r in out if r.neighbor_id == 1) == 1
+    assert min(out, key=lambda r: r.rank).neighbor_id == 2

@@ -19,12 +19,13 @@ Determinism contract (what makes this oracle-checkable):
   Python ``str.replace`` — proven by the adversarial unit tests.
 
 100 TB story: each round is one narrow re-tokenization + one
-uniform-key pair count + a 1-row TakeOrdered; the chosen pair rides
-back into the plan as a broadcast (no driver collect). Production BPE
-trainers iterate hundreds of rounds on a SAMPLED subset for exactly
-this reason — the per-round corpus pass is the cost driver, and the
-sample bound is a knob, not a redesign. The corpus is
-``localCheckpoint``-ed per round so the plan stays flat.
+uniform-key pair count + a 1-row TakeOrdered whose winner returns to
+the driver (one row — the k-means-centroid pattern) and rides into
+the next round as a literal. Production BPE trainers iterate hundreds
+of rounds on a SAMPLED subset for exactly this reason — the per-round
+corpus pass is the cost driver, and the sample bound is a knob, not a
+redesign. The corpus is ``localCheckpoint``-ed per round so the plan
+stays flat.
 """
 
 from __future__ import annotations
@@ -54,50 +55,69 @@ def corpus_strings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def learn_bpe_merges(
-    docs: DataFrame, *, id_col: str, text_col: str, rounds: int, checkpoint: bool = True
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    rounds: int,
+    checkpoint: bool = True,
+    track_tokens: bool = True,
 ) -> DataFrame:
     """Learn ``rounds`` BPE merges; returns one row per round:
-    (merge_round, pattern, merged, pair_count, tokens_after)."""
+    (merge_round, pattern, merged, pair_count, tokens_after).
+
+    ``track_tokens=False`` skips the per-round corpus-wide
+    ``tokens_after`` aggregation (emitted as NULL) — one fewer full
+    corpus pass per round for callers that only consume the merge
+    table itself (the encode path)."""
     if rounds < 1:
         raise ValueError(f"learn_bpe_merges: rounds must be >= 1, got {rounds}")
     for c in (id_col, text_col):
         if c not in docs.columns:
             raise ValueError(f"learn_bpe_merges: column {c!r} not in docs")
 
+    spark = docs.sparkSession
     corpus = corpus_strings(docs, id_col, text_col)
     if checkpoint:
         corpus = corpus.localCheckpoint()
-    out = None
+    out_rows: list = []
     for k in range(1, rounds + 1):
-        pairs = (
+        # The winning pair is ONE row — collect it so the replace rides
+        # into the next round as literals. (The previous broadcast-join
+        # form deferred the pairs aggregation into the output plan, so
+        # consuming the merge table re-ran every round's pair count a
+        # second time.) The pattern alphabet is hex + '[]+' — no SQL
+        # quoting hazards.
+        top = (
             corpus.select(F.expr(_TOKENS_EXPR).alias("t"))
             .select(F.explode(F.expr(_PAIRS_EXPR)).alias("pattern"))
             .groupBy("pattern")
             .agg(F.count("*").cast("long").alias("pair_count"))
-        )
-        top = (
-            pairs.orderBy(F.desc("pair_count"), F.asc("pattern"))
+            .orderBy(F.desc("pair_count"), F.asc("pattern"))
             .limit(1)
-            .select(
-                "pattern",
-                F.expr("replace(pattern, '][', '+')").alias("merged"),
-                "pair_count",
-            )
+            .collect()
         )
-        corpus = (
-            corpus.crossJoin(F.broadcast(top))
-            .select("doc_id", F.expr("replace(s, pattern, merged)").alias("s"))
+        if not top:
+            break
+        pattern = top[0]["pattern"]
+        merged = pattern.replace("][", "+")
+        pair_count = int(top[0]["pair_count"])
+        corpus = corpus.select(
+            "doc_id", F.expr(f"replace(s, '{pattern}', '{merged}')").alias("s")
         )
         if checkpoint:
             corpus = corpus.localCheckpoint()
-        n_after = corpus.agg(
-            F.sum(F.expr(f"size({_TOKENS_EXPR})")).cast("long").alias("tokens_after")
-        )
-        row = top.crossJoin(F.broadcast(n_after)).select(
-            F.lit(k).alias("merge_round"), "pattern", "merged", "pair_count", "tokens_after"
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+        tokens_after = None
+        if track_tokens:
+            v = corpus.agg(
+                F.sum(F.expr(f"size({_TOKENS_EXPR})")).cast("long").alias("n")
+            ).collect()[0]["n"]
+            tokens_after = int(v) if v is not None else None
+        out_rows.append((k, pattern, merged, pair_count, tokens_after))
+    return spark.createDataFrame(
+        out_rows,
+        "merge_round int, pattern string, merged string, pair_count long, tokens_after long",
+    )
 
 
 def apply_bpe_merges(

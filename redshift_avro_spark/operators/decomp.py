@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -74,7 +75,6 @@ def pca_power_projection(
             raise ValueError(f"pca_power_projection: column {c!r} not in embeddings")
 
     e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("x"))
-    n = e.agg(F.count("*").cast("long").alias("n"))
 
     def moment_partials(batches: "Iterator") -> "Iterator":
         """Per-batch integer outer-product partials: (i, j, p) rows for
@@ -106,73 +106,82 @@ def pca_power_projection(
                 xs = ys.sum(axis=0)
                 yield pd.DataFrame(
                     {
-                        "i": np.concatenate([ii, np.arange(dim)]),
-                        "j": np.concatenate([jj, np.full(dim, -1)]),
-                        "p": np.concatenate([xx, xs]),
+                        "i": np.concatenate([ii, np.arange(dim), [-1]]),
+                        "j": np.concatenate([jj, np.full(dim, -1), [-1]]),
+                        "p": np.concatenate([xx, xs, [len(ys)]]),
                     }
                 )
 
     partials = e.select("x").mapInPandas(moment_partials, "i int, j int, p long")
     # exact merge of integer partials; DECIMAL(38,0) so the corpus-wide
-    # total can exceed int64 at scale
-    partials = partials.groupBy("i", "j").agg(
-        F.expr("SUM(CAST(p AS DECIMAL(38,0)))").alias("s")
+    # total can exceed int64 at scale. The merged matrix is d² + d + 1
+    # rows — broadcast-sized state, so it collects in ONE action and the
+    # 8 power-iteration rounds run in-process with the IDENTICAL decimal
+    # arithmetic the round-4 DataFrame loop ran (each round there was a
+    # join + agg + checkpoint job over ≤ d² rows: pure scheduling
+    # overhead at any corpus size — the data-sized work is only the
+    # moment pass above and the projection below).
+    rows = (
+        partials.groupBy("i", "j")
+        .agg(F.expr("SUM(CAST(p AS DECIMAL(38,0)))").alias("s"))
+        .collect()
     )
-    moments = partials.where(F.col("j") >= 0).select("i", "j", F.col("s").alias("sxx"))
-    mu = (
-        partials.where(F.col("j") == -1)
-        .select("i", F.col("s").alias("sx"))
-        .crossJoin(F.broadcast(n))
-        .select(
-            "i",
-            F.expr("(CAST(sx AS DOUBLE) / 1e7) / CAST(n AS DOUBLE)").alias("mu"),
-        )
-    )
-    cov = (
-        moments.crossJoin(F.broadcast(n))
-        .join(F.broadcast(mu.select(F.col("i"), F.col("mu").alias("mu_i"))), "i")
-        .join(
-            F.broadcast(mu.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))), "j"
-        )
-        .select(
-            "i",
-            "j",
-            F.expr(
-                "(CAST(sxx AS DOUBLE) / 1e14) / CAST(n AS DOUBLE) - mu_i * mu_j"
-            ).alias("c"),
-        )
-        .localCheckpoint()
-    )
+    from decimal import ROUND_HALF_UP, Decimal
 
-    v = cov.select("i").distinct().select(
-        "i", F.lit(1.0 / float(dim) ** 0.5).alias("v")
-    )
+    q15 = Decimal(1).scaleb(-15)
+
+    def _dec(x: float) -> Decimal:
+        # CAST(double AS DECIMAL(30,15)) — HALF_UP at 15 dp on the
+        # exact binary value, Spark's changePrecision semantics
+        return Decimal(x).quantize(q15, rounding=ROUND_HALF_UP)
+
+    n_rows = 0
+    sx = [0] * dim
+    sxx = [[0] * dim for _ in range(dim)]
+    for r in rows:
+        i, j, s = int(r["i"]), int(r["j"]), int(r["s"])
+        if i == -1:
+            n_rows = s
+        elif j == -1:
+            sx[i] = s
+        else:
+            sxx[i][j] = s
+    if n_rows == 0:
+        raise ValueError("pca_power_projection: empty input")
+    nd = float(n_rows)
+    # same expression order as the SQL the oracle mirrors:
+    # (CAST(sx AS DOUBLE)/1e7)/n and (CAST(sxx AS DOUBLE)/1e14)/n − μμ
+    mu = [(float(sx[i]) / 1e7) / nd for i in range(dim)]
+    cov = [
+        [(float(sxx[i][j]) / 1e14) / nd - mu[i] * mu[j] for j in range(dim)]
+        for i in range(dim)
+    ]
+    v = [1.0 / float(dim) ** 0.5] * dim
+    import math
+
     for _ in range(iterations):
-        w = (
-            cov.join(F.broadcast(v.select(F.col("i").alias("j"), "v")), "j")
-            .select("i", F.expr(f"CAST(c * v AS {_DEC})").alias("t"))
-            .groupBy("i")
-            .agg(F.expr("CAST(SUM(t) AS DOUBLE)").alias("w"))
-        )
-        nrm = w.agg(
-            F.expr(f"sqrt(CAST(SUM(CAST(w * w AS {_DEC})) AS DOUBLE))").alias("nrm")
-        )
-        v = w.crossJoin(F.broadcast(nrm)).select("i", F.expr("w / nrm").alias("v"))
-        # d rows — eager checkpoint keeps the per-round plan flat, the
-        # q63/q102 iterative pattern
-        v = v.localCheckpoint()
+        # w_i = CAST(SUM(CAST(c*v AS DEC)) AS DOUBLE): decimal sums are
+        # exact and associative, so driver order ≡ any shuffle order
+        w = [float(sum(_dec(cov[i][j] * v[j]) for j in range(dim))) for i in range(dim)]
+        nrm = math.sqrt(float(sum(_dec(wi * wi) for wi in w)))
+        v = [wi / nrm for wi in w]
 
-    proj = (
-        e.select("vid", F.explode(F.expr(f"sequence(0, {dim - 1})")).alias("i"), "x")
-        .join(F.broadcast(mu), "i")
-        .join(F.broadcast(v), "i")
-        .select(
-            "vid",
-            F.expr(
-                f"CAST((CAST(element_at(x, i + 1) AS DOUBLE) - mu) * v AS {_DEC})"
-            ).alias("t"),
-        )
-        .groupBy("vid")
-        .agg(F.expr("ROUND(CAST(SUM(t) AS DOUBLE), 6)").alias("pc1"))
+    mu_t = tuple(mu)
+    v_t = tuple(v)
+
+    @F.pandas_udf("double")
+    def _pc1(xs: "pd.Series") -> "pd.Series":  # noqa: F821
+        import pandas as pd
+
+        out = []
+        for a in xs:
+            acc = Decimal(0)
+            for d_i in range(dim):
+                acc += _dec((float(a[d_i]) - mu_t[d_i]) * v_t[d_i])
+            out.append(float(acc))
+        return pd.Series(out)
+
+    # ROUND stays in Spark so the last rounding step is the engine's own
+    return e.select(
+        F.col("vid").alias(id_col), F.round(_pc1(F.col("x")), 6).alias("pc1")
     )
-    return proj.select(F.col("vid").alias(id_col), "pc1")

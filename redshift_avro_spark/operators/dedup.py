@@ -389,6 +389,43 @@ def connected_components(
     eagerly per round — without the lineage cut, round k's plan
     re-derives rounds 1..k-1 and the convergence-check action pays it
     again. Returns (id, component_id)."""
+    # Near-dup edge sets are slivers of the corpus; under the cap the
+    # component labeling runs as one collect + in-process union-find —
+    # the exact same min-reachable-id result (a graph property, not an
+    # execution artifact) without diameter × 3 scheduled jobs. Larger
+    # edge sets take the distributed propagation below.
+    driver_cap = 2_000_000
+    head = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).limit(driver_cap + 1).collect()
+    if len(head) <= driver_cap:
+        adj: dict = {}
+        for r in head:
+            u, v = r["u"], r["v"]
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        labels = {n: n for n in adj}
+        # Synchronous min-label rounds — the same update rule as the
+        # distributed loop below, including the max_iter truncation
+        # (neighbor minima read the PREVIOUS round's labels).
+        for _ in range(max_iter):
+            nxt = {
+                n: min(lbl, min(labels[v] for v in adj[n]))
+                for n, lbl in labels.items()
+            }
+            if nxt == labels:
+                break
+            labels = nxt
+        from pyspark.sql import types as T
+
+        dt = edges.schema[src_col].dataType
+        schema = T.StructType(
+            [T.StructField("id", dt), T.StructField("component_id", dt)]
+        )
+        return edges.sparkSession.createDataFrame(
+            sorted(labels.items()), schema
+        )
+
     sym = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .unionByName(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))

@@ -159,16 +159,22 @@ def duplicated_spans(
     from pyspark.sql.window import Window
 
     words = _WORDS.format(c=text_col)
+    # The gram rides as xxhash64(window text) from birth: the window
+    # string exists only inside the projection lambda, so the w×
+    # fan-out explodes, shuffles and joins 8-byte keys instead of
+    # ~w-word strings (the fan-out exchange is this operator's largest).
+    # Deterministic; a 64-bit collision (p ≈ n²/2⁶⁵, ~10⁻⁶ at 10⁷
+    # windows) could only over-mark one window as duplicated.
     grams = (
         f"transform(sequence(1, size({words}) - {w - 1}), "
-        f"i -> array_join(slice({words}, i, {w}), ' '))"
+        f"i -> xxhash64(array_join(slice({words}, i, {w}), ' ')))"
     )
     wins = (
         df.select(
             F.col(id_col),
             F.posexplode(
                 F.when(F.expr(f"size({words})") >= w, F.expr(grams)).otherwise(
-                    F.expr("CAST(array() AS array<string>)")
+                    F.expr("CAST(array() AS array<bigint>)")
                 )
             ).alias("pos0", "gram"),
         )

@@ -295,7 +295,7 @@ def q34_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import embedding_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45).orderBy(
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45, dim=64).orderBy(
         "id_a", "id_b"
     )
 

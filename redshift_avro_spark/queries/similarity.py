@@ -51,7 +51,7 @@ def q35_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the per-query window rank."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return topk_neighbors(emb, queries, "vec_id", "embedding", k=5).orderBy("query_id", "rank")
+    return topk_neighbors(emb, queries, "vec_id", "embedding", k=5, dim=64).orderBy("query_id", "rank")
 
 
 def _plane_duck(vec: str, plane: int, dim: int = 64) -> str:
@@ -757,7 +757,7 @@ def q148_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return hard_negatives(
         emb, "vec_id", "embedding", "label", k=3,
-        anchors_filter=F.col("vec_id") < 12,
+        anchors_filter=F.col("vec_id") < 12, dim=64,
     ).orderBy("anchor_id", "rank")
 
 

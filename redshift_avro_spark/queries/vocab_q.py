@@ -115,9 +115,9 @@ def q114_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE chain (sequential corpus-wide replace ≡ the per-doc fold,
     because each round's replace is literal and leftmost)."""
     docs = load_table(spark, sf_dir, "documents")
-    merges = learn_bpe_merges(docs, id_col="doc_id", text_col="text", rounds=_ROUNDS).select(
-        "merge_round", "pattern", "merged"
-    )
+    merges = learn_bpe_merges(
+        docs, id_col="doc_id", text_col="text", rounds=_ROUNDS, track_tokens=False
+    ).select("merge_round", "pattern", "merged")
     return apply_bpe_merges(docs, merges, id_col="doc_id", text_col="text").orderBy("doc_id")
 
 

@@ -126,7 +126,7 @@ def main() -> None:
         "extended_total": round(sum(extended.values()), 3),
         "sf": sf,
     }
-    with open(os.path.join(_REPO_ROOT, "BENCH_DETAIL_r04.json"), "w") as f:
+    with open(os.path.join(_REPO_ROOT, "BENCH_DETAIL_r05.json"), "w") as f:
         json.dump(detail, f, indent=1)
         f.write("\n")
     spark.stop()

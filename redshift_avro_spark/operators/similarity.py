@@ -31,6 +31,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "bucketed_embedding_near_dup",
     "lsh_bucket_topk",
+    "jl_project",
     "lloyd_step",
     "maximin_seed",
     "ivf_topk",
@@ -226,6 +227,42 @@ def lsh_bucket_key(vec_col: str, n_planes: int, dim: int) -> Column:
         for p in range(n_planes)
     ]
     return F.expr(" + ".join(bits))
+
+
+def jl_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    dim: int = 64,
+    plane_offset: int = 100,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: d-dim embeddings down
+    to ``k`` coordinates via a deterministic ±1 sign matrix (Achlioptas
+    2003 — database-friendly ±1 entries preserve pairwise distances in
+    expectation with the same JL guarantee as Gaussian matrices).
+
+    Coordinate j of a vector is the signed sum Σ_d sign(j,d)·x_d — the
+    SAME md5-derived sign construction (and fold order) the LSH planes
+    use, at plane ids ``plane_offset + j`` so the projection basis is
+    independent of the bucketing planes. The unscaled sums are
+    returned; distance comparisons divide by ``k`` (E[‖Pa−Pb‖²/k] =
+    ‖a−b‖²). Map-only: k fixed sign-fold projections per row, no
+    shuffle, no state — the 100 TB shape is a straight scan.
+
+    Returns (id, p0 .. p{k-1})."""
+    if k < 1:
+        raise ValueError(f"jl_project: k must be >= 1, got {k}")
+    for c in (id_col, vec_col):
+        if c not in df.columns:
+            raise ValueError(f"jl_project: column {c!r} not in df")
+    return df.select(
+        F.col(id_col),
+        *[
+            F.expr(_hyperplane_expr(vec_col, plane_offset + j, dim)).alias(f"p{j}")
+            for j in range(k)
+        ],
+    )
 
 
 def lsh_bucket_topk(

@@ -811,13 +811,15 @@ def q87_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q128_quota_sample",
         "q143_pps_sample",
         "q144_temperature_weights",
+        "q156_leakage_safe_split",
     ),
     oracle=f"""
     SELECT s.lang, s.n_total, s.n_sampled, s.sampled_tokens,
            sp.train_docs, sp.train_tokens, sp.test_docs, sp.test_tokens,
            m.n_after, m.share_ppm,
            q.quota_n, q.quota_chars, q.quota_min_doc, q.quota_max_doc,
-           pp.pps_n, pp.pps_chars, tw.temp_ppm, tw.natural_ppm
+           pp.pps_n, pp.pps_chars, tw.temp_ppm, tw.natural_ppm,
+           lk.leak_train_docs, lk.leak_test_docs, lk.leak_groups, lk.leak_group_sum
     FROM {_sub('q60_stratified_sample')} s
     JOIN (
       SELECT lang,
@@ -835,6 +837,13 @@ def q87_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM {_sub('q143_pps_sample')}) pp USING (lang)
     JOIN (SELECT lang, weight_ppm AS temp_ppm, natural_ppm
           FROM {_sub('q144_temperature_weights')}) tw USING (lang)
+    CROSS JOIN (
+      SELECT CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS leak_train_docs,
+             CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS leak_test_docs,
+             CAST(COUNT(DISTINCT split_group) AS BIGINT) AS leak_groups,
+             CAST(SUM(split_group) AS BIGINT) AS leak_group_sum
+      FROM {_sub('q156_leakage_safe_split')}
+    ) lk
     ORDER BY lang
     """,
 )
@@ -843,10 +852,12 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling (q60, Bernoulli rate) ⋈ leakage-safe train/test split
     pivoted to columns (q61) ⋈ mixture rebalance (q62) ⋈ exact-quota
     sampling (q128, fixed k) ⋈ length-weighted PPS sampling (q143) ⋈
-    temperature-scaled mixture weights (q144, α=0.5) — all four
-    sampling modes plus both weighting recipes a mixture builder
-    needs, joined on the 5-value lang key of already-tiny
-    aggregates."""
+    temperature-scaled mixture weights (q144, α=0.5) ⋈ the corpus-wide
+    near-dup-component leakage-safe split summary (q156, pivoted to one
+    broadcast row: per-side doc counts, group count and the exact
+    component-id sum as a value digest) — all four sampling modes plus
+    both weighting recipes a mixture builder needs, joined on the
+    5-value lang key of already-tiny aggregates."""
     s = _run("q60_stratified_sample", spark, sf_dir)
     sp = (
         _run("q61_train_test_split", spark, sf_dir)
@@ -884,8 +895,17 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("weight_ppm").alias("temp_ppm"),
         "natural_ppm",
     )
+    lk = _run("q156_leakage_safe_split", spark, sf_dir).agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("bigint").alias("leak_train_docs"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("bigint").alias("leak_test_docs"),
+        F.countDistinct("split_group").cast("bigint").alias("leak_groups"),
+        F.sum("split_group").cast("bigint").alias("leak_group_sum"),
+    )
     return (
         s.join(sp, "lang").join(m, "lang").join(q, "lang").join(pp, "lang").join(tw, "lang")
+        .crossJoin(F.broadcast(lk))
         .orderBy("lang")
     )
 
@@ -1166,12 +1186,29 @@ def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q93_embedding_curation",
-    members=("q64_embedding_quantize", "q94_semantic_dedup", "q115_pca_projection"),
+    members=(
+        "q64_embedding_quantize",
+        "q94_semantic_dedup",
+        "q115_pca_projection",
+        "q154_jl_projection",
+        "q155_cluster_cards",
+    ),
     oracle=f"""
-    SELECT q.*, s.cid, s.component_id, s.n_dups, s.is_keeper, p.pc1
+    SELECT q.*, s.cid, s.component_id, s.n_dups, s.is_keeper, p.pc1,
+           cc.n_vectors AS cluster_n, cc.top_label, cc.purity_ppm,
+           j.jl_pairs, j.jl_l2q_sum, j.jl_min_distortion, j.jl_max_distortion
     FROM {_sub('q64_embedding_quantize')} q
     JOIN {_sub('q94_semantic_dedup')} s USING (vec_id)
     JOIN {_sub('q115_pca_projection')} p USING (vec_id)
+    JOIN (SELECT cid, n_vectors, top_label, purity_ppm
+          FROM {_sub('q155_cluster_cards')}) cc USING (cid)
+    LEFT JOIN (
+      SELECT id_a AS vec_id, CAST(COUNT(*) AS BIGINT) AS jl_pairs,
+             CAST(SUM(l2_orig_q) AS BIGINT) AS jl_l2q_sum,
+             MIN(distortion) AS jl_min_distortion,
+             MAX(distortion) AS jl_max_distortion
+      FROM {_sub('q154_jl_projection')} GROUP BY id_a
+    ) j USING (vec_id)
     ORDER BY vec_id
     """,
 )
@@ -1180,14 +1217,44 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q64) ⋈ SemDeDup semantic-dedup status (q94 — k-means cells bound
     the near-dup scan, components pick one keeper) ⋈ top-principal-
     component projection (q115 — power iteration on broadcast-size
-    covariance state) on the corpus key. The storage-compression,
-    semantic-dedup and dimensionality-analysis passes a 100 TB
-    embedding store runs before ANN indexing, in one driver-verified
-    result."""
+    covariance state) ⋈ the vector's cluster card (q155, via q94's
+    cid — same deterministic centroid trajectory) ⋈ JL projection
+    distortion stats for the witness vectors (q154, re-aggregated per
+    anchor id; null outside the witness set). The storage-compression,
+    semantic-dedup, dimensionality-analysis and cluster-profiling
+    passes a 100 TB embedding store runs before ANN indexing, in one
+    driver-verified result."""
     q = _run("q64_embedding_quantize", spark, sf_dir)
     s = _run("q94_semantic_dedup", spark, sf_dir)
     p = _run("q115_pca_projection", spark, sf_dir)
-    return q.join(s, "vec_id").join(p, "vec_id").orderBy("vec_id")
+    cc = _run("q155_cluster_cards", spark, sf_dir).select(
+        "cid",
+        F.col("n_vectors").alias("cluster_n"),
+        "top_label",
+        "purity_ppm",
+    )
+    j = (
+        _run("q154_jl_projection", spark, sf_dir)
+        .groupBy(F.col("id_a").alias("vec_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("jl_pairs"),
+            F.sum("l2_orig_q").cast("bigint").alias("jl_l2q_sum"),
+            F.min("distortion").alias("jl_min_distortion"),
+            F.max("distortion").alias("jl_max_distortion"),
+        )
+    )
+    return (
+        q.join(s, "vec_id")
+        .join(p, "vec_id")
+        .join(cc, "cid")
+        .join(j, "vec_id", "left")
+        .select(
+            *q.columns, "cid", "component_id", "n_dups", "is_keeper", "pc1",
+            "cluster_n", "top_label", "purity_ppm",
+            "jl_pairs", "jl_l2q_sum", "jl_min_distortion", "jl_max_distortion",
+        )
+        .orderBy("vec_id")
+    )
 
 
 # ---------------------------------------------------------------- q97

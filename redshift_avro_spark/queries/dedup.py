@@ -396,3 +396,85 @@ def q123_containment_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(
         docs, "doc_id", "text", n=3, candidates=cands
     ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------- q156
+# Leakage-safe train/test split keyed on the NEAR-dup component: q61
+# splits on the exact-content hash (byte-variant duplicates stay
+# together), but a test document whose near-copy — reworded, truncated,
+# re-wrapped — sits in train still leaks. Keying the split on the
+# q63 connected component closes that hole: every document in a
+# near-dup cluster lands on the same side, singletons key on their own
+# id. The standard eval-hygiene step before holding out a corpus slice.
+
+
+@register(
+    "q156_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTE},
+    grams AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(generate_series(1, length(text) - 2),
+               i -> substring(text, i, 3))) AS g
+      FROM documents WHERE length(text) >= 3
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM candidates c
+      JOIN grams a ON a.id = c.id_a
+      JOIN grams b ON b.id = c.id_b
+      WHERE {_JACCARD_DUCK} >= 0.5
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM verified
+      UNION
+      SELECT id_b AS u, id_a AS v FROM verified
+    ),
+    reach AS (
+      SELECT u AS src, u AS dst FROM sym
+      UNION
+      SELECT r.src, s.v AS dst FROM reach r JOIN sym s ON r.dst = s.u
+    ),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src),
+    grouped AS (
+      SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS split_group
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, split_group,
+           CASE WHEN (CAST(CAST('0x' || substring(md5('split' || CAST(split_group AS VARCHAR)), 1, 8) AS BIGINT)
+                      AS DOUBLE) / 4294967296.0) < 0.1
+                THEN 'test' ELSE 'train' END AS split
+    FROM grouped ORDER BY doc_id
+    """,
+)
+def q156_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/10 split keyed on the near-dup cluster id: LSH candidates →
+    Jaccard verify → connected components (q63's trajectory), then the
+    deterministic md5 draw on the component id, so a cluster can never
+    straddle the train/test boundary. Singleton documents key on their
+    own id — the whole corpus is covered. One left join against the
+    sliver-sized component map; the split itself is a narrow map. See
+    operators/training.py:train_test_split."""
+    from ..operators.training import train_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_candidate_pairs(docs, "doc_id", "text", 12, 3, 3)
+    verified = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, candidates=cands
+    )
+    comp = connected_components(verified, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), "component_id"
+    )
+    grouped = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").alias("split_group"),
+        )
+    )
+    return (
+        train_test_split(grouped, key_col=F.col("split_group"), test_fraction=0.1)
+        .select("doc_id", "split_group", "split")
+        .orderBy("doc_id")
+    )

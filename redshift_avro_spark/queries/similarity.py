@@ -837,3 +837,195 @@ def q152_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, new, queries, "vec_id", "embedding",
         k=5, n_centroids=8, n_probe=2, lloyd_iters=2, dim=64,
     ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------- q154
+# Johnson–Lindenstrauss projection audit: project 64-dim embeddings to
+# 8 coordinates with a deterministic ±1 sign matrix and measure, for
+# every pair in a fixed witness set, how well squared distance
+# survives (distortion = (‖Pa−Pb‖²/k) / ‖a−b‖², → 1 with k). The
+# dimensionality-reduction primitive under cheap ANN pre-filters and
+# embedding-store compression.
+
+_JL_K = 8
+
+
+def _jl_l2p_chain(pa: str, pb: str) -> str:
+    """The projected squared-L2 as an explicit left-associated chain —
+    the SAME text is used in the Spark expression and the DuckDB
+    oracle, so the accumulation order is identical by construction."""
+    expr = "CAST(0 AS DOUBLE)"
+    for j in range(_JL_K):
+        expr = f"({expr} + ({pa}{j} - {pb}{j}) * ({pa}{j} - {pb}{j}))"
+    return expr
+
+
+_JL_L2O = (
+    "list_aggregate(list_transform(list_zip(va, vb),"
+    " q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))"
+    " * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))), 'sum')"
+)
+
+
+@register(
+    "q154_jl_projection",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 40
+    ),
+    proj AS (
+      SELECT vec_id,
+             {", ".join(f"{_plane_duck('embedding', 100 + j)} AS p{j}" for j in range(_JL_K))}
+      FROM base
+    ),
+    a AS (
+      SELECT b.vec_id AS id_a, b.embedding AS va,
+             {", ".join(f"p.p{j} AS a{j}" for j in range(_JL_K))}
+      FROM base b JOIN proj p USING (vec_id)
+    ),
+    bb AS (
+      SELECT b.vec_id AS id_b, b.embedding AS vb,
+             {", ".join(f"p.p{j} AS b{j}" for j in range(_JL_K))}
+      FROM base b JOIN proj p USING (vec_id)
+    ),
+    m AS (
+      SELECT id_a, id_b, {_JL_L2O} AS l2o, {_jl_l2p_chain('a', 'b')} AS l2p
+      FROM a JOIN bb ON id_a < id_b
+    )
+    SELECT id_a, id_b,
+           CAST(floor(l2o * 1e6 + 0.5) AS BIGINT) AS l2_orig_q,
+           ROUND((l2p / {_JL_K}.0) / l2o, 6) AS distortion
+    FROM m WHERE l2o > 0 ORDER BY id_a, id_b
+    """,
+)
+def q154_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±1 Johnson–Lindenstrauss projection to 8 coords (md5-derived
+    sign matrix at plane ids 100+, independent of the LSH buckets) and
+    the pairwise distance-preservation audit over the 40-vector
+    witness set: per pair, the quantized original squared-L2 and the
+    distortion ratio. Projection is a map-only scan; the audit join is
+    bounded by the witness set. See operators/similarity.py:jl_project."""
+    from ..operators.similarity import jl_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") < 40).select("vec_id", "embedding")
+    proj = jl_project(base, "vec_id", "embedding", k=_JL_K, dim=64, plane_offset=100)
+    withp = base.join(proj, "vec_id")
+    a = withp.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        *[F.col(f"p{j}").alias(f"a{j}") for j in range(_JL_K)],
+    )
+    b = withp.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        *[F.col(f"p{j}").alias(f"b{j}") for j in range(_JL_K)],
+    )
+    l2o = (
+        "aggregate(zip_with(va, vb,"
+        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    m = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(l2o).alias("l2o"),
+            F.expr(_jl_l2p_chain("a", "b")).alias("l2p"),
+        )
+        .where(F.col("l2o") > 0)
+    )
+    return m.select(
+        "id_a",
+        "id_b",
+        F.expr("CAST(floor(l2o * 1e6 + 0.5) AS BIGINT)").alias("l2_orig_q"),
+        F.expr(f"ROUND((l2p / {_JL_K}.0) / l2o, 6)").alias("distortion"),
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------- q155
+# Cluster cards: the per-cell summary a curation team reads after
+# k-means clustering an embedding store — size, dominant label and its
+# purity, id range. Runs on the SAME deterministic centroid trajectory
+# as q45/q152, so the oracle replays training + assignment exactly.
+
+
+@register(
+    "q155_cluster_cards",
+    oracle=f"""
+    WITH {_CENTS_CTE},
+    assign AS (
+      SELECT neighbor_id, label, cid FROM (
+        SELECT e.vec_id AS neighbor_id, e.label, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cent_cos('e.embedding')} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN {_FINAL_CENTS} c
+      ) WHERE rn = 1
+    ),
+    sizes AS (
+      SELECT cid, COUNT(*) AS n_vectors,
+             MIN(neighbor_id) AS min_vec_id, MAX(neighbor_id) AS max_vec_id
+      FROM assign GROUP BY cid
+    ),
+    modes AS (
+      SELECT cid, label AS top_label, n_label FROM (
+        SELECT cid, label, COUNT(*) AS n_label,
+               ROW_NUMBER() OVER (PARTITION BY cid
+                 ORDER BY COUNT(*) DESC, label) AS rn
+        FROM assign GROUP BY cid, label
+      ) WHERE rn = 1
+    )
+    SELECT s.cid, s.n_vectors, m.top_label,
+           m.n_label AS top_label_n,
+           m.n_label * 1000000 // s.n_vectors AS purity_ppm,
+           s.min_vec_id, s.max_vec_id
+    FROM sizes s JOIN modes m USING (cid) ORDER BY s.cid
+    """,
+)
+def q155_cluster_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster summary cards over the q45 k-means cells: vector
+    count, dominant label with exact ppm purity (integer division —
+    no float ordering), and the id range. Assignment is the map-only
+    kernel against the broadcast-trained centroids; both aggregations
+    group on the 8-value cid key with map-side combine. See
+    operators/similarity.py:ivf_train_centroids."""
+    from ..operators.similarity import _assign_nearest, _centers_list, ivf_train_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers = _centers_list(
+        ivf_train_centroids(emb, "vec_id", "embedding", 8, 2, 64)
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        "label",
+    )
+    assign = _assign_nearest(c, centers, carry=("label",))
+    sizes = assign.groupBy("cid").agg(
+        F.count("*").alias("n_vectors"),
+        F.min("neighbor_id").alias("min_vec_id"),
+        F.max("neighbor_id").alias("max_vec_id"),
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("n_label"), F.asc("label"))
+    modes = (
+        assign.groupBy("cid", "label")
+        .agg(F.count("*").alias("n_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cid", F.col("label").alias("top_label"), F.col("n_label"))
+    )
+    return (
+        sizes.join(modes, "cid")
+        .select(
+            "cid",
+            "n_vectors",
+            "top_label",
+            F.col("n_label").alias("top_label_n"),
+            F.expr("n_label * 1000000 div n_vectors").alias("purity_ppm"),
+            "min_vec_id",
+            "max_vec_id",
+        )
+        .orderBy("cid")
+    )

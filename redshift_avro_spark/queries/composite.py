@@ -2,9 +2,9 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 148 operator demonstrations. Rather
+names), but the registry carries 153 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
-2–5 member queries into one DataFrame with one combined oracle, so
+2–8 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
 to exactly 50 entries — every operator family lands inside the gated
 window with a full value-hash row (VERDICT r2 "Next round" #1).
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-148 still registered) keep guarding it. A composite can only pass if
+153 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -378,7 +378,12 @@ def q81_grouping_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q82_setops_suite",
-    members=("q13_set_ops", "q14_union_all_counts", "q108_full_outer_balance"),
+    members=(
+        "q13_set_ops",
+        "q14_union_all_counts",
+        "q108_full_outer_balance",
+        "q158_salted_hot_join",
+    ),
     oracle=f"""
     SELECT 'intersect_except' AS src, c_custkey AS k, CAST(NULL AS BIGINT) AS n,
            CAST(NULL AS VARCHAR) AS s, CAST(NULL AS DOUBLE) AS val,
@@ -394,6 +399,11 @@ def q81_grouping_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            concat(side, ':', nation) AS s, cust_balance AS val,
            n_suppliers AS n2, supp_balance AS val2
     FROM {_sub('q108_full_outer_balance')}
+    UNION ALL
+    SELECT 'salted_hot' AS src, mean_cents AS k, n_events AS n,
+           event_type AS s, CAST(n_above_mean AS DOUBLE) AS val,
+           n_users_above AS n2, CAST(NULL AS DOUBLE) AS val2
+    FROM {_sub('q158_salted_hot_join')}
     ORDER BY src, k NULLS FIRST
     """,
 )
@@ -401,7 +411,8 @@ def q82_setops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation + join-taxonomy suite: INTERSECT/EXCEPT
     composition rows (q13), the UNION-ALL source counts (q14) and the
     FULL OUTER per-nation balance comparison (q108) under source
-    tags on one aligned schema."""
+    tags on one aligned schema, plus the hot-key salted-join stats
+    (q158 — result proven identical to the plain join)."""
     pad = lambda: [
         F.lit(None).cast("string").alias("s"),
         F.lit(None).cast("double").alias("val"),
@@ -426,7 +437,19 @@ def q82_setops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_suppliers").alias("n2"),
         F.col("supp_balance").alias("val2"),
     )
-    return a.unionByName(b).unionByName(c).orderBy("src", F.asc_nulls_first("k"))
+    d = _run("q158_salted_hot_join", spark, sf_dir).select(
+        F.lit("salted_hot").alias("src"),
+        F.col("mean_cents").alias("k"),
+        F.col("n_events").alias("n"),
+        F.col("event_type").alias("s"),
+        F.col("n_above_mean").cast("double").alias("val"),
+        F.col("n_users_above").alias("n2"),
+        F.lit(None).cast("double").alias("val2"),
+    )
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d)
+        .orderBy("src", F.asc_nulls_first("k"))
+    )
 
 
 # ---------------------------------------------------------------- q83
@@ -923,17 +946,29 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q67_repetition_filter",
         "q100_lm_familiarity",
         "q150_domain_relevance",
+        "q157_curation_funnel",
     ),
     oracle=f"""
     SELECT r.doc_id, r.n_grams, r.dup_gram_fraction, r.top_gram_share,
            (r.doc_id % 97 = 0) AS is_benchmark,
            CAST(COALESCE(d.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
            l.n_bigrams, l.n_known, l.fam_sum, l.known_ppm, l.lm_keep,
-           dr.rel_rank, dr.rel_score
+           dr.rel_rank, dr.rel_score,
+           fn.funnel_in_total, fn.funnel_out_lang, fn.funnel_out_quality,
+           fn.funnel_out_words, fn.funnel_out_exact, fn.funnel_out_final
     FROM {_sub('q67_repetition_filter')} r
     LEFT JOIN {_sub('q65_decontamination')} d USING (doc_id)
     JOIN {_sub('q100_lm_familiarity')} l USING (doc_id)
     LEFT JOIN {_sub('q150_domain_relevance')} dr USING (doc_id)
+    CROSS JOIN (
+      SELECT CAST(SUM(CASE WHEN stage = 'language' THEN n_in END) AS BIGINT) AS funnel_in_total,
+             CAST(SUM(CASE WHEN stage = 'language' THEN n_out END) AS BIGINT) AS funnel_out_lang,
+             CAST(SUM(CASE WHEN stage = 'quality' THEN n_out END) AS BIGINT) AS funnel_out_quality,
+             CAST(SUM(CASE WHEN stage = 'min_words' THEN n_out END) AS BIGINT) AS funnel_out_words,
+             CAST(SUM(CASE WHEN stage = 'exact_dedup' THEN n_out END) AS BIGINT) AS funnel_out_exact,
+             CAST(SUM(CASE WHEN stage = 'near_dup' THEN n_out END) AS BIGINT) AS funnel_out_final
+      FROM {_sub('q157_curation_funnel')}
+    ) fn
     ORDER BY doc_id
     """,
 )
@@ -943,13 +978,25 @@ def q89_scrub_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q65) attached and the corpus-trained bigram-LM familiarity score
     (q100 — the CCNet-shape model filter) joined on; the held-out
     benchmark slice is flagged, and the DSIR-shape domain-relevance
-    selection (q150) marks its top-30 picks with rank and score.
+    selection (q150) marks its top-30 picks with rank and score; the
+    q49 attrition funnel (q157) rides as one pivoted broadcast row so
+    the pipeline's stage counts are driver-verified alongside.
     Co-keyed joins on doc_id."""
     r = _run("q67_repetition_filter", spark, sf_dir)
     d = _run("q65_decontamination", spark, sf_dir)
     l = _run("q100_lm_familiarity", spark, sf_dir)
     dr = _run("q150_domain_relevance", spark, sf_dir).select(
         "doc_id", "rel_rank", "rel_score"
+    )
+    def _stage(name, col):
+        return F.sum(F.when(F.col("stage") == name, F.col(col))).cast("bigint")
+    fn = _run("q157_curation_funnel", spark, sf_dir).agg(
+        _stage("language", "n_in").alias("funnel_in_total"),
+        _stage("language", "n_out").alias("funnel_out_lang"),
+        _stage("quality", "n_out").alias("funnel_out_quality"),
+        _stage("min_words", "n_out").alias("funnel_out_words"),
+        _stage("exact_dedup", "n_out").alias("funnel_out_exact"),
+        _stage("near_dup", "n_out").alias("funnel_out_final"),
     )
     return (
         r.join(d, "doc_id", "left")
@@ -963,6 +1010,7 @@ def q89_scrub_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(l, "doc_id")
         .join(dr, "doc_id", "left")
+        .crossJoin(F.broadcast(fn))
         .orderBy("doc_id")
     )
 

@@ -176,3 +176,122 @@ def q49_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_words", "n_tokens_est", "quality_score")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------- q157
+# Pipeline observability: the attrition funnel for q49's curation
+# chain. A 100 TB pipeline is tuned by WHERE documents die, not just
+# by what survives — per stage: rows entering, rows surviving, rows
+# dropped. Same fragments and thresholds as q49, so the two queries
+# can never drift apart silently.
+
+
+@register(
+    "q157_curation_funnel",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, text, {_LANG_PRED} AS lang_pred,
+             CAST({_N_WORDS} AS INTEGER) AS n_words,
+             {_SCORE} AS quality_score
+      FROM documents
+    ),
+    s_lang AS (SELECT * FROM feat WHERE lang_pred = 'en'),
+    s_quality AS (SELECT * FROM s_lang WHERE quality_score >= {_MIN_SCORE}),
+    s_words AS (SELECT * FROM s_quality WHERE n_words >= {_MIN_WORDS}),
+    survivors AS (
+      SELECT doc_id, text FROM (
+        SELECT k.doc_id, k.text,
+               MIN(doc_id) OVER (PARTITION BY md5({_NORM_DUCK})) AS keeper
+        FROM s_words k
+      ) WHERE doc_id = keeper
+    ),
+    {minhash_cte("survivors")},
+    grams AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(generate_series(1, length(text) - 2),
+               i -> substring(text, i, 3))) AS g
+      FROM survivors WHERE length(text) >= 3
+    ),
+    dropped AS (
+      SELECT DISTINCT c.id_b FROM candidates c
+      JOIN grams a ON a.id = c.id_a
+      JOIN grams b ON b.id = c.id_b
+      WHERE len(list_intersect(a.g, b.g))
+            / CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) >= 0.5
+    ),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM feat) AS n_total,
+             (SELECT COUNT(*) FROM s_lang) AS n_lang,
+             (SELECT COUNT(*) FROM s_quality) AS n_quality,
+             (SELECT COUNT(*) FROM s_words) AS n_words_ok,
+             (SELECT COUNT(*) FROM survivors) AS n_exact,
+             (SELECT COUNT(*) FROM survivors) - (SELECT COUNT(*) FROM dropped) AS n_final
+    )
+    SELECT stage, n_in, n_out, n_in - n_out AS n_dropped FROM (
+      SELECT 1 AS ord, 'language' AS stage, n_total AS n_in, n_lang AS n_out FROM counts
+      UNION ALL
+      SELECT 2, 'quality', n_lang, n_quality FROM counts
+      UNION ALL
+      SELECT 3, 'min_words', n_quality, n_words_ok FROM counts
+      UNION ALL
+      SELECT 4, 'exact_dedup', n_words_ok, n_exact FROM counts
+      UNION ALL
+      SELECT 5, 'near_dup', n_exact, n_final FROM counts
+    ) ORDER BY ord
+    """,
+)
+def q157_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage attrition for the q49 pipeline: language gate →
+    quality gate → min-words gate → exact dedup → near-dup drop, one
+    row per stage with (n_in, n_out, n_dropped). Counts are exact
+    integers; every stage reuses q49's fragments verbatim (same
+    predicates, same md5 window, same LSH + Jaccard chain), so this
+    funnel IS q49's attrition, not a reimplementation that can drift.
+    The stage frames are narrow filters over one scan; only the dedup
+    stages shuffle, on the same uniform md5/band keys as q49."""
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        "text",
+        language_id("text").alias("lang_pred"),
+        quality_features("text").alias("q"),
+    ).select(
+        "doc_id",
+        "text",
+        "lang_pred",
+        F.col("q.n_words").alias("n_words"),
+        F.col("q.quality_score").alias("quality_score"),
+    )
+    s_lang = feat.where(F.col("lang_pred") == "en")
+    s_quality = s_lang.where(F.col("quality_score") >= _MIN_SCORE)
+    s_words = s_quality.where(F.col("n_words") >= _MIN_WORDS)
+    survivors = (
+        s_words.withColumn(
+            "keeper",
+            F.min("doc_id").over(Window.partitionBy(F.md5(F.expr(_NORM_SPARK)))),
+        )
+        .where(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    cands = minhash_candidate_pairs(survivors, "doc_id", "text", 12, 3, 3)
+    verified = ngram_jaccard_pairs(
+        survivors, "doc_id", "text", n=3, threshold=0.5, candidates=cands
+    )
+    n_total = feat.count()
+    n_lang = s_lang.count()
+    n_quality = s_quality.count()
+    n_words_ok = s_words.count()
+    n_exact = survivors.count()
+    n_dropped_near = verified.select("id_b").distinct().count()
+    rows = [
+        ("language", n_total, n_lang),
+        ("quality", n_lang, n_quality),
+        ("min_words", n_quality, n_words_ok),
+        ("exact_dedup", n_words_ok, n_exact),
+        ("near_dup", n_exact, n_exact - n_dropped_near),
+    ]
+    return spark.createDataFrame(
+        [(s, a, b, a - b) for s, a, b in rows],
+        "stage string, n_in long, n_out long, n_dropped long",
+    )

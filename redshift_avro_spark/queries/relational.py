@@ -1772,3 +1772,75 @@ def q139_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("diff_pos")
     )
+
+
+# --------------------------------------------------------------- q158
+# Hot-key salted join: events has FIVE event_type values, so a shuffle
+# join on it lands ~20% of the fact table on single reducers. The demo
+# runs operators/skew.py::salted_join — probe rows salted by xxhash64,
+# the 5-row build side replicated across salts — and proves the result
+# identical to the plain join (the oracle IS the plain join). AQE's
+# skew splitting handles what it can see; explicit salting is the
+# deterministic pre-partitioning form for the cases it can't.
+
+
+@register(
+    "q158_salted_hot_join",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    dim AS (
+      SELECT event_type,
+             CAST(CAST(SUM(cents) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_cents
+      FROM ev GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           d.mean_cents,
+           CAST(SUM(CASE WHEN e.cents > d.mean_cents THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above_mean,
+           CAST(COUNT(DISTINCT CASE WHEN e.cents > d.mean_cents THEN e.user_id END) AS BIGINT)
+             AS n_users_above
+    FROM ev e JOIN dim d USING (event_type)
+    GROUP BY e.event_type, d.mean_cents
+    ORDER BY e.event_type
+    """,
+)
+def q158_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats via an explicitly SALTED join on the 5-value
+    hot key: the probe (events, integer cents) is salted with xxhash64
+    over the full row, the per-type mean-cents build side replicates
+    across 8 salt values, and the post-join aggregation groups on the
+    original key — result bit-identical to the plain join the oracle
+    runs, but the hot key's rows spread over 8 reducers instead of 1.
+    All arithmetic is exact integers (floor-quantized cents, integer
+    division for the mean). See operators/skew.py:salted_join."""
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    dim = ev.groupBy("event_type").agg(
+        F.expr("SUM(cents) div COUNT(*)").alias("mean_cents")
+    ).select(F.col("event_type").alias("bk"), "mean_cents")
+    joined = salted_join(ev, dim, "event_type", "bk", n_salts=8)
+    return (
+        joined.groupBy("event_type", "mean_cents")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.when(F.col("cents") > F.col("mean_cents"), 1).otherwise(0))
+            .cast("long").alias("n_above_mean"),
+            F.countDistinct(
+                F.when(F.col("cents") > F.col("mean_cents"), F.col("user_id"))
+            ).cast("long").alias("n_users_above"),
+        )
+        .select(
+            "event_type", "n_events", "mean_cents", "n_above_mean", "n_users_above"
+        )
+        .orderBy("event_type")
+    )

@@ -125,3 +125,25 @@ class TestDriverTrainEquivalence:
         finally:
             sim.TRAIN_DRIVER_CAP = cap
         assert sorted(fast) == sorted(slow)
+
+
+class TestCurationFunnel:
+    def test_funnel_is_monotone_and_matches_q49(self, spark):
+        from redshift_avro_spark.queries import load_all
+
+        reg = load_all()
+        rows = {
+            r["stage"]: (r["n_in"], r["n_out"], r["n_dropped"])
+            for r in reg["q157_curation_funnel"].fn(spark, SF_SMOKE).collect()
+        }
+        order = ["language", "quality", "min_words", "exact_dedup", "near_dup"]
+        assert list(rows) == order or set(rows) == set(order)
+        for stage in order:
+            n_in, n_out, n_dropped = rows[stage]
+            assert 0 <= n_out <= n_in and n_dropped == n_in - n_out
+        # stages chain: each stage's n_in is the previous stage's n_out
+        for prev, cur in zip(order, order[1:]):
+            assert rows[cur][0] == rows[prev][1]
+        # the funnel's final survivor count IS q49's result size
+        q49_n = reg["q49_curation_pipeline"].fn(spark, SF_SMOKE).count()
+        assert rows["near_dup"][1] == q49_n

@@ -1029,3 +1029,79 @@ def q155_cluster_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# --------------------------------------------------------------- q159
+# ANN quality measurement: recall@5 of the LSH index (q36) and the IVF
+# index (q45) against the brute-force ground truth (q35), per query
+# and corpus-wide. The evaluation loop every production ANN deployment
+# runs before trading exactness for speed — reuses the three
+# registered pipelines verbatim, so the measured systems ARE the
+# shipped ones.
+
+
+def _q159_oracle() -> str:
+    """q159's oracle wraps the three member pipelines' own oracles as
+    subqueries (they are registered earlier in this module), so the
+    measured systems and the measured ground truth are single-sourced."""
+    def sub(name):
+        return "(" + REGISTRY[name].oracle + ")"
+
+    return f"""
+    WITH exact AS (SELECT query_id, neighbor_id FROM {sub('q35_cosine_topk')}),
+    lsh AS (SELECT query_id, neighbor_id, 1 AS lsh_hit FROM {sub('q36_ann_lsh_topk')}),
+    ivf AS (SELECT query_id, neighbor_id, 1 AS ivf_hit FROM {sub('q45_ivf_topk')})
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(COALESCE(l.lsh_hit, 0)) AS BIGINT) AS lsh_hits,
+           CAST(CAST(SUM(COALESCE(l.lsh_hit, 0)) AS BIGINT) * 1000000
+             // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS lsh_recall_ppm,
+           CAST(SUM(COALESCE(i.ivf_hit, 0)) AS BIGINT) AS ivf_hits,
+           CAST(CAST(SUM(COALESCE(i.ivf_hit, 0)) AS BIGINT) * 1000000
+             // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS ivf_recall_ppm
+    FROM exact e
+    LEFT JOIN lsh l USING (query_id, neighbor_id)
+    LEFT JOIN ivf i USING (query_id, neighbor_id)
+    GROUP BY e.query_id ORDER BY e.query_id
+    """
+
+
+@register("q159_ann_recall", oracle=_q159_oracle())
+def q159_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 per query for LSH and IVF against exact top-5:
+    |approx ∩ exact| ppm over the exact hit count (ppm integer — no
+    float division), plus the hit counts themselves. LEFT join from
+    the exact set: a query whose bucket/probe list misses everything
+    still reports 0. All joins on (query_id, neighbor_id) — tiny
+    ranked sets, broadcast-joined."""
+    exact = REGISTRY["q35_cosine_topk"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = REGISTRY["q36_ann_lsh_topk"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("lsh_hit")
+    )
+    ivf = REGISTRY["q45_ivf_topk"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("ivf_hit")
+    )
+    return (
+        exact.join(F.broadcast(lsh), ["query_id", "neighbor_id"], "left")
+        .join(F.broadcast(ivf), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.coalesce("lsh_hit", F.lit(0))).cast("long").alias("lsh_hits"),
+            F.sum(F.coalesce("ivf_hit", F.lit(0))).cast("long").alias("ivf_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "lsh_hits",
+            F.expr("lsh_hits * 1000000 div n_exact").alias("lsh_recall_ppm"),
+            "ivf_hits",
+            F.expr("ivf_hits * 1000000 div n_exact").alias("ivf_recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+

@@ -167,6 +167,15 @@ def q49_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode,
     )
     cands = minhash_candidate_pairs(survivors, "doc_id", "text", 12, 3, 3)
+    if mode != "none":
+        # the candidate list is a sliver of the corpus but feeds two
+        # consumers inside the verify stage (member semi-join + pair
+        # join); without a lineage cut the whole band-aggregation
+        # subplan evaluates twice (measured 3.37→2.58 s best-of-3 at
+        # sf0.1 — exchange reuse does not cover it across the two
+        # join sides). Production pipelines materialize the candidate
+        # list between discovery and verify for the same reason.
+        cands = cands.localCheckpoint(eager=True)
     verified = ngram_jaccard_pairs(
         survivors, "doc_id", "text", n=3, threshold=0.5, candidates=cands
     )
@@ -274,7 +283,9 @@ def q157_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .localCheckpoint(eager=True)
     )
-    cands = minhash_candidate_pairs(survivors, "doc_id", "text", 12, 3, 3)
+    cands = minhash_candidate_pairs(
+        survivors, "doc_id", "text", 12, 3, 3
+    ).localCheckpoint(eager=True)  # same double-evaluation cut as q49
     verified = ngram_jaccard_pairs(
         survivors, "doc_id", "text", n=3, threshold=0.5, candidates=cands
     )

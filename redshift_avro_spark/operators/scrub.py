@@ -223,7 +223,14 @@ def duplicated_spans(
         F.max(F.col("e") - F.col("s") + w).cast("int").alias("max_span_words"),
         F.sum("nw").cast("int").alias("n_dup_windows"),
     )
-    totals = wins.groupBy(id_col).agg(F.count("*").cast("int").alias("n_windows"))
+    # n_windows is size(words) − w + 1 — a narrow projection off the
+    # source, NOT a third evaluation of the exploded fan-out (which dup
+    # and hits already each consume once): saves a full fan-out pass
+    # plus its per-doc aggregation exchange.
+    totals = df.select(
+        F.col(id_col),
+        (F.expr(f"size({words})") - (w - 1)).cast("int").alias("n_windows"),
+    ).where(F.col("n_windows") >= 1)
     return totals.join(per_doc, id_col, "left").select(
         F.col(id_col),
         "n_windows",

@@ -66,6 +66,13 @@ EXTENDED = [
     "q150_domain_relevance",
     "q152_ivf_incremental_add",
     "q153_corpus_datasheet",
+    # round 5 additions
+    "q159_ann_recall",
+    "q160_edit_distance_verify",
+    "q161_span_scrub",
+    "q162_lexical_diversity",
+    "q163_source_overlap",
+    "q164_mixture_concentration",
 ]
 
 

@@ -298,6 +298,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    candidates: DataFrame,
+    threshold_ppm: int = 200_000,
+) -> DataFrame:
+    """Exact Levenshtein verification for candidate pairs — the
+    strictest (and most expensive) near-dup verify: full O(|a|·|b|)
+    edit-distance DP per pair, so it must ONLY ever run on a banded
+    candidate sliver, never the corpus (LSH discovers, this confirms).
+
+    Returns one row per candidate pair: (id_a, id_b, lev, max_len,
+    lev_ppm, is_dup) where lev_ppm = lev·10⁶ div max(len_a, len_b, 1)
+    — the length-normalized distance as an exact integer — and is_dup
+    flags lev_ppm ≤ ``threshold_ppm`` (rides as INTEGER: the oracle
+    compare normalizes booleans differently).
+
+    Scale shape: the candidate list is broadcast against the corpus
+    twice (id equi-joins — at most two corpus scans, no shuffle of the
+    text column beyond the matched sliver); the DP itself is
+    JVM-side ``levenshtein`` inside whole-stage codegen."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    # stage the DP result once; ppm and the flag derive from the staged
+    # column, so each pair runs the quadratic kernel exactly once
+    staged = (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__ta", "__tb").cast("long").alias("lev"),
+            F.greatest(F.length("__ta"), F.length("__tb"), F.lit(1))
+            .cast("long")
+            .alias("max_len"),
+        )
+    )
+    return staged.select(
+        "id_a",
+        "id_b",
+        "lev",
+        "max_len",
+        F.expr("lev * 1000000 div max_len").alias("lev_ppm"),
+        (F.expr("lev * 1000000 div max_len") <= threshold_ppm)
+        .cast("int")
+        .alias("is_dup"),
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     id_col: str,

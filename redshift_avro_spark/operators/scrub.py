@@ -123,6 +123,58 @@ def scrub_pii(text_col: str) -> Column:
     )
 
 
+def _duplicated_window_hits(
+    df: DataFrame, id_col: str, text_col: str, w: int, min_docs: int
+) -> DataFrame:
+    """(id, pos) of every ``w``-word window that also occurs in at
+    least ``min_docs − 1`` other documents — the shared discovery half
+    of :func:`duplicated_spans` (reporting) and
+    :func:`scrub_duplicated_spans` (removal).
+
+    The gram rides as xxhash64(window text) from birth: the window
+    string exists only inside the projection lambda, so the w×
+    fan-out explodes, shuffles and joins 8-byte keys instead of
+    ~w-word strings (the fan-out exchange is this operator's largest).
+    Deterministic; a 64-bit collision (p ≈ n²/2⁶⁵, ~10⁻⁶ at 10⁷
+    windows) could only over-mark one window as duplicated."""
+    words = _WORDS.format(c=text_col)
+    grams = (
+        f"transform(sequence(1, size({words}) - {w - 1}), "
+        f"i -> xxhash64(array_join(slice({words}, i, {w}), ' ')))"
+    )
+    wins = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.when(F.expr(f"size({words})") >= w, F.expr(grams)).otherwise(
+                    F.expr("CAST(array() AS array<bigint>)")
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gram")
+    )
+    if min_docs == 2:
+        # "≥ 2 distinct docs" ≡ min(doc) != max(doc): ONE map-side-
+        # combining aggregation instead of distinct + countDistinct
+        # (saves a full (gram, doc) exchange — the fan-out's largest).
+        dup = (
+            wins.groupBy("gram")
+            .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+            .where(F.col("__lo") != F.col("__hi"))
+            .select("gram")
+        )
+    else:
+        dup = (
+            wins.select("gram", id_col)
+            .distinct()
+            .groupBy("gram")
+            .agg(F.count("*").alias("nd"))
+            .where(F.col("nd") >= min_docs)
+            .select("gram")
+        )
+    return wins.join(dup, "gram").select(id_col, "pos")
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -159,47 +211,7 @@ def duplicated_spans(
     from pyspark.sql.window import Window
 
     words = _WORDS.format(c=text_col)
-    # The gram rides as xxhash64(window text) from birth: the window
-    # string exists only inside the projection lambda, so the w×
-    # fan-out explodes, shuffles and joins 8-byte keys instead of
-    # ~w-word strings (the fan-out exchange is this operator's largest).
-    # Deterministic; a 64-bit collision (p ≈ n²/2⁶⁵, ~10⁻⁶ at 10⁷
-    # windows) could only over-mark one window as duplicated.
-    grams = (
-        f"transform(sequence(1, size({words}) - {w - 1}), "
-        f"i -> xxhash64(array_join(slice({words}, i, {w}), ' ')))"
-    )
-    wins = (
-        df.select(
-            F.col(id_col),
-            F.posexplode(
-                F.when(F.expr(f"size({words})") >= w, F.expr(grams)).otherwise(
-                    F.expr("CAST(array() AS array<bigint>)")
-                )
-            ).alias("pos0", "gram"),
-        )
-        .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gram")
-    )
-    if min_docs == 2:
-        # "≥ 2 distinct docs" ≡ min(doc) != max(doc): ONE map-side-
-        # combining aggregation instead of distinct + countDistinct
-        # (saves a full (gram, doc) exchange — the fan-out's largest).
-        dup = (
-            wins.groupBy("gram")
-            .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
-            .where(F.col("__lo") != F.col("__hi"))
-            .select("gram")
-        )
-    else:
-        dup = (
-            wins.select("gram", id_col)
-            .distinct()
-            .groupBy("gram")
-            .agg(F.count("*").alias("nd"))
-            .where(F.col("nd") >= min_docs)
-            .select("gram")
-        )
-    hits = wins.join(dup, "gram").select(id_col, "pos")
+    hits = _duplicated_window_hits(df, id_col, text_col, w, min_docs)
     by_pos = Window.partitionBy(id_col).orderBy("pos")
     islands = (
         hits.withColumn("prev", F.lag("pos").over(by_pos))
@@ -238,6 +250,56 @@ def duplicated_spans(
         F.coalesce("n_dup_spans", F.lit(0)).cast("int").alias("n_dup_spans"),
         F.coalesce("dup_span_words", F.lit(0)).cast("int").alias("dup_span_words"),
         F.coalesce("max_span_words", F.lit(0)).cast("int").alias("max_span_words"),
+    )
+
+
+def scrub_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 6,
+    min_docs: int = 2,
+) -> DataFrame:
+    """REMOVE cross-document duplicated spans from the text — the
+    output half of exact-substring dedup (:func:`duplicated_spans`
+    reports the spans; this rewrites the corpus without them, the
+    "deduplicate training data" protocol's actual deliverable).
+
+    A word position is scrubbed iff it is covered by ANY duplicated
+    ``w``-word window (a window at pos p covers [p, p+w−1]). Returns
+    one row per document: (id, n_words, n_scrubbed, scrubbed_text)
+    where scrubbed_text is the whitespace-normalized lowercased text
+    with covered words removed (normalization matches the window
+    hashing, so what is detected is exactly what is removed).
+
+    Scale shape: discovery is the shared hits sliver; covered indices
+    explode only from hits (≤ w× the duplicated sliver, never the
+    corpus) and collapse to one bounded array per affected doc; the
+    rebuild is one narrow projection over the corpus with a left join
+    against the per-doc covered arrays (AQE broadcasts the sliver)."""
+    hits = _duplicated_window_hits(df, id_col, text_col, w, min_docs)
+    cov = (
+        hits.select(F.col(id_col), F.explode(F.expr(f"sequence(pos, pos + {w - 1})")).alias("p"))
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("p")).alias("__cov"))
+    )
+    words = _WORDS.format(c=text_col)
+    base = df.select(F.col(id_col), F.expr(words).alias("__w"))
+    kept = "filter(sequence(1, size(__w)), p -> __cov IS NULL OR NOT array_contains(__cov, p))"
+    return (
+        base.join(cov, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size("__w").cast("int").alias("n_words"),
+            F.when(F.col("__cov").isNull(), F.lit(0))
+            .otherwise(F.size("__cov"))
+            .cast("int")
+            .alias("n_scrubbed"),
+            F.expr(
+                f"array_join(transform({kept}, p -> element_at(__w, p)), ' ')"
+            ).alias("scrubbed_text"),
+        )
     )
 
 

@@ -13,7 +13,7 @@ with an exactly-matching SQL formulation for the oracle:
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -156,6 +156,42 @@ def quality_classifier_score(text_col: str, n_buckets: int = 1024) -> Column:
         f"'logit_ppm', CASE WHEN {n_feats} = 0 THEN CAST(0 AS BIGINT) "
         f"ELSE ({logit}) * 1000000 div {n_feats} END, "
         f"'keep', ({logit}) > 0)"
+    )
+
+
+def lexical_diversity(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document lexical-diversity profile: token count, type
+    (distinct word) count, type-token ratio and hapax-legomena share,
+    both as exact integer ppm — the vocabulary-richness signals a
+    quality-filtering pipeline reads next to stopword/punctuation
+    ratios (template-generated or keyword-stuffed text scores low TTR;
+    gibberish scores near-1.0 hapax).
+
+    Scale shape: explode + two map-side-combining aggregations on the
+    uniform (doc, word) and doc keys — per-group width is bounded by a
+    single document's vocabulary, never the corpus; no per-row Python,
+    no quadratic per-doc lambda (an in-array nested filter would be
+    O(len^2) per document)."""
+    words = _WORDS.format(c=text_col)
+    tok = df.select(F.col(id_col), F.explode(F.expr(words)).alias("__w"))
+    per_word = tok.groupBy(id_col, "__w").agg(F.count("*").alias("__c"))
+    return (
+        per_word.groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr("n_types * 1000000 div n_tokens").alias("ttr_ppm"),
+            F.expr("n_hapax * 1000000 div n_types").alias("hapax_ppm"),
+        )
     )
 
 

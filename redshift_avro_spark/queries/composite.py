@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 154 operator demonstrations. Rather
+names), but the registry carries 159 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–8 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-154 still registered) keep guarding it. A composite can only pass if
+159 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -55,17 +55,21 @@ def _sub(name: str) -> str:
         "q39_doc_fingerprint",
         "q95_quality_classifier",
         "q131_robust_outliers",
+        "q162_lexical_diversity",
     ),
     oracle=f"""
     SELECT a.*, b.n_tokens_est, c.fingerprint,
            d.n_feats, d.logit_sum, d.logit_ppm, d.keep,
-           e.q1, e.med, e.q3, e.is_outlier
+           e.q1, e.med, e.q3, e.is_outlier,
+           x.n_types, x.n_hapax, x.ttr_ppm, x.hapax_ppm
     FROM {_sub('q37_text_quality')} a
     JOIN (SELECT doc_id, n_tokens_est FROM {_sub('q38_token_stats')}) b USING (doc_id)
     JOIN {_sub('q39_doc_fingerprint')} c USING (doc_id)
     JOIN {_sub('q95_quality_classifier')} d USING (doc_id)
     JOIN (SELECT doc_id, q1, med, q3, is_outlier
           FROM {_sub('q131_robust_outliers')}) e USING (doc_id)
+    JOIN (SELECT doc_id, n_types, n_hapax, ttr_ppm, hapax_ppm
+          FROM {_sub('q162_lexical_diversity')}) x USING (doc_id)
     ORDER BY doc_id
     """,
 )
@@ -73,9 +77,10 @@ def q78_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile: language-ID + quality features (q37)
     ⋈ token counts (q38) ⋈ rolling-hash fingerprint (q39) ⋈ hashed
     linear quality-classifier logits (q95) ⋈ grouped-map robust
-    outlier stats (q131 — the applyInPandas path) on doc_id. Narrow
-    projections joined on the table's own key; only q131 shuffles (on
-    the uniform lang key)."""
+    outlier stats (q131 — the applyInPandas path) ⋈ lexical diversity
+    (q162 — TTR + hapax share in exact ppm) on doc_id. Narrow
+    projections joined on the table's own key; only q131 and q162's
+    (doc, word) count shuffle (uniform keys)."""
     a = _run("q37_text_quality", spark, sf_dir)
     b = _run("q38_token_stats", spark, sf_dir).select("doc_id", "n_tokens_est")
     c = _run("q39_doc_fingerprint", spark, sf_dir)
@@ -83,8 +88,12 @@ def q78_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _run("q131_robust_outliers", spark, sf_dir).select(
         "doc_id", "q1", "med", "q3", "is_outlier"
     )
+    x = _run("q162_lexical_diversity", spark, sf_dir).select(
+        "doc_id", "n_types", "n_hapax", "ttr_ppm", "hapax_ppm"
+    )
     return (
         a.join(b, "doc_id").join(c, "doc_id").join(d, "doc_id").join(e, "doc_id")
+        .join(x, "doc_id")
         .orderBy("doc_id")
     )
 
@@ -728,12 +737,14 @@ def q85_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q33_lsh_jaccard_verify",
         "q123_containment_verify",
         "q151_stream_lsh_index",
+        "q160_edit_distance_verify",
     ),
     oracle=f"""
     SELECT c.id_a, c.id_b, v.jaccard,
            CAST((v.jaccard IS NOT NULL) AS INTEGER) AS verified,
            ct.n_inter, ct.n_a, ct.n_b, ct.cont_a_ppm, ct.cont_b_ppm, ct.max_cont_ppm,
-           si.dup_of, si.n_partners
+           si.dup_of, si.n_partners,
+           ed.lev, ed.lev_ppm, ed.is_dup AS lev_dup
     FROM {_sub('q31_minhash_lsh_candidates')} c
     LEFT JOIN {_sub('q33_lsh_jaccard_verify')} v
       ON c.id_a = v.id_a AND c.id_b = v.id_b
@@ -741,6 +752,8 @@ def q85_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON c.id_a = ct.id_a AND c.id_b = ct.id_b
     JOIN {_sub('q151_stream_lsh_index')} si
       ON c.id_b = si.doc_id
+    JOIN {_sub('q160_edit_distance_verify')} ed
+      ON c.id_a = ed.id_a AND c.id_b = ed.id_b
     ORDER BY c.id_a, c.id_b
     """,
 )
@@ -754,11 +767,16 @@ def q86_lsh_verify_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature-index verdict for the dropped side (q151 — same capped
     band-pair semantics maintained incrementally by a foreachBatch
     parquet ledger, so its per-doc (dup_of, n_partners) must agree
-    with the batch candidates exactly)."""
+    with the batch candidates exactly), plus the exact Levenshtein
+    tier (q160 — edit distance, ppm of the longer text, ≤20% verdict:
+    the strictest verify a pipeline runs, only ever on candidates)."""
     c = _run("q31_minhash_lsh_candidates", spark, sf_dir)
     v = _run("q33_lsh_jaccard_verify", spark, sf_dir)
     ct = _run("q123_containment_verify", spark, sf_dir)
     si = _run("q151_stream_lsh_index", spark, sf_dir)
+    ed = _run("q160_edit_distance_verify", spark, sf_dir).select(
+        "id_a", "id_b", "lev", "lev_ppm", F.col("is_dup").alias("lev_dup")
+    )
     return (
         c.join(v, ["id_a", "id_b"], "left")
         .select(
@@ -767,10 +785,11 @@ def q86_lsh_verify_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(ct, ["id_a", "id_b"])
         .join(si.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .join(ed, ["id_a", "id_b"])
         .select(
             "id_a", "id_b", "jaccard", "verified",
             "n_inter", "n_a", "n_b", "cont_a_ppm", "cont_b_ppm", "max_cont_ppm",
-            "dup_of", "n_partners",
+            "dup_of", "n_partners", "lev", "lev_ppm", "lev_dup",
         )
         .orderBy("id_a", "id_b")
     )
@@ -1329,13 +1348,19 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q97_passage_suite",
-    members=("q68_passage_dedup", "q96_doc_chunking", "q146_duplicated_spans"),
+    members=(
+        "q68_passage_dedup",
+        "q96_doc_chunking",
+        "q146_duplicated_spans",
+        "q161_span_scrub",
+    ),
     oracle=f"""
     SELECT p.doc_id, p.cleaned_text, p.n_chunks, p.n_dropped,
            CAST(COALESCE(c.n_windows, 0) AS BIGINT) AS n_windows,
            c.windows_digest,
            s.n_windows AS n_span_windows, s.n_dup_windows, s.n_dup_spans,
-           s.dup_span_words, s.max_span_words
+           s.dup_span_words, s.max_span_words,
+           sc.n_scrubbed, md5(sc.scrubbed_text) AS scrubbed_digest
     FROM {_sub('q68_passage_dedup')} p
     LEFT JOIN (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
@@ -1343,6 +1368,7 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM {_sub('q96_doc_chunking')} GROUP BY doc_id
     ) c USING (doc_id)
     LEFT JOIN {_sub('q146_duplicated_spans')} s USING (doc_id)
+    LEFT JOIN {_sub('q161_span_scrub')} sc USING (doc_id)
     ORDER BY doc_id
     """,
 )
@@ -1352,8 +1378,10 @@ def q97_passage_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     count + an order-sensitive digest over the chunk texts — the whole
     fan-out is hashed, so any chunk-boundary drift fails the row) ⋈
     stride-1 duplicated-span report (q146 — cross-document substring
-    dedup with island merging). Left joins: documents with no
-    chunkable words / fewer than 6 words keep null columns."""
+    dedup with island merging) ⋈ the span-scrubbed rewrite (q161 —
+    scrub count + md5 digest of the rewritten text, so one moved word
+    in the reconstruction fails the row). Left joins: documents with
+    no chunkable words / fewer than 6 words keep null columns."""
     p = _run("q68_passage_dedup", spark, sf_dir)
     c = (
         _run("q96_doc_chunking", spark, sf_dir)
@@ -1376,6 +1404,11 @@ def q97_passage_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_span_words",
         "max_span_words",
     )
+    sc = _run("q161_span_scrub", spark, sf_dir).select(
+        "doc_id",
+        "n_scrubbed",
+        F.md5("scrubbed_text").alias("scrubbed_digest"),
+    )
     return (
         p.join(c, "doc_id", "left")
         .select(
@@ -1387,6 +1420,7 @@ def q97_passage_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "windows_digest",
         )
         .join(s, "doc_id", "left")
+        .join(sc, "doc_id", "left")
         .orderBy("doc_id")
     )
 
@@ -1561,6 +1595,8 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q142_vocab_growth",
         "q149_length_buckets",
         "q153_corpus_datasheet",
+        "q163_source_overlap",
+        "q164_mixture_concentration",
     ),
     oracle=f"""
     SELECT 'tfidf' AS kind, lang AS k_str, term AS k_str2,
@@ -1601,6 +1637,17 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_docs AS n1, total_tokens AS n2, n_exact_dups AS n3,
            CAST(mean_quality_ppm AS DOUBLE) AS val
     FROM {_sub('q153_corpus_datasheet')}
+    UNION ALL
+    SELECT 'overlap' AS kind, src_a AS k_str, src_b AS k_str2,
+           shared_grams AS n1, grams_a AS n2, grams_b AS n3,
+           CAST(containment_ppm AS DOUBLE) AS val
+    FROM {_sub('q163_source_overlap')}
+    UNION ALL
+    SELECT 'mix' AS kind, 'corpus' AS k_str,
+           CAST(top_share_ppm AS VARCHAR) AS k_str2,
+           n_sources AS n1, total_tokens AS n2, hhi_ppm AS n3,
+           CAST(gini_ppm AS DOUBLE) AS val
+    FROM {_sub('q164_mixture_concentration')}
     ORDER BY kind, n1, k_str, k_str2
     """,
 )
@@ -1615,7 +1662,10 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth curve (q142 — the Heaps'-law corpus statistic), and the
     power-of-2 length-bucket histogram with per-bucket padding waste
     (q149 — the batch-geometry view), and the per-source corpus
-    datasheet (q153 — the release-statistics view), tagged and
+    datasheet (q153 — the release-statistics view), the pairwise
+    source-overlap audit (q163 — shared 4-word windows + containment
+    ppm), and the one-row mixture-concentration report (q164 — top
+    share, HHI, Gini over source token mass, exact ppm), tagged and
     unioned. The passes an LLM pipeline runs over the corpus before
     training, in one driver-verified result."""
     a = _run("q56_tfidf_terms", spark, sf_dir).select(
@@ -1690,9 +1740,28 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_exact_dups").alias("n3"),
         F.col("mean_quality_ppm").cast("double").alias("val"),
     )
+    j = _run("q163_source_overlap", spark, sf_dir).select(
+        F.lit("overlap").alias("kind"),
+        F.col("src_a").alias("k_str"),
+        F.col("src_b").alias("k_str2"),
+        F.col("shared_grams").alias("n1"),
+        F.col("grams_a").alias("n2"),
+        F.col("grams_b").alias("n3"),
+        F.col("containment_ppm").cast("double").alias("val"),
+    )
+    k = _run("q164_mixture_concentration", spark, sf_dir).select(
+        F.lit("mix").alias("kind"),
+        F.lit("corpus").alias("k_str"),
+        F.col("top_share_ppm").cast("string").alias("k_str2"),
+        F.col("n_sources").alias("n1"),
+        F.col("total_tokens").alias("n2"),
+        F.col("hhi_ppm").alias("n3"),
+        F.col("gini_ppm").cast("double").alias("val"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
         .unionByName(g).unionByName(h).unionByName(i)
+        .unionByName(j).unionByName(k)
         .orderBy("kind", "n1", "k_str", "k_str2")
     )
 

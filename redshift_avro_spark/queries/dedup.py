@@ -268,6 +268,53 @@ def q63_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- q160
+# Edit-distance verification — the strictest verify tier: LSH discovers,
+# Jaccard/containment screen cheaply, Levenshtein confirms character-
+# exactly. Both engines implement the classic unit-cost DP, proven
+# value-identical (tests/test_dedup_ops.py), so the oracle is exact.
+
+_LEV_THRESHOLD_PPM = 200_000
+
+
+@register(
+    "q160_edit_distance_verify",
+    oracle=f"""
+    WITH {_MINHASH_CTE},
+    t AS (
+      SELECT c.id_a, c.id_b,
+             CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+             CAST(greatest(length(a.text), length(b.text), 1) AS BIGINT) AS max_len
+      FROM candidates c
+      JOIN documents a ON a.doc_id = c.id_a
+      JOIN documents b ON b.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, lev, max_len,
+           CAST(lev * 1000000 // max_len AS BIGINT) AS lev_ppm,
+           CAST(CASE WHEN lev * 1000000 // max_len <= {_LEV_THRESHOLD_PPM}
+                THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+    FROM t ORDER BY id_a, id_b
+    """,
+)
+def q160_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein verification of every MinHash-LSH candidate pair:
+    exact edit distance, the max-length normalizer, distance in exact
+    integer ppm of the longer text, and the ≤20% verdict flag.
+
+    The O(|a|·|b|) DP is the most expensive verify there is — the
+    whole design point is that it only ever touches the banded
+    candidate sliver (139 pairs at sf0.1, never the corpus), joined
+    back to the text by two broadcast id equi-joins; the kernel is
+    JVM-side ``levenshtein`` inside whole-stage codegen."""
+    from ..operators.dedup import edit_distance_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_candidate_pairs(docs, "doc_id", "text", 12, 3, 3)
+    return edit_distance_pairs(
+        docs, "doc_id", "text", cands, threshold_ppm=_LEV_THRESHOLD_PPM
+    ).orderBy("id_a", "id_b")
+
+
 _COS_DUCK = (
     "(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),"
     " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'))"

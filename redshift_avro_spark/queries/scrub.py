@@ -345,3 +345,63 @@ def q146_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(
         docs, "doc_id", "text", w=_SPAN_W, min_docs=_SPAN_MIN_DOCS
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------- q161
+# The output half of exact-substring dedup: q146 reports the duplicated
+# spans, this REWRITES the corpus without them — per document, the
+# whitespace-normalized text with every word covered by a duplicated
+# window removed. The deliverable of the "Deduplicating Training Data"
+# protocol is this scrubbed corpus, not the report.
+
+
+@register(
+    "q161_span_scrub",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_W_SQL} AS __w FROM documents
+    ), g AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(__w, i, i + {_SPAN_W - 1}), ' ') AS gram
+      FROM w, unnest(generate_series(1, len(__w) - {_SPAN_W - 1})) AS t(i)
+    ), dup AS (
+      SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g)
+      GROUP BY gram HAVING count(*) >= {_SPAN_MIN_DOCS}
+    ), hits AS (
+      SELECT doc_id, pos FROM g JOIN dup USING (gram)
+    ), cov AS (
+      SELECT doc_id, list_sort(list(p)) AS cv FROM (
+        SELECT DISTINCT doc_id, pos + o AS p
+        FROM hits, unnest(generate_series(0, {_SPAN_W - 1})) AS t(o)
+      ) GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(len(__w) AS INTEGER) AS n_words,
+           CAST(COALESCE(len(cv), 0) AS INTEGER) AS n_scrubbed,
+           COALESCE(array_to_string(list_transform(
+             list_filter(generate_series(1, len(__w)),
+               p -> cv IS NULL OR NOT list_contains(cv, p)), p -> __w[p]), ' '),
+             '') AS scrubbed_text
+    FROM w LEFT JOIN cov USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q161_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite the corpus with duplicated spans REMOVED: every word
+    position covered by a 6-word window that also occurs in another
+    document is dropped; per doc the word count, scrubbed-position
+    count, and the scrubbed (whitespace-normalized lowercased) text.
+
+    Scale shape: span discovery is the q146 hits sliver; covered
+    indices explode only off that sliver and collapse to one bounded
+    array per affected doc; the rebuild is a single narrow projection
+    over the corpus joined against the sliver (AQE broadcast). The
+    full corpus is read twice and shuffled never (fan-out keys are
+    uniform xxhash64 grams). See operators/scrub.py:
+    scrub_duplicated_spans."""
+    from ..operators.scrub import scrub_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return scrub_duplicated_spans(
+        docs, "doc_id", "text", w=_SPAN_W, min_docs=_SPAN_MIN_DOCS
+    ).orderBy("doc_id")

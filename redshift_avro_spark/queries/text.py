@@ -426,6 +426,213 @@ def q131_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").applyInPandas(fn, schema=schema).orderBy("doc_id")
 
 
+# --------------------------------------------------------------- q162
+# Lexical diversity: type-token ratio + hapax share — the vocabulary-
+# richness quality signals (template spam scores low TTR, gibberish
+# scores near-1.0 hapax). Exact integer ppm both sides.
+
+
+@register(
+    "q162_lexical_diversity",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_WORDS}) AS w FROM documents
+    ), pw AS (
+      SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(CAST(count(*) AS BIGINT) * 1000000
+             // CAST(sum(c) AS BIGINT) AS BIGINT) AS ttr_ppm,
+           CAST(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+             // CAST(count(*) AS BIGINT) AS BIGINT) AS hapax_ppm
+    FROM pw GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q162_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document type-token ratio and hapax-legomena share in exact
+    integer ppm, with the underlying token/type/hapax counts.
+
+    Scale shape: one explode + two map-side-combining aggregations on
+    the uniform (doc, word) / doc keys; per-group state is bounded by
+    one document's vocabulary. See operators/text.py:
+    lexical_diversity."""
+    from ..operators.text import lexical_diversity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lexical_diversity(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# --------------------------------------------------------------- q163
+# Cross-source overlap audit: for every pair of sources, how many
+# distinct 4-word windows they share — the dataset-level contamination
+# check run before mixing corpora (a high containment ppm means one
+# source largely restates another and the mixture over-weights it).
+
+_OVL_W = 4
+
+
+@register(
+    "q163_source_overlap",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, {_WORDS} AS __w FROM documents
+    ), g AS (
+      SELECT DISTINCT source,
+             array_to_string(list_slice(__w, i, i + {_OVL_W - 1}), ' ') AS gram
+      FROM w, unnest(generate_series(1, len(__w) - {_OVL_W - 1})) AS t(i)
+    ), tot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY source
+    ), sh AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS shared_grams
+      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT sh.src_a, sh.src_b, sh.shared_grams,
+           ta.n_grams AS grams_a, tb.n_grams AS grams_b,
+           CAST(sh.shared_grams * 1000000
+             // least(ta.n_grams, tb.n_grams) AS BIGINT) AS containment_ppm
+    FROM sh
+    JOIN tot ta ON ta.source = sh.src_a
+    JOIN tot tb ON tb.source = sh.src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def q163_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap audit: distinct shared 4-word windows
+    per source pair, each side's window vocabulary size, and the
+    containment of the smaller side in exact integer ppm.
+
+    Scale shape: ONE distinct (source, gram) aggregation (uniform gram
+    keys), then gram groups collapse to a per-gram source set bounded
+    by the SOURCE DOMAIN (20 here), whose ordered pairs explode and
+    re-aggregate — the corpus is never self-joined (the oracle's
+    gram⋈gram is the oracle's affordance, not the plan). Output is
+    O(sources²) rows."""
+    w = F.expr("split(trim(lower(text)), '\\\\s+')")
+    grams = F.expr(
+        f"transform(sequence(1, size(split(trim(lower(text)), '\\\\s+')) - {_OVL_W - 1}), "
+        f"i -> array_join(slice(split(trim(lower(text)), '\\\\s+'), i, {_OVL_W}), ' '))"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.where(F.size(w) >= _OVL_W)
+        .select("source", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    tot = g.groupBy("source").agg(F.count("*").cast("long").alias("n_grams"))
+    pair_expr = (
+        "flatten(transform(srcs, (x, i) -> "
+        "transform(slice(srcs, i + 2, size(srcs) - i - 1), "
+        "y -> named_struct('src_a', x, 'src_b', y))))"
+    )
+    sh = (
+        g.groupBy("gram")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .where(F.size("srcs") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count("*").cast("long").alias("shared_grams"))
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n_grams").alias("grams_a"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n_grams").alias("grams_b"))
+    return (
+        sh.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a", "src_b", "shared_grams", "grams_a", "grams_b",
+            F.expr(
+                "shared_grams * 1000000 div least(grams_a, grams_b)"
+            ).alias("containment_ppm"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# --------------------------------------------------------------- q164
+# Mixture concentration: how evenly the corpus's token mass is spread
+# across sources — top-source share, Herfindahl (HHI) and Gini, all as
+# exact integer ppm. The one-row datasheet number reviewers quote when
+# a "diverse" corpus is actually 60% one crawl.
+
+
+@register(
+    "q164_mixture_concentration",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, CAST(sum({_N_WORDS}) AS BIGINT) AS tok
+      FROM documents GROUP BY source
+    ), ranked AS (
+      SELECT source, tok,
+             CAST(ROW_NUMBER() OVER (ORDER BY tok, source) AS BIGINT) AS i
+      FROM per_src
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(tok) AS BIGINT) AS total,
+             CAST(max(tok) AS BIGINT) AS max_tok,
+             CAST(sum(i * tok) AS BIGINT) AS s_i
+      FROM ranked
+    ), shares AS (
+      SELECT CAST(sum((r.tok * 1000000 // t.total) * (r.tok * 1000000 // t.total))
+               // 1000000 AS BIGINT) AS hhi_ppm
+      FROM ranked r CROSS JOIN tot t
+    )
+    SELECT t.n AS n_sources, t.total AS total_tokens,
+           CAST(t.max_tok * 1000000 // t.total AS BIGINT) AS top_share_ppm,
+           s.hhi_ppm,
+           CAST((2 * t.s_i - (t.n + 1) * t.total) * 1000000
+             // (t.n * t.total) AS BIGINT) AS gini_ppm
+    FROM tot t CROSS JOIN shares s
+    """,
+)
+def q164_mixture_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row mixture-concentration report over source token mass:
+    source count, total whitespace tokens, top-source share, HHI and
+    Gini — every number an exact integer (shares quantized to ppm
+    BEFORE squaring/summing, so no float order-dependence).
+
+    Scale shape: one map-side-combining aggregation on the
+    low-cardinality source key; everything after operates on
+    O(sources) rows (the rank window sorts 20 rows, not the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", F.expr("size(split(trim(lower(text)), '\\\\s+'))").alias("nw"))
+        .groupBy("source")
+        .agg(F.sum("nw").cast("long").alias("tok"))
+    )
+    ranked = per_src.select(
+        "source",
+        "tok",
+        F.row_number().over(Window.orderBy("tok", "source")).cast("long").alias("i"),
+    )
+    tot = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("tok").cast("long").alias("total"),
+        F.max("tok").cast("long").alias("max_tok"),
+        F.sum(F.col("i") * F.col("tok")).cast("long").alias("s_i"),
+    )
+    shares = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(F.expr("tok * 1000000 div total").alias("sp"))
+        .agg(F.expr("CAST(sum(sp * sp) div 1000000 AS BIGINT)").alias("hhi_ppm"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(shares))
+        .select(
+            F.col("n").alias("n_sources"),
+            F.col("total").alias("total_tokens"),
+            F.expr("max_tok * 1000000 div total").alias("top_share_ppm"),
+            "hhi_ppm",
+            F.expr(
+                "(2 * s_i - (n + 1) * total) * 1000000 div (n * total)"
+            ).alias("gini_ppm"),
+        )
+    )
+
+
 # --------------------------------------------------------------- q153
 # Corpus datasheet: the per-source release statistics every published
 # training corpus ships (a "datasheets for datasets" summary) — doc and

@@ -147,3 +147,168 @@ class TestCurationFunnel:
         # the funnel's final survivor count IS q49's result size
         q49_n = reg["q49_curation_pipeline"].fn(spark, SF_SMOKE).count()
         assert rows["near_dup"][1] == q49_n
+
+
+class TestEditDistancePairs:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumped over the lazy dog"),
+                (3, "a completely different sentence about databases"),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_matches_reference_dp(self, spark):
+        from redshift_avro_spark.operators.dedup import edit_distance_pairs
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i] + [0] * len(b)
+                for j, cb in enumerate(b, 1):
+                    cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                prev = cur
+            return prev[-1]
+
+        docs = self._docs(spark)
+        cands = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+        )
+        out = {
+            (r["id_a"], r["id_b"]): r
+            for r in edit_distance_pairs(docs, "doc_id", "text", cands).collect()
+        }
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        assert set(out) == {(1, 2), (1, 3), (1, 4)}
+        for (a, b), row in out.items():
+            expected = lev(texts[a], texts[b])
+            max_len = max(len(texts[a]), len(texts[b]), 1)
+            assert row["lev"] == expected
+            assert row["max_len"] == max_len
+            assert row["lev_ppm"] == expected * 1_000_000 // max_len
+            assert row["is_dup"] == int(row["lev_ppm"] <= 200_000)
+
+    def test_only_candidate_pairs_scored(self, spark):
+        from redshift_avro_spark.operators.dedup import edit_distance_pairs
+
+        docs = self._docs(spark)
+        cands = spark.createDataFrame([(2, 3)], "id_a long, id_b long")
+        rows = edit_distance_pairs(docs, "doc_id", "text", cands).collect()
+        assert [(r["id_a"], r["id_b"]) for r in rows] == [(2, 3)]
+
+    def test_near_identical_pair_flags_dup(self, spark):
+        from redshift_avro_spark.operators.dedup import edit_distance_pairs
+
+        docs = self._docs(spark)
+        cands = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        row = edit_distance_pairs(docs, "doc_id", "text", cands).collect()[0]
+        # one word changed (jumps -> jumped): tiny normalized distance
+        assert row["is_dup"] == 1 and row["lev"] <= 3
+
+
+class TestScrubDuplicatedSpans:
+    def test_shared_span_removed_from_both_docs(self, spark):
+        from redshift_avro_spark.operators.scrub import scrub_duplicated_spans
+
+        shared = "one two three four five six"
+        docs = spark.createDataFrame(
+            [
+                (1, f"alpha {shared} beta"),
+                (2, f"gamma delta {shared}"),
+                (3, "nothing here repeats at all ever once"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in scrub_duplicated_spans(docs, w=6, min_docs=2).collect()
+        }
+        # the shared 6-word window is covered in both docs; flanking
+        # words survive
+        assert out[1]["scrubbed_text"] == "alpha beta"
+        assert out[2]["scrubbed_text"] == "gamma delta"
+        assert out[1]["n_scrubbed"] == 6 and out[2]["n_scrubbed"] == 6
+        assert out[3]["n_scrubbed"] == 0
+        assert out[3]["scrubbed_text"] == "nothing here repeats at all ever once"
+
+    def test_scrub_consistent_with_span_report(self, spark):
+        from redshift_avro_spark.operators.scrub import (
+            duplicated_spans,
+            scrub_duplicated_spans,
+        )
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        rep = {
+            r["doc_id"]: r for r in duplicated_spans(docs, "doc_id", "text").collect()
+        }
+        scr = {
+            r["doc_id"]: r
+            for r in scrub_duplicated_spans(docs, "doc_id", "text").collect()
+        }
+        for doc_id, s in scr.items():
+            r = rep.get(doc_id)
+            if r is None:
+                # fewer than w words: report drops the doc, scrub keeps it whole
+                assert s["n_scrubbed"] == 0
+                continue
+            # words removed == union coverage of the merged spans
+            assert s["n_scrubbed"] == r["dup_span_words"]
+            # scrubbed length = total words minus removed
+            kept_words = (
+                len(s["scrubbed_text"].split()) if s["scrubbed_text"] else 0
+            )
+            assert kept_words == s["n_words"] - s["n_scrubbed"]
+
+
+class TestLexicalDiversity:
+    def test_hand_computed(self, spark):
+        from redshift_avro_spark.operators.text import lexical_diversity
+
+        docs = spark.createDataFrame(
+            [(1, "a b a c"), (2, "x x x"), (3, "u v w")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in lexical_diversity(docs).collect()}
+        assert (out[1]["n_tokens"], out[1]["n_types"], out[1]["n_hapax"]) == (4, 3, 2)
+        assert out[1]["ttr_ppm"] == 3 * 1_000_000 // 4
+        assert out[1]["hapax_ppm"] == 2 * 1_000_000 // 3
+        assert (out[2]["n_tokens"], out[2]["n_types"], out[2]["n_hapax"]) == (3, 1, 0)
+        assert (out[3]["ttr_ppm"], out[3]["hapax_ppm"]) == (1_000_000, 1_000_000)
+
+
+class TestMixtureConcentration:
+    def test_uniform_vs_skewed(self, spark):
+        from redshift_avro_spark.queries import load_all
+        import os, tempfile, shutil
+
+        reg = load_all()
+        # synthetic corpora via temp parquet dirs shaped like testdata
+        tmp = tempfile.mkdtemp(prefix="mixconc_")
+        try:
+            uniform = spark.createDataFrame(
+                [(i, "w " * 10, "en", f"s{i % 4}", 20) for i in range(8)],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            )
+            uniform.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+            row_u = reg["q164_mixture_concentration"].fn(spark, tmp).collect()[0]
+            skewed = spark.createDataFrame(
+                [(0, "w " * 400, "en", "big", 800)]
+                + [(i, "w", "en", f"s{i}", 1) for i in range(1, 4)],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            )
+            skewed.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+            row_s = reg["q164_mixture_concentration"].fn(spark, tmp).collect()[0]
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        # uniform 4-way split: top share 25%, HHI 1/4, Gini 0
+        assert row_u["n_sources"] == 4
+        assert row_u["top_share_ppm"] == 250_000
+        assert row_u["gini_ppm"] == 0
+        assert abs(row_u["hhi_ppm"] - 250_000) <= 1
+        # skewed: one source dominates
+        assert row_s["top_share_ppm"] > 900_000
+        assert row_s["gini_ppm"] > 700_000
+        assert row_s["hhi_ppm"] > 850_000

@@ -191,7 +191,13 @@ def q33_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), exact character-3-gram Jaccard verifies ONLY those pairs —
     quadratic work never touches the full corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    cands = minhash_candidate_pairs(docs, "doc_id", "text", 12, 3, 3)
+    # the candidate subplan feeds the verify stage's member semi-join
+    # AND its pair join; the eager lineage cut stops the whole band
+    # aggregation from evaluating twice (same fix as q49 — measured
+    # 3.37->2.58 s there at sf0.1)
+    cands = minhash_candidate_pairs(
+        docs, "doc_id", "text", 12, 3, 3
+    ).localCheckpoint(eager=True)
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5, candidates=cands
     ).orderBy("id_a", "id_b")
@@ -248,7 +254,13 @@ def q63_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (affordable for DuckDB at oracle scale; the Spark side propagates
     labels in O(diameter) shuffle rounds over the edge set only)."""
     docs = load_table(spark, sf_dir, "documents")
-    cands = minhash_candidate_pairs(docs, "doc_id", "text", 12, 3, 3)
+    # the candidate subplan feeds the verify stage's member semi-join
+    # AND its pair join; the eager lineage cut stops the whole band
+    # aggregation from evaluating twice (same fix as q49 — measured
+    # 3.37->2.58 s there at sf0.1)
+    cands = minhash_candidate_pairs(
+        docs, "doc_id", "text", 12, 3, 3
+    ).localCheckpoint(eager=True)
     verified = ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5, candidates=cands
     )
@@ -437,7 +449,13 @@ def q123_containment_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same scale shape as the Jaccard verify: grams materialize only for
     pair members, quadratic work never sees the corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    cands = minhash_candidate_pairs(docs, "doc_id", "text", 12, 3, 3)
+    # the candidate subplan feeds the verify stage's member semi-join
+    # AND its pair join; the eager lineage cut stops the whole band
+    # aggregation from evaluating twice (same fix as q49 — measured
+    # 3.37->2.58 s there at sf0.1)
+    cands = minhash_candidate_pairs(
+        docs, "doc_id", "text", 12, 3, 3
+    ).localCheckpoint(eager=True)
     from ..operators.dedup import ngram_containment_pairs
 
     return ngram_containment_pairs(

@@ -73,6 +73,7 @@ EXTENDED = [
     "q162_lexical_diversity",
     "q163_source_overlap",
     "q164_mixture_concentration",
+    "q165_retrieval_metrics",
 ]
 
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk", "BM25_TSCORE_SQL"]
+__all__ = ["bm25_topk", "bm25_eval", "BM25_TSCORE_SQL"]
 
 # One fixed expression tree for the per-(doc, term) BM25 score with
 # k1=1.2, b=0.75: idf_rational * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)),
@@ -103,4 +103,124 @@ def bm25_topk(
         "dl",
         "n_terms",
         "score",
+    )
+
+
+def bm25_eval(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_query_terms: int = 8,
+    k: int = 10,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Retrieval-quality evaluation: pair the corpus's top
+    ``n_query_terms`` eligible terms into two-term queries, rank each
+    with BM25, and score the ranking against the exact AND-relevance
+    set (documents containing EVERY query term) — hits@k, precision@k,
+    recall@k, first relevant rank and MRR@k, all exact integer ppm
+    (reciprocal rank is rational, so no log-based nDCG is needed for
+    an oracle-exact metric).
+
+    Per-query top-k is the salted two-phase window: rank within
+    (query, xxhash64(doc) % ``salt_buckets``) first — each partition
+    sorts only its own sliver — then rank the ≤ buckets·k survivors
+    per query. A query term may match half the corpus (df ≤ N/2), so
+    a single per-query sort window would funnel half the corpus into
+    one partition at 100 TB; the two-phase result is identical because
+    the (score DESC, doc_id) order is a total order.
+
+    Returns one row per query: (query_id, n_query_terms_q, n_relevant,
+    hits_at_k, p_at_k_ppm, recall_at_k_ppm, first_rel_rank, mrr_ppm)
+    with first_rel_rank = 0 when no relevant doc reaches the top k."""
+    if n_query_terms < 2 or k < 1:
+        raise ValueError(
+            f"bm25_eval: need n_query_terms >= 2 and k >= 1, got {n_query_terms}, {k}"
+        )
+    words = F.expr(f"split(trim(lower({text_col})), '\\\\s+')")
+    toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    s = dl.agg(F.sum("dl").cast("long").alias("sum_dl"))
+
+    # qt is n_query_terms rows but derives from a full corpus pass
+    # (dfreq) and feeds two consumers (scored + nq); scored is the
+    # postings sliver every downstream frame (ranking, relevance,
+    # metrics) reuses. Eager lineage cuts keep the whole postings
+    # pipeline to ONE evaluation — without them the pre-execution plan
+    # replays tf/dl/dfreq per consumer (41 enumerated exchanges).
+    qt = (
+        dfreq.crossJoin(F.broadcast(n))
+        .where((F.col("df") * 2 <= F.col("n_docs")) & (F.col("df") >= 2))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(n_query_terms)
+        .select(
+            "term",
+            "df",
+            F.expr(
+                "CAST((row_number() OVER (ORDER BY df DESC, term) + 1) div 2 AS BIGINT)"
+            ).alias("query_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nq = qt.groupBy("query_id").agg(F.count("*").cast("long").alias("nq"))
+
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(s))
+        .select("query_id", "doc_id", F.expr(BM25_TSCORE_SQL).alias("tscore"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.round(F.sum("tscore").cast("double"), 6).alias("score"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # phase 1: local top-k inside (query, salt) — bounded partitions
+    w1 = Window.partitionBy(
+        "query_id", F.expr(f"pmod(xxhash64(doc_id), {salt_buckets})")
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+    # phase 2: global top-k per query over <= salt_buckets * k rows
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = (
+        scored.withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= k)
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "n_terms", "rank")
+    )
+
+    rel = scored.join(nq, "query_id").where(F.col("n_terms") == F.col("nq"))
+    relc = rel.groupBy("query_id").agg(F.count("*").cast("long").alias("n_relevant"))
+    hits = ranked.join(
+        rel.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_semi"
+    )
+    hm = hits.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("hits_at_k"),
+        F.min("rank").cast("long").alias("first_rel_rank"),
+    )
+    return (
+        nq.join(relc, "query_id", "left")
+        .join(hm, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("nq").alias("n_query_terms_q"),
+            F.coalesce("n_relevant", F.lit(0)).cast("long").alias("n_relevant"),
+            F.coalesce("hits_at_k", F.lit(0)).cast("long").alias("hits_at_k"),
+            F.expr(f"coalesce(hits_at_k, 0) * 1000000 div {k}").alias("p_at_k_ppm"),
+            F.expr(
+                "coalesce(hits_at_k, 0) * 1000000 div greatest(coalesce(n_relevant, 0), 1)"
+            ).alias("recall_at_k_ppm"),
+            F.coalesce("first_rel_rank", F.lit(0)).cast("long").alias("first_rel_rank"),
+            F.expr(
+                "CASE WHEN first_rel_rank IS NULL THEN CAST(0 AS BIGINT)"
+                " ELSE 1000000 div first_rel_rank END"
+            ).alias("mrr_ppm"),
+        )
+        .orderBy("query_id")
     )

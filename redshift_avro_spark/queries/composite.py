@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 159 operator demonstrations. Rather
+names), but the registry carries 160 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–8 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-159 still registered) keep guarding it. A composite can only pass if
+160 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -1597,6 +1597,7 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q153_corpus_datasheet",
         "q163_source_overlap",
         "q164_mixture_concentration",
+        "q165_retrieval_metrics",
     ),
     oracle=f"""
     SELECT 'tfidf' AS kind, lang AS k_str, term AS k_str2,
@@ -1648,6 +1649,12 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_sources AS n1, total_tokens AS n2, hhi_ppm AS n3,
            CAST(gini_ppm AS DOUBLE) AS val
     FROM {_sub('q164_mixture_concentration')}
+    UNION ALL
+    SELECT 'ret' AS kind, CAST(query_id AS VARCHAR) AS k_str,
+           concat(CAST(hits_at_k AS VARCHAR), ':', CAST(first_rel_rank AS VARCHAR)) AS k_str2,
+           n_relevant AS n1, recall_at_k_ppm AS n2, mrr_ppm AS n3,
+           CAST(p_at_k_ppm AS DOUBLE) AS val
+    FROM {_sub('q165_retrieval_metrics')}
     ORDER BY kind, n1, k_str, k_str2
     """,
 )
@@ -1665,9 +1672,11 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     datasheet (q153 — the release-statistics view), the pairwise
     source-overlap audit (q163 — shared 4-word windows + containment
     ppm), and the one-row mixture-concentration report (q164 — top
-    share, HHI, Gini over source token mass, exact ppm), tagged and
-    unioned. The passes an LLM pipeline runs over the corpus before
-    training, in one driver-verified result."""
+    share, HHI, Gini over source token mass, exact ppm), and the
+    retrieval-quality scorecard (q165 — hits/precision/recall/MRR@10
+    for four two-term BM25 queries against the exact AND-relevance
+    set), tagged and unioned. The passes an LLM pipeline runs over
+    the corpus before training, in one driver-verified result."""
     a = _run("q56_tfidf_terms", spark, sf_dir).select(
         F.lit("tfidf").alias("kind"),
         F.col("lang").alias("k_str"),
@@ -1758,10 +1767,23 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hhi_ppm").alias("n3"),
         F.col("gini_ppm").cast("double").alias("val"),
     )
+    m = _run("q165_retrieval_metrics", spark, sf_dir).select(
+        F.lit("ret").alias("kind"),
+        F.col("query_id").cast("string").alias("k_str"),
+        F.concat(
+            F.col("hits_at_k").cast("string"),
+            F.lit(":"),
+            F.col("first_rel_rank").cast("string"),
+        ).alias("k_str2"),
+        F.col("n_relevant").alias("n1"),
+        F.col("recall_at_k_ppm").alias("n2"),
+        F.col("mrr_ppm").alias("n3"),
+        F.col("p_at_k_ppm").cast("double").alias("val"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
         .unionByName(g).unionByName(h).unionByName(i)
-        .unionByName(j).unionByName(k)
+        .unionByName(j).unionByName(k).unionByName(m)
         .orderBy("kind", "n1", "k_str", "k_str2")
     )
 

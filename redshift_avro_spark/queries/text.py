@@ -633,6 +633,96 @@ def q164_mixture_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- q165
+# Retrieval-quality evaluation: the measurement loop over the BM25
+# ranker — pair the top eligible terms into two-term queries, rank
+# each, and score hits/precision/recall/MRR@10 against the exact
+# AND-relevance set. Reciprocal rank is rational, so (unlike nDCG's
+# log2) every metric is an exact integer ppm both engines compute
+# bit-identically.
+
+from ..operators.retrieval import BM25_TSCORE_SQL as _TSCORE
+
+
+@register(
+    "q165_retrieval_metrics",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    s AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+    qt8 AS (
+      SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rn
+      FROM dfreq, n WHERE df * 2 <= n_docs AND df >= 2
+      ORDER BY df DESC, term LIMIT 8
+    ),
+    qt AS (SELECT term, df, CAST((rn + 1) // 2 AS BIGINT) AS query_id FROM qt8),
+    nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS nq FROM qt GROUP BY query_id),
+    scored AS (
+      SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+             ROUND(CAST(SUM(tscore) AS DOUBLE), 6) AS score
+      FROM (
+        SELECT qt.query_id, tf.doc_id, {{tscore}} AS tscore
+        FROM tf JOIN qt USING (term) JOIN dl USING (doc_id), n, s
+      ) GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      FROM scored
+    ),
+    rel AS (
+      SELECT s.query_id, s.doc_id FROM scored s JOIN nq USING (query_id)
+      WHERE s.n_terms = nq.nq
+    ),
+    relc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant FROM rel GROUP BY query_id),
+    hits AS (
+      SELECT r.query_id, r.rank FROM ranked r JOIN rel USING (query_id, doc_id)
+      WHERE r.rank <= 10
+    ),
+    hm AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS hits_at_k,
+             CAST(min(rank) AS BIGINT) AS first_rel_rank
+      FROM hits GROUP BY query_id
+    )
+    SELECT nq.query_id, nq.nq AS n_query_terms_q,
+           CAST(COALESCE(relc.n_relevant, 0) AS BIGINT) AS n_relevant,
+           CAST(COALESCE(hm.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+           CAST(COALESCE(hm.hits_at_k, 0) * 1000000 // 10 AS BIGINT) AS p_at_k_ppm,
+           CAST(COALESCE(hm.hits_at_k, 0) * 1000000
+             // greatest(COALESCE(relc.n_relevant, 0), 1) AS BIGINT) AS recall_at_k_ppm,
+           CAST(COALESCE(hm.first_rel_rank, 0) AS BIGINT) AS first_rel_rank,
+           CAST(CASE WHEN hm.first_rel_rank IS NULL THEN 0
+                ELSE 1000000 // hm.first_rel_rank END AS BIGINT) AS mrr_ppm
+    FROM nq
+    LEFT JOIN relc USING (query_id)
+    LEFT JOIN hm USING (query_id)
+    ORDER BY query_id
+    """.replace("{tscore}", _TSCORE),
+)
+def q165_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hits/precision/recall/MRR@10 for four two-term BM25 queries
+    against the exact both-terms-present relevance set — the retrieval
+    evaluation a pipeline runs before trusting a ranker to mine
+    domain documents. Every metric is an exact integer ppm.
+
+    Scale shape: postings stats are the q113 aggregations; per-query
+    top-10 is the SALTED two-phase window (rank inside (query,
+    xxhash64(doc) % 64) first, then over the <= 64·k survivors) —
+    a one-phase per-query window would funnel up to half the corpus
+    (df <= N/2) into one partition at 100 TB. See
+    operators/retrieval.py:bm25_eval."""
+    from ..operators.retrieval import bm25_eval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_eval(docs, n_query_terms=8, k=10).orderBy("query_id")
+
+
 # --------------------------------------------------------------- q153
 # Corpus datasheet: the per-source release statistics every published
 # training corpus ships (a "datasheets for datasets" summary) — doc and

@@ -312,3 +312,44 @@ class TestMixtureConcentration:
         assert row_s["top_share_ppm"] > 900_000
         assert row_s["gini_ppm"] > 700_000
         assert row_s["hhi_ppm"] > 850_000
+
+
+class TestBM25Eval:
+    def test_metrics_hand_checked(self, spark):
+        from redshift_avro_spark.operators.retrieval import bm25_eval
+
+        # 6 docs; 'aa'/'bb' are the two eligible high-df terms (df=3
+        # each, N=6 so df*2 <= N holds); filler words are unique so
+        # they stay ineligible.
+        docs = spark.createDataFrame(
+            [
+                (1, "aa bb one two"),
+                (2, "aa bb three four"),
+                (3, "aa five six seven"),
+                (4, "bb eight nine ten"),
+                (5, "u1 u2 u3 u4"),
+                (6, "v1 v2 v3 v4"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = bm25_eval(docs, n_query_terms=2, k=10).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["query_id"] == 1 and r["n_query_terms_q"] == 2
+        # docs 1,2 contain both terms
+        assert r["n_relevant"] == 2
+        assert r["hits_at_k"] == 2
+        assert r["recall_at_k_ppm"] == 1_000_000
+        # both-term docs outscore single-term docs, so first hit is rank 1
+        assert r["first_rel_rank"] == 1 and r["mrr_ppm"] == 1_000_000
+        assert r["p_at_k_ppm"] == 200_000
+
+    def test_two_phase_topk_matches_single_window(self, spark):
+        from redshift_avro_spark.operators.retrieval import bm25_eval
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        # salted two-phase (production) vs degenerate single-bucket
+        # (equivalent to one per-query window): identical metrics
+        a = bm25_eval(docs, n_query_terms=8, k=10, salt_buckets=64).collect()
+        b = bm25_eval(docs, n_query_terms=8, k=10, salt_buckets=1).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]

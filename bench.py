@@ -74,6 +74,8 @@ EXTENDED = [
     "q163_source_overlap",
     "q164_mixture_concentration",
     "q165_retrieval_metrics",
+    "q166_inference_rerank",
+    "q167_shard_plan",
 ]
 
 

@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 160 operator demonstrations. Rather
+names), but the registry carries 162 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–8 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-160 still registered) keep guarding it. A composite can only pass if
+162 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -870,6 +870,7 @@ def q87_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q143_pps_sample",
         "q144_temperature_weights",
         "q156_leakage_safe_split",
+        "q167_shard_plan",
     ),
     oracle=f"""
     SELECT s.lang, s.n_total, s.n_sampled, s.sampled_tokens,
@@ -877,7 +878,9 @@ def q87_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            m.n_after, m.share_ppm,
            q.quota_n, q.quota_chars, q.quota_min_doc, q.quota_max_doc,
            pp.pps_n, pp.pps_chars, tw.temp_ppm, tw.natural_ppm,
-           lk.leak_train_docs, lk.leak_test_docs, lk.leak_groups, lk.leak_group_sum
+           lk.leak_train_docs, lk.leak_test_docs, lk.leak_groups, lk.leak_group_sum,
+           sh.shard_n, sh.shard_docs, sh.shard_token_sum,
+           sh.shard_max_fill_ppm, sh.shard_weighted_sum
     FROM {_sub('q60_stratified_sample')} s
     JOIN (
       SELECT lang,
@@ -902,6 +905,14 @@ def q87_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(split_group) AS BIGINT) AS leak_group_sum
       FROM {_sub('q156_leakage_safe_split')}
     ) lk
+    CROSS JOIN (
+      SELECT CAST(COUNT(*) AS BIGINT) AS shard_n,
+             CAST(SUM(n_docs) AS BIGINT) AS shard_docs,
+             CAST(SUM(shard_tokens) AS BIGINT) AS shard_token_sum,
+             CAST(MAX(fill_ppm) AS BIGINT) AS shard_max_fill_ppm,
+             CAST(SUM(shard * n_docs) AS BIGINT) AS shard_weighted_sum
+      FROM {_sub('q167_shard_plan')}
+    ) sh
     ORDER BY lang
     """,
 )
@@ -913,9 +924,12 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     temperature-scaled mixture weights (q144, α=0.5) ⋈ the corpus-wide
     near-dup-component leakage-safe split summary (q156, pivoted to one
     broadcast row: per-side doc counts, group count and the exact
-    component-id sum as a value digest) — all four sampling modes plus
-    both weighting recipes a mixture builder needs, joined on the
-    5-value lang key of already-tiny aggregates."""
+    component-id sum as a value digest) ⋈ the token-budgeted output
+    shard plan summary (q167, pivoted to one broadcast row: shard
+    count, doc/token mass, max fill ppm and a shard-weighted digest) —
+    all four sampling modes plus both weighting recipes a mixture
+    builder needs, joined on the 5-value lang key of already-tiny
+    aggregates."""
     s = _run("q60_stratified_sample", spark, sf_dir)
     sp = (
         _run("q61_train_test_split", spark, sf_dir)
@@ -961,9 +975,17 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("split_group").cast("bigint").alias("leak_groups"),
         F.sum("split_group").cast("bigint").alias("leak_group_sum"),
     )
+    sh = _run("q167_shard_plan", spark, sf_dir).agg(
+        F.count("*").cast("bigint").alias("shard_n"),
+        F.sum("n_docs").cast("bigint").alias("shard_docs"),
+        F.sum("shard_tokens").cast("bigint").alias("shard_token_sum"),
+        F.max("fill_ppm").cast("bigint").alias("shard_max_fill_ppm"),
+        F.sum(F.col("shard") * F.col("n_docs")).cast("bigint").alias("shard_weighted_sum"),
+    )
     return (
         s.join(sp, "lang").join(m, "lang").join(q, "lang").join(pp, "lang").join(tw, "lang")
         .crossJoin(F.broadcast(lk))
+        .crossJoin(F.broadcast(sh))
         .orderBy("lang")
     )
 
@@ -1598,6 +1620,7 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q163_source_overlap",
         "q164_mixture_concentration",
         "q165_retrieval_metrics",
+        "q166_inference_rerank",
     ),
     oracle=f"""
     SELECT 'tfidf' AS kind, lang AS k_str, term AS k_str2,
@@ -1655,6 +1678,12 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_relevant AS n1, recall_at_k_ppm AS n2, mrr_ppm AS n3,
            CAST(p_at_k_ppm AS DOUBLE) AS val
     FROM {_sub('q165_retrieval_metrics')}
+    UNION ALL
+    SELECT 'rerank' AS kind, CAST(doc_id AS VARCHAR) AS k_str,
+           CAST(ce_score AS VARCHAR) AS k_str2,
+           ce_rank AS n1, bm25_rank AS n2, rank_delta AS n3,
+           CAST(NULL AS DOUBLE) AS val
+    FROM {_sub('q166_inference_rerank')}
     ORDER BY kind, n1, k_str, k_str2
     """,
 )
@@ -1675,8 +1704,10 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     share, HHI, Gini over source token mass, exact ppm), and the
     retrieval-quality scorecard (q165 — hits/precision/recall/MRR@10
     for four two-term BM25 queries against the exact AND-relevance
-    set), tagged and unioned. The passes an LLM pipeline runs over
-    the corpus before training, in one driver-verified result."""
+    set), and the batched model-inference rerank of the BM25 top-10
+    (q166 — mapInPandas with a once-per-partition model stub), tagged
+    and unioned. The passes an LLM pipeline runs over the corpus
+    before training, in one driver-verified result."""
     a = _run("q56_tfidf_terms", spark, sf_dir).select(
         F.lit("tfidf").alias("kind"),
         F.col("lang").alias("k_str"),
@@ -1780,10 +1811,19 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mrr_ppm").alias("n3"),
         F.col("p_at_k_ppm").cast("double").alias("val"),
     )
+    o = _run("q166_inference_rerank", spark, sf_dir).select(
+        F.lit("rerank").alias("kind"),
+        F.col("doc_id").cast("string").alias("k_str"),
+        F.col("ce_score").cast("string").alias("k_str2"),
+        F.col("ce_rank").alias("n1"),
+        F.col("bm25_rank").alias("n2"),
+        F.col("rank_delta").alias("n3"),
+        F.lit(None).cast("double").alias("val"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
         .unionByName(g).unionByName(h).unionByName(i)
-        .unionByName(j).unionByName(k).unionByName(m)
+        .unionByName(j).unionByName(k).unionByName(m).unionByName(o)
         .orderBy("kind", "n1", "k_str", "k_str2")
     )
 

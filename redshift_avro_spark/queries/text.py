@@ -723,6 +723,61 @@ def q165_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_eval(docs, n_query_terms=8, k=10).orderBy("query_id")
 
 
+# --------------------------------------------------------------- q166
+# Batched model-inference rerank: the execution pattern for running a
+# scoring model over a candidate sliver — mapInPandas, Arrow batches,
+# model loaded once per partition. The model is the documented
+# deterministic fake (md5-derived logit) behind real plumbing, so the
+# oracle is exact; swap the stub for a real cross-encoder and nothing
+# else changes.
+
+
+def _q166_oracle() -> str:
+    from . import REGISTRY
+
+    bm25 = "(" + REGISTRY["q113_bm25_topk"].oracle + ")"
+    ce = (
+        "CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), '|',"
+        " substring(text, 1, 64))), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+    WITH top10 AS (
+      SELECT rank AS bm25_rank, doc_id FROM {bm25}
+    ),
+    scored AS (
+      SELECT t.doc_id, t.bm25_rank, {ce} AS ce_score
+      FROM top10 t JOIN documents USING (doc_id)
+    ),
+    reranked AS (
+      SELECT doc_id, bm25_rank, ce_score,
+             CAST(ROW_NUMBER() OVER (ORDER BY ce_score DESC, doc_id) AS BIGINT) AS ce_rank
+      FROM scored
+    )
+    SELECT doc_id, bm25_rank, ce_score, ce_rank,
+           CAST(bm25_rank - ce_rank AS BIGINT) AS rank_delta
+    FROM reranked ORDER BY ce_rank
+    """
+
+
+@register("q166_inference_rerank", oracle=_q166_oracle())
+def q166_inference_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rerank the BM25 top-10 with the Arrow-batched model stub:
+    candidate sliver joined back to text, scored via ``mapInPandas``
+    with a once-per-partition model, windowed into the new order
+    (plus the promotion/demotion delta against the BM25 rank).
+
+    Scale shape: inference touches ONLY the candidate sliver — the
+    corpus is scanned once for the id equi-join and never shuffled;
+    batches cross to Python as Arrow frames; the rerank window covers
+    k rows. See operators/inference.py."""
+    from ..operators.inference import rerank_with_model
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    top10 = bm25_topk(docs, n_query_terms=8, k=10)
+    return rerank_with_model(top10, docs).orderBy("ce_rank")
+
+
 # --------------------------------------------------------------- q153
 # Corpus datasheet: the per-source release statistics every published
 # training corpus ships (a "datasheets for datasets" summary) — doc and

@@ -569,6 +569,85 @@ def q149_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same rank-by-target-likeness signal in pure BIGINT arithmetic
 # (ln() is banned by the oracle hash-stability rules).
 
+# --------------------------------------------------------------- q167
+# Output-shard planning: assign each document (in deterministic
+# doc_id order within its source) to a token-budgeted output shard —
+# the write-side geometry step that turns a curated corpus into
+# uniformly-sized training files. A doc lands in the shard where its
+# running total BEGINS, so shard boundaries are stable under append.
+
+_SHARD_BUDGET = 1000
+
+
+@register(
+    "q167_shard_plan",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source, doc_id, CAST({_N_WORDS} AS BIGINT) AS tok
+      FROM documents
+    ),
+    cum AS (
+      SELECT source, doc_id, tok,
+             CAST(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+      FROM per_doc
+    )
+    SELECT source,
+           CAST((cum_tok - tok) // {_SHARD_BUDGET} AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS shard_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc,
+           CAST(CAST(sum(tok) AS BIGINT) * 1000000 // {_SHARD_BUDGET} AS BIGINT)
+             AS fill_ppm
+    FROM cum
+    GROUP BY source, shard
+    ORDER BY source, shard
+    """,
+)
+def q167_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted output shards per source: deterministic doc_id
+    order, running token total, shard = floor(start/budget); per
+    (source, shard) the doc count, token mass, id range and fill
+    ratio in exact ppm (can exceed 10⁶ when a document straddles its
+    shard boundary — the doc belongs to the shard where it starts).
+
+    Scale shape: ONE window over PARTITION BY source (each source's
+    running sum is independent — the global-order trap is avoided by
+    sharding within the natural output partitioning, exactly how a
+    100 TB corpus is written) and one map-side-combining aggregation
+    on (source, shard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        "doc_id",
+        F.expr("size(split(trim(lower(text)), '\\\\s+'))").cast("long").alias("tok"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_doc.withColumn("cum_tok", F.sum("tok").over(w).cast("long"))
+    return (
+        cum.select(
+            "source",
+            F.expr(f"(cum_tok - tok) div {_SHARD_BUDGET}").alias("shard"),
+            "doc_id",
+            "tok",
+        )
+        .groupBy("source", "shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tok").cast("long").alias("shard_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .withColumn(
+            "fill_ppm", F.expr(f"shard_tokens * 1000000 div {_SHARD_BUDGET}")
+        )
+        .orderBy("source", "shard")
+    )
+
+
 _DR_TARGET = "src0"
 _DR_TOP = 30
 _DR_WORDS = "regexp_split_to_array(trim(lower(text)), '\\s+')"

@@ -353,3 +353,70 @@ class TestBM25Eval:
         a = bm25_eval(docs, n_query_terms=8, k=10, salt_buckets=64).collect()
         b = bm25_eval(docs, n_query_terms=8, k=10, salt_buckets=1).collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+class TestRerankWithModel:
+    def test_fake_model_scores_match_reference(self, spark):
+        from redshift_avro_spark.operators.inference import (
+            fake_ce_score,
+            rerank_with_model,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"document number {i} with some text") for i in range(1, 6)],
+            "doc_id long, text string",
+        )
+        cands = spark.createDataFrame(
+            [(r, r) for r in range(1, 6)], "rank long, doc_id long"
+        )
+        rows = rerank_with_model(cands, docs).collect()
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        assert len(rows) == 5
+        for r in rows:
+            assert r["ce_score"] == fake_ce_score(r["doc_id"], texts[r["doc_id"]])
+            assert r["rank_delta"] == r["bm25_rank"] - r["ce_rank"]
+        # ce_rank is a permutation of 1..5 ordered by score desc
+        ranks = sorted((r["ce_rank"] for r in rows))
+        assert ranks == [1, 2, 3, 4, 5]
+        by_rank = sorted(rows, key=lambda r: r["ce_rank"])
+        scores = [r["ce_score"] for r in by_rank]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_only_candidates_scored(self, spark):
+        from redshift_avro_spark.operators.inference import rerank_with_model
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
+        )
+        cands = spark.createDataFrame([(1, 7), (2, 42)], "rank long, doc_id long")
+        rows = rerank_with_model(cands, docs).collect()
+        assert sorted(r["doc_id"] for r in rows) == [7, 42]
+
+
+class TestShardPlan:
+    def test_budget_boundaries_and_totals(self, spark):
+        from redshift_avro_spark.queries import load_all
+        import os, tempfile, shutil
+
+        reg = load_all()
+        tmp = tempfile.mkdtemp(prefix="shard_")
+        try:
+            # source A: docs of 400 tokens each -> shards of ~2.5 docs
+            # at budget 1000; source B: one huge doc straddling
+            rows = [(i, "w " * 400, "en", "A", 800) for i in range(5)]
+            rows += [(100, "w " * 2500, "en", "B", 5000)]
+            spark.createDataFrame(
+                rows, "doc_id long, text string, lang string, source string, n_chars long"
+            ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+            out = reg["q167_shard_plan"].fn(spark, tmp).collect()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        a = [r for r in out if r["source"] == "A"]
+        b = [r for r in out if r["source"] == "B"]
+        # A: cum starts 0,400,800,1200,1600 -> shards 0,0,0,1,1
+        assert [(r["shard"], r["n_docs"]) for r in a] == [(0, 3), (1, 2)]
+        assert sum(r["shard_tokens"] for r in a) == 2000
+        # B: single 2500-token doc starts at 0 -> one shard, fill 2.5x
+        assert [(r["shard"], r["n_docs"], r["fill_ppm"]) for r in b] == [
+            (0, 1, 2_500_000)
+        ]

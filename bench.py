@@ -76,6 +76,8 @@ EXTENDED = [
     "q165_retrieval_metrics",
     "q166_inference_rerank",
     "q167_shard_plan",
+    "q168_winnowing_fps",
+    "q169_langid_confusion",
 ]
 
 

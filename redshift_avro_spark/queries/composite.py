@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 162 operator demonstrations. Rather
+names), but the registry carries 164 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–8 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-162 still registered) keep guarding it. A composite can only pass if
+164 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -1004,6 +1004,7 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q100_lm_familiarity",
         "q150_domain_relevance",
         "q157_curation_funnel",
+        "q169_langid_confusion",
     ),
     oracle=f"""
     SELECT r.doc_id, r.n_grams, r.dup_gram_fraction, r.top_gram_share,
@@ -1012,7 +1013,8 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            l.n_bigrams, l.n_known, l.fam_sum, l.known_ppm, l.lm_keep,
            dr.rel_rank, dr.rel_score,
            fn.funnel_in_total, fn.funnel_out_lang, fn.funnel_out_quality,
-           fn.funnel_out_words, fn.funnel_out_exact, fn.funnel_out_final
+           fn.funnel_out_words, fn.funnel_out_exact, fn.funnel_out_final,
+           li.langid_correct, li.langid_total, li.langid_acc_ppm, li.langid_cells
     FROM {_sub('q67_repetition_filter')} r
     LEFT JOIN {_sub('q65_decontamination')} d USING (doc_id)
     JOIN {_sub('q100_lm_familiarity')} l USING (doc_id)
@@ -1026,6 +1028,14 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CASE WHEN stage = 'near_dup' THEN n_out END) AS BIGINT) AS funnel_out_final
       FROM {_sub('q157_curation_funnel')}
     ) fn
+    CROSS JOIN (
+      SELECT CAST(SUM(CASE WHEN is_correct = 1 THEN n_docs ELSE 0 END) AS BIGINT) AS langid_correct,
+             CAST(SUM(n_docs) AS BIGINT) AS langid_total,
+             CAST(SUM(CASE WHEN is_correct = 1 THEN n_docs ELSE 0 END) * 1000000
+               // SUM(n_docs) AS BIGINT) AS langid_acc_ppm,
+             CAST(COUNT(*) AS BIGINT) AS langid_cells
+      FROM {_sub('q169_langid_confusion')}
+    ) li
     ORDER BY doc_id
     """,
 )
@@ -1037,7 +1047,9 @@ def q89_scrub_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark slice is flagged, and the DSIR-shape domain-relevance
     selection (q150) marks its top-30 picks with rank and score; the
     q49 attrition funnel (q157) rides as one pivoted broadcast row so
-    the pipeline's stage counts are driver-verified alongside.
+    the pipeline's stage counts are driver-verified alongside, and so
+    does the language-ID confusion summary (q169 — diagonal mass,
+    total, accuracy ppm and occupied matrix cells).
     Co-keyed joins on doc_id."""
     r = _run("q67_repetition_filter", spark, sf_dir)
     d = _run("q65_decontamination", spark, sf_dir)
@@ -1055,6 +1067,16 @@ def q89_scrub_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stage("exact_dedup", "n_out").alias("funnel_out_exact"),
         _stage("near_dup", "n_out").alias("funnel_out_final"),
     )
+    li = _run("q169_langid_confusion", spark, sf_dir).agg(
+        F.sum(F.when(F.col("is_correct") == 1, F.col("n_docs")).otherwise(0))
+        .cast("bigint").alias("langid_correct"),
+        F.sum("n_docs").cast("bigint").alias("langid_total"),
+        F.expr(
+            "CAST(sum(CASE WHEN is_correct = 1 THEN n_docs ELSE 0 END) * 1000000"
+            " div sum(n_docs) AS BIGINT)"
+        ).alias("langid_acc_ppm"),
+        F.count("*").cast("bigint").alias("langid_cells"),
+    )
     return (
         r.join(d, "doc_id", "left")
         .select(
@@ -1068,6 +1090,7 @@ def q89_scrub_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, "doc_id")
         .join(dr, "doc_id", "left")
         .crossJoin(F.broadcast(fn))
+        .crossJoin(F.broadcast(li))
         .orderBy("doc_id")
     )
 
@@ -1375,6 +1398,7 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q96_doc_chunking",
         "q146_duplicated_spans",
         "q161_span_scrub",
+        "q168_winnowing_fps",
     ),
     oracle=f"""
     SELECT p.doc_id, p.cleaned_text, p.n_chunks, p.n_dropped,
@@ -1382,7 +1406,8 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
            c.windows_digest,
            s.n_windows AS n_span_windows, s.n_dup_windows, s.n_dup_spans,
            s.dup_span_words, s.max_span_words,
-           sc.n_scrubbed, md5(sc.scrubbed_text) AS scrubbed_digest
+           sc.n_scrubbed, md5(sc.scrubbed_text) AS scrubbed_digest,
+           wf.n_fps, wf.n_shared_fps, wf.shared_ppm
     FROM {_sub('q68_passage_dedup')} p
     LEFT JOIN (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
@@ -1391,6 +1416,7 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) c USING (doc_id)
     LEFT JOIN {_sub('q146_duplicated_spans')} s USING (doc_id)
     LEFT JOIN {_sub('q161_span_scrub')} sc USING (doc_id)
+    LEFT JOIN {_sub('q168_winnowing_fps')} wf USING (doc_id)
     ORDER BY doc_id
     """,
 )
@@ -1402,8 +1428,10 @@ def q97_passage_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     stride-1 duplicated-span report (q146 — cross-document substring
     dedup with island merging) ⋈ the span-scrubbed rewrite (q161 —
     scrub count + md5 digest of the rewritten text, so one moved word
-    in the reconstruction fails the row). Left joins: documents with
-    no chunkable words / fewer than 6 words keep null columns."""
+    in the reconstruction fails the row) ⋈ winnowing fingerprints
+    (q168 — MOSS-style window-min selection with cross-document
+    sharing ppm). Left joins: documents with no chunkable words /
+    fewer than 6 words keep null columns."""
     p = _run("q68_passage_dedup", spark, sf_dir)
     c = (
         _run("q96_doc_chunking", spark, sf_dir)
@@ -1431,6 +1459,9 @@ def q97_passage_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_scrubbed",
         F.md5("scrubbed_text").alias("scrubbed_digest"),
     )
+    wf = _run("q168_winnowing_fps", spark, sf_dir).select(
+        "doc_id", "n_fps", "n_shared_fps", "shared_ppm"
+    )
     return (
         p.join(c, "doc_id", "left")
         .select(
@@ -1443,6 +1474,7 @@ def q97_passage_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(s, "doc_id", "left")
         .join(sc, "doc_id", "left")
+        .join(wf, "doc_id", "left")
         .orderBy("doc_id")
     )
 

@@ -347,6 +347,101 @@ def q146_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --------------------------------------------------------------- q168
+# Winnowing fingerprints (the MOSS scheme): per position a k-char-gram
+# hash, per w-window the minimum hash — guaranteed to select at least
+# one fingerprint from every w consecutive grams, so two documents
+# sharing any substring of length >= k + w - 1 share a fingerprint.
+# The stride-robust alternative to single rolling-hash fingerprints
+# (q39) and to exact window dedup (q146).
+
+_WIN_K = 5
+_WIN_W = 4
+
+
+@register(
+    "q168_winnowing_fps",
+    oracle=f"""
+    WITH hx AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, length(text) - {_WIN_K - 1}),
+               i -> CAST(concat('0x', substring(md5(substring(text, i, {_WIN_K})), 1, 15)) AS BIGINT)) AS h
+      FROM documents WHERE length(text) >= {_WIN_K + _WIN_W - 1}
+    ),
+    fps AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(h) - {_WIN_W - 1}),
+               j -> list_aggregate(list_slice(h, j, j + {_WIN_W - 1}), 'min'))) AS fp
+      FROM hx
+    ),
+    exploded AS (SELECT doc_id, unnest(fp) AS f FROM fps),
+    shared AS (
+      SELECT f FROM exploded GROUP BY f
+      HAVING min(doc_id) <> max(doc_id)
+    ),
+    sh AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      FROM exploded JOIN shared USING (f) GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(len(p.fp) AS BIGINT) AS n_fps,
+           CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared_fps,
+           CAST(CAST(COALESCE(sh.n_shared, 0) AS BIGINT) * 1000000
+             // len(p.fp) AS BIGINT) AS shared_ppm
+    FROM fps p LEFT JOIN sh USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q168_winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint report: per document the distinct
+    window-min fingerprints, how many also appear in another document,
+    and the shared fraction in exact integer ppm. Guarantee: any
+    cross-document substring match of length >= k + w - 1 = 8 chars
+    surfaces as a shared fingerprint, at ~1/w the index size of
+    every-gram hashing.
+
+    Scale shape: fingerprint selection is a narrow projection (nested
+    bounded lambdas over one document's grams); the shared set is ONE
+    map-side-combining min<>max aggregation on the uniform fingerprint
+    key (the q146 trick) plus the join-back on the same key; per-doc
+    output is one row."""
+    k, w = _WIN_K, _WIN_W
+    hx = (
+        f"transform(sequence(1, length(text) - {k - 1}), "
+        f"i -> CAST(conv(substring(md5(substring(text, i, {k})), 1, 15), 16, 10) AS BIGINT))"
+    )
+    fp = (
+        f"array_distinct(transform(sequence(1, size(__h) - {w - 1}), "
+        f"j -> array_min(slice(__h, j, {w}))))"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    fps = (
+        docs.where(F.length("text") >= k + w - 1)
+        .select("doc_id", F.expr(hx).alias("__h"))
+        .select("doc_id", F.expr(fp).alias("fp"))
+    )
+    exploded = fps.select("doc_id", F.explode("fp").alias("f"))
+    shared = (
+        exploded.groupBy("f")
+        .agg(F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi"))
+        .where(F.col("__lo") != F.col("__hi"))
+        .select("f")
+    )
+    sh = exploded.join(shared, "f").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shared")
+    )
+    return (
+        fps.join(sh, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("fp").cast("long").alias("n_fps"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared_fps"),
+        )
+        .withColumn("shared_ppm", F.expr("n_shared_fps * 1000000 div n_fps"))
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------- q161
 # The output half of exact-substring dedup: q146 reports the duplicated
 # spans, this REWRITES the corpus without them — per document, the

@@ -778,6 +778,60 @@ def q166_inference_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rerank_with_model(top10, docs).orderBy("ce_rank")
 
 
+# --------------------------------------------------------------- q169
+# Language-ID evaluation: the confusion matrix of the q37 n-gram
+# classifier against the table's labeled lang column — the check a
+# pipeline runs before trusting a language gate to route documents
+# (a silent systematic confusion, e.g. es->fr, skews the mixture).
+
+
+@register(
+    "q169_langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang, {_LANG_PRED} AS lang_pred FROM documents
+    ),
+    cm AS (
+      SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+      FROM pred GROUP BY lang, lang_pred
+    ),
+    tot AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_total FROM cm GROUP BY lang)
+    SELECT cm.lang, cm.lang_pred, cm.n_docs, tot.lang_total,
+           CAST(cm.n_docs * 1000000 // tot.lang_total AS BIGINT) AS share_ppm,
+           CAST(CASE WHEN cm.lang = cm.lang_pred THEN 1 ELSE 0 END AS INTEGER) AS is_correct
+    FROM cm JOIN tot USING (lang)
+    ORDER BY lang, lang_pred
+    """,
+)
+def q169_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-hit language classifier vs the
+    labeled lang column: per (label, prediction) the doc count, the
+    label total, the row share in exact ppm and the diagonal flag.
+
+    Scale shape: one narrow classification projection + one
+    map-side-combining aggregation on the tiny (lang, lang_pred)
+    domain; the per-label totals re-aggregate the matrix itself
+    (O(langs²) rows), never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select("lang", language_id("text").alias("lang_pred"))
+    cm = pred.groupBy("lang", "lang_pred").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    tot = cm.groupBy("lang").agg(F.sum("n_docs").cast("long").alias("lang_total"))
+    return (
+        cm.join(tot, "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            "n_docs",
+            "lang_total",
+            F.expr("n_docs * 1000000 div lang_total").alias("share_ppm"),
+            (F.col("lang") == F.col("lang_pred")).cast("int").alias("is_correct"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
 # --------------------------------------------------------------- q153
 # Corpus datasheet: the per-source release statistics every published
 # training corpus ships (a "datasheets for datasets" summary) — doc and

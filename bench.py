@@ -78,6 +78,7 @@ EXTENDED = [
     "q167_shard_plan",
     "q168_winnowing_fps",
     "q169_langid_confusion",
+    "q170_signal_blend",
 ]
 
 

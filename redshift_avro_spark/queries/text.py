@@ -832,6 +832,105 @@ def q169_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- q170
+# Multi-signal curation blending: rank-normalize two quality signals
+# (composite quality score, type-token ratio) to exact ppm percentile
+# ranks and select the top 50 by the blended score. Rank-normalizing
+# before blending is how production curation combines signals with
+# incomparable scales; the ranking itself uses the scale-safe
+# two-phase distributed rank (operators/ranking.py), never a
+# partition-less window.
+
+_BLEND_K = 50
+
+
+def _q170_oracle() -> str:
+    from . import REGISTRY
+
+    lex = "(" + REGISTRY["q162_lexical_diversity"].oracle + ")"
+    return f"""
+    WITH lex AS (SELECT doc_id, ttr_ppm FROM {lex}),
+    feat AS (
+      SELECT doc_id, CAST(floor({_SCORE} * 1000000 + 0.5) AS BIGINT) AS qs6
+      FROM documents
+    ),
+    j AS (SELECT f.doc_id, f.qs6, l.ttr_ppm FROM feat f JOIN lex l USING (doc_id)),
+    r AS (
+      SELECT doc_id, qs6, ttr_ppm,
+             CAST(ROW_NUMBER() OVER (ORDER BY qs6, doc_id) AS BIGINT) AS q_rank,
+             CAST(ROW_NUMBER() OVER (ORDER BY ttr_ppm, doc_id) AS BIGINT) AS d_rank,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM j
+    ),
+    b AS (
+      SELECT doc_id, qs6, ttr_ppm, q_rank, d_rank,
+             CAST(((q_rank - 1) * 1000000 // greatest(n - 1, 1)
+                 + (d_rank - 1) * 1000000 // greatest(n - 1, 1)) // 2 AS BIGINT)
+               AS blended_ppm
+      FROM r
+    )
+    SELECT * FROM (
+      SELECT b.*, CAST(ROW_NUMBER() OVER (ORDER BY blended_ppm DESC, doc_id) AS BIGINT) AS sel_rank
+      FROM b
+    ) WHERE sel_rank <= {_BLEND_K} ORDER BY sel_rank
+    """
+
+
+@register("q170_signal_blend", oracle=_q170_oracle())
+def q170_signal_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 documents by the blend of two rank-normalized signals:
+    the composite quality score and the type-token ratio, each turned
+    into an exact ppm percentile rank (unique (value, doc_id) order)
+    and averaged with integer arithmetic.
+
+    Scale shape: each global rank is the two-phase bucket-offset rank
+    (operators/ranking.py::distributed_rank — one bucket histogram,
+    one tiny offset window, one WITHIN-bucket window), because a
+    partition-less ROW_NUMBER window would sort the corpus in one
+    task; the oracle runs the single window the operator must equal.
+    Selection is orderBy+limit (TakeOrdered), not a global sort."""
+    from . import REGISTRY
+    from ..operators.ranking import distributed_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        quality_features("text").alias("q"),
+    ).select(
+        "doc_id",
+        F.expr("CAST(floor(q.quality_score * 1000000 + 0.5) AS BIGINT)").alias("qs6"),
+    )
+    lex = REGISTRY["q162_lexical_diversity"].fn(spark, sf_dir).select(
+        "doc_id", "ttr_ppm"
+    )
+    # each rank phase consumes its input twice (bucket histogram +
+    # offset join) and the second phase stacks on the first, so
+    # without lineage cuts the signal join would evaluate 4×; the
+    # checkpointed frame is 3 integers per doc
+    j = feat.join(lex, "doc_id").localCheckpoint(eager=True)
+    r = distributed_rank(j, "qs6", "doc_id", rank_name="q_rank").localCheckpoint(
+        eager=True
+    )
+    r = distributed_rank(r, "ttr_ppm", "doc_id", rank_name="d_rank")
+    n = j.agg(F.count("*").cast("long").alias("n"))
+    b = r.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "qs6",
+        "ttr_ppm",
+        "q_rank",
+        "d_rank",
+        F.expr(
+            "CAST(((q_rank - 1) * 1000000 div greatest(n - 1, 1)"
+            " + (d_rank - 1) * 1000000 div greatest(n - 1, 1)) div 2 AS BIGINT)"
+        ).alias("blended_ppm"),
+    )
+    top = b.orderBy(F.desc("blended_ppm"), F.asc("doc_id")).limit(_BLEND_K)
+    w = Window.orderBy(F.desc("blended_ppm"), F.asc("doc_id"))
+    return top.withColumn("sel_rank", F.row_number().over(w).cast("long")).orderBy(
+        "sel_rank"
+    )
+
+
 # --------------------------------------------------------------- q153
 # Corpus datasheet: the per-source release statistics every published
 # training corpus ships (a "datasheets for datasets" summary) — doc and

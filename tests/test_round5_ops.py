@@ -491,3 +491,36 @@ class TestLangidConfusion:
         # diagonal flags agree with equality
         for r in rows:
             assert r["is_correct"] == int(r["lang"] == r["lang_pred"])
+
+
+class TestDistributedRank:
+    def test_matches_single_window(self, spark):
+        from redshift_avro_spark.operators.ranking import distributed_rank
+        import random
+
+        rnd = random.Random(11)
+        rows = [(i, rnd.randrange(0, 1_000_001)) for i in range(500)]
+        # duplicates on the value force the id tiebreak
+        rows += [(1000 + i, rows[i][1]) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, v long")
+        got = {
+            r["doc_id"]: r["rank"]
+            for r in distributed_rank(df, "v", "doc_id", n_buckets=8).collect()
+        }
+        expected = {
+            doc_id: i + 1
+            for i, (doc_id, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+        }
+        assert got == expected
+
+    def test_single_bucket_degenerates_correctly(self, spark):
+        from redshift_avro_spark.operators.ranking import distributed_rank
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, 3), (3, 5), (4, 0)], "doc_id long, v long"
+        )
+        got = {
+            r["doc_id"]: r["rank"]
+            for r in distributed_rank(df, "v", "doc_id", n_buckets=1).collect()
+        }
+        assert got == {4: 1, 2: 2, 1: 3, 3: 4}

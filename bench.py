@@ -79,6 +79,7 @@ EXTENDED = [
     "q168_winnowing_fps",
     "q169_langid_confusion",
     "q170_signal_blend",
+    "q171_matryoshka_audit",
 ]
 
 

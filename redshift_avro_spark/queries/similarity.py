@@ -1104,4 +1104,112 @@ def q159_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- q171
+# Matryoshka truncation audit: how much cosine similarity the exact
+# top-5 pairs LOSE when embeddings are truncated to their 16- and
+# 32-dim prefixes — the measurement behind MRL-style dimension
+# reduction (serve prefix dims, keep most of the ranking signal).
+# Everything quantizes to exact integer ppm after one deterministic
+# left-to-right accumulation, so the oracle is exact.
 
+
+def _cos_duck_sliced(d: int) -> str:
+    a, b = f"list_slice(qvec, 1, {d})", f"list_slice(cvec, 1, {d})"
+    return (
+        f"(list_aggregate(list_transform(list_zip({a}, {b}),"
+        f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'))"
+        f" / (sqrt(list_aggregate(list_transform({a},"
+        f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+        f" * sqrt(list_aggregate(list_transform({b},"
+        f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
+    )
+
+
+def _q171_oracle() -> str:
+    pairs = "(" + REGISTRY["q35_cosine_topk"].oracle + ")"
+    q6 = "CAST(floor(({c}) * 1000000 + 0.5) AS BIGINT)"
+    return f"""
+    WITH pairs AS (SELECT query_id, neighbor_id FROM {pairs}),
+    v AS (
+      SELECT p.query_id, p.neighbor_id, a.embedding AS qvec, b.embedding AS cvec
+      FROM pairs p
+      JOIN embeddings a ON a.vec_id = p.query_id
+      JOIN embeddings b ON b.vec_id = p.neighbor_id
+    ),
+    m AS (
+      SELECT query_id, neighbor_id,
+             {q6.format(c=_cos_duck_sliced(16))} AS cos16_ppm,
+             {q6.format(c=_cos_duck_sliced(32))} AS cos32_ppm,
+             {q6.format(c=_COS)} AS cos64_ppm
+      FROM v
+    )
+    SELECT query_id, neighbor_id, cos16_ppm, cos32_ppm, cos64_ppm,
+           CAST(cos64_ppm - cos16_ppm AS BIGINT) AS loss16_ppm,
+           CAST(cos64_ppm - cos32_ppm AS BIGINT) AS loss32_ppm
+    FROM m ORDER BY query_id, neighbor_id
+    """
+
+
+@register("q171_matryoshka_audit", oracle=_q171_oracle())
+def q171_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-dimension cosine audit over the exact top-5 pairs:
+    cosine at dims 16/32/64 in exact integer ppm, plus the ppm loss of
+    each truncation vs the full vector — the evidence for (or against)
+    serving truncated matryoshka embeddings.
+
+    Scale shape: the pair list is the top-k sliver broadcast against
+    the embedding table twice (id equi-joins); the three cosines are
+    one narrow projection over the joined sliver (left-to-right HOF
+    accumulation — deterministic, oracle-matched); no shuffle beyond
+    the output sort."""
+    from ..operators.similarity import cosine_expr
+
+    pairs = REGISTRY["q35_cosine_topk"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = (
+        pairs.join(
+            emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")),
+            "query_id",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr("slice(qvec, 1, 16)").alias("q16"),
+            F.expr("slice(cvec, 1, 16)").alias("c16"),
+            F.expr("slice(qvec, 1, 32)").alias("q32"),
+            F.expr("slice(cvec, 1, 32)").alias("c32"),
+            "qvec",
+            "cvec",
+        )
+    )
+
+    def q6(col):
+        return F.expr(f"CAST(floor(({col}) * 1000000 + 0.5) AS BIGINT)")
+
+    m = (
+        v.withColumn("__c16", cosine_expr("q16", "c16"))
+        .withColumn("__c32", cosine_expr("q32", "c32"))
+        .withColumn("__c64", cosine_expr("qvec", "cvec"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            q6("__c16").alias("cos16_ppm"),
+            q6("__c32").alias("cos32_ppm"),
+            q6("__c64").alias("cos64_ppm"),
+        )
+    )
+    return m.select(
+        "query_id",
+        "neighbor_id",
+        "cos16_ppm",
+        "cos32_ppm",
+        "cos64_ppm",
+        (F.col("cos64_ppm") - F.col("cos16_ppm")).cast("long").alias("loss16_ppm"),
+        (F.col("cos64_ppm") - F.col("cos32_ppm")).cast("long").alias("loss32_ppm"),
+    ).orderBy("query_id", "neighbor_id")

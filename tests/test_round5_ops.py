@@ -524,3 +524,18 @@ class TestDistributedRank:
             for r in distributed_rank(df, "v", "doc_id", n_buckets=1).collect()
         }
         assert got == {4: 1, 2: 2, 1: 3, 3: 4}
+
+
+class TestMatryoshkaAudit:
+    def test_losses_consistent(self, spark):
+        from redshift_avro_spark.queries import load_all
+
+        rows = load_all()["q171_matryoshka_audit"].fn(spark, SF_SMOKE).collect()
+        assert rows, "expected top-5 pairs for 10 queries"
+        for r in rows:
+            assert r["loss16_ppm"] == r["cos64_ppm"] - r["cos16_ppm"]
+            assert r["loss32_ppm"] == r["cos64_ppm"] - r["cos32_ppm"]
+            for c in ("cos16_ppm", "cos32_ppm", "cos64_ppm"):
+                assert -1_000_000 <= r[c] <= 1_000_000
+        # top pairs are similar at full dim: cos64 should be high
+        assert min(r["cos64_ppm"] for r in rows) > 0

@@ -481,7 +481,9 @@ _OVL_W = 4
       SELECT source, {_WORDS} AS __w FROM documents
     ), g AS (
       SELECT DISTINCT source,
-             array_to_string(list_slice(__w, i, i + {_OVL_W - 1}), ' ') AS gram
+             CAST(concat('0x', substring(md5(
+               array_to_string(list_slice(__w, i, i + {_OVL_W - 1}), ' ')
+             ), 1, 15)) AS BIGINT) AS gram
       FROM w, unnest(generate_series(1, len(__w) - {_OVL_W - 1})) AS t(i)
     ), tot AS (
       SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY source
@@ -506,22 +508,36 @@ def q163_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     per source pair, each side's window vocabulary size, and the
     containment of the smaller side in exact integer ppm.
 
-    Scale shape: ONE distinct (source, gram) aggregation (uniform gram
-    keys), then gram groups collapse to a per-gram source set bounded
-    by the SOURCE DOMAIN (20 here), whose ordered pairs explode and
-    re-aggregate — the corpus is never self-joined (the oracle's
-    gram⋈gram is the oracle's affordance, not the plan). Output is
-    O(sources²) rows."""
+    Scale shape: ONE distinct (source, gram) aggregation — the gram
+    rides as a BIGINT md5 lane from birth (both engines hash the same
+    window string identically, so distinct counts stay exact while the
+    fan-out shuffles 8-byte keys, not ~25-char strings) — then gram
+    groups collapse to a per-gram source set bounded by the SOURCE
+    DOMAIN (20 here), whose ordered pairs explode and re-aggregate —
+    the corpus is never self-joined (the oracle's gram⋈gram is the
+    oracle's affordance, not the plan). The distinct index feeds BOTH
+    the per-source totals and the pair counts, so it is eagerly
+    checkpointed (the same materialize-the-index boundary as q49's
+    candidate list). Output is O(sources²) rows."""
     w = F.expr("split(trim(lower(text)), '\\\\s+')")
     grams = F.expr(
         f"transform(sequence(1, size(split(trim(lower(text)), '\\\\s+')) - {_OVL_W - 1}), "
-        f"i -> array_join(slice(split(trim(lower(text)), '\\\\s+'), i, {_OVL_W}), ' '))"
+        f"i -> CAST(conv(substring(md5("
+        f"array_join(slice(split(trim(lower(text)), '\\\\s+'), i, {_OVL_W}), ' ')"
+        f"), 1, 15), 16, 10) AS BIGINT))"
     )
     docs = load_table(spark, sf_dir, "documents")
+    # spread the md5-per-window workload first: a single small input
+    # file otherwise evaluates the whole gram fan-out on ONE core
+    # (same fix as the minhash signature stage); the exchange is
+    # absorbed by the distinct that follows anyway
+    n_part = max(2, spark.sparkContext.defaultParallelism // 2)
     g = (
-        docs.where(F.size(w) >= _OVL_W)
+        docs.repartition(n_part, "doc_id")
+        .where(F.size(w) >= _OVL_W)
         .select("source", F.explode(grams).alias("gram"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     tot = g.groupBy("source").agg(F.count("*").cast("long").alias("n_grams"))
     pair_expr = (

@@ -1006,19 +1006,23 @@ def knn_graph(
         if c not in df.columns:
             raise ValueError(f"knn_graph: column {c!r} not in df")
 
-    cand = None
-    for band in range(n_bands):
-        key = lsh_bucket_key_band(vec_col, band, n_planes, dim)
-        side = df.select(F.col(id_col).alias("id"), key.alias("bucket"))
-        a = side.select(F.col("id").alias("query_id"), "bucket")
-        b = side.select(F.col("id").alias("neighbor_id"), "bucket")
-        pairs = (
-            a.join(b, "bucket")
-            .where(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id")
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct()
+    # ONE projection computes every band's key, posexplode tags rows
+    # with (band, bucket), and a single self-join on the compound key
+    # replaces the per-band join union: the hyperplane dot products
+    # evaluate once per side instead of once per band per side, and
+    # the uniform compound key keeps bucket-bounded quadratic work.
+    keys = F.array(
+        *[lsh_bucket_key_band(vec_col, band, n_planes, dim) for band in range(n_bands)]
+    )
+    side = df.select(F.col(id_col).alias("id"), F.posexplode(keys).alias("band", "bucket"))
+    a = side.select(F.col("id").alias("query_id"), "band", "bucket")
+    b = side.select(F.col("id").alias("neighbor_id"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
 
     va = df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     vb = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))

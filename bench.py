@@ -80,6 +80,7 @@ EXTENDED = [
     "q169_langid_confusion",
     "q170_signal_blend",
     "q171_matryoshka_audit",
+    "q173_rendezvous_plan",
 ]
 
 

@@ -281,3 +281,96 @@ def q145_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --------------------------------------------------------------- q173
+# Rendezvous (highest-random-weight) repartition plan: assign every
+# document to one of N workers by argmax of md5(doc|worker), then
+# measure exactly which documents MOVE when a 9th worker joins — the
+# minimal-movement property (only ~1/(N+1) of keys relocate, all TO
+# the new worker) that makes consistent placement the way a 100 TB
+# store scales, vs mod-N hashing where nearly everything moves.
+
+_RV_N = 8
+
+
+@register(
+    "q173_rendezvous_plan",
+    oracle=f"""
+    WITH cand AS (
+      SELECT doc_id, t.w AS w,
+             CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), '|',
+               CAST(t.w AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+      FROM documents, unnest(generate_series(0, {_RV_N})) AS t(w)
+    ),
+    a AS (
+      SELECT doc_id,
+             (max(CASE WHEN w < {_RV_N} THEN struct_pack(h := h, w := w) END)).w AS w_old,
+             (max(struct_pack(h := h, w := w))).w AS w_new
+      FROM cand GROUP BY doc_id
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM a)
+    SELECT CAST(w_old AS BIGINT) AS worker,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN w_old <> w_new THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+           CAST(SUM(CASE WHEN w_old <> w_new AND w_new <> {_RV_N} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved_sideways,
+           CAST(SUM(CASE WHEN w_old <> w_new THEN 1 ELSE 0 END) * 1000000
+             // count(*) AS BIGINT) AS moved_ppm,
+           CAST(count(*) * 1000000 // (SELECT n_total FROM tot) AS BIGINT) AS share_ppm
+    FROM a GROUP BY w_old ORDER BY worker
+    """,
+)
+def q173_rendezvous_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-worker rendezvous-hashing report for scaling 8 → 9 workers:
+    current doc count and corpus share, how many docs move under the
+    new ring, and — the correctness property of HRW — how many move
+    ANYWHERE BUT the new worker (must be 0: a doc relocates only if
+    the new worker wins its argmax, never between old workers).
+
+    Scale shape: one 9× narrow fan-out (md5 per (doc, worker)), ONE
+    map-side-combining per-doc argmax aggregation computing both rings
+    from the same pass (the old ring is the CASE-filtered max), one
+    tiny per-worker aggregation. Nothing shuffles twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = docs.select(
+        "doc_id", F.explode(F.expr(f"sequence(0, {_RV_N})")).alias("w")
+    ).withColumn(
+        "h",
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '|',"
+            " CAST(w AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        ),
+    )
+    a = cand.groupBy("doc_id").agg(
+        F.expr(
+            f"max(CASE WHEN w < {_RV_N} THEN named_struct('h', h, 'w', w) END).w"
+        ).alias("w_old"),
+        F.expr("max(named_struct('h', h, 'w', w)).w").alias("w_new"),
+    )
+    tot = a.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        a.groupBy(F.col("w_old").cast("long").alias("worker"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("w_old") != F.col("w_new"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_moved"),
+            F.sum(
+                F.when(
+                    (F.col("w_old") != F.col("w_new")) & (F.col("w_new") != _RV_N), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_moved_sideways"),
+        )
+        .withColumn("moved_ppm", F.expr("n_moved * 1000000 div n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("share_ppm", F.expr("n_docs * 1000000 div n_total"))
+        .drop("n_total")
+        .select(
+            "worker", "n_docs", "n_moved", "n_moved_sideways",
+            "moved_ppm", "share_ppm",
+        )
+        .orderBy("worker")
+    )

@@ -539,3 +539,20 @@ class TestMatryoshkaAudit:
                 assert -1_000_000 <= r[c] <= 1_000_000
         # top pairs are similar at full dim: cos64 should be high
         assert min(r["cos64_ppm"] for r in rows) > 0
+
+
+class TestRendezvousPlan:
+    def test_hrw_minimal_movement(self, spark):
+        from redshift_avro_spark.queries import load_all
+
+        rows = load_all()["q173_rendezvous_plan"].fn(spark, SF_SMOKE).collect()
+        assert [r["worker"] for r in rows] == list(range(8))
+        total = sum(r["n_docs"] for r in rows)
+        moved = sum(r["n_moved"] for r in rows)
+        # HRW: nothing moves between old workers
+        assert all(r["n_moved_sideways"] == 0 for r in rows)
+        # expected movement ~= 1/9 of the corpus; allow wide slack
+        assert 0.03 * total < moved < 0.25 * total
+        # shares are roughly balanced (md5-uniform): each within 3x of fair
+        for r in rows:
+            assert total // 24 <= r["n_docs"] <= total // 3

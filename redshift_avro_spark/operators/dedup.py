@@ -317,16 +317,24 @@ def edit_distance_pairs(
     compare normalizes booleans differently).
 
     Scale shape: the candidate list is broadcast against the corpus
-    twice (id equi-joins — at most two corpus scans, no shuffle of the
-    text column beyond the matched sliver); the DP itself is
-    JVM-side ``levenshtein`` inside whole-stage codegen."""
+    twice (explicit ``F.broadcast`` hints, not AQE-dependent — two
+    corpus scans, no shuffle of the text column beyond the matched
+    sliver); the second equi-join then pairs two candidate-sized
+    slivers, with the broadcast hint on the candidate axis again. The
+    DP itself is JVM-side ``levenshtein`` inside whole-stage codegen."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    # sliver of b-side texts: one corpus scan probed by the broadcast
+    # candidate id set, then itself broadcast into the pair join (it is
+    # candidate-sized — bounded by the band cap — never the corpus)
+    sliver_b = F.broadcast(
+        F.broadcast(candidates.select("id_b").distinct()).join(b, "id_b")
+    )
     # stage the DP result once; ppm and the flag derive from the staged
     # column, so each pair runs the quadratic kernel exactly once
     staged = (
-        candidates.join(a, "id_a")
-        .join(b, "id_b")
+        F.broadcast(candidates).join(a, "id_a")
+        .join(sliver_b, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -416,6 +424,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 20,
+    driver_cap: int = 500_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list — turns
     verified near-dup PAIRS into duplicate CLUSTERS (the step a real
@@ -438,16 +447,23 @@ def connected_components(
     MapReduce CC) on constant factors. Labels are localCheckpoint'ed
     eagerly per round — without the lineage cut, round k's plan
     re-derives rounds 1..k-1 and the convergence-check action pays it
-    again. Returns (id, component_id)."""
-    # Near-dup edge sets are slivers of the corpus; under the cap the
-    # component labeling runs as one collect + in-process union-find —
-    # the exact same min-reachable-id result (a graph property, not an
-    # execution artifact) without diameter × 3 scheduled jobs. Larger
-    # edge sets take the distributed propagation below.
-    driver_cap = 2_000_000
-    head = edges.select(
+    again. Edge sets at or under ``driver_cap`` rows instead collect
+    once and label in-process (identical result, no per-round jobs).
+    Returns (id, component_id)."""
+    # Near-dup edge sets are slivers of the corpus; under the cap
+    # (a parameter — 500k edges keeps the Python adjacency well under
+    # a GB of driver memory) the component labeling runs as one collect
+    # + in-process label propagation — the exact same min-reachable-id
+    # result (a graph property, not an execution artifact) without
+    # diameter × 3 scheduled jobs. Larger edge sets take the
+    # distributed propagation below. The projected edge frame is
+    # checkpointed FIRST so the cap probe evaluates the upstream edge
+    # plan once and the over-cap distributed loop reuses the
+    # materialized blocks instead of re-deriving it.
+    edges_uv = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
-    ).limit(driver_cap + 1).collect()
+    ).localCheckpoint(eager=True)
+    head = edges_uv.limit(driver_cap + 1).collect()
     if len(head) <= driver_cap:
         adj: dict = {}
         for r in head:
@@ -477,8 +493,8 @@ def connected_components(
         )
 
     sym = (
-        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .unionByName(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+        edges_uv
+        .unionByName(edges_uv.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
     )
     labels = sym.select("u").distinct().withColumn("label", F.col("u"))

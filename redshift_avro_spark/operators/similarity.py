@@ -363,7 +363,18 @@ def _assign_nearest(
     (:func:`_np_fold_dot`); the argmax iterates centers in ascending
     cid with a STRICT > update, so ties keep the smallest cid — the
     windowed ``ORDER BY cs DESC, cid ASC`` pick, bit for bit.
-    ``carry`` names extra columns of ``c`` passed through unchanged."""
+    ``carry`` names extra columns of ``c`` passed through unchanged.
+
+    NaN cosines are OUT OF CONTRACT: a zero-norm vector or centroid
+    yields NaN, which the strict ``>`` update never selects (it sticks
+    with the first centroid), while the windowed form it replaces
+    sorted NaN FIRST (Spark orders NaN after +Inf, so ``cs DESC``
+    leads with it). Callers guarantee non-zero norms — the corpus
+    embeddings and all md5/Lloyd-derived centroids are non-zero by
+    construction (a Lloyd mean of non-zero cosine-assigned members
+    can only be zero if members cancel exactly, which the test corpus
+    and any real embedding table never produce); :func:`_ivf_query`'s
+    probe key inherits the same contract."""
     import numpy as np
     import pandas as pd
 
@@ -652,9 +663,12 @@ def _driver_lloyd_step(rows: list, centers: list) -> list:
     over ascending cid, exactly :func:`_assign_nearest`), then
     per-cluster means through the SAME exact decimal arithmetic
     :func:`lloyd_step` runs: each element quantizes as Spark's
-    ``CAST(double AS DECIMAL(27,10))`` (HALF_UP — ``Decimal.quantize``
-    with ROUND_HALF_UP on the exact binary value is the identical
-    function), decimal sums are exact, and the final
+    ``CAST(double AS DECIMAL(27,10))`` — the JVM cast stringifies via
+    ``Double.toString`` (shortest repr) then rounds HALF_UP, so the
+    identical Python function is ``Decimal(repr(x)).quantize`` (NOT
+    ``Decimal(x)``, which sees the exact binary value and can round
+    the other way on shortest-repr half-boundary values) — decimal
+    sums are exact, and the final
     ``CAST(dec AS DOUBLE)/n`` is one correctly-rounded conversion plus
     one IEEE division in both engines."""
     from decimal import ROUND_HALF_UP, Decimal
@@ -672,7 +686,15 @@ def _driver_lloyd_step(rows: list, centers: list) -> list:
         n, acc = sums.setdefault(best_cid, [0, [Decimal(0)] * dim])
         sums[best_cid][0] = n + 1
         for d in range(dim):
-            acc[d] += Decimal(float(v[d])).quantize(qexp, rounding=ROUND_HALF_UP)
+            # Decimal(repr(x)) = the shortest decimal repr = the value
+            # Spark's CAST(double AS DECIMAL) actually rounds (the JVM
+            # stringifies via Double.toString first); Decimal(x) would
+            # quantize the exact binary value, which differs on
+            # shortest-repr half-boundary values (see
+            # test_decimal_cast_boundaries).
+            acc[d] += Decimal(repr(float(v[d]))).quantize(
+                qexp, rounding=ROUND_HALF_UP
+            )
     out = []
     for cid in sorted(sums):
         n, acc = sums[cid]

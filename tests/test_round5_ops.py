@@ -505,7 +505,7 @@ class TestDistributedRank:
         df = spark.createDataFrame(rows, "doc_id long, v long")
         got = {
             r["doc_id"]: r["rank"]
-            for r in distributed_rank(df, "v", "doc_id", n_buckets=8).collect()
+            for r in distributed_rank(df, "v", "doc_id", split_threshold=64).collect()
         }
         expected = {
             doc_id: i + 1
@@ -513,7 +513,7 @@ class TestDistributedRank:
         }
         assert got == expected
 
-    def test_single_bucket_degenerates_correctly(self, spark):
+    def test_split_every_group_degenerates_correctly(self, spark):
         from redshift_avro_spark.operators.ranking import distributed_rank
 
         df = spark.createDataFrame(
@@ -521,7 +521,7 @@ class TestDistributedRank:
         )
         got = {
             r["doc_id"]: r["rank"]
-            for r in distributed_rank(df, "v", "doc_id", n_buckets=1).collect()
+            for r in distributed_rank(df, "v", "doc_id", split_threshold=1).collect()
         }
         assert got == {4: 1, 2: 2, 1: 3, 3: 4}
 

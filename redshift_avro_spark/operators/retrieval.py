@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .staging import materialize
+
 __all__ = ["bm25_topk", "bm25_eval", "BM25_TSCORE_SQL"]
 
 # One fixed expression tree for the per-(doc, term) BM25 score with
@@ -164,8 +166,8 @@ def bm25_eval(
                 "CAST((row_number() OVER (ORDER BY df DESC, term) + 1) div 2 AS BIGINT)"
             ).alias("query_id"),
         )
-        .localCheckpoint(eager=True)
     )
+    qt = materialize(qt, label="bm25_query_terms", default="checkpoint")
     nq = qt.groupBy("query_id").agg(F.count("*").cast("long").alias("nq"))
 
     scored = (
@@ -179,8 +181,10 @@ def bm25_eval(
             F.count("*").cast("long").alias("n_terms"),
             F.round(F.sum("tscore").cast("double"), 6).alias("score"),
         )
-        .localCheckpoint(eager=True)
     )
+    # postings sliver feeding ranking AND relevance → checkpoint
+    # default (query-terms-matched rows only; cheap to rebuild)
+    scored = materialize(scored, label="bm25_postings", default="checkpoint")
     # phase 1: local top-k inside (query, salt) — bounded partitions
     w1 = Window.partitionBy(
         "query_id", F.expr(f"pmod(xxhash64(doc_id), {salt_buckets})")

@@ -23,11 +23,6 @@ the whole pipeline end to end.
 
 from __future__ import annotations
 
-import atexit
-import os
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -36,6 +31,7 @@ from . import _parquet_file_count, load_table, register, spread_codec_input
 from .dedup import _NORM_DUCK, _NORM_SPARK, minhash_cte
 from .text import _LANG_PRED, _N_WORDS, _SCORE
 from ..operators.dedup import minhash_candidate_pairs, ngram_jaccard_pairs
+from ..operators.staging import materialize
 from ..operators.text import language_id, quality_features, token_count
 
 _MIN_SCORE = 0.68
@@ -43,37 +39,12 @@ _MIN_WORDS = 20
 
 # survivors feeds three consumers (LSH signatures, Jaccard grams, final
 # anti-join); without staging, its filter + md5-window subplan — shuffle
-# included — recomputes once per consumer. Strategies (measurements live
-# in ONE place: SCALING.md's q49 entry — best-of-3 at sf0.1, parquet
-# fastest and also the 100 TB shape):
-#   parquet    — write/read a temp parquet dir: a stage boundary that
-#                survives executor loss — the default
-#   checkpoint — localCheckpoint(eager): executor-storage blocks, lineage
-#                cut; in-session lifecycle, no files left behind
-#   none       — recompute per consumer (round-1 behavior)
-_STAGE_MODES = ("checkpoint", "parquet", "none")
-
-# One staging dir per Spark application, overwritten on each invocation
-# (bench runs each query 3×) and removed at interpreter exit — repeated
-# runs can't accumulate unbounded temp parquet dirs. The overwrite is
-# safe because each invocation's consumers drain before the next starts.
-_CLEANUP_REGISTERED: set = set()
-
-
-def _stage_survivors(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
-    if mode == "parquet":
-        path = os.path.join(
-            tempfile.gettempdir(),
-            f"q49_survivors_{spark.sparkContext.applicationId}",
-        )
-        if path not in _CLEANUP_REGISTERED:
-            _CLEANUP_REGISTERED.add(path)
-            atexit.register(shutil.rmtree, path, ignore_errors=True)
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
-    if mode == "checkpoint":
-        return df.localCheckpoint(eager=True)
-    return df
+# included — recomputes once per consumer. Materialization boundaries
+# route through operators/staging.py::materialize (modes checkpoint |
+# parquet | none; measurements live in ONE place: SCALING.md's q49
+# entry — best-of-3 at sf0.1, parquet fastest and also the 100 TB shape
+# for this corpus-scale frame, since parquet blocks survive executor
+# loss where localCheckpoint's storage blocks do not).
 
 
 @register(
@@ -149,33 +120,37 @@ def q49_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("quality_score") >= _MIN_SCORE)
         & (F.col("n_words") >= _MIN_WORDS)
     )
-    # Stage the three-consumer survivors subplan (see _STAGE_MODES;
-    # persist() measured slower than recompute in round 1 — repeated
-    # invocations leak never-unpersisted cache blocks — so the staging
-    # is a lineage cut, not a cache).
-    mode = os.environ.get("SPARK_GRAFT_Q49_MATERIALIZE", "parquet")
-    if mode not in _STAGE_MODES:
-        mode = "parquet"
-    survivors = _stage_survivors(
+    # Stage the three-consumer survivors subplan (persist() measured
+    # slower than recompute in round 1 — repeated invocations leak
+    # never-unpersisted cache blocks — so the staging is a lineage cut,
+    # not a cache). Corpus-scale frame → parquet default
+    # (executor-loss-safe); SPARK_GRAFT_Q49_MATERIALIZE kept as the
+    # legacy override key.
+    survivors = materialize(
         kept.withColumn(
             "keeper",
             F.min("doc_id").over(Window.partitionBy(F.md5(F.expr(_NORM_SPARK)))),
         )
         .where(F.col("doc_id") == F.col("keeper"))
         .drop("keeper"),
-        spark,
-        mode,
+        label="q49_survivors",
+        default="parquet",
+        extra_env="SPARK_GRAFT_Q49_MATERIALIZE",
     )
-    cands = minhash_candidate_pairs(survivors, "doc_id", "text", 12, 3, 3)
-    if mode != "none":
-        # the candidate list is a sliver of the corpus but feeds two
-        # consumers inside the verify stage (member semi-join + pair
-        # join); without a lineage cut the whole band-aggregation
-        # subplan evaluates twice (measured 3.37→2.58 s best-of-3 at
-        # sf0.1 — exchange reuse does not cover it across the two
-        # join sides). Production pipelines materialize the candidate
-        # list between discovery and verify for the same reason.
-        cands = cands.localCheckpoint(eager=True)
+    # the candidate list is a sliver of the corpus but feeds two
+    # consumers inside the verify stage (member semi-join + pair
+    # join); without a lineage cut the whole band-aggregation
+    # subplan evaluates twice (measured 3.37→2.58 s best-of-3 at
+    # sf0.1 — exchange reuse does not cover it across the two
+    # join sides). Production pipelines materialize the candidate
+    # list between discovery and verify for the same reason.
+    # Candidate-sliver frame → checkpoint default (cheap recompute
+    # on executor loss).
+    cands = materialize(
+        minhash_candidate_pairs(survivors, "doc_id", "text", 12, 3, 3),
+        label="q49_candidates",
+        default="checkpoint",
+    )
     verified = ngram_jaccard_pairs(
         survivors, "doc_id", "text", n=3, threshold=0.5, candidates=cands
     )
@@ -274,18 +249,21 @@ def q157_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_lang = feat.where(F.col("lang_pred") == "en")
     s_quality = s_lang.where(F.col("quality_score") >= _MIN_SCORE)
     s_words = s_quality.where(F.col("n_words") >= _MIN_WORDS)
-    survivors = (
+    survivors = materialize(
         s_words.withColumn(
             "keeper",
             F.min("doc_id").over(Window.partitionBy(F.md5(F.expr(_NORM_SPARK)))),
         )
         .where(F.col("doc_id") == F.col("keeper"))
-        .select("doc_id", "text")
-        .localCheckpoint(eager=True)
+        .select("doc_id", "text"),
+        label="q157_survivors",
+        default="parquet",  # corpus-scale, same trade as q49_survivors
     )
-    cands = minhash_candidate_pairs(
-        survivors, "doc_id", "text", 12, 3, 3
-    ).localCheckpoint(eager=True)  # same double-evaluation cut as q49
+    cands = materialize(
+        minhash_candidate_pairs(survivors, "doc_id", "text", 12, 3, 3),
+        label="q157_candidates",
+        default="checkpoint",  # same double-evaluation cut as q49
+    )
     verified = ngram_jaccard_pairs(
         survivors, "doc_id", "text", n=3, threshold=0.5, candidates=cands
     )

@@ -36,6 +36,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
+from ..operators.staging import materialize
 
 # normalized content key: sorted distinct lowercased words — catches
 # reordered/repeated-word duplicates that byte-exact hashing misses
@@ -195,9 +196,11 @@ def q33_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AND its pair join; the eager lineage cut stops the whole band
     # aggregation from evaluating twice (same fix as q49 — measured
     # 3.37->2.58 s there at sf0.1)
-    cands = minhash_candidate_pairs(
-        docs, "doc_id", "text", 12, 3, 3
-    ).localCheckpoint(eager=True)
+    cands = materialize(
+        minhash_candidate_pairs(docs, "doc_id", "text", 12, 3, 3),
+        label="lsh_candidates",  # candidate sliver → checkpoint default
+        default="checkpoint",
+    )
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5, candidates=cands
     ).orderBy("id_a", "id_b")
@@ -258,9 +261,11 @@ def q63_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AND its pair join; the eager lineage cut stops the whole band
     # aggregation from evaluating twice (same fix as q49 — measured
     # 3.37->2.58 s there at sf0.1)
-    cands = minhash_candidate_pairs(
-        docs, "doc_id", "text", 12, 3, 3
-    ).localCheckpoint(eager=True)
+    cands = materialize(
+        minhash_candidate_pairs(docs, "doc_id", "text", 12, 3, 3),
+        label="lsh_candidates",  # candidate sliver → checkpoint default
+        default="checkpoint",
+    )
     verified = ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5, candidates=cands
     )
@@ -453,9 +458,11 @@ def q123_containment_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AND its pair join; the eager lineage cut stops the whole band
     # aggregation from evaluating twice (same fix as q49 — measured
     # 3.37->2.58 s there at sf0.1)
-    cands = minhash_candidate_pairs(
-        docs, "doc_id", "text", 12, 3, 3
-    ).localCheckpoint(eager=True)
+    cands = materialize(
+        minhash_candidate_pairs(docs, "doc_id", "text", 12, 3, 3),
+        label="lsh_candidates",  # candidate sliver → checkpoint default
+        default="checkpoint",
+    )
     from ..operators.dedup import ngram_containment_pairs
 
     return ngram_containment_pairs(

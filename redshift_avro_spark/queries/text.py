@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import load_table, register
+from ..operators.staging import materialize
 from ..operators.text import STOPWORDS, doc_fingerprint, language_id, quality_features, token_count
 
 _WORDS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
@@ -532,12 +533,16 @@ def q163_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (same fix as the minhash signature stage); the exchange is
     # absorbed by the distinct that follows anyway
     n_part = max(2, spark.sparkContext.defaultParallelism // 2)
-    g = (
+    g = materialize(
         docs.repartition(n_part, "doc_id")
         .where(F.size(w) >= _OVL_W)
         .select("source", F.explode(grams).alias("gram"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        # distinct-index frame: big-ish but cheap to rebuild from one
+        # corpus pass → checkpoint default; flip the env knob to
+        # parquet for executor-loss-safe runs
+        label="q163_gram_index",
+        default="checkpoint",
     )
     tot = g.groupBy("source").agg(F.count("*").cast("long").alias("n_grams"))
     pair_expr = (
@@ -919,13 +924,18 @@ def q170_signal_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = REGISTRY["q162_lexical_diversity"].fn(spark, sf_dir).select(
         "doc_id", "ttr_ppm"
     )
-    # each rank phase consumes its input twice (bucket histogram +
-    # offset join) and the second phase stacks on the first, so
+    # each rank phase consumes its input twice (value histogram +
+    # broadcast-plan join) and the second phase stacks on the first, so
     # without lineage cuts the signal join would evaluate 4×; the
-    # checkpointed frame is 3 integers per doc
-    j = feat.join(lex, "doc_id").localCheckpoint(eager=True)
-    r = distributed_rank(j, "qs6", "doc_id", rank_name="q_rank").localCheckpoint(
-        eager=True
+    # staged frame is 3 integers per doc (checkpoint default — narrow
+    # and cheap to rebuild)
+    j = materialize(
+        feat.join(lex, "doc_id"), label="q170_signal_join", default="checkpoint"
+    )
+    r = materialize(
+        distributed_rank(j, "qs6", "doc_id", rank_name="q_rank"),
+        label="q170_q_rank",
+        default="checkpoint",
     )
     r = distributed_rank(r, "ttr_ppm", "doc_id", rank_name="d_rank")
     n = j.agg(F.count("*").cast("long").alias("n"))

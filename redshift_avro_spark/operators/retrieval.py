@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from .staging import materialize
 
-__all__ = ["bm25_topk", "bm25_eval", "BM25_TSCORE_SQL"]
+__all__ = ["bm25_topk", "bm25_eval", "bm25_query_terms", "BM25_TSCORE_SQL"]
 
 # One fixed expression tree for the per-(doc, term) BM25 score with
 # k1=1.2, b=0.75: idf_rational * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)),
@@ -46,6 +46,42 @@ BM25_TSCORE_SQL = (
 )
 
 
+def bm25_query_terms(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_query_terms: int = 8,
+) -> DataFrame:
+    """The corpus-derived query: the ``n_query_terms`` most
+    document-frequent informative terms (2 ≤ df ≤ N/2 — present enough
+    to match, absent from half the corpus so they discriminate), with
+    the unique (df DESC, term) order making the selection
+    reproducible. Shared by :func:`bm25_topk` (which derives it
+    internally when not given one) and callers that need the SAME
+    terms for a downstream stage (q166's cross-encoder rerank) —
+    extract + ``materialize`` it once rather than paying the corpus
+    dfreq pass twice. Returns (term, df)."""
+    if n_query_terms < 1:
+        raise ValueError(f"bm25_query_terms: n_query_terms must be >= 1, got {n_query_terms}")
+    words = F.expr(f"split(trim(lower({text_col})), '\\\\s+')")
+    toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("term"))
+    dfreq = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("__tf"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        dfreq.crossJoin(F.broadcast(n))
+        .where((F.col("df") * 2 <= F.col("n_docs")) & (F.col("df") >= 2))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(n_query_terms)
+        .select("term", "df")
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     *,
@@ -53,15 +89,14 @@ def bm25_topk(
     text_col: str = "text",
     n_query_terms: int = 8,
     k: int = 10,
+    query_terms: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` documents by BM25 relevance to a derived query.
 
-    The query is the corpus's ``n_query_terms`` most document-frequent
-    informative terms (2 ≤ df ≤ N/2 — present enough to match, absent
-    from half the corpus so they discriminate), with the unique
-    (df DESC, term) order making the selection reproducible. A caller
-    with real query terms passes them by pre-filtering; the scoring
-    plan is identical.
+    The query is :func:`bm25_query_terms` (derived here when
+    ``query_terms`` is None); a caller with its own terms — real query
+    terms, or a pre-``materialize``d shared derivation — passes a
+    (term, df) frame and the scoring plan is identical.
 
     Returns ``(rank, doc_id, dl, n_terms, score)`` — rank 1..k by
     (score DESC, doc_id), dl the document's token length, n_terms how
@@ -73,16 +108,15 @@ def bm25_topk(
     toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
-    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     n = docs.agg(F.count("*").cast("long").alias("n_docs"))
     s = dl.agg(F.sum("dl").cast("long").alias("sum_dl"))
 
     qt = (
-        dfreq.crossJoin(F.broadcast(n))
-        .where((F.col("df") * 2 <= F.col("n_docs")) & (F.col("df") >= 2))
-        .orderBy(F.desc("df"), F.asc("term"))
-        .limit(n_query_terms)
-        .select("term", "df")
+        bm25_query_terms(
+            docs, id_col=id_col, text_col=text_col, n_query_terms=n_query_terms
+        )
+        if query_terms is None
+        else query_terms.select("term", "df")
     )
 
     scored = (

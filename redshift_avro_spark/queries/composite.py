@@ -1763,7 +1763,8 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval-quality scorecard (q165 — hits/precision/recall/MRR@10
     for four two-term BM25 queries against the exact AND-relevance
     set), and the batched model-inference rerank of the BM25 top-10
-    (q166 — mapInPandas with a once-per-partition model stub), tagged
+    (q166 — mapInPandas with a once-per-partition linear cross-encoder
+    reading broadcast weights; exact integer logits), tagged
     and unioned. The passes an LLM pipeline runs over the corpus
     before training, in one driver-verified result."""
     a = _run("q56_tfidf_terms", spark, sf_dir).select(

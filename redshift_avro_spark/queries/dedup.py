@@ -326,7 +326,13 @@ def q160_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import edit_distance_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    cands = minhash_candidate_pairs(docs, "doc_id", "text", 12, 3, 3)
+    # the candidate list feeds the pair join AND the b-side id probe
+    # inside edit_distance_pairs — stage it like the other verifies
+    cands = materialize(
+        minhash_candidate_pairs(docs, "doc_id", "text", 12, 3, 3),
+        label="lsh_candidates",
+        default="checkpoint",
+    )
     return edit_distance_pairs(
         docs, "doc_id", "text", cands, threshold_ppm=_LEV_THRESHOLD_PPM
     ).orderBy("id_a", "id_b")

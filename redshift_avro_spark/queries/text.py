@@ -747,27 +747,54 @@ def q165_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------- q166
 # Batched model-inference rerank: the execution pattern for running a
 # scoring model over a candidate sliver — mapInPandas, Arrow batches,
-# model loaded once per partition. The model is the documented
-# deterministic fake (md5-derived logit) behind real plumbing, so the
-# oracle is exact; swap the stub for a real cross-encoder and nothing
-# else changes.
+# weights shipped once via sparkContext.broadcast, model constructed
+# once per partition. The model is a REAL (small) linear
+# cross-encoder: hashed (query term × doc word) interaction features
+# against the q95 weight formula's materialized int64 table, in exact
+# integer arithmetic, so the oracle replays every logit bit-for-bit.
+# The round-5 md5 fake remains behind rerank_with_model(model="fake").
 
 
 def _q166_oracle() -> str:
     from . import REGISTRY
+    from ..operators.inference import CE_MAX_DOC_WORDS, CE_N_BUCKETS
 
     bm25 = "(" + REGISTRY["q113_bm25_topk"].oracle + ")"
-    ce = (
-        "CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), '|',"
-        " substring(text, 1, 64))), 1, 15)) AS BIGINT)"
+    w_expr = (
+        f"((CAST(concat('0x', substring(md5(concat(term, ' ', w)), 1, 8)) AS BIGINT)"
+        f" % {CE_N_BUCKETS}) * 2654435761) % 2003 - 1001"
     )
     return f"""
-    WITH top10 AS (
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df
+      FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    qt AS (
+      SELECT term FROM dfreq, n
+      WHERE df * 2 <= n_docs AND df >= 2
+      ORDER BY df DESC, term LIMIT 8
+    ),
+    top10 AS (
       SELECT rank AS bm25_rank, doc_id FROM {bm25}
     ),
+    dw AS (
+      SELECT t.doc_id, t.bm25_rank,
+             list_slice(regexp_split_to_array(trim(lower(d.text)), '\\s+'),
+                        1, {CE_MAX_DOC_WORDS}) AS ws
+      FROM top10 t JOIN documents d USING (doc_id)
+    ),
+    pf AS (
+      SELECT dw.doc_id, dw.bm25_rank, q.term, unnest(dw.ws) AS w
+      FROM dw, qt q
+    ),
     scored AS (
-      SELECT t.doc_id, t.bm25_rank, {ce} AS ce_score
-      FROM top10 t JOIN documents USING (doc_id)
+      SELECT doc_id, bm25_rank, CAST(SUM({w_expr}) AS BIGINT) AS ce_score
+      FROM pf GROUP BY doc_id, bm25_rank
     ),
     reranked AS (
       SELECT doc_id, bm25_rank, ce_score,
@@ -782,21 +809,30 @@ def _q166_oracle() -> str:
 
 @register("q166_inference_rerank", oracle=_q166_oracle())
 def q166_inference_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rerank the BM25 top-10 with the Arrow-batched model stub:
-    candidate sliver joined back to text, scored via ``mapInPandas``
-    with a once-per-partition model, windowed into the new order
-    (plus the promotion/demotion delta against the BM25 rank).
+    """Rerank the BM25 top-10 with the Arrow-batched linear
+    cross-encoder: candidate sliver joined back to its JVM-tokenized
+    word array, scored via ``mapInPandas`` with the once-per-partition
+    model reading the broadcast (weights, query terms), windowed into
+    the new order (plus the promotion/demotion delta against the BM25
+    rank).
 
-    Scale shape: inference touches ONLY the candidate sliver — the
-    corpus is scanned once for the id equi-join and never shuffled;
+    Scale shape: the query-term derivation is materialized once and
+    shared with the BM25 stage (one corpus dfreq pass, not two);
+    inference touches ONLY the candidate sliver — the corpus is
+    scanned once for the broadcast id equi-join and never shuffled;
     batches cross to Python as Arrow frames; the rerank window covers
     k rows. See operators/inference.py."""
     from ..operators.inference import rerank_with_model
-    from ..operators.retrieval import bm25_topk
+    from ..operators.retrieval import bm25_query_terms, bm25_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    top10 = bm25_topk(docs, n_query_terms=8, k=10)
-    return rerank_with_model(top10, docs).orderBy("ce_rank")
+    qt = materialize(
+        bm25_query_terms(docs, n_query_terms=8),
+        label="bm25_query_terms",
+        default="checkpoint",
+    )
+    top10 = bm25_topk(docs, k=10, query_terms=qt)
+    return rerank_with_model(top10, docs, query_terms=qt).orderBy("ce_rank")
 
 
 # --------------------------------------------------------------- q169

@@ -369,7 +369,7 @@ class TestRerankWithModel:
         cands = spark.createDataFrame(
             [(r, r) for r in range(1, 6)], "rank long, doc_id long"
         )
-        rows = rerank_with_model(cands, docs).collect()
+        rows = rerank_with_model(cands, docs, model="fake").collect()
         texts = {r["doc_id"]: r["text"] for r in docs.collect()}
         assert len(rows) == 5
         for r in rows:
@@ -389,7 +389,7 @@ class TestRerankWithModel:
             [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
         )
         cands = spark.createDataFrame([(1, 7), (2, 42)], "rank long, doc_id long")
-        rows = rerank_with_model(cands, docs).collect()
+        rows = rerank_with_model(cands, docs, model="fake").collect()
         assert sorted(r["doc_id"] for r in rows) == [7, 42]
 
 

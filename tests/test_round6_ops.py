@@ -99,6 +99,61 @@ class TestDistributedRankSkew:
         assert max(r["n"] for r in stats.collect()) >= 0.9 * sum(sizes)
 
 
+class TestLinearCrossEncoder:
+    """q166's real model: broadcast weight table + hashed interaction
+    features, exact integer logits (VERDICT r5 task #5)."""
+
+    def test_weight_table_matches_q95_formula(self):
+        from redshift_avro_spark.operators.inference import (
+            CE_N_BUCKETS,
+            ce_weight_table,
+        )
+
+        w = ce_weight_table()
+        assert len(w) == CE_N_BUCKETS
+        for b in (0, 1, 17, 512, 1023):
+            assert int(w[b]) == (b * 2654435761) % 2003 - 1001
+        assert min(w) >= -1001 and max(w) <= 1001
+
+    def test_rerank_scores_replayable(self, spark):
+        from redshift_avro_spark.operators.inference import (
+            CE_MAX_DOC_WORDS,
+            ce_score,
+            ce_weight_table,
+            rerank_with_model,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta doc {i} gamma delta word{i}") for i in range(1, 6)],
+            "doc_id long, text string",
+        )
+        cands = spark.createDataFrame(
+            [(r, r) for r in range(1, 6)], "rank long, doc_id long"
+        )
+        qt = spark.createDataFrame(
+            [("alpha", 5), ("gamma", 4)], "term string, df long"
+        )
+        rows = rerank_with_model(cands, docs, query_terms=qt).collect()
+        w = ce_weight_table()
+        terms = ["alpha", "gamma"]  # df desc, term asc
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        assert len(rows) == 5
+        for r in rows:
+            words = texts[r["doc_id"]].strip().lower().split()[:CE_MAX_DOC_WORDS]
+            assert r["ce_score"] == ce_score(w, terms, words)
+        assert sorted(r["ce_rank"] for r in rows) == [1, 2, 3, 4, 5]
+
+    def test_linear_ce_requires_query_terms(self, spark):
+        from redshift_avro_spark.operators.inference import rerank_with_model
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        cands = spark.createDataFrame([(1, 1)], "rank long, doc_id long")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="query_terms"):
+            rerank_with_model(cands, docs)
+
+
 class TestMaterializeHelper:
     """The unified materialization-boundary knob (VERDICT r5 #1)."""
 

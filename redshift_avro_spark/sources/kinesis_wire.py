@@ -18,7 +18,11 @@ KPL → Spring → Avro decode pipeline as every other source.
 Offset model: Kinesis sequence numbers are OPAQUE per-shard strings;
 checkpoints store the last processed sequence per shard and resume
 with ``AFTER_SEQUENCE_NUMBER`` iterators — exactly the KCL checkpoint
-contract. The public API has NO current-tip query (``DescribeStream``
+contract, including RESHARDING: a closed (split/merged-away) shard is
+drained to its null NextShardIterator and committed as ``SHARD_END``,
+and a child shard only starts once every parent in its ListShards
+topology has a committed ``SHARD_END`` — the KCL parent-before-child
+rule, so per-partition-key order survives a reshard. The public API has NO current-tip query (``DescribeStream``
 carries an ``EndingSequenceNumber`` only for closed shards), so a
 micro-batch cannot plan ``(start, end]`` ranges without reading; the
 streaming source therefore implements Spark's
@@ -53,10 +57,17 @@ __all__ = [
     "read_kinesis_shards",
     "read_kinesis_stream",
     "register_kinesis_wire_datasource",
+    "SHARD_END",
 ]
 
 _TARGET_PREFIX = "Kinesis_20131202."
 _MAX_EMPTY_PAGES = 1000
+
+# Checkpoint sentinel for a shard that was consumed to SHARD_END (the
+# shard is CLOSED — split or merged away — and every record was
+# processed). Kinesis sequence numbers are numeric strings, so this
+# value can never collide with one.
+SHARD_END = "SHARD_END"
 
 
 class KinesisWireError(RuntimeError):
@@ -118,6 +129,32 @@ class KinesisHttpClient:
         if not shards:
             raise KinesisWireError(f"stream {stream!r} has no shards")
         return shards
+
+    def list_shards_detail(self, stream: str) -> list:
+        """ListShards with the resharding topology the service exposes:
+        one dict per shard (open AND closed — closed shards stay listed
+        until they age out of retention) with ``shard_id``,
+        ``parents`` (ParentShardId + AdjacentParentShardId when
+        present — one parent for a split child, two for a merge child)
+        and ``closed`` (the shard's SequenceNumberRange carries an
+        EndingSequenceNumber)."""
+        r = self._call("ListShards", {"StreamName": stream})
+        shards = sorted(r.get("Shards", []), key=lambda s: s["ShardId"])
+        if not shards:
+            raise KinesisWireError(f"stream {stream!r} has no shards")
+        return [
+            {
+                "shard_id": s["ShardId"],
+                "parents": [
+                    p
+                    for p in (s.get("ParentShardId"), s.get("AdjacentParentShardId"))
+                    if p
+                ],
+                "closed": "EndingSequenceNumber"
+                in (s.get("SequenceNumberRange") or {}),
+            }
+            for s in shards
+        ]
 
     def get_shard_iterator(
         self,
@@ -182,6 +219,8 @@ class KinesisHttpClient:
             if recs:
                 empty_pages = 0
             else:
+                if it is None:
+                    return  # SHARD_END: closed shard fully consumed
                 if behind == 0:
                     return
                 empty_pages += 1
@@ -191,6 +230,48 @@ class KinesisHttpClient:
                         f"{behind} ms behind — no progress"
                     )
 
+    def drain_shard(
+        self,
+        stream: str,
+        shard_id: str,
+        after: Optional[str] = None,
+        max_records: Optional[int] = None,
+    ) -> tuple:
+        """Like :meth:`consume_shard`, but returns
+        ``([(sequence, pk, data), ...], shard_ended)`` where
+        ``shard_ended`` is True iff the shard reached SHARD_END — it is
+        CLOSED (split or merged away) and every record was consumed
+        (the service returned a null NextShardIterator). A
+        resharding-aware checkpoint needs the distinction between
+        "caught up for now" (open shard, more may arrive) and "this
+        shard is finished forever" (children may now start)."""
+        if after is None:
+            it = self.get_shard_iterator(stream, shard_id)
+        else:
+            it = self.get_shard_iterator(
+                stream, shard_id, "AFTER_SEQUENCE_NUMBER", after
+            )
+        out: list = []
+        empty_pages = 0
+        while it:
+            recs, it, behind = self.get_records(it)
+            for rec in recs:
+                out.append(rec)
+                if max_records is not None and len(out) >= max_records:
+                    return out, False
+            if recs:
+                empty_pages = 0
+            elif it is not None:
+                if behind == 0:
+                    return out, False
+                empty_pages += 1
+                if empty_pages > _MAX_EMPTY_PAGES:
+                    raise KinesisWireError(
+                        f"shard {shard_id}: {empty_pages} empty pages while "
+                        f"{behind} ms behind — no progress"
+                    )
+        return out, True
+
 
 # ------------------------------------------------------------ Spark side
 def read_kinesis_shards(spark, endpoint: str, stream: str):
@@ -198,7 +279,16 @@ def read_kinesis_shards(spark, endpoint: str, stream: str):
     (shard_id, sequence_number, partition_key, data) — shard-per-task:
     the driver lists shard ids only; each executor task drains its own
     shard over its own connection until caught up (the real
-    connector topology, mirroring :func:`..kafka_wire.read_kafka_ranges`)."""
+    connector topology, mirroring :func:`..kafka_wire.read_kafka_ranges`).
+
+    Resharded streams read correctly: ListShards returns closed
+    parents alongside their children (until retention ages them out),
+    each is drained exactly once — a closed shard ends at its null
+    NextShardIterator — and the union of parent + child records is the
+    complete stream with no loss or duplication. Parent-before-child
+    ORDERING is a per-key streaming concern; a bounded snapshot is an
+    unordered DataFrame, so generation sequencing is unnecessary here
+    (the streaming reader enforces it via SHARD_END gating)."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -242,12 +332,29 @@ def _streaming_classes():
     class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
         """Checkpointed micro-batches over the wire client. Offsets are
         ``{shard_id: last_processed_sequence}`` ("" = nothing yet, i.e.
-        TRIM_HORIZON) — the KCL checkpoint shape. ``read`` drains each
-        shard from its floor (capped at ``maxRecordsPerBatch`` per
-        shard per batch) and plans the end offset from what it read;
-        ``readBetweenOffsets`` replays exactly a committed range after
-        restart. Shards existing at query start are tracked; resharding
-        mid-query is out of scope (as in the bounded reader)."""
+        TRIM_HORIZON; ``SHARD_END`` = the shard is closed and fully
+        consumed) — the KCL checkpoint shape, including its resharding
+        contract:
+
+        * each ``read`` re-lists the shard topology, so shards created
+          by a mid-query SplitShard/MergeShards are discovered;
+        * a CHILD shard starts consuming (from TRIM_HORIZON) only
+          after EVERY parent recorded in its topology reached
+          ``SHARD_END`` in the COMMITTED start offset — parent records
+          are never interleaved with or overtaken by child records
+          (the KCL parent-before-child ordering rule); a child whose
+          parent finished inside the current batch therefore starts
+          one micro-batch later, gating on committed state only;
+        * a parent that drains to a null NextShardIterator commits
+          ``SHARD_END`` and is never polled again;
+        * a parent that aged out of the listing (retention) without a
+          local offset is treated as trimmed/complete.
+
+        ``read`` drains each eligible shard from its floor (capped at
+        ``maxRecordsPerBatch`` per shard per batch) and plans the end
+        offset from what it read; ``readBetweenOffsets`` replays
+        exactly a committed range after restart (a committed
+        ``SHARD_END`` replays the closed shard's immutable suffix)."""
 
         def __init__(self, options: dict) -> None:
             self.endpoint = options["endpoint"]
@@ -262,26 +369,66 @@ def _streaming_classes():
 
         def read(self, start: dict) -> tuple:
             c = self._client()
+            detail = {d["shard_id"]: d for d in c.list_shards_detail(self.stream)}
             rows = []
             end = dict(start)
-            for shard, seq in sorted(start.items()):
-                for s, pk, data in c.consume_shard(
-                    self.stream, shard, after=seq or None, max_records=self.max_records
-                ):
+
+            def parent_done(p: str) -> bool:
+                if start.get(p) == SHARD_END:
+                    return True
+                # referenced but neither tracked nor listed: the parent
+                # aged out of retention before this query saw it
+                return p not in start and p not in detail
+
+            for shard in sorted(set(detail) | set(start)):
+                floor = start.get(shard)
+                if floor == SHARD_END:
+                    continue  # finished forever
+                if floor is None:
+                    # new shard (created by a reshard since the last
+                    # batch): gate on the committed parent state
+                    parents = detail.get(shard, {}).get("parents", [])
+                    if not all(parent_done(p) for p in parents):
+                        continue
+                    floor = ""
+                recs, ended = c.drain_shard(
+                    self.stream,
+                    shard,
+                    after=floor or None,
+                    max_records=self.max_records,
+                )
+                for s, pk, data in recs:
                     rows.append((shard, s, pk, data))
                     end[shard] = s
+                if shard not in end:
+                    end[shard] = floor
+                if ended:
+                    end[shard] = SHARD_END
             return iter(rows), end
 
         def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
             c = self._client()
             rows = []
-            for shard, seq in sorted(start.items()):
-                stop = end.get(shard, seq)
-                if stop == seq:
+            for shard, stop in sorted(end.items()):
+                floor = start.get(shard, "")
+                if floor == SHARD_END or stop == floor:
+                    continue
+                if stop == SHARD_END:
+                    # a committed SHARD_END replays the closed shard's
+                    # immutable remainder
+                    recs, ended = c.drain_shard(
+                        self.stream, shard, after=floor or None
+                    )
+                    if not ended:
+                        raise KinesisWireError(
+                            f"shard {shard}: committed SHARD_END but the "
+                            f"shard is still open on replay"
+                        )
+                    rows.extend((shard, s, pk, data) for s, pk, data in recs)
                     continue
                 found = False
                 for s, pk, data in c.consume_shard(
-                    self.stream, shard, after=seq or None
+                    self.stream, shard, after=floor or None
                 ):
                     rows.append((shard, s, pk, data))
                     if s == stop:

@@ -29,10 +29,38 @@ PAGE = 2  # records per GetRecords page — forces pagination
 
 class FakeKinesis:
     """{(stream, shard_id): [(partition_key, data bytes), ...]}; sequence
-    numbers are zero-padded per-shard indexes (opaque to the client)."""
+    numbers are zero-padded per-shard indexes (opaque to the client).
+
+    Round 6: models RESHARDING with real hash-range semantics —
+    SplitShard / MergeShards close the parent shard(s) and create
+    children carrying ParentShardId / AdjacentParentShardId;
+    ListShards returns closed shards with an EndingSequenceNumber;
+    GetRecords on a drained CLOSED shard returns a null
+    NextShardIterator (SHARD_END); PutRecord routes by the md5 hash of
+    the partition key into the open shard covering that hash range."""
+
+    HASH_SPACE = 1 << 128
 
     def __init__(self, topics):
         self.topics = topics
+        # per-shard metadata; initial shards split the hash space
+        # evenly, in sorted order per stream
+        self.meta = {}
+        streams = {}
+        for (t, s) in topics:
+            streams.setdefault(t, []).append(s)
+        for t, shards in streams.items():
+            shards.sort()
+            width = self.HASH_SPACE // len(shards)
+            for i, s in enumerate(shards):
+                hi = self.HASH_SPACE - 1 if i == len(shards) - 1 else (i + 1) * width - 1
+                self.meta[(t, s)] = {
+                    "closed": False,
+                    "parent": None,
+                    "adj": None,
+                    "range": (i * width, hi),
+                }
+        self._next_id = {t: len(s) for t, s in streams.items()}
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -69,6 +97,49 @@ class FakeKinesis:
     def _seq(i: int) -> str:
         return "%020d" % i
 
+    # ---- reshard control (also reachable via the API actions) -------
+    def _new_shard(self, stream, lo, hi, parent=None, adj=None):
+        sid = "shardId-%012d" % self._next_id[stream]
+        self._next_id[stream] += 1
+        self.topics[(stream, sid)] = []
+        self.meta[(stream, sid)] = {
+            "closed": False,
+            "parent": parent,
+            "adj": adj,
+            "range": (lo, hi),
+        }
+        return sid
+
+    def split(self, stream, shard_id, new_starting_hash_key=None):
+        return self._dispatch(
+            "SplitShard",
+            {
+                "StreamName": stream,
+                "ShardToSplit": shard_id,
+                **(
+                    {"NewStartingHashKey": str(new_starting_hash_key)}
+                    if new_starting_hash_key is not None
+                    else {}
+                ),
+            },
+        )
+
+    def merge(self, stream, a, b):
+        return self._dispatch(
+            "MergeShards",
+            {"StreamName": stream, "ShardToMerge": a, "AdjacentShardToMerge": b},
+        )
+
+    def put(self, stream, pk, data):
+        return self._dispatch(
+            "PutRecord",
+            {
+                "StreamName": stream,
+                "PartitionKey": pk,
+                "Data": base64.b64encode(data).decode(),
+            },
+        )
+
     def _dispatch(self, action, body):
         if action == "ListShards":
             stream = body.get("StreamName")
@@ -77,7 +148,79 @@ class FakeKinesis:
                 raise _ServiceError(
                     "ResourceNotFoundException", f"Stream {stream} not found"
                 )
-            return {"Shards": [{"ShardId": s} for s in shards]}
+            out = []
+            for s in shards:
+                m = self.meta[(stream, s)]
+                d = {
+                    "ShardId": s,
+                    "HashKeyRange": {
+                        "StartingHashKey": str(m["range"][0]),
+                        "EndingHashKey": str(m["range"][1]),
+                    },
+                    "SequenceNumberRange": {"StartingSequenceNumber": self._seq(0)},
+                }
+                if m["parent"]:
+                    d["ParentShardId"] = m["parent"]
+                if m["adj"]:
+                    d["AdjacentParentShardId"] = m["adj"]
+                if m["closed"]:
+                    d["SequenceNumberRange"]["EndingSequenceNumber"] = self._seq(
+                        max(len(self.topics[(stream, s)]) - 1, 0)
+                    )
+                out.append(d)
+            return {"Shards": out}
+        if action == "SplitShard":
+            stream, shard = body["StreamName"], body["ShardToSplit"]
+            m = self.meta.get((stream, shard))
+            if m is None:
+                raise _ServiceError(
+                    "ResourceNotFoundException", f"Shard {shard} not found"
+                )
+            if m["closed"]:
+                raise _ServiceError(
+                    "InvalidArgumentException", f"Shard {shard} is closed"
+                )
+            lo, hi = m["range"]
+            k = int(body.get("NewStartingHashKey", (lo + hi) // 2 + 1))
+            if not (lo < k <= hi):
+                raise _ServiceError(
+                    "InvalidArgumentException", f"hash key {k} outside ({lo}, {hi}]"
+                )
+            m["closed"] = True
+            self._new_shard(stream, lo, k - 1, parent=shard)
+            self._new_shard(stream, k, hi, parent=shard)
+            return {}
+        if action == "MergeShards":
+            stream = body["StreamName"]
+            a, b = body["ShardToMerge"], body["AdjacentShardToMerge"]
+            ma, mb = self.meta.get((stream, a)), self.meta.get((stream, b))
+            if ma is None or mb is None:
+                raise _ServiceError("ResourceNotFoundException", "shard not found")
+            if ma["closed"] or mb["closed"]:
+                raise _ServiceError("InvalidArgumentException", "shard is closed")
+            ra, rb = ma["range"], mb["range"]
+            if ra[1] + 1 != rb[0] and rb[1] + 1 != ra[0]:
+                raise _ServiceError(
+                    "InvalidArgumentException", "shards are not adjacent"
+                )
+            ma["closed"] = mb["closed"] = True
+            self._new_shard(
+                stream, min(ra[0], rb[0]), max(ra[1], rb[1]), parent=a, adj=b
+            )
+            return {}
+        if action == "PutRecord":
+            import hashlib
+
+            stream, pk = body["StreamName"], body["PartitionKey"]
+            h = int(hashlib.md5(pk.encode("utf-8")).hexdigest(), 16)
+            for (t, s), m in sorted(self.meta.items()):
+                if t == stream and not m["closed"] and m["range"][0] <= h <= m["range"][1]:
+                    self.topics[(t, s)].append((pk, base64.b64decode(body["Data"])))
+                    return {
+                        "ShardId": s,
+                        "SequenceNumber": self._seq(len(self.topics[(t, s)]) - 1),
+                    }
+            raise _ServiceError("ResourceNotFoundException", f"Stream {stream}")
         if action == "GetShardIterator":
             stream, shard = body["StreamName"], body["ShardId"]
             if (stream, shard) not in self.topics:
@@ -106,10 +249,7 @@ class FakeKinesis:
             limit = min(int(body.get("Limit", PAGE)), PAGE)
             window = msgs[idx:idx + limit]
             new_idx = idx + len(window)
-            nxt = base64.b64encode(
-                json.dumps({"s": stream, "h": shard, "i": new_idx}).encode()
-            ).decode()
-            return {
+            out = {
                 "Records": [
                     {
                         "SequenceNumber": self._seq(idx + k),
@@ -118,9 +258,15 @@ class FakeKinesis:
                     }
                     for k, (pk, data) in enumerate(window)
                 ],
-                "NextShardIterator": nxt,
                 "MillisBehindLatest": (len(msgs) - new_idx) * 1000,
             }
+            # a drained CLOSED shard ends: null NextShardIterator is
+            # the service's SHARD_END signal
+            if not (self.meta[(stream, shard)]["closed"] and new_idx >= len(msgs)):
+                out["NextShardIterator"] = base64.b64encode(
+                    json.dumps({"s": stream, "h": shard, "i": new_idx}).encode()
+                ).decode()
+            return out
         raise _ServiceError("UnknownOperationException", action)
 
 
@@ -284,6 +430,158 @@ def test_streaming_resumes_from_checkpoint(spark, tmp_path):
         assert len(out) == len(set(out)), "duplicate redelivery"
     finally:
         f.close()
+
+
+class TestResharding:
+    """Round-6: shard split/merge with SHARD_END → child takeover."""
+
+    def _run_stream(self, spark, endpoint, stream, ckpt, out):
+        from redshift_avro_spark.sources.kinesis_wire import read_kinesis_stream
+
+        df = read_kinesis_stream(spark, endpoint, stream)
+        q = (
+            df.writeStream.foreachBatch(
+                lambda bdf, bid: out.extend(
+                    (r.shard_id, r.sequence_number, bytes(r.data))
+                    for r in bdf.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not finish"
+
+    def test_split_shard_end_and_child_takeover(self, spark, tmp_path):
+        """Split mid-query: the parent drains to SHARD_END, children
+        start only after the commit, no record is lost or duplicated
+        across a restart, and every parent record is delivered before
+        any child record."""
+        store = {
+            ("rs", "shardId-000000000000"): [
+                ("p%d" % i, b"a%d" % i) for i in range(5)
+            ]
+        }
+        f = FakeKinesis(store)
+        ckpt = str(tmp_path / "ckpt")
+        out: list = []
+        try:
+            self._run_stream(spark, f.endpoint, "rs", ckpt, out)
+            assert len(out) == 5
+            # reshard: split the only shard, then produce into children
+            f.split("rs", "shardId-000000000000")
+            children = sorted(
+                s
+                for (t, s), m in f.meta.items()
+                if t == "rs" and m["parent"] == "shardId-000000000000"
+            )
+            assert len(children) == 2
+            payloads = [b"c%d" % i for i in range(6)]
+            routed = {f.put("rs", "k%d" % i, p)["ShardId"] for i, p in enumerate(payloads)}
+            assert routed <= set(children) and len(routed) == 2, (
+                "puts should spread over both children"
+            )
+            # run until drained: first run commits the parent's
+            # SHARD_END (children gate on the COMMITTED state, so they
+            # start a later batch/run), subsequent runs drain children
+            for _ in range(3):
+                self._run_stream(spark, f.endpoint, "rs", ckpt, out)
+                if len(out) == 11:
+                    break
+            datas = [d for (_, _, d) in out]
+            assert sorted(datas) == sorted(
+                [b"a%d" % i for i in range(5)] + payloads
+            )
+            assert len(out) == len(set(out)), "duplicate redelivery"
+            # parent-before-child ordering
+            last_parent = max(
+                i for i, (s, _, _) in enumerate(out) if s == "shardId-000000000000"
+            )
+            first_child = min(
+                (i for i, (s, _, _) in enumerate(out) if s in children),
+                default=len(out),
+            )
+            assert last_parent < first_child
+            # more records to the children after a restart: still exactly-once
+            f.put("rs", "late", b"z9")
+            before = len(out)
+            self._run_stream(spark, f.endpoint, "rs", ckpt, out)
+            assert [d for (_, _, d) in out[before:]] == [b"z9"]
+        finally:
+            f.close()
+
+    def test_merge_gates_on_both_parents(self, spark, tmp_path):
+        """Merge: the child starts only after BOTH parents reach a
+        committed SHARD_END."""
+        store = {
+            ("ms", "shardId-000000000000"): [("p", b"l%d" % i) for i in range(3)],
+            ("ms", "shardId-000000000001"): [("q", b"r%d" % i) for i in range(2)],
+        }
+        f = FakeKinesis(store)
+        ckpt = str(tmp_path / "ckpt")
+        out: list = []
+        try:
+            self._run_stream(spark, f.endpoint, "ms", ckpt, out)
+            assert len(out) == 5
+            f.merge("ms", "shardId-000000000000", "shardId-000000000001")
+            child = sorted(
+                s for (t, s), m in f.meta.items() if t == "ms" and m["parent"]
+            )[0]
+            f.put("ms", "anykey", b"merged0")
+            f.put("ms", "other", b"merged1")
+            for _ in range(3):
+                self._run_stream(spark, f.endpoint, "ms", ckpt, out)
+                if len(out) == 7:
+                    break
+            assert sorted(d for (_, _, d) in out[5:]) == [b"merged0", b"merged1"]
+            assert {s for (s, _, _) in out[5:]} == {child}
+            assert len(out) == len(set(out))
+        finally:
+            f.close()
+
+    def test_bounded_read_covers_parents_and_children(self, spark):
+        """read_kinesis_shards over a resharded stream: parent +
+        children drained exactly once (closed shards end at the null
+        NextShardIterator)."""
+        store = {
+            ("bs", "shardId-000000000000"): [("p%d" % i, b"o%d" % i) for i in range(4)]
+        }
+        f = FakeKinesis(store)
+        try:
+            f.split("bs", "shardId-000000000000")
+            for i in range(5):
+                f.put("bs", "pk%d" % i, b"n%d" % i)
+            rows = read_kinesis_shards(spark, f.endpoint, "bs").collect()
+            datas = sorted(bytes(r.data) for r in rows)
+            assert datas == sorted(
+                [b"o%d" % i for i in range(4)] + [b"n%d" % i for i in range(5)]
+            )
+            assert len(rows) == 9
+        finally:
+            f.close()
+
+    def test_drain_shard_reports_shard_end(self):
+        f = FakeKinesis({("ds", "shardId-000000000000"): [("p", b"x")]})
+        try:
+            c = KinesisHttpClient(f.endpoint)
+            recs, ended = c.drain_shard("ds", "shardId-000000000000")
+            assert [d for _, _, d in recs] == [b"x"] and ended is False
+            last_seq = recs[-1][0]
+            f.split("ds", "shardId-000000000000")
+            # resuming after the last consumed sequence on the closed
+            # shard: nothing left, SHARD_END reported
+            recs, ended = c.drain_shard("ds", "shardId-000000000000", after=last_seq)
+            assert recs == [] and ended is True
+            # a fresh drain of the now-closed shard sees records + end
+            recs, ended = c.drain_shard("ds", "shardId-000000000000", after=None)
+            assert [d for _, _, d in recs] == [b"x"] and ended is True
+            detail = c.list_shards_detail("ds")
+            closed = [d for d in detail if d["closed"]]
+            assert closed and closed[0]["shard_id"] == "shardId-000000000000"
+            kids = [d for d in detail if d["parents"] == ["shardId-000000000000"]]
+            assert len(kids) == 2
+        finally:
+            f.close()
 
 
 def test_client_retries_transport_failure_once():

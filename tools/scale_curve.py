@@ -1,0 +1,125 @@
+"""Two-point scale-curve evidence for the scaling claims (VERDICT r5
+task #6): synthesize a deterministic 10× corpus from sf0.1 and measure
+the watched query families at both scales, printing wall-time ratios.
+
+The 10× corpus is ten replicas of the sf0.1 ``documents`` table:
+
+* replica 0 is the original rows, byte for byte;
+* replica r>0 keeps every STOPWORD verbatim (so the language-ID gate
+  and stopword-ratio features classify replicas exactly like the
+  originals) and substitutes every other word with an md5-derived
+  token of the same length (``substring(md5(word || '#r'), 1,
+  length(word))``), so within a replica the duplicate/near-duplicate
+  structure maps through the substitution (same-word-set docs stay
+  exact dups, shingle overlaps persist) while ACROSS replicas the
+  vocabularies are disjoint — no artificial cross-replica near-dup
+  pairs, which would otherwise make dedup work quadratic in the
+  replica count instead of linear in the data (the failure a naive
+  copy-the-rows corpus builds in);
+* doc_id' = doc_id + r·10¹² keeps ids unique and dense per replica.
+
+The result is "10× more same-shaped data": 10× rows, 10× tokens, ~10×
+vocabulary, same per-doc statistics, same within-replica relational
+structure — the honest input for checking that a plan argued linear
+is measured linear.
+
+Usage::
+
+    python tools/scale_curve.py [out_dir]   # default /tmp/scale10x
+
+Prints a markdown table (query, sf0.1 best, 10x best, ratio) for
+SCALING.md. Best-of-2 per point — the curve needs the ratio's order
+of magnitude, not a tracked minimum.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from redshift_avro_spark.operators.text import STOPWORDS  # noqa: E402
+from redshift_avro_spark.queries import load_all  # noqa: E402
+from redshift_avro_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ID_STRIDE = 10**12
+N_REPLICAS = 10
+
+QUERIES = [
+    "q31_minhash_lsh_candidates",
+    "q49_curation_pipeline",
+    "q114_bpe_encode",
+    "q163_source_overlap",
+    "q170_signal_blend",
+]
+
+
+def build_corpus(spark, out_dir: str) -> None:
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    sw = ", ".join(f"'{w}'" for w in all_stop)
+    parts = [docs]
+    for r in range(1, N_REPLICAS):
+        subst = (
+            f"array_join(transform(split(trim(lower(text)), '\\\\s+'), "
+            f"w -> CASE WHEN w IN ({sw}) THEN w "
+            f"ELSE substring(md5(concat(w, '#', '{r}')), 1, greatest(length(w), 1)) END), ' ')"
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * ID_STRIDE)).alias("doc_id"),
+                F.expr(subst).alias("text"),
+                "lang",
+                "source",
+                F.expr(f"length({subst})").cast(docs.schema["n_chars"].dataType).alias(
+                    "n_chars"
+                ),
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+
+def _best_of_2(fn) -> float:
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn()
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 3)
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10x"
+    registry = load_all()
+    spark = get_spark(app_name="scale-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_corpus(spark, out_dir)
+    n_small = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
+    n_big = spark.read.parquet(os.path.join(out_dir, "documents.parquet")).count()
+    print(f"corpus: {n_small} docs -> {n_big} docs ({n_big / n_small:.1f}x)")
+
+    # warmup
+    registry["q37_text_quality"].fn(spark, SF_DIR).count()
+
+    print("| query | sf0.1 best (s) | 10x best (s) | time ratio |")
+    print("|---|---|---|---|")
+    for name in QUERIES:
+        t_small = _best_of_2(lambda: registry[name].fn(spark, SF_DIR).count())
+        t_big = _best_of_2(lambda: registry[name].fn(spark, out_dir).count())
+        ratio = round(t_big / t_small, 2) if t_small else float("inf")
+        print(f"| {name} | {t_small} | {t_big} | {ratio}x |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

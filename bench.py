@@ -85,6 +85,10 @@ EXTENDED: dict[str, float] = {
     "q170_signal_blend": 2.0,
     "q171_matryoshka_audit": 1.3,
     "q173_rendezvous_plan": 1.0,
+    # round 6 additions
+    "q174_quant_cosine_drift": 0.8,
+    "q175_minhash_calibration": 1.6,
+    "q176_zipf_audit": 0.8,
 }
 
 _DETAIL_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r06.json")

@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 167 operator demonstrations. Rather
+names), but the registry carries 170 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–8 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-167 still registered) keep guarding it. A composite can only pass if
+170 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -754,13 +754,16 @@ def q85_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q123_containment_verify",
         "q151_stream_lsh_index",
         "q160_edit_distance_verify",
+        "q175_minhash_calibration",
     ),
     oracle=f"""
     SELECT c.id_a, c.id_b, v.jaccard,
            CAST((v.jaccard IS NOT NULL) AS INTEGER) AS verified,
            ct.n_inter, ct.n_a, ct.n_b, ct.cont_a_ppm, ct.cont_b_ppm, ct.max_cont_ppm,
            si.dup_of, si.n_partners,
-           ed.lev, ed.lev_ppm, ed.is_dup AS lev_dup
+           ed.lev, ed.lev_ppm, ed.is_dup AS lev_dup,
+           mc.n_matched AS mh_matched, mc.est_ppm AS mh_est_ppm,
+           mc.exact_ppm AS sh_exact_ppm, mc.err_ppm AS mh_err_ppm
     FROM {_sub('q31_minhash_lsh_candidates')} c
     LEFT JOIN {_sub('q33_lsh_jaccard_verify')} v
       ON c.id_a = v.id_a AND c.id_b = v.id_b
@@ -770,6 +773,8 @@ def q85_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON c.id_b = si.doc_id
     JOIN {_sub('q160_edit_distance_verify')} ed
       ON c.id_a = ed.id_a AND c.id_b = ed.id_b
+    JOIN {_sub('q175_minhash_calibration')} mc
+      ON c.id_a = mc.id_a AND c.id_b = mc.id_b
     ORDER BY c.id_a, c.id_b
     """,
 )
@@ -785,13 +790,24 @@ def q86_lsh_verify_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet ledger, so its per-doc (dup_of, n_partners) must agree
     with the batch candidates exactly), plus the exact Levenshtein
     tier (q160 — edit distance, ppm of the longer text, ≤20% verdict:
-    the strictest verify a pipeline runs, only ever on candidates)."""
+    the strictest verify a pipeline runs, only ever on candidates),
+    plus the MinHash-estimator calibration (q175 — matched signature
+    lanes, implied Jaccard estimate and its signed error against the
+    exact shingle-set Jaccard)."""
     c = _run("q31_minhash_lsh_candidates", spark, sf_dir)
     v = _run("q33_lsh_jaccard_verify", spark, sf_dir)
     ct = _run("q123_containment_verify", spark, sf_dir)
     si = _run("q151_stream_lsh_index", spark, sf_dir)
     ed = _run("q160_edit_distance_verify", spark, sf_dir).select(
         "id_a", "id_b", "lev", "lev_ppm", F.col("is_dup").alias("lev_dup")
+    )
+    mc = _run("q175_minhash_calibration", spark, sf_dir).select(
+        "id_a",
+        "id_b",
+        F.col("n_matched").alias("mh_matched"),
+        F.col("est_ppm").alias("mh_est_ppm"),
+        F.col("exact_ppm").alias("sh_exact_ppm"),
+        F.col("err_ppm").alias("mh_err_ppm"),
     )
     return (
         c.join(v, ["id_a", "id_b"], "left")
@@ -802,10 +818,12 @@ def q86_lsh_verify_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ct, ["id_a", "id_b"])
         .join(si.withColumnRenamed("doc_id", "id_b"), "id_b")
         .join(ed, ["id_a", "id_b"])
+        .join(mc, ["id_a", "id_b"])
         .select(
             "id_a", "id_b", "jaccard", "verified",
             "n_inter", "n_a", "n_b", "cont_a_ppm", "cont_b_ppm", "max_cont_ppm",
             "dup_of", "n_partners", "lev", "lev_ppm", "lev_dup",
+            "mh_matched", "mh_est_ppm", "sh_exact_ppm", "mh_err_ppm",
         )
         .orderBy("id_a", "id_b")
     )
@@ -1346,11 +1364,13 @@ def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q115_pca_projection",
         "q154_jl_projection",
         "q155_cluster_cards",
+        "q174_quant_cosine_drift",
     ),
     oracle=f"""
     SELECT q.*, s.cid, s.component_id, s.n_dups, s.is_keeper, p.pc1,
            cc.n_vectors AS cluster_n, cc.top_label, cc.purity_ppm,
-           j.jl_pairs, j.jl_l2q_sum, j.jl_min_distortion, j.jl_max_distortion
+           j.jl_pairs, j.jl_l2q_sum, j.jl_min_distortion, j.jl_max_distortion,
+           d.qd_dot8, d.qd_cos8_ppm, d.qd_cosq_ppm, d.qd_drift_ppm
     FROM {_sub('q64_embedding_quantize')} q
     JOIN {_sub('q94_semantic_dedup')} s USING (vec_id)
     JOIN {_sub('q115_pca_projection')} p USING (vec_id)
@@ -1363,6 +1383,11 @@ def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(distortion) AS jl_max_distortion
       FROM {_sub('q154_jl_projection')} GROUP BY id_a
     ) j USING (vec_id)
+    LEFT JOIN (
+      SELECT id_a AS vec_id, dot8 AS qd_dot8, cos8_ppm AS qd_cos8_ppm,
+             cosq_ppm AS qd_cosq_ppm, drift_ppm AS qd_drift_ppm
+      FROM {_sub('q174_quant_cosine_drift')}
+    ) d USING (vec_id)
     ORDER BY vec_id
     """,
 )
@@ -1377,7 +1402,8 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor id; null outside the witness set). The storage-compression,
     semantic-dedup, dimensionality-analysis and cluster-profiling
     passes a 100 TB embedding store runs before ANN indexing, in one
-    driver-verified result."""
+    driver-verified result — plus the q174 quantized-cosine drift ppm
+    for the 32-pair audit sliver (null outside it)."""
     q = _run("q64_embedding_quantize", spark, sf_dir)
     s = _run("q94_semantic_dedup", spark, sf_dir)
     p = _run("q115_pca_projection", spark, sf_dir)
@@ -1397,15 +1423,24 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("distortion").alias("jl_max_distortion"),
         )
     )
+    d = _run("q174_quant_cosine_drift", spark, sf_dir).select(
+        F.col("id_a").alias("vec_id"),
+        F.col("dot8").alias("qd_dot8"),
+        F.col("cos8_ppm").alias("qd_cos8_ppm"),
+        F.col("cosq_ppm").alias("qd_cosq_ppm"),
+        F.col("drift_ppm").alias("qd_drift_ppm"),
+    )
     return (
         q.join(s, "vec_id")
         .join(p, "vec_id")
         .join(cc, "cid")
         .join(j, "vec_id", "left")
+        .join(d, "vec_id", "left")
         .select(
             *q.columns, "cid", "component_id", "n_dups", "is_keeper", "pc1",
             "cluster_n", "top_label", "purity_ppm",
             "jl_pairs", "jl_l2q_sum", "jl_min_distortion", "jl_max_distortion",
+            "qd_dot8", "qd_cos8_ppm", "qd_cosq_ppm", "qd_drift_ppm",
         )
         .orderBy("vec_id")
     )
@@ -1679,6 +1714,7 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q164_mixture_concentration",
         "q165_retrieval_metrics",
         "q166_inference_rerank",
+        "q176_zipf_audit",
     ),
     oracle=f"""
     SELECT 'tfidf' AS kind, lang AS k_str, term AS k_str2,
@@ -1742,6 +1778,13 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            ce_rank AS n1, bm25_rank AS n2, rank_delta AS n3,
            CAST(NULL AS DOUBLE) AS val
     FROM {_sub('q166_inference_rerank')}
+    UNION ALL
+    SELECT 'zipf' AS kind, term AS k_str,
+           concat(CAST(vocab_size AS VARCHAR), ':', CAST(hapax_vocab AS VARCHAR),
+                  ':', CAST(n_tokens AS VARCHAR)) AS k_str2,
+           rank AS n1, n_occ AS n2, share_ppm AS n3,
+           CAST(cum_share_ppm AS DOUBLE) AS val
+    FROM {_sub('q176_zipf_audit')}
     ORDER BY kind, n1, k_str, k_str2
     """,
 )
@@ -1764,7 +1807,9 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     for four two-term BM25 queries against the exact AND-relevance
     set), and the batched model-inference rerank of the BM25 top-10
     (q166 — mapInPandas with a once-per-partition linear cross-encoder
-    reading broadcast weights; exact integer logits), tagged
+    reading broadcast weights; exact integer logits), and the Zipf
+    rank-frequency audit (q176 — top-20 head terms with exact ppm
+    shares plus vocab/hapax/token scalars), tagged
     and unioned. The passes an LLM pipeline runs over the corpus
     before training, in one driver-verified result."""
     a = _run("q56_tfidf_terms", spark, sf_dir).select(
@@ -1879,10 +1924,26 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank_delta").alias("n3"),
         F.lit(None).cast("double").alias("val"),
     )
+    z = _run("q176_zipf_audit", spark, sf_dir).select(
+        F.lit("zipf").alias("kind"),
+        F.col("term").alias("k_str"),
+        F.concat(
+            F.col("vocab_size").cast("string"),
+            F.lit(":"),
+            F.col("hapax_vocab").cast("string"),
+            F.lit(":"),
+            F.col("n_tokens").cast("string"),
+        ).alias("k_str2"),
+        F.col("rank").alias("n1"),
+        F.col("n_occ").alias("n2"),
+        F.col("share_ppm").alias("n3"),
+        F.col("cum_share_ppm").cast("double").alias("val"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
         .unionByName(g).unionByName(h).unionByName(i)
         .unionByName(j).unionByName(k).unionByName(m).unionByName(o)
+        .unionByName(z)
         .orderBy("kind", "n1", "k_str", "k_str2")
     )
 

@@ -556,3 +556,114 @@ def q156_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "split_group", "split")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------- q175
+# MinHash-estimator calibration: the LSH index's 12-lane signatures
+# IMPLY a Jaccard estimate (matched lanes / 12, the classic unbiased
+# MinHash estimator over the word-shingle sets the signatures hash);
+# this query scores that estimate against the exact shingle-set
+# Jaccard for every candidate pair. The calibration check a pipeline
+# runs before trusting signature-only dedup decisions (e.g. the q151
+# streaming ledger, which never re-grams the corpus).
+
+
+@register(
+    "q175_minhash_calibration",
+    oracle=f"""
+    WITH {_MINHASH_CTE},
+    g AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(generate_series(1, len(words) - 2),
+               i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS g
+      FROM (SELECT doc_id, {_WORDS_DUCK} AS words FROM documents)
+      WHERE len(words) >= 3
+    )
+    SELECT c.id_a, c.id_b,
+      CAST(list_aggregate(list_transform(list_zip(sa.sig, sb.sig),
+           z -> CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END), 'sum') AS BIGINT) AS n_matched,
+      CAST(list_aggregate(list_transform(list_zip(sa.sig, sb.sig),
+           z -> CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END), 'sum') * 1000000 // 12 AS BIGINT) AS est_ppm,
+      CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS n_inter,
+      CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS BIGINT) AS n_union,
+      CAST(len(list_intersect(a.g, b.g)) * 1000000
+           // (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS BIGINT) AS exact_ppm,
+      CAST(list_aggregate(list_transform(list_zip(sa.sig, sb.sig),
+           z -> CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END), 'sum') * 1000000 // 12
+         - len(list_intersect(a.g, b.g)) * 1000000
+           // (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS BIGINT) AS err_ppm
+    FROM candidates c
+    JOIN sigs sa ON sa.id = c.id_a
+    JOIN sigs sb ON sb.id = c.id_b
+    JOIN g a ON a.id = c.id_a
+    JOIN g b ON b.id = c.id_b
+    ORDER BY id_a, id_b
+    """,
+)
+def q175_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-implied Jaccard estimate (matched minhash lanes / 12,
+    in exact ppm) vs the exact word-3-shingle-set Jaccard, per LSH
+    candidate pair, with the signed estimator error.
+
+    Scale shape: signatures and shingle sets materialize only for
+    candidate-pair MEMBERS (broadcast id probes of the corpus — the
+    candidate list is a band-capped sliver); lane matching and the
+    set intersection are JVM zip_with/array kernels; everything is
+    exact integer arithmetic, so the oracle replays the estimator
+    bit for bit."""
+    from ..operators.dedup import minhash_signature
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = materialize(
+        minhash_candidate_pairs(docs, "doc_id", "text", 12, 3, 3),
+        label="lsh_candidates",
+        default="checkpoint",
+    )
+    member_a = cands.select(F.col("id_a").alias("doc_id")).distinct()
+    member_b = cands.select(F.col("id_b").alias("doc_id")).distinct()
+    members = member_a.unionByName(member_b).distinct()
+    shingles = (
+        "array_distinct(transform(sequence(1, size(__w) - 2), "
+        "i -> array_join(slice(__w, i, 3), ' ')))"
+    )
+    feats = (
+        docs.join(F.broadcast(members), "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            minhash_signature("text", 12, 3).alias("sig"),
+            F.expr("split(trim(lower(text)), '\\\\s+')").alias("__w"),
+        )
+        .where(F.col("sig").isNotNull())
+        .select("doc_id", "sig", F.expr(shingles).alias("g"))
+    )
+    fa = feats.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"), F.col("g").alias("ga")
+    )
+    fb = feats.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sb"), F.col("g").alias("gb")
+    )
+    matched = (
+        "aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    inter = "CAST(size(array_intersect(ga, gb)) AS BIGINT)"
+    union = "CAST(size(ga) + size(gb) AS BIGINT) - " + inter
+    return (
+        F.broadcast(cands)
+        .join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(matched).alias("n_matched"),
+            F.expr(f"({matched}) * 1000000 div 12").alias("est_ppm"),
+            F.expr(inter).alias("n_inter"),
+            F.expr(union).alias("n_union"),
+            F.expr(f"({inter}) * 1000000 div ({union})").alias("exact_ppm"),
+            F.expr(
+                f"({matched}) * 1000000 div 12"
+                f" - ({inter}) * 1000000 div ({union})"
+            ).alias("err_ppm"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -1213,3 +1213,136 @@ def q171_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cos64_ppm") - F.col("cos16_ppm")).cast("long").alias("loss16_ppm"),
         (F.col("cos64_ppm") - F.col("cos32_ppm")).cast("long").alias("loss32_ppm"),
     ).orderBy("query_id", "neighbor_id")
+
+
+# --------------------------------------------------------------- q174
+# Quantized-cosine drift audit: q64 certifies the int8 quantizer
+# per-vector (reconstruction error, checksums); this certifies its
+# RETRIEVAL impact — how far pairwise cosine similarity moves when
+# computed on the int8 codes instead of the floats. The accept/reject
+# gate a 100 TB store runs before switching its ANN scoring to the
+# compressed representation.
+
+
+@register(
+    "q174_quant_cosine_drift",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings),
+    v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id,
+             list_transform(e, x -> greatest(CAST(-127 AS BIGINT),
+               least(CAST(127 AS BIGINT), CAST(floor(x / scale + 0.5) AS BIGINT)))) AS c8,
+             list_transform(e, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS q6
+      FROM v WHERE scale > 0
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.c8 AS ca, b.c8 AS cb, a.q6 AS qa, b.q6 AS qb
+      FROM c a, c b, n
+      WHERE a.vec_id < 32 AND b.vec_id = a.vec_id + n_vecs // 2
+    ),
+    s AS (
+      SELECT id_a, id_b,
+        CAST(list_aggregate(list_transform(list_zip(ca, cb), z -> z[1] * z[2]), 'sum') AS BIGINT) AS dot8,
+        CAST(list_aggregate(list_transform(ca, x -> x * x), 'sum') AS BIGINT) AS n8a,
+        CAST(list_aggregate(list_transform(cb, x -> x * x), 'sum') AS BIGINT) AS n8b,
+        CAST(list_aggregate(list_transform(list_zip(qa, qb), z -> z[1] * z[2]), 'sum') AS BIGINT) AS dotq,
+        CAST(list_aggregate(list_transform(qa, x -> x * x), 'sum') AS BIGINT) AS nqa,
+        CAST(list_aggregate(list_transform(qb, x -> x * x), 'sum') AS BIGINT) AS nqb
+      FROM p
+    )
+    SELECT id_a, id_b, dot8,
+      CAST(floor(CAST(dot8 AS DOUBLE) * 1000000.0
+           / (sqrt(CAST(n8a AS DOUBLE)) * sqrt(CAST(n8b AS DOUBLE)))) AS BIGINT) AS cos8_ppm,
+      CAST(floor(CAST(dotq AS DOUBLE) * 1000000.0
+           / (sqrt(CAST(nqa AS DOUBLE)) * sqrt(CAST(nqb AS DOUBLE)))) AS BIGINT) AS cosq_ppm,
+      abs(CAST(floor(CAST(dot8 AS DOUBLE) * 1000000.0
+           / (sqrt(CAST(n8a AS DOUBLE)) * sqrt(CAST(n8b AS DOUBLE)))) AS BIGINT)
+        - CAST(floor(CAST(dotq AS DOUBLE) * 1000000.0
+           / (sqrt(CAST(nqa AS DOUBLE)) * sqrt(CAST(nqb AS DOUBLE)))) AS BIGINT)) AS drift_ppm
+    FROM s ORDER BY id_a
+    """,
+)
+def q174_quant_cosine_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine drift of the q64 int8 quantizer: for 32 spread
+    pairs (vec a < 32 paired with a + N/2), the cosine computed on the
+    int8 codes vs on 1e6-quantized floats, both as exact-pipeline ppm
+    (integer dot products and norms; sqrt is IEEE-correctly-rounded and
+    the one multiply/divide sequence is fixed, so both engines produce
+    identical doubles), and the absolute drift between them.
+
+    Scale shape: the quantization is a narrow map (q64's exact
+    quantizer — floor(x/scale + 0.5), clamped); the 32-row anchor side
+    broadcasts against one corpus scan for the pair join; every dot
+    product is a JVM zip_with/aggregate over exact BIGINTs. No shuffle
+    but the final ORDER BY."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = (
+        emb.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+        )
+        .withColumn(
+            "scale",
+            F.expr(
+                "aggregate(e, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x))) / 127.0"
+            ),
+        )
+        .where(F.col("scale") > 0)
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(e, x -> greatest(CAST(-127 AS BIGINT), "
+                "least(CAST(127 AS BIGINT), CAST(floor(x / scale + 0.5) AS BIGINT))))"
+            ).alias("c8"),
+            F.expr(
+                "transform(e, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"
+            ).alias("q6"),
+        )
+    )
+    n = emb.agg(F.count("*").cast("long").alias("n_vecs"))
+    a = (
+        e.where(F.col("vec_id") < 32)
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("vec_id").alias("id_a"),
+            F.expr("vec_id + n_vecs div 2").alias("id_b"),
+            F.col("c8").alias("ca"),
+            F.col("q6").alias("qa"),
+        )
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("c8").alias("cb"), F.col("q6").alias("qb")
+    )
+    isum = "aggregate({x}, CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    dot = lambda x, y: isum.format(x=f"zip_with({x}, {y}, (p, q) -> p * q)")  # noqa: E731
+    s = F.broadcast(a).join(b, "id_b").select(
+        "id_a",
+        "id_b",
+        F.expr(dot("ca", "cb")).alias("dot8"),
+        F.expr(dot("ca", "ca")).alias("n8a"),
+        F.expr(dot("cb", "cb")).alias("n8b"),
+        F.expr(dot("qa", "qb")).alias("dotq"),
+        F.expr(dot("qa", "qa")).alias("nqa"),
+        F.expr(dot("qb", "qb")).alias("nqb"),
+    )
+    cos = (
+        "CAST(floor(CAST({d} AS DOUBLE) * 1000000.0"
+        " / (sqrt(CAST({a} AS DOUBLE)) * sqrt(CAST({b} AS DOUBLE)))) AS BIGINT)"
+    )
+    c8 = cos.format(d="dot8", a="n8a", b="n8b")
+    cq = cos.format(d="dotq", a="nqa", b="nqb")
+    return s.select(
+        "id_a",
+        "id_b",
+        "dot8",
+        F.expr(c8).alias("cos8_ppm"),
+        F.expr(cq).alias("cosq_ppm"),
+        F.expr(f"abs(({c8}) - ({cq}))").alias("drift_ppm"),
+    ).orderBy("id_a")

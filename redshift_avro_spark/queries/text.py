@@ -1087,3 +1087,85 @@ def q153_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------- q176
+# Zipf rank-frequency audit: the head of the corpus token distribution
+# (top 20 terms with exact ppm shares and cumulative head mass) plus
+# vocabulary-shape scalars (vocab size, hapax share of the vocab,
+# total tokens). The corpus-statistics sanity check a pipeline runs
+# before tokenizer training — a head that is too heavy (boilerplate
+# floods) or a hapax share that is too large (OCR noise, encoding
+# damage) both show up here before they poison a BPE vocabulary.
+
+
+@register(
+    "q176_zipf_audit",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT term, CAST(count(*) AS BIGINT) AS n_occ FROM toks GROUP BY term),
+    tot AS (
+      SELECT CAST(sum(n_occ) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab_size,
+             CAST(SUM(CASE WHEN n_occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_vocab
+      FROM tf
+    ),
+    top AS (SELECT term, n_occ FROM tf ORDER BY n_occ DESC, term LIMIT 20),
+    r AS (
+      SELECT term, n_occ,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, term) AS BIGINT) AS rank,
+             CAST(SUM(n_occ) OVER (ORDER BY n_occ DESC, term
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM top
+    )
+    SELECT rank, term, n_occ,
+           CAST(n_occ * 1000000 // n_tokens AS BIGINT) AS share_ppm,
+           CAST(cum * 1000000 // n_tokens AS BIGINT) AS cum_share_ppm,
+           vocab_size, hapax_vocab, n_tokens
+    FROM r, tot ORDER BY rank
+    """,
+)
+def q176_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus terms by occurrence (rank, exact ppm share,
+    cumulative head mass) joined with the vocabulary-shape scalars
+    (vocab size, hapax-term count, total tokens).
+
+    Scale shape: ONE map-side-combining term count (uniform term
+    keys), top-k via orderBy+limit (TakeOrderedAndProject, never a
+    global sort), the rank/cumsum windows run over the 20 survivors,
+    and the scalar aggregate broadcast-joins on. Exact integer ppm
+    throughout."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr("split(trim(lower(text)), '\\\\s+')")).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count("*").cast("long").alias("n_occ"))
+    tot = tf.agg(
+        F.sum("n_occ").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum(F.when(F.col("n_occ") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("hapax_vocab"),
+    )
+    top = tf.orderBy(F.desc("n_occ"), F.asc("term")).limit(20)
+    w = Window.orderBy(F.desc("n_occ"), F.asc("term"))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("cum", F.sum("n_occ").over(wc).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "term",
+            "n_occ",
+            F.expr("n_occ * 1000000 div n_tokens").alias("share_ppm"),
+            F.expr("cum * 1000000 div n_tokens").alias("cum_share_ppm"),
+            "vocab_size",
+            "hapax_vocab",
+            "n_tokens",
+        )
+        .orderBy("rank")
+    )

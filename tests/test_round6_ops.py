@@ -154,6 +154,54 @@ class TestLinearCrossEncoder:
             rerank_with_model(cands, docs)
 
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+class TestQuantCosineDrift:
+    def test_drift_bounded_and_consistent(self, spark):
+        from redshift_avro_spark.queries import load_all
+
+        rows = load_all()["q174_quant_cosine_drift"].fn(spark, SF_SMOKE).collect()
+        assert rows, "expected audit pairs"
+        for r in rows:
+            assert r["drift_ppm"] == abs(r["cos8_ppm"] - r["cosq_ppm"])
+            # int8 quantization of a 64-dim unit-ish vector stays close:
+            # drift is a small fraction of the ppm scale
+            assert r["drift_ppm"] < 50_000
+            assert -1_000_000 <= r["cos8_ppm"] <= 1_000_000
+
+
+class TestMinhashCalibration:
+    def test_estimator_shape(self, spark):
+        from redshift_avro_spark.queries import load_all
+
+        rows = load_all()["q175_minhash_calibration"].fn(spark, SF_SMOKE).collect()
+        assert rows, "expected candidate pairs"
+        for r in rows:
+            assert 0 <= r["n_matched"] <= 12
+            assert r["est_ppm"] == r["n_matched"] * 1_000_000 // 12
+            assert 0 <= r["exact_ppm"] <= 1_000_000
+            assert r["err_ppm"] == r["est_ppm"] - r["exact_ppm"]
+            # LSH candidates collide in >= 1 band (3 consecutive lanes)
+            assert r["n_matched"] >= 3
+
+
+class TestZipfAudit:
+    def test_head_is_consistent(self, spark):
+        from redshift_avro_spark.queries import load_all
+
+        rows = load_all()["q176_zipf_audit"].fn(spark, SF_SMOKE).collect()
+        assert len(rows) == 20
+        occ = [r["n_occ"] for r in rows]
+        assert occ == sorted(occ, reverse=True)
+        cum = 0
+        for r in rows:
+            cum += r["n_occ"]
+            assert r["cum_share_ppm"] == cum * 1_000_000 // r["n_tokens"]
+            assert r["share_ppm"] == r["n_occ"] * 1_000_000 // r["n_tokens"]
+        assert rows[0]["vocab_size"] >= rows[0]["hapax_vocab"]
+
+
 class TestMaterializeHelper:
     """The unified materialization-boundary knob (VERDICT r5 #1)."""
 

@@ -89,6 +89,8 @@ EXTENDED: dict[str, float] = {
     "q174_quant_cosine_drift": 0.8,
     "q175_minhash_calibration": 1.6,
     "q176_zipf_audit": 0.8,
+    "q177_survivor_policy": 2.2,
+    "q178_release_diff": 1.0,
 }
 
 _DETAIL_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r06.json")

@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 170 operator demonstrations. Rather
+names), but the registry carries 172 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–8 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-170 still registered) keep guarding it. A composite can only pass if
+172 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -1040,6 +1040,7 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q157_curation_funnel",
         "q169_langid_confusion",
         "q170_signal_blend",
+        "q177_survivor_policy",
     ),
     oracle=f"""
     SELECT r.doc_id, r.n_grams, r.dup_gram_fraction, r.top_gram_share,
@@ -1050,13 +1051,18 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            fn.funnel_in_total, fn.funnel_out_lang, fn.funnel_out_quality,
            fn.funnel_out_words, fn.funnel_out_exact, fn.funnel_out_final,
            li.langid_correct, li.langid_total, li.langid_acc_ppm, li.langid_cells,
-           bl.sel_rank, bl.blended_ppm
+           bl.sel_rank, bl.blended_ppm,
+           sv.sv_component, sv.sv_cluster_size, sv.sv_keeper, sv.sv_is_kept
     FROM {_sub('q67_repetition_filter')} r
     LEFT JOIN {_sub('q65_decontamination')} d USING (doc_id)
     JOIN {_sub('q100_lm_familiarity')} l USING (doc_id)
     LEFT JOIN {_sub('q150_domain_relevance')} dr USING (doc_id)
     LEFT JOIN (SELECT doc_id, sel_rank, blended_ppm
                FROM {_sub('q170_signal_blend')}) bl USING (doc_id)
+    LEFT JOIN (SELECT doc_id, component_id AS sv_component,
+                      cluster_size AS sv_cluster_size, keeper_id AS sv_keeper,
+                      is_kept AS sv_is_kept
+               FROM {_sub('q177_survivor_policy')}) sv USING (doc_id)
     CROSS JOIN (
       SELECT CAST(SUM(CASE WHEN stage = 'language' THEN n_in END) AS BIGINT) AS funnel_in_total,
              CAST(SUM(CASE WHEN stage = 'language' THEN n_out END) AS BIGINT) AS funnel_out_lang,
@@ -1089,8 +1095,10 @@ def q89_scrub_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     does the language-ID confusion summary (q169 — diagonal mass,
     total, accuracy ppm and occupied matrix cells); the top-50
     multi-signal blend picks (q170 — rank-normalized quality × TTR)
-    mark their rows with selection rank and blended ppm.
-    Co-keyed joins on doc_id."""
+    mark their rows with selection rank and blended ppm; near-dup
+    cluster members carry the q177 quality-argmax survivor verdict
+    (component, cluster size, elected keeper, keep flag — null for
+    singletons). Co-keyed joins on doc_id."""
     r = _run("q67_repetition_filter", spark, sf_dir)
     d = _run("q65_decontamination", spark, sf_dir)
     l = _run("q100_lm_familiarity", spark, sf_dir)
@@ -1109,6 +1117,13 @@ def q89_scrub_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bl = _run("q170_signal_blend", spark, sf_dir).select(
         "doc_id", "sel_rank", "blended_ppm"
+    )
+    sv = _run("q177_survivor_policy", spark, sf_dir).select(
+        "doc_id",
+        F.col("component_id").alias("sv_component"),
+        F.col("cluster_size").alias("sv_cluster_size"),
+        F.col("keeper_id").alias("sv_keeper"),
+        F.col("is_kept").alias("sv_is_kept"),
     )
     li = _run("q169_langid_confusion", spark, sf_dir).agg(
         F.sum(F.when(F.col("is_correct") == 1, F.col("n_docs")).otherwise(0))
@@ -1133,6 +1148,7 @@ def q89_scrub_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, "doc_id")
         .join(dr, "doc_id", "left")
         .join(bl, "doc_id", "left")
+        .join(sv, "doc_id", "left")
         .crossJoin(F.broadcast(fn))
         .crossJoin(F.broadcast(li))
         .orderBy("doc_id")
@@ -1963,6 +1979,7 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q127_point_in_time_enrich",
         "q135_data_quality",
         "q139_entity_resolution",
+        "q178_release_diff",
     ),
     oracle=f"""
     SELECT 'dedup' AS kind, doc_id AS k, status AS s1,
@@ -2003,6 +2020,13 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS TIMESTAMP) AS t1, CAST(NULL AS TIMESTAMP) AS t2,
            CAST(max_id_b AS INTEGER) AS b1
     FROM {_sub('q139_entity_resolution')}
+    UNION ALL
+    SELECT 'reldiff' AS kind, n_docs AS k, status AS s1,
+           CAST(min_doc_id AS VARCHAR) AS s2, CAST(max_doc_id AS VARCHAR) AS s3,
+           CAST(n_tokens AS DOUBLE) AS val, CAST(NULL AS BIGINT) AS n2,
+           CAST(NULL AS TIMESTAMP) AS t1, CAST(NULL AS TIMESTAMP) AS t2,
+           CAST(NULL AS INTEGER) AS b1
+    FROM {_sub('q178_release_diff')}
     ORDER BY kind, k, n2 NULLS FIRST
     """,
 )
@@ -2017,7 +2041,9 @@ def q110_incremental_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     declarative data-quality report ingestion gates on (q135 —
     range/null/unique/FK constraints quantified as violation counts),
     and masked-position fuzzy record linkage (q139 — the blocking
-    pass entity resolution runs on new records), tagged on one
+    pass entity resolution runs on new records), and the corpus
+    release diff (q178 — full-outer id join + md5 content compare
+    between two versions, per-status doc/token mass), tagged on one
     schema. Together: how a 100 TB corpus/table absorbs
     new data without recomputing itself, how consumers read it
     leakage-free, and how every batch is validated first."""
@@ -2092,8 +2118,21 @@ def q110_incremental_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp").alias("t2"),
         F.col("max_id_b").cast("int").alias("b1"),
     )
+    h = _run("q178_release_diff", spark, sf_dir).select(
+        F.lit("reldiff").alias("kind"),
+        F.col("n_docs").alias("k"),
+        F.col("status").alias("s1"),
+        F.col("min_doc_id").cast("string").alias("s2"),
+        F.col("max_doc_id").cast("string").alias("s3"),
+        F.col("n_tokens").cast("double").alias("val"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.lit(None).cast("timestamp").alias("t1"),
+        F.lit(None).cast("timestamp").alias("t2"),
+        F.lit(None).cast("int").alias("b1"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d).unionByName(e).unionByName(g)
+        .unionByName(h)
         .orderBy("kind", "k", F.asc_nulls_first("n2"))
     )
 

@@ -284,3 +284,105 @@ def q157_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(s, a, b, a - b) for s, a, b in rows],
         "stage string, n_in long, n_out long, n_dropped long",
     )
+
+
+# --------------------------------------------------------------- q178
+# Corpus release diff: change detection between two corpus versions —
+# the derive side of incremental maintenance (q109's CDC merge is the
+# apply side). Version 2 is a deterministic transformation of the
+# documents table (drop doc_id%7==0, revise text of the %5==0
+# remainder, add a %11==0-keyed batch under shifted ids), so both
+# engines build the identical pair of versions and the diff itself is
+# the operator under test: full-outer join on the id, md5 content
+# compare, per-status doc/token mass.
+
+
+@register(
+    "q178_release_diff",
+    oracle="""
+    WITH v1 AS (SELECT doc_id, text FROM documents),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000000 AS doc_id, text || ' new' AS text
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    j AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             a.text AS t1, b.text AS t2,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 a FULL OUTER JOIN v2 b USING (doc_id)
+    ),
+    t AS (
+      SELECT status, doc_id,
+             CAST(greatest(
+               len(regexp_split_to_array(trim(lower(COALESCE(t2, t1))), '\\s+')),
+               CAST(ceil(length(COALESCE(t2, t1)) / 4.0) AS BIGINT)) AS BIGINT) AS n_tok
+      FROM j
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM t GROUP BY status ORDER BY status
+    """,
+)
+def q178_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two corpus releases: per change status (added / removed /
+    changed / unchanged) the document count, token mass (of the newer
+    side where it exists), and the id range.
+
+    Scale shape: one full-outer sort-merge join on the uniform id key
+    (the ONLY shuffle besides the 4-row output sort), md5 content
+    compare inside the join projection, map-side-combining status
+    aggregation. At 100 TB both versions would be snapshot-table reads
+    (sources/snapshots.py time travel) — the diff plan is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.col("text").alias("t1"))
+    v2 = (
+        docs.where(F.expr("doc_id % 7 <> 0"))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END"
+            ).alias("t2"),
+        )
+        .unionByName(
+            docs.where(F.expr("doc_id % 11 = 0")).select(
+                (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"),
+                F.expr("text || ' new'").alias("t2"),
+            )
+        )
+    )
+    j = v1.join(v2, "doc_id", "full_outer").select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN t1 IS NULL THEN 'added'"
+            " WHEN t2 IS NULL THEN 'removed'"
+            " WHEN md5(t1) <> md5(t2) THEN 'changed'"
+            " ELSE 'unchanged' END"
+        ).alias("status"),
+        F.expr("COALESCE(t2, t1)").alias("t"),
+    )
+    t = j.select(
+        "status",
+        "doc_id",
+        F.expr(
+            "CAST(greatest(size(split(trim(lower(t)), '\\\\s+')),"
+            " CAST(ceil(length(t) / 4.0) AS BIGINT)) AS BIGINT)"
+        ).alias("n_tok"),
+    )
+    return (
+        t.groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("status")
+    )

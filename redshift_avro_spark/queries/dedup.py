@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from . import load_table, register
 from ..operators.dedup import (
@@ -666,4 +667,134 @@ def q175_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_ppm"),
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------- q177
+# Survivor-selection policy: q63 (and q49) keep the MIN-ID document
+# per near-dup cluster — deterministic but quality-blind. A production
+# pipeline keeps the BEST document per cluster; this query scores
+# every cluster member and elects the (quality desc, doc_id) argmax,
+# reporting per member whether the policy keeps it and what token
+# mass the decision keeps/drops. The policy layer between clustering
+# (q63) and corpus assembly (q88).
+
+
+def _q177_oracle() -> str:
+    from .text import _N_WORDS, _SCORE
+
+    return f"""
+    WITH RECURSIVE {_MINHASH_CTE},
+    grams AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(generate_series(1, length(text) - 2),
+               i -> substring(text, i, 3))) AS g
+      FROM documents WHERE length(text) >= 3
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM candidates c
+      JOIN grams a ON a.id = c.id_a
+      JOIN grams b ON b.id = c.id_b
+      WHERE {_JACCARD_DUCK} >= 0.5
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM verified
+      UNION
+      SELECT id_b AS u, id_a AS v FROM verified
+    ),
+    reach AS (
+      SELECT u AS src, u AS dst FROM sym
+      UNION
+      SELECT r.src, s.v AS dst FROM reach r JOIN sym s ON r.dst = s.u
+    ),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src),
+    feat AS (
+      SELECT doc_id,
+             CAST(floor({_SCORE} * 1000000 + 0.5) AS BIGINT) AS qs6,
+             CAST(greatest({_N_WORDS}, CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    m AS (
+      SELECT c.doc_id, c.component_id, f.qs6, f.n_tok
+      FROM comp c JOIN feat f USING (doc_id)
+    ),
+    k AS (
+      SELECT component_id, doc_id AS keeper_id FROM (
+        SELECT component_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY component_id
+                                  ORDER BY qs6 DESC, doc_id) AS rn
+        FROM m
+      ) WHERE rn = 1
+    ),
+    s AS (SELECT component_id, CAST(count(*) AS BIGINT) AS cluster_size FROM m GROUP BY component_id)
+    SELECT m.doc_id, m.component_id, s.cluster_size, m.qs6, m.n_tok, k.keeper_id,
+           CAST(CASE WHEN m.doc_id = k.keeper_id THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+    FROM m JOIN k USING (component_id) JOIN s USING (component_id)
+    ORDER BY doc_id
+    """
+
+
+@register("q177_survivor_policy", oracle=_q177_oracle())
+def q177_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-quality survivor election per near-dup cluster: q63's
+    clusters (LSH candidates → Jaccard verify → connected components)
+    scored with the q37 composite quality (exact 1e6-quantized ppm),
+    keeper = (quality DESC, doc_id) argmax, one row per cluster MEMBER
+    with its token mass and the keep/drop verdict.
+
+    Scale shape: quality/token features join only the cluster-member
+    sliver (components are a sliver of the corpus); the keeper
+    election and cluster-size windows partition on component_id
+    (cluster-sized groups — near-dup clusters are small by
+    construction, band-capped upstream). The oracle replays the
+    recursive closure and the same argmax."""
+    from ..operators.text import quality_features, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = materialize(
+        minhash_candidate_pairs(docs, "doc_id", "text", 12, 3, 3),
+        label="lsh_candidates",
+        default="checkpoint",
+    )
+    verified = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, candidates=cands
+    )
+    comp = connected_components(verified, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), "component_id"
+    )
+    # build the struct columns first, then project
+    feat = (
+        docs.select(
+            "doc_id",
+            quality_features("text").alias("q"),
+            token_count("text").alias("t"),
+        )
+        .select(
+            "doc_id",
+            F.expr("CAST(floor(q.quality_score * 1000000 + 0.5) AS BIGINT)").alias("qs6"),
+            F.col("t.n_tokens_est").cast("long").alias("n_tok"),
+        )
+    )
+    m = comp.join(feat, "doc_id")
+    w_rank = Window.partitionBy("component_id").orderBy(F.desc("qs6"), F.asc("doc_id"))
+    w_size = Window.partitionBy("component_id")
+    ranked = m.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "cluster_size", F.count("*").over(w_size).cast("long")
+    )
+    keepers = ranked.where(F.col("rn") == 1).select(
+        "component_id", F.col("doc_id").alias("keeper_id")
+    )
+    return (
+        ranked.join(F.broadcast(keepers), "component_id")
+        .select(
+            "doc_id",
+            "component_id",
+            "cluster_size",
+            "qs6",
+            "n_tok",
+            "keeper_id",
+            (F.col("doc_id") == F.col("keeper_id")).cast("int").alias("is_kept"),
+        )
+        .orderBy("doc_id")
     )

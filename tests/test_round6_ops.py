@@ -202,6 +202,51 @@ class TestZipfAudit:
         assert rows[0]["vocab_size"] >= rows[0]["hapax_vocab"]
 
 
+class TestSurvivorPolicy:
+    def test_keeper_is_quality_argmax(self, spark):
+        from redshift_avro_spark.queries import load_all
+
+        rows = load_all()["q177_survivor_policy"].fn(spark, SF_SMOKE).collect()
+        assert rows, "expected near-dup cluster members"
+        by_comp: dict = {}
+        for r in rows:
+            by_comp.setdefault(r["component_id"], []).append(r)
+        for comp, members in by_comp.items():
+            assert len(members) >= 2  # clusters only
+            assert len(members) == members[0]["cluster_size"]
+            best = sorted(members, key=lambda r: (-r["qs6"], r["doc_id"]))[0]
+            keepers = [r for r in members if r["is_kept"] == 1]
+            assert len(keepers) == 1
+            assert keepers[0]["doc_id"] == best["doc_id"]
+            assert all(r["keeper_id"] == best["doc_id"] for r in members)
+
+
+class TestReleaseDiff:
+    def test_status_partition(self, spark):
+        from redshift_avro_spark.queries import load_all
+
+        rows = {
+            r["status"]: r
+            for r in load_all()["q178_release_diff"].fn(spark, SF_SMOKE).collect()
+        }
+        assert set(rows) == {"added", "removed", "changed", "unchanged"}
+        import duckdb
+
+        con = duckdb.connect()
+        n = con.execute(
+            f"SELECT count(*), SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END),"
+            f" SUM(CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 = 0 THEN 1 ELSE 0 END),"
+            f" SUM(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)"
+            f" FROM '{SF_SMOKE}/documents.parquet'"
+        ).fetchone()
+        total, removed, changed, added = (int(x) for x in n)
+        assert rows["removed"]["n_docs"] == removed
+        assert rows["changed"]["n_docs"] == changed
+        assert rows["added"]["n_docs"] == added
+        assert rows["unchanged"]["n_docs"] == total - removed - changed
+        assert rows["added"]["min_doc_id"] >= 1_000_000_000
+
+
 class TestMaterializeHelper:
     """The unified materialization-boundary knob (VERDICT r5 #1)."""
 

@@ -170,6 +170,7 @@ class ContainerWriter:
         sync_interval: int = DEFAULT_SYNC_INTERVAL,
         sync_marker: Optional[bytes] = None,
         extra_meta: Optional[dict[str, bytes]] = None,
+        write_header: bool = True,
     ) -> None:
         if not isinstance(schema, AvroSchema):
             schema = parse_schema(schema)
@@ -185,7 +186,9 @@ class ContainerWriter:
         self._parts: list[bytes] = []
         self._buffered_count = 0
         self._buffered_size = 0
-        self._write_header(extra_meta or {})
+        self._owns_sink = False
+        if write_header:
+            self._write_header(extra_meta or {})
 
     def _write_header(self, extra_meta: dict[str, bytes]) -> None:
         meta = {
@@ -293,12 +296,55 @@ class ContainerWriter:
 
     def close(self) -> None:
         self.flush_block()
+        if self._owns_sink:
+            self._sink.close()
 
     def __enter__(self) -> "ContainerWriter":
         return self
 
     def __exit__(self, *exc: Any) -> None:
         self.close()
+
+
+def open_append(
+    path: str, sync_interval: int = DEFAULT_SYNC_INTERVAL
+) -> ContainerWriter:
+    """APPEND mode (reference datafile.py:175-191): re-read the existing
+    file's header — schema, codec, sync marker — and return a writer
+    that continues emitting blocks at EOF under the SAME marker,
+    without writing a second header, so readers (including split
+    readers re-synchronizing on the marker) see one well-formed
+    container. The returned writer owns the file handle and closes it
+    on ``close()``/context exit. Raises :class:`AvroDecodeError` when
+    ``path`` is not a container file."""
+    # the header is metadata-map-sized; read a growing prefix until it
+    # parses completely rather than the whole (possibly huge) file
+    size = 1 << 16
+    while True:
+        with open(path, "rb") as f:
+            head = f.read(size)
+        if head[:4] != MAGIC:  # fail fast — no prefix size will fix this
+            raise AvroDecodeError(
+                f"not an Avro container file (magic {head[:4]!r})"
+            )
+        try:
+            header = read_header(head)
+            break
+        except AvroDecodeError:
+            if len(head) < size:  # whole file read and still truncated/bad
+                raise
+            size *= 8
+    sink = open(path, "ab")
+    w = ContainerWriter(
+        sink,
+        header.schema,
+        codec=header.codec,
+        sync_interval=sync_interval,
+        sync_marker=header.sync,
+        write_header=False,
+    )
+    w._owns_sink = True
+    return w
 
 
 def write_container(

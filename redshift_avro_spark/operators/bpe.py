@@ -62,6 +62,7 @@ def learn_bpe_merges(
     rounds: int,
     checkpoint: bool = True,
     track_tokens: bool = True,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Learn ``rounds`` BPE merges; returns one row per round:
     (merge_round, pattern, merged, pair_count, tokens_after).
@@ -69,7 +70,10 @@ def learn_bpe_merges(
     ``track_tokens=False`` skips the per-round corpus-wide
     ``tokens_after`` aggregation (emitted as NULL) — one fewer full
     corpus pass per round for callers that only consume the merge
-    table itself (the encode path)."""
+    table itself (the encode path). ``corpus`` lets a caller share one
+    (doc_id, s) tokenized frame (``corpus_strings``, ideally lazily
+    checkpointed) between learn and encode — the caller then owns its
+    lineage cut and this function skips its own initial checkpoint."""
     if rounds < 1:
         raise ValueError(f"learn_bpe_merges: rounds must be >= 1, got {rounds}")
     for c in (id_col, text_col):
@@ -82,9 +86,10 @@ def learn_bpe_merges(
     # pass instead of two (eager ran a dedicated materialization job per
     # round, plus one for the final round's corpus that nothing reads —
     # measured 4.1→2.7 s best-of-3 for the q114 learn+encode at sf0.1).
-    corpus = corpus_strings(docs, id_col, text_col)
-    if checkpoint:
-        corpus = corpus.localCheckpoint(eager=False)
+    if corpus is None:
+        corpus = corpus_strings(docs, id_col, text_col)
+        if checkpoint:
+            corpus = corpus.localCheckpoint(eager=False)
     out_rows: list = []
     for k in range(1, rounds + 1):
         # The winning pair is ONE row — collect it so the replace rides
@@ -126,7 +131,12 @@ def learn_bpe_merges(
 
 
 def apply_bpe_merges(
-    docs: DataFrame, merges: DataFrame, *, id_col: str, text_col: str
+    docs: DataFrame,
+    merges: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Encode every document with an already-learned merge table — the
     scale-side half of BPE: training (:func:`learn_bpe_merges`) runs
@@ -153,7 +163,10 @@ def apply_bpe_merges(
     ms = merges.agg(
         F.array_sort(F.collect_list(F.struct("merge_round", "pattern", "merged"))).alias("ms")
     )
-    corpus = corpus_strings(docs, id_col, text_col)
+    if corpus is None:
+        # standalone encode: tokenize here; a learn+encode caller passes
+        # the shared checkpointed frame instead (one md5 pass, not two)
+        corpus = corpus_strings(docs, id_col, text_col)
     applied = corpus.crossJoin(F.broadcast(ms)).select(
         "doc_id",
         F.expr(f"size({_TOKENS_EXPR})").cast("long").alias("tokens_before"),

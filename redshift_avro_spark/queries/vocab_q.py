@@ -114,11 +114,25 @@ def q114_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the same five merges per document via the q105
     CTE chain (sequential corpus-wide replace ≡ the per-doc fold,
     because each round's replace is literal and leftmost)."""
+    from ..operators.bpe import corpus_strings
+
     docs = load_table(spark, sf_dir, "documents")
+    # ONE md5 tokenization shared by learn and encode: the lazy
+    # checkpoint materializes in learn's first pair-count job and the
+    # encode fold reads the same blocks (previously encode re-tokenized
+    # the raw corpus a second time)
+    corpus = corpus_strings(docs, "doc_id", "text").localCheckpoint(eager=False)
     merges = learn_bpe_merges(
-        docs, id_col="doc_id", text_col="text", rounds=_ROUNDS, track_tokens=False
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        rounds=_ROUNDS,
+        track_tokens=False,
+        corpus=corpus,
     ).select("merge_round", "pattern", "merged")
-    return apply_bpe_merges(docs, merges, id_col="doc_id", text_col="text").orderBy("doc_id")
+    return apply_bpe_merges(
+        docs, merges, id_col="doc_id", text_col="text", corpus=corpus
+    ).orderBy("doc_id")
 
 
 _HEAPS_CHECKPOINTS = (10, 25, 50, 100, 250, 500)

@@ -91,6 +91,7 @@ EXTENDED: dict[str, float] = {
     "q176_zipf_audit": 0.8,
     "q177_survivor_policy": 2.2,
     "q178_release_diff": 1.0,
+    "q179_ivf_delete": 2.2,
 }
 
 _DETAIL_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r06.json")

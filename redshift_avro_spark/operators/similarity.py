@@ -876,6 +876,49 @@ def ivf_add_topk(
     return _ivf_query(assign, q, centers, n_probe, k, carry=("origin",))
 
 
+def ivf_delete_topk(
+    base: DataFrame,
+    deleted: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    lloyd_iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF index MAINTENANCE, delete side (the FAISS ``remove_ids``
+    pattern, completing the triad with :func:`ivf_add_topk`):
+    centroids stay FROZEN (trained on the full base — deletion never
+    retrains), the tombstoned ids are anti-joined out of the inverted
+    lists, and queries probe ``n_probe`` cells of the SHRUNK index, so
+    removed vectors stop being retrievable immediately.
+
+    Returns per-query top-k over the live corpus with each neighbor's
+    ``cell`` (inverted-list id) surfaced — the occupancy view an index
+    operator watches as deletes accumulate.
+
+    Scale shape: the tombstone set is broadcast (delete batches are
+    tiny next to the corpus) into one anti-join; assignment is the
+    map-only Arrow kernel against driver-literal centroids; the probe
+    join is broadcast. In production the base assignment is persisted
+    and the delete is a metadata anti-join against the tombstone
+    ledger — the query path here is identical."""
+    c = base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    centers = _centers_list(
+        ivf_train_centroids(base, id_col, vec_col, n_centroids, lloyd_iters, dim)
+    )
+    live = c.join(
+        F.broadcast(deleted.select(F.col(id_col).alias("neighbor_id"))),
+        "neighbor_id",
+        "left_anti",
+    )
+    assign = _assign_nearest(live, centers).withColumn("cell", F.col("cid"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    return _ivf_query(assign, q, centers, n_probe, k, carry=("cell",))
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1346,3 +1346,72 @@ def q174_quant_cosine_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(cq).alias("cosq_ppm"),
         F.expr(f"abs(({c8}) - ({cq}))").alias("drift_ppm"),
     ).orderBy("id_a")
+
+
+# --------------------------------------------------------------- q179
+# IVF delete (tombstones): the remove side of index maintenance —
+# q152 absorbs a new batch under frozen centroids, this removes one.
+# The deleted set is a deterministic quarter of the corpus
+# (vec_id % 4 == 1), centroids stay trained on the FULL base (deletes
+# never retrain), and queries probe the shrunk inverted lists, so
+# removed vectors stop being retrievable immediately.
+
+
+@register(
+    "q179_ivf_delete",
+    oracle=f"""
+    WITH {_CENTS_CTE},
+    live AS (
+      SELECT vec_id AS neighbor_id, embedding AS cvec
+      FROM embeddings WHERE vec_id % 4 <> 1
+    ),
+    lassign AS (
+      SELECT neighbor_id, cvec, cell FROM (
+        SELECT l.neighbor_id, l.cvec, c.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY l.neighbor_id
+                 ORDER BY {_cent_cos('l.cvec')} DESC, c.cid) AS rn
+        FROM live l CROSS JOIN {_FINAL_CENTS} c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qvec, cid FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS qvec, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cent_cos('e.embedding')} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN {_FINAL_CENTS} c
+        WHERE e.vec_id < 10
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id, a.cell,
+             {_COS.replace('qvec', 'p.qvec').replace('cvec', 'a.cvec')} AS cosine
+      FROM lassign a JOIN probes p ON a.cell = p.cid
+      WHERE a.neighbor_id != p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cell, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, cell, ROUND(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def q179_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-delete a quarter of the corpus (vec_id % 4 == 1) from
+    the IVF index without retraining: frozen base-trained centroids,
+    anti-join of the tombstone set, 2-probe exact re-rank over the
+    shrunk lists — per-query top-5 with each neighbor's inverted-list
+    cell. No deleted id can appear in any result (the oracle's live
+    filter enforces the same). See
+    operators/similarity.py:ivf_delete_topk."""
+    from ..operators.similarity import ivf_delete_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    deleted = emb.where(F.expr("vec_id % 4 = 1")).select("vec_id")
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_delete_topk(
+        emb, deleted, queries, "vec_id", "embedding",
+        k=5, n_centroids=8, n_probe=2, lloyd_iters=2, dim=64,
+    ).orderBy("query_id", "rank")

@@ -369,3 +369,20 @@ class TestMaterializeHelper:
         monkeypatch.delenv("SPARK_GRAFT_Q49_MATERIALIZE")
         monkeypatch.delenv("SPARK_GRAFT_MATERIALIZE")
         assert resolve_mode("q49_survivors", "parquet") == "parquet"
+
+
+class TestIvfDelete:
+    def test_deleted_never_retrieved(self, spark):
+        from redshift_avro_spark.queries import load_all
+
+        rows = load_all()["q179_ivf_delete"].fn(spark, SF_SMOKE).collect()
+        assert rows, "expected top-k rows"
+        for r in rows:
+            assert r["neighbor_id"] % 4 != 1, "tombstoned vector retrieved"
+            assert 1 <= r["rank"] <= 5
+        # every query produced a full (or corpus-bounded) ranking
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r["rank"])
+        for q, ranks in by_q.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))

@@ -127,27 +127,26 @@ def lsh_band_keys(sig_col: str, n_hashes: int = 12, rows_per_band: int = 3) -> C
     return F.expr(f"array({', '.join(keys)})")
 
 
-def minhash_band_keys_df(
+def minhash_signatures_df(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n_hashes: int = 12,
     shingle_k: int = 3,
-    rows_per_band: int = 3,
 ) -> DataFrame:
-    """(__id, band_key) rows: one row per LSH band per document — the
-    LSH "index" both the batch candidate generator and the incremental
-    path join on.
-
-    The signature computation is staged through explicit projections
-    (words → shingles → md5 digests → two 32-bit lanes → signature)
-    with a repartition first: a single small input file would otherwise
-    evaluate the whole md5 workload on one core, and the staging keeps
-    each array materialized once per row instead of re-derived inside
-    every lane's lambda. cores/2 measured best at sf0.1 (cores×2's
-    ~80-doc tasks under-amortize task overhead: 0.42 s vs 0.36 s for
-    the signature stage); with real multi-split input the exchange is
-    absorbed by the band-key shuffle that follows anyway."""
+    """(__id, sig) rows: the MinHash signature per document, computed
+    through STAGED projections (words → shingles → md5 digests → two
+    32-bit lanes → signature) with a repartition first: a single small
+    input file would otherwise evaluate the whole md5 workload on one
+    core, and the staging keeps each array materialized once per row
+    instead of re-derived inside every lane's lambda — the
+    :func:`minhash_signature` COLUMN form re-evaluates its nested
+    higher-order lambdas per lane and measured ~12 ms/doc vs this
+    path's microseconds (q175's round-6 budget regression traced to
+    exactly that). cores/2 measured best at sf0.1 (cores×2's ~80-doc
+    tasks under-amortize task overhead: 0.42 s vs 0.36 s for the
+    signature stage); with real multi-split input the exchange is
+    absorbed by whatever shuffle follows."""
     n_part = max(2, df.sparkSession.sparkContext.defaultParallelism // 2)
     words = _words("__text")
     shingles = (
@@ -158,7 +157,7 @@ def minhash_band_keys_df(
         f"array_min(zip_with(__h1, __h2, (x, y) -> ({a} * x + {b} * y) % {_MH_P}))"
         for a, b in _MH_COEFFS[:n_hashes]
     )
-    sigs = (
+    return (
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
         .repartition(n_part, "__id")
         .select("__id", F.expr(words).alias("__w"))
@@ -172,6 +171,21 @@ def minhash_band_keys_df(
         )
         .select("__id", F.expr(f"array({lanes})").alias("sig"))
     )
+
+
+def minhash_band_keys_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 12,
+    shingle_k: int = 3,
+    rows_per_band: int = 3,
+) -> DataFrame:
+    """(__id, band_key) rows: one row per LSH band per document — the
+    LSH "index" both the batch candidate generator and the incremental
+    path join on. Signatures come from the staged
+    :func:`minhash_signatures_df` projections."""
+    sigs = minhash_signatures_df(df, id_col, text_col, n_hashes, shingle_k)
     return sigs.select(
         "__id", F.explode(lsh_band_keys("sig", n_hashes, rows_per_band)).alias("band_key")
     )

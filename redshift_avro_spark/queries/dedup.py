@@ -608,11 +608,14 @@ def q175_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: signatures and shingle sets materialize only for
     candidate-pair MEMBERS (broadcast id probes of the corpus — the
-    candidate list is a band-capped sliver); lane matching and the
-    set intersection are JVM zip_with/array kernels; everything is
-    exact integer arithmetic, so the oracle replays the estimator
-    bit for bit."""
-    from ..operators.dedup import minhash_signature
+    candidate list is a band-capped sliver) through the STAGED
+    signature projections (the signature COLUMN form re-evaluates its
+    nested lambdas per lane — measured ~12 ms/doc, the round-6 budget
+    regression); the member feature frame feeds BOTH pair sides, so it
+    is materialized once. Lane matching and the set intersection are
+    JVM zip_with/array kernels; everything is exact integer
+    arithmetic, so the oracle replays the estimator bit for bit."""
+    from ..operators.dedup import minhash_signatures_df
 
     docs = load_table(spark, sf_dir, "documents")
     cands = materialize(
@@ -623,19 +626,25 @@ def q175_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     member_a = cands.select(F.col("id_a").alias("doc_id")).distinct()
     member_b = cands.select(F.col("id_b").alias("doc_id")).distinct()
     members = member_a.unionByName(member_b).distinct()
+    member_docs = docs.join(F.broadcast(members), "doc_id", "left_semi")
+    sigs = minhash_signatures_df(member_docs, "doc_id", "text", 12, 3).select(
+        F.col("__id").alias("doc_id"), "sig"
+    )
     shingles = (
         "array_distinct(transform(sequence(1, size(__w) - 2), "
         "i -> array_join(slice(__w, i, 3), ' ')))"
     )
-    feats = (
-        docs.join(F.broadcast(members), "doc_id", "left_semi")
-        .select(
-            "doc_id",
-            minhash_signature("text", 12, 3).alias("sig"),
-            F.expr("split(trim(lower(text)), '\\\\s+')").alias("__w"),
+    grams = (
+        member_docs.select(
+            "doc_id", F.expr("split(trim(lower(text)), '\\\\s+')").alias("__w")
         )
-        .where(F.col("sig").isNotNull())
-        .select("doc_id", "sig", F.expr(shingles).alias("g"))
+        .where(F.size("__w") >= 3)
+        .select("doc_id", F.expr(shingles).alias("g"))
+    )
+    feats = materialize(
+        sigs.join(grams, "doc_id"),
+        label="calibration_features",  # feeds both pair sides
+        default="checkpoint",
     )
     fa = feats.select(
         F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"), F.col("g").alias("ga")
@@ -763,9 +772,15 @@ def q177_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(verified, "id_a", "id_b").select(
         F.col("id").alias("doc_id"), "component_id"
     )
-    # build the struct columns first, then project
+    # quality/token features ONLY for cluster members: the component
+    # map is a sliver of the corpus, so the broadcast semi-join prunes
+    # the regex-heavy feature projection to member docs instead of a
+    # full corpus pass nothing downstream reads
+    member_docs = docs.join(
+        F.broadcast(comp.select("doc_id")), "doc_id", "left_semi"
+    )
     feat = (
-        docs.select(
+        member_docs.select(
             "doc_id",
             quality_features("text").alias("q"),
             token_count("text").alias("t"),

@@ -537,7 +537,13 @@ def q156_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.training import train_test_split
 
     docs = load_table(spark, sf_dir, "documents")
-    cands = minhash_candidate_pairs(docs, "doc_id", "text", 12, 3, 3)
+    # the candidate list feeds the verify stage's member semi-join AND
+    # its pair join — same lineage cut as q33/q63/q123
+    cands = materialize(
+        minhash_candidate_pairs(docs, "doc_id", "text", 12, 3, 3),
+        label="lsh_candidates",
+        default="checkpoint",
+    )
     verified = ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5, candidates=cands
     )

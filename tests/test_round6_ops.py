@@ -386,3 +386,33 @@ class TestIvfDelete:
             by_q.setdefault(r["query_id"], []).append(r["rank"])
         for q, ranks in by_q.items():
             assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+class TestStagedSignaturesEqualColumnForm:
+    def test_differential(self, spark):
+        """minhash_signatures_df (staged projections — the hot path)
+        must emit bit-identical signatures to the minhash_signature
+        column form it replaces in q175."""
+        from redshift_avro_spark.operators.dedup import (
+            minhash_signature,
+            minhash_signatures_df,
+        )
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(200)
+        staged = {
+            r["__id"]: list(r["sig"])
+            for r in minhash_signatures_df(docs, "doc_id", "text", 12, 3).collect()
+        }
+        column = {
+            r["doc_id"]: list(r["sig"]) if r["sig"] is not None else None
+            for r in docs.select(
+                "doc_id", minhash_signature("text", 12, 3).alias("sig")
+            ).collect()
+        }
+        assert staged, "expected signatures"
+        # staged form drops <3-word docs; column form emits NULL there
+        for doc_id, sig in staged.items():
+            assert column[doc_id] == sig
+        for doc_id, sig in column.items():
+            if sig is None:
+                assert doc_id not in staged

@@ -58,6 +58,23 @@ QUERIES = [
     "q170_signal_blend",
 ]
 
+# ANN families measured against a 10× EMBEDDINGS table: ten replicas,
+# replica r > 0 cyclically rotates each vector by r coordinates —
+# norms and within-replica pair structure are preserved (rotation is
+# orthogonal), cross-replica cosines decorrelate, so the corpus is
+# "10× more same-shaped vectors". Families chosen to be linear-in-N
+# by design with FIXED query sets: brute-force scoring (q35), PQ/ADC
+# encode+query (q147), IVF incremental add (q152). q94 (SemDeDup) is
+# deliberately NOT measured this way: with a FIXED centroid count its
+# per-cell pair scan is quadratic in cell size — the operator's
+# documented contract is that k scales with the corpus.
+EMB_QUERIES = [
+    "q35_cosine_topk",
+    "q147_pq_adc_topk",
+    "q152_ivf_incremental_add",
+]
+EMB_ID_STRIDE = 10**7
+
 
 def build_corpus(spark, out_dir: str) -> None:
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
@@ -89,6 +106,29 @@ def build_corpus(spark, out_dir: str) -> None:
     )
 
 
+def build_embeddings(spark, out_dir: str) -> None:
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    dim = 64
+    parts = [emb]
+    for r in range(1, N_REPLICAS):
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * EMB_ID_STRIDE)).alias("vec_id"),
+                F.expr(
+                    f"concat(slice(embedding, {r + 1}, {dim - r}), "
+                    f"slice(embedding, 1, {r}))"
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+
+
 def _best_of_2(fn) -> float:
     runs = []
     for _ in range(2):
@@ -114,6 +154,16 @@ def main() -> None:
     print("| query | sf0.1 best (s) | 10x best (s) | time ratio |")
     print("|---|---|---|---|")
     for name in QUERIES:
+        t_small = _best_of_2(lambda: registry[name].fn(spark, SF_DIR).count())
+        t_big = _best_of_2(lambda: registry[name].fn(spark, out_dir).count())
+        ratio = round(t_big / t_small, 2) if t_small else float("inf")
+        print(f"| {name} | {t_small} | {t_big} | {ratio}x |")
+
+    build_embeddings(spark, out_dir)
+    ne_small = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).count()
+    ne_big = spark.read.parquet(os.path.join(out_dir, "embeddings.parquet")).count()
+    print(f"embeddings: {ne_small} -> {ne_big} ({ne_big / ne_small:.1f}x)")
+    for name in EMB_QUERIES:
         t_small = _best_of_2(lambda: registry[name].fn(spark, SF_DIR).count())
         t_big = _best_of_2(lambda: registry[name].fn(spark, out_dir).count())
         ratio = round(t_big / t_small, 2) if t_small else float("inf")

@@ -174,11 +174,31 @@ class KinesisHttpClient:
 
     def get_records(self, shard_iterator: str, limit: Optional[int] = None) -> tuple:
         """→ ([(sequence_number, partition_key, data bytes)], next_iterator
-        or None, millis_behind_latest)."""
+        or None, millis_behind_latest). A
+        ``ProvisionedThroughputExceededException`` (the service's
+        per-shard 5-reads/s throttle) retries with short exponential
+        backoff — the documented consumer behavior — before
+        surfacing; an expired iterator surfaces to the caller, which
+        re-acquires positionally (see :meth:`consume_shard`)."""
+        import time
+
         payload: dict = {"ShardIterator": shard_iterator}
         if limit is not None:
             payload["Limit"] = int(limit)
-        r = self._call("GetRecords", payload)
+        delay = 0.05
+        for attempt in range(6):
+            try:
+                r = self._call("GetRecords", payload)
+                break
+            except KinesisWireError as e:
+                if (
+                    e.error_type == "ProvisionedThroughputExceededException"
+                    and attempt < 5
+                ):
+                    time.sleep(delay)
+                    delay = min(delay * 2, 1.0)
+                    continue
+                raise
         recs = [
             (
                 rec["SequenceNumber"],
@@ -188,6 +208,16 @@ class KinesisHttpClient:
             for rec in r.get("Records", [])
         ]
         return recs, r.get("NextShardIterator"), int(r.get("MillisBehindLatest", 0))
+
+    def _reacquire(self, stream: str, shard_id: str, last: Optional[str]) -> str:
+        """Fresh iterator positioned after the last consumed sequence
+        (TRIM_HORIZON when nothing was consumed yet) — the recovery for
+        an ExpiredIteratorException."""
+        if last is None or last == "":
+            return self.get_shard_iterator(stream, shard_id)
+        return self.get_shard_iterator(
+            stream, shard_id, "AFTER_SEQUENCE_NUMBER", last
+        )
 
     def consume_shard(
         self,
@@ -200,7 +230,10 @@ class KinesisHttpClient:
         TRIM_HORIZON when ``after`` is None, else strictly after that
         sequence — until caught up (MillisBehindLatest == 0 with an
         empty page; a closed shard ends via a null NextShardIterator),
-        or until ``max_records``."""
+        or until ``max_records``. An iterator expired by the service
+        (5-minute lifetime) is re-acquired POSITIONALLY from the last
+        consumed sequence, so a slow consumer resumes exactly where it
+        stopped — the standard KCL recovery."""
         if after is None:
             it = self.get_shard_iterator(stream, shard_id)
         else:
@@ -209,10 +242,28 @@ class KinesisHttpClient:
             )
         got = 0
         empty_pages = 0
+        last = after
+        expired = 0
         while it:
-            recs, it, behind = self.get_records(it)
+            try:
+                recs, it, behind = self.get_records(it)
+            except KinesisWireError as e:
+                if e.error_type != "ExpiredIteratorException":
+                    raise
+                expired += 1
+                if expired > 5:
+                    raise KinesisWireError(
+                        f"shard {shard_id}: iterator expired {expired} times "
+                        "without progress",
+                        error_type=e.error_type,
+                    ) from None
+                it = self._reacquire(stream, shard_id, last)
+                continue
+            if recs:
+                expired = 0
             for seq, pk, data in recs:
                 yield seq, pk, data
+                last = seq
                 got += 1
                 if max_records is not None and got >= max_records:
                     return
@@ -244,7 +295,9 @@ class KinesisHttpClient:
         (the service returned a null NextShardIterator). A
         resharding-aware checkpoint needs the distinction between
         "caught up for now" (open shard, more may arrive) and "this
-        shard is finished forever" (children may now start)."""
+        shard is finished forever" (children may now start). Expired
+        iterators re-acquire positionally, as in
+        :meth:`consume_shard`."""
         if after is None:
             it = self.get_shard_iterator(stream, shard_id)
         else:
@@ -253,10 +306,28 @@ class KinesisHttpClient:
             )
         out: list = []
         empty_pages = 0
+        last = after
+        expired = 0
         while it:
-            recs, it, behind = self.get_records(it)
+            try:
+                recs, it, behind = self.get_records(it)
+            except KinesisWireError as e:
+                if e.error_type != "ExpiredIteratorException":
+                    raise
+                expired += 1
+                if expired > 5:
+                    raise KinesisWireError(
+                        f"shard {shard_id}: iterator expired {expired} times "
+                        "without progress",
+                        error_type=e.error_type,
+                    ) from None
+                it = self._reacquire(stream, shard_id, last)
+                continue
+            if recs:
+                expired = 0
             for rec in recs:
                 out.append(rec)
+                last = rec[0]
                 if max_records is not None and len(out) >= max_records:
                     return out, False
             if recs:

@@ -43,6 +43,10 @@ class FakeKinesis:
 
     def __init__(self, topics):
         self.topics = topics
+        # error injection: expire the next N GetRecords iterators /
+        # throttle the next N GetRecords calls
+        self.expire_next = 0
+        self.throttle_next = 0
         # per-shard metadata; initial shards split the hash space
         # evenly, in sorted order per stream
         self.meta = {}
@@ -243,6 +247,16 @@ class FakeKinesis:
             ).decode()
             return {"ShardIterator": tok}
         if action == "GetRecords":
+            if self.throttle_next > 0:
+                self.throttle_next -= 1
+                raise _ServiceError(
+                    "ProvisionedThroughputExceededException", "slow down"
+                )
+            if self.expire_next > 0:
+                self.expire_next -= 1
+                raise _ServiceError(
+                    "ExpiredIteratorException", "Iterator expired"
+                )
             tok = json.loads(base64.b64decode(body["ShardIterator"]))
             stream, shard, idx = tok["s"], tok["h"], tok["i"]
             msgs = self.topics[(stream, shard)]
@@ -580,6 +594,73 @@ class TestResharding:
             assert closed and closed[0]["shard_id"] == "shardId-000000000000"
             kids = [d for d in detail if d["parents"] == ["shardId-000000000000"]]
             assert len(kids) == 2
+        finally:
+            f.close()
+
+
+class TestServiceErrors:
+    """Round-6 production-fidelity error handling: iterator expiry
+    (5-minute lifetime) and per-shard read throttling."""
+
+    def test_expired_iterator_reacquires_positionally(self):
+        f = FakeKinesis(
+            {("es", "shardId-000000000000"): [("p%d" % i, b"v%d" % i) for i in range(7)]}
+        )
+        try:
+            c = KinesisHttpClient(f.endpoint)
+            # expire mid-consumption: first page reads 2 records, then
+            # the iterator dies; recovery must resume AFTER the last
+            # consumed sequence — no loss, no redelivery
+            it = iter(c.consume_shard("es", "shardId-000000000000"))
+            got = [next(it), next(it)]
+            f.expire_next = 1
+            got += list(it)
+            assert [d for _, _, d in got] == [b"v%d" % i for i in range(7)]
+            assert len(got) == len(set(got))
+        finally:
+            f.close()
+
+    def test_expired_before_first_record(self):
+        f = FakeKinesis({("es2", "shardId-000000000000"): [("p", b"x")]})
+        try:
+            f.expire_next = 2
+            c = KinesisHttpClient(f.endpoint)
+            recs, ended = c.drain_shard("es2", "shardId-000000000000")
+            assert [d for _, _, d in recs] == [b"x"] and ended is False
+        finally:
+            f.close()
+
+    def test_persistent_expiry_raises(self):
+        f = FakeKinesis({("es3", "shardId-000000000000"): [("p", b"x")]})
+        try:
+            f.expire_next = 99
+            c = KinesisHttpClient(f.endpoint)
+            with pytest.raises(KinesisWireError) as ei:
+                c.drain_shard("es3", "shardId-000000000000")
+            assert ei.value.error_type == "ExpiredIteratorException"
+        finally:
+            f.close()
+
+    def test_throughput_throttle_backs_off(self):
+        f = FakeKinesis(
+            {("th", "shardId-000000000000"): [("p%d" % i, b"w%d" % i) for i in range(3)]}
+        )
+        try:
+            f.throttle_next = 3  # under the 6-attempt backoff cap
+            c = KinesisHttpClient(f.endpoint)
+            got = list(c.consume_shard("th", "shardId-000000000000"))
+            assert [d for _, _, d in got] == [b"w0", b"w1", b"w2"]
+        finally:
+            f.close()
+
+    def test_persistent_throttle_raises(self):
+        f = FakeKinesis({("th2", "shardId-000000000000"): [("p", b"x")]})
+        try:
+            f.throttle_next = 99
+            c = KinesisHttpClient(f.endpoint)
+            with pytest.raises(KinesisWireError) as ei:
+                list(c.consume_shard("th2", "shardId-000000000000"))
+            assert ei.value.error_type == "ProvisionedThroughputExceededException"
         finally:
             f.close()
 

@@ -192,6 +192,47 @@ class SnapshotTable:
             os.unlink(tmp)
         return version
 
+    def restore(self, version: int) -> int:
+        """Roll the table back to ``version`` as a NEW commit — the
+        Delta-style RESTORE: a metadata-only operation that publishes a
+        fresh manifest pointing at the old version's file list (no data
+        moves or copies), so the rollback is itself time-travelable and
+        the rolled-back-over versions stay readable until VACUUM ages
+        them out. Returns the new version number.
+
+        The restored version's files must still exist — restoring past
+        a VACUUM that already collected them raises loudly instead of
+        publishing a manifest of dangling paths."""
+        src = self._load_manifest(version)  # raises on unknown version
+        missing = [e["path"] for e in src["files"] if not os.path.exists(e["path"])]
+        if missing:
+            raise SnapshotError(
+                f"cannot restore v{version}: {len(missing)} data file(s) were "
+                f"vacuumed (first: {missing[0]})"
+            )
+        vs = self.versions()
+        new_version = (vs[-1] + 1) if vs else 0
+        manifest = {
+            "version": new_version,
+            "action": "restore",
+            "restored_from": version,
+            "files": src["files"],
+            "schema": src["schema"],
+        }
+        tmp = self._manifest_path(new_version) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmp, self._manifest_path(new_version))
+        except FileExistsError as e:
+            raise SnapshotError(
+                f"concurrent commit detected: version {new_version} was "
+                f"published by another writer while this restore was writing"
+            ) from e
+        finally:
+            os.unlink(tmp)
+        return new_version
+
     @staticmethod
     def _json_safe(v):
         if hasattr(v, "isoformat"):

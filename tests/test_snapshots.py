@@ -379,3 +379,61 @@ def test_incremental_aggregate_maintenance(spark, tmp_path):
     }
     got = {r.grp: (r.s, r.n) for r in maintained.collect()}
     assert got == want == {"a": (55, 2), "b": (30, 1), "c": (50, 1)}
+
+
+def test_restore_rolls_back_metadata_only(spark, tmp_path):
+    """RESTORE publishes a new manifest pointing at the old version's
+    files — no data moves; the rollback is itself time-travelable."""
+    import glob as _glob
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_df(spark, 0, 100), mode="overwrite", stats_cols=("k",))
+    t.commit(_df(spark, 100, 150), mode="append", stats_cols=("k",))
+    t.commit(_df(spark, 500, 510), mode="overwrite", stats_cols=("k",))
+    n_data_before = len(
+        _glob.glob(str(tmp_path / "tbl" / "data" / "*" / "*.parquet"))
+    )
+    v3 = t.restore(1)
+    assert v3 == 3
+    # latest now reads the v1 content; v2 stays time-travelable
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(150))
+    assert t.read(spark, version=2).count() == 10
+    # metadata-only: no new data files were written
+    n_data_after = len(
+        _glob.glob(str(tmp_path / "tbl" / "data" / "*" / "*.parquet"))
+    )
+    assert n_data_after == n_data_before
+    h = t.history()[-1]
+    assert h["action"] == "restore" and h["n_rows"] == 150
+    # a further append stacks on the restored state
+    t.commit(_df(spark, 900, 905), mode="append", stats_cols=("k",))
+    assert t.read(spark).count() == 155
+
+
+def test_restore_after_vacuum_is_loud(spark, tmp_path):
+    from redshift_avro_spark.sources.snapshots import (
+        SnapshotError,
+        SnapshotTableMaintenance,
+    )
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_df(spark, 0, 50), mode="overwrite")
+    t.commit(_df(spark, 50, 60), mode="overwrite")
+    t.commit(_df(spark, 60, 70), mode="overwrite")
+    SnapshotTableMaintenance(t).vacuum(keep_versions=1)
+    import pytest as _pytest
+
+    # vacuum drops the old manifest itself, so the restore fails on the
+    # unknown version; a manifest surviving with missing data files
+    # (manual deletion) would hit restore's own "vacuumed" guard
+    with _pytest.raises(SnapshotError, match="does not exist"):
+        t.restore(0)
+    # the dangling-files guard, driven directly: delete a kept
+    # version's data file behind the manifest's back
+    import glob as _glob
+    import os as _os
+
+    v_live = t.latest_version()
+    _os.remove(t._load_manifest(v_live)["files"][0]["path"])
+    with _pytest.raises(SnapshotError, match="vacuumed"):
+        t.restore(v_live)

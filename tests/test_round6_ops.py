@@ -331,6 +331,78 @@ class TestContainerAppend:
             open_append(str(p))
 
 
+class TestContainerAppendFuzz:
+    """Hypothesis fuzz over the append surface: arbitrary write/append
+    schedules with mixed codecs-per-file and record shapes must always
+    read back as one well-formed container in order."""
+
+    def test_random_append_schedules(self, tmp_path):
+        from hypothesis import given, settings, strategies as st
+
+        from redshift_avro_spark.avroio.container import (
+            ContainerWriter,
+            iter_container,
+            open_append,
+        )
+
+        schema = {
+            "type": "record",
+            "name": "F",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "s", "type": "string"},
+                {"name": "b", "type": "bytes"},
+            ],
+        }
+        counter = [0]
+
+        # snappy/zstd wheels are absent from this sandbox (same
+        # env-skip as the codec matrix tests)
+        @settings(max_examples=25, deadline=None)
+        @given(
+            codec=st.sampled_from(["null", "deflate", "bzip2"]),
+            batches=st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=5),
+            slen=st.integers(min_value=0, max_value=300),
+            sync_interval=st.sampled_from([256, 4096, 64000]),
+        )
+        def run(codec, batches, slen, sync_interval):
+            counter[0] += 1
+            path = str(tmp_path / f"f{counter[0]}.avro")
+            expected = []
+
+            def rows(n, tag):
+                out = []
+                for i in range(n):
+                    out.append(
+                        {
+                            "id": tag * 1_000_000 + i,
+                            "s": ("x" * slen) + str(i),
+                            "b": bytes([i % 256]) * (i % 7),
+                        }
+                    )
+                return out
+
+            first = rows(batches[0], 0)
+            with open(path, "wb") as f:
+                with ContainerWriter(
+                    f, schema, codec=codec, sync_interval=sync_interval
+                ) as w:
+                    for r in first:
+                        w.append(r)
+            expected += first
+            for tag, n in enumerate(batches[1:], start=1):
+                more = rows(n, tag)
+                with open_append(path, sync_interval=sync_interval) as w:
+                    assert w._codec_name == codec
+                    for r in more:
+                        w.append(r)
+                expected += more
+            got = list(iter_container(open(path, "rb").read()))
+            assert got == expected
+
+        run()
+
+
 class TestMaterializeHelper:
     """The unified materialization-boundary knob (VERDICT r5 #1)."""
 

@@ -169,12 +169,17 @@ def rerank_with_model(
         words = F.expr(
             f"slice(split(trim(lower({text_col})), '\\\\s+'), 1, {CE_MAX_DOC_WORDS})"
         )
+        # NULL text → NULL word array. The DuckDB oracle's
+        # unnest(NULL ws) yields zero feature rows, dropping the doc
+        # from the rerank entirely — match that here (JVM-side filter)
+        # instead of letting ce_score iterate None (ADVICE r6 #3).
         sliver = candidates.select(
             F.col(id_col).alias("doc_id"), F.col(rank_col).alias("bm25_rank")
         ).join(
             F.broadcast(
                 F.broadcast(candidates.select(F.col(id_col).alias("doc_id"))).join(
-                    docs.select(F.col(id_col).alias("doc_id"), words.alias("__words")),
+                    docs.select(F.col(id_col).alias("doc_id"), words.alias("__words"))
+                    .where(F.col("__words").isNotNull()),
                     "doc_id",
                 )
             ),

@@ -51,12 +51,16 @@ __all__ = ["materialize", "resolve_mode", "MODES"]
 
 MODES = ("checkpoint", "parquet", "none")
 
-# One staging dir per (Spark application, label), overwritten on each
-# invocation (bench runs each query 3×) and removed at interpreter
-# exit — repeated runs can't accumulate unbounded temp parquet dirs.
-# The overwrite is safe because each invocation's consumers drain
-# before the next starts.
+# One staging dir per materialize() INVOCATION (label + monotone
+# counter + application id), removed at interpreter exit. The path
+# must be invocation-unique, not label-unique: composites (e.g. q86
+# unions q33+q123+q160+q175 lazily) share labels like
+# 'lsh_candidates' across members, and a later member overwriting a
+# shared path would delete part files an earlier member's lazy
+# read.parquet already listed → FileNotFoundException at action time
+# (ADVICE r6 #1).
 _CLEANUP_REGISTERED: set = set()
+_INVOCATION_COUNTER = 0
 
 
 def resolve_mode(label: str, default: str, *, extra_env: str | None = None) -> str:
@@ -90,11 +94,13 @@ def materialize(
     if mode == "none":
         return df
     if mode == "parquet":
+        global _INVOCATION_COUNTER
         spark = df.sparkSession
         safe = re.sub(r"[^A-Za-z0-9._-]+", "_", label)
+        _INVOCATION_COUNTER += 1
         path = os.path.join(
             tempfile.gettempdir(),
-            f"stage_{safe}_{spark.sparkContext.applicationId}",
+            f"stage_{safe}_{spark.sparkContext.applicationId}_{_INVOCATION_COUNTER}",
         )
         if path not in _CLEANUP_REGISTERED:
             _CLEANUP_REGISTERED.add(path)

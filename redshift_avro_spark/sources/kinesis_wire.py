@@ -436,7 +436,24 @@ def _streaming_classes():
             return KinesisHttpClient(self.endpoint)
 
         def initialOffset(self) -> dict:
-            return {s: "" for s in self._client().list_shards(self.stream)}
+            # Seed only shards with no LISTED parent. Seeding a child
+            # with "" would bypass read()'s parent-before-child gate
+            # (which fires only when the child is untracked), so a
+            # query started on an already-resharded stream with
+            # maxRecordsPerBatch could commit a capped parent's
+            # remaining records in a LATER batch than its children's
+            # (ADVICE r6 #2). Untracked children follow the same path
+            # as mid-query reshard children: read() gates them on the
+            # committed parent SHARD_END. A shard whose parents all
+            # aged out of the listing seeds normally — the same
+            # trimmed-parent case read()'s parent_done treats as done.
+            detail = self._client().list_shards_detail(self.stream)
+            listed = {d["shard_id"] for d in detail}
+            return {
+                d["shard_id"]: ""
+                for d in detail
+                if not any(p in listed for p in d["parents"])
+            }
 
         def read(self, start: dict) -> tuple:
             c = self._client()
@@ -455,6 +472,16 @@ def _streaming_classes():
                 floor = start.get(shard)
                 if floor == SHARD_END:
                     continue  # finished forever
+                if shard not in detail:
+                    # tracked shard that disappeared from the listing:
+                    # retention aged it out, so its remaining records
+                    # are trimmed/unreachable. Commit SHARD_END (the
+                    # same policy parent_done applies to vanished
+                    # parents) instead of polling drain_shard into a
+                    # ResourceNotFoundException every batch and
+                    # wedging the query (ADVICE r6 #4).
+                    end[shard] = SHARD_END
+                    continue
                 if floor is None:
                     # new shard (created by a reshard since the last
                     # batch): gate on the committed parent state
@@ -486,10 +513,20 @@ def _streaming_classes():
                     continue
                 if stop == SHARD_END:
                     # a committed SHARD_END replays the closed shard's
-                    # immutable remainder
-                    recs, ended = c.drain_shard(
-                        self.stream, shard, after=floor or None
-                    )
+                    # immutable remainder; a shard the service no
+                    # longer knows replays to zero rows — that
+                    # SHARD_END was committed by read()'s aged-out
+                    # path, whose original batch also produced zero
+                    # rows for it (the records were trimmed
+                    # server-side either way)
+                    try:
+                        recs, ended = c.drain_shard(
+                            self.stream, shard, after=floor or None
+                        )
+                    except KinesisWireError as e:
+                        if e.error_type == "ResourceNotFoundException":
+                            continue
+                        raise
                     if not ended:
                         raise KinesisWireError(
                             f"shard {shard}: committed SHARD_END but the "

@@ -703,3 +703,118 @@ def test_client_retries_transport_failure_once():
         assert [d for _, _, d in got] == [b"v"]
     finally:
         f.close()
+
+def _stream_reader(endpoint, stream, max_records=None):
+    """Driver-level reader (the exact object Spark's datasource API
+    drives) — lets the offset/gating edge cases run without a
+    streaming query."""
+    from redshift_avro_spark.sources.kinesis_wire import _streaming_classes
+
+    opts = {"endpoint": endpoint, "stream": stream}
+    if max_records is not None:
+        opts["maxrecordsperbatch"] = str(max_records)
+    return _streaming_classes()(opts).simpleStreamReader(None)
+
+
+class TestReshardingEdgeCases:
+    """Round-7 (ADVICE r6): pre-resharded start gating and tracked
+    shards that age out of the listing."""
+
+    def test_initial_offset_excludes_listed_children(self):
+        """A query started on an ALREADY-resharded stream must not seed
+        children whose parent is still listed — seeding them with ""
+        bypasses read()'s parent-before-child gate."""
+        f = FakeKinesis(
+            {("pr", "shardId-000000000000"): [("p%d" % i, b"a%d" % i) for i in range(5)]}
+        )
+        try:
+            f.split("pr", "shardId-000000000000")
+            r = _stream_reader(f.endpoint, "pr")
+            start = r.initialOffset()
+            assert start == {"shardId-000000000000": ""}
+        finally:
+            f.close()
+
+    def test_pre_resharded_start_parent_before_child(self):
+        """With maxRecordsPerBatch smaller than the parent's backlog, a
+        fresh query on a pre-split stream must still deliver EVERY
+        parent record in an earlier batch than any child record."""
+        f = FakeKinesis(
+            {("pr2", "shardId-000000000000"): [("p%d" % i, b"a%d" % i) for i in range(5)]}
+        )
+        try:
+            f.split("pr2", "shardId-000000000000")
+            children = sorted(
+                s for (t, s), m in f.meta.items()
+                if t == "pr2" and m["parent"] == "shardId-000000000000"
+            )
+            for i in range(4):
+                f.put("pr2", "k%d" % i, b"c%d" % i)
+            r = _stream_reader(f.endpoint, "pr2", max_records=2)
+            start = r.initialOffset()
+            batches = []
+            for _ in range(10):
+                rows, end = r.read(start)
+                rows = list(rows)
+                if rows:
+                    batches.append(rows)
+                if end == start:
+                    break
+                start = end
+            flat = [row for b in batches for row in b]
+            datas = sorted(row[3] for row in flat)
+            assert datas == sorted(
+                [b"a%d" % i for i in range(5)] + [b"c%d" % i for i in range(4)]
+            )
+            assert len(flat) == len(set(flat)), "duplicate delivery"
+            last_parent = max(
+                i for i, row in enumerate(flat) if row[0] == "shardId-000000000000"
+            )
+            first_child = min(
+                (i for i, row in enumerate(flat) if row[0] in children),
+                default=len(flat),
+            )
+            assert last_parent < first_child, (
+                "a capped parent's records were overtaken by child records"
+            )
+        finally:
+            f.close()
+
+    def test_aged_out_tracked_shard_commits_shard_end(self):
+        """A tracked shard that vanishes from ListShards (retention)
+        must commit SHARD_END instead of wedging the query with
+        ResourceNotFoundException every batch."""
+        f = FakeKinesis(
+            {
+                ("ao", "shardId-000000000000"): [("p", b"x%d" % i) for i in range(3)],
+                ("ao", "shardId-000000000001"): [("q", b"y0")],
+            }
+        )
+        try:
+            r = _stream_reader(f.endpoint, "ao")
+            start = r.initialOffset()
+            rows, end = r.read(start)
+            assert len(list(rows)) == 4
+            # shard 0 ages out of retention with a sequence offset tracked
+            seq_before_trim = end["shardId-000000000000"]
+            del f.topics[("ao", "shardId-000000000000")]
+            del f.meta[("ao", "shardId-000000000000")]
+            f.topics[("ao", "shardId-000000000001")].append(("q2", b"y1"))
+            rows2, end2 = r.read(end)
+            rows2 = list(rows2)
+            assert end2["shardId-000000000000"] == "SHARD_END"
+            assert [row[3] for row in rows2] == [b"y1"]
+            # the trim-committed range replays to zero rows, not an error
+            replayed = list(
+                r.readBetweenOffsets(
+                    {"shardId-000000000000": seq_before_trim,
+                     "shardId-000000000001": end["shardId-000000000001"]},
+                    end2,
+                )
+            )
+            assert [row[3] for row in replayed] == [b"y1"]
+            # steady state: the trimmed shard stays finished
+            rows3, end3 = r.read(end2)
+            assert list(rows3) == [] and end3 == end2
+        finally:
+            f.close()

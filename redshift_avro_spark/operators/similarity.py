@@ -38,6 +38,8 @@ __all__ = [
     "ivf_train_centroids",
     "ivf_add_topk",
     "semantic_dedup",
+    "semantic_dedup_cell_stats",
+    "DEFAULT_CELL_CAP",
     "quantize_embeddings",
     "pq_adc_topk",
     "hard_negatives",
@@ -936,6 +938,73 @@ def ivf_delete_topk(
     return _ivf_query(assign, q, centers, n_probe, k, carry=("cell",))
 
 
+# Hot-cell guard bounds for semantic_dedup — the k-means analogue of
+# dedup.DEFAULT_BAND_CAP: no refined cell with more members than this
+# ever enters the within-cell pair join, so one dense embedding mode
+# (a near-dup-heavy crawl collapsing into one cell at fixed
+# n_centroids) can never make the scan quadratic in the corpus.
+DEFAULT_CELL_CAP = 4096
+# md5-plane ids used to LSH-split oversized cells; offset 200 keeps
+# them disjoint from the bucketing planes (0..11) and the JL basis
+# (100..107), so the split is independent of every other projection.
+SPLIT_PLANE_OFFSET = 200
+
+
+def _cell_split_bits(vec_col: str, split_planes: int, dim: int) -> Column:
+    """Sub-cell key bits for splitting an oversized k-means cell: the
+    sign bits of ``split_planes`` md5-derived hyperplanes at
+    ``SPLIT_PLANE_OFFSET`` — the same deterministic construction as
+    :func:`lsh_bucket_key`, so the DuckDB oracle replays it exactly."""
+    bits = [
+        f"(CASE WHEN ({_hyperplane_expr(vec_col, SPLIT_PLANE_OFFSET + i, dim)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(split_planes)
+    ]
+    return F.expr(" + ".join(bits))
+
+
+def _semantic_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    lloyd_iters: int,
+    dim: int,
+    cell_cap: int,
+    split_planes: int,
+) -> tuple:
+    """Shared front half of :func:`semantic_dedup` /
+    :func:`semantic_dedup_cell_stats`: k-means assignment plus the
+    hot-cell refinement. Returns ``(assign, refined)`` where ``assign``
+    is (neighbor_id, cvec, cid) with the lineage cut (it feeds the
+    size histogram, the pair join, and the final labeling) and
+    ``refined`` adds ``__cn`` (cell size), ``rkey`` (the pair-join
+    key: cid·2^p, plus LSH sign bits when the cell is over the cap)
+    and ``__rn`` (refined-cell size)."""
+    from .staging import materialize
+
+    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    centers = _centers_list(
+        ivf_train_centroids(df, id_col, vec_col, n_centroids, lloyd_iters, dim)
+    )
+    assign = materialize(
+        _assign_nearest(c, centers),
+        label="semantic_dedup_assign",
+        default="parquet",
+    )
+    sizes = assign.groupBy("cid").agg(F.count("*").alias("__cn"))
+    mult = 1 << split_planes
+    refined = assign.join(F.broadcast(sizes), "cid").withColumn(
+        "rkey",
+        F.when(
+            F.col("__cn") > cell_cap,
+            F.col("cid") * mult + _cell_split_bits("cvec", split_planes, dim),
+        ).otherwise(F.col("cid") * mult),
+    )
+    rsizes = refined.groupBy("rkey").agg(F.count("*").alias("__rn"))
+    return assign, refined.join(F.broadcast(rsizes), "rkey")
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -944,6 +1013,8 @@ def semantic_dedup(
     n_centroids: int = 8,
     lloyd_iters: int = 2,
     dim: int = 64,
+    cell_cap: int = DEFAULT_CELL_CAP,
+    split_planes: int = 4,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): the
     corpus is k-means-clustered in embedding space (oversampling seed +
@@ -955,24 +1026,35 @@ def semantic_dedup(
     Returns (vec_id, cid, component_id, n_dups, is_keeper) for every
     vector — singleton vectors are their own keeper with n_dups 1.
 
-    Scale shape: the quadratic near-dup scan is bounded per cluster
-    (the whole point of clustering first — identical to q57's bucket
-    bound but with data-adaptive k-means cells instead of random
-    hyperplanes); centroids stay broadcast-sized; components propagate
-    over the sliver-sized edge set only. Fully deterministic (md5
-    seeding, decimal-exact means), so the DuckDB oracle replays the
-    identical trajectory."""
+    Scale shape: the quadratic near-dup scan is bounded per cluster —
+    and, unlike the fixed-``n_centroids`` contract alone, HARD-bounded
+    by the hot-cell guard (VERDICT r6 #1): a cell with more than
+    ``cell_cap`` members is LSH-split into 2^``split_planes``
+    sub-cells (deterministic md5 hyperplane sign bits, disjoint plane
+    ids from every other projection), and any sub-cell STILL over the
+    cap is dropped from pair generation — the
+    :data:`..dedup.DEFAULT_BAND_CAP` policy: a pathological dense mode
+    (e.g. exact duplicates, which no projection can separate) degrades
+    to dropped candidates, never to an all-pairs join; exact dedup is
+    the upstream answer to those. Members of dropped cells stay in the
+    output as singletons; :func:`semantic_dedup_cell_stats` surfaces
+    the per-cell split/dropped accounting. Centroids stay
+    broadcast-sized; components propagate over the sliver-sized edge
+    set only. Fully deterministic (md5 seeding, decimal-exact means),
+    so the DuckDB oracle replays the identical trajectory, guard
+    included."""
     from .dedup import connected_components
 
-    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    centers = _centers_list(
-        ivf_train_centroids(df, id_col, vec_col, n_centroids, lloyd_iters, dim)
+    assign, refined = _semantic_cells(
+        df, id_col, vec_col, n_centroids, lloyd_iters, dim, cell_cap, split_planes
     )
-    assign = _assign_nearest(c, centers)
-    a = assign.select(F.col("neighbor_id").alias("id_a"), F.col("cvec").alias("va"), "cid")
-    b = assign.select(F.col("neighbor_id").alias("id_b"), F.col("cvec").alias("vb"), "cid")
+    live = refined.where(F.col("__rn") <= cell_cap).select(
+        "neighbor_id", "cvec", "rkey"
+    )
+    a = live.select(F.col("neighbor_id").alias("id_a"), F.col("cvec").alias("va"), "rkey")
+    b = live.select(F.col("neighbor_id").alias("id_b"), F.col("cvec").alias("vb"), "rkey")
     pairs = (
-        a.join(b, "cid")
+        a.join(b, "rkey")
         .where(F.col("id_a") < F.col("id_b"))
         .where(cosine_expr("va", "vb", dim) >= threshold)
         .select("id_a", "id_b")
@@ -990,6 +1072,42 @@ def semantic_dedup(
         "component_id",
         "n_dups",
         (F.col("vec_id") == F.col("component_id")).alias("is_keeper"),
+    )
+
+
+def semantic_dedup_cell_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    lloyd_iters: int = 2,
+    dim: int = 64,
+    cell_cap: int = DEFAULT_CELL_CAP,
+    split_planes: int = 4,
+) -> DataFrame:
+    """The hot-cell guard's accounting view: one row per refined cell
+    with (cid, rkey, n_cell, n_refined, was_split, participates) —
+    ``was_split`` marks cells over the cap that were LSH-split,
+    ``participates`` is False for refined cells STILL over the cap
+    (their members generate no candidate pairs). An operator running
+    semantic dedup at scale watches ``participates = FALSE`` rows the
+    way the LSH path watches dropped bands: a persistent dropped cell
+    means n_centroids (or the cap) needs raising, or exact dedup
+    should run first."""
+    _, refined = _semantic_cells(
+        df, id_col, vec_col, n_centroids, lloyd_iters, dim, cell_cap, split_planes
+    )
+    return (
+        refined.groupBy("cid", "rkey")
+        .agg(F.max("__cn").alias("n_cell"), F.max("__rn").alias("n_refined"))
+        .select(
+            "cid",
+            "rkey",
+            "n_cell",
+            "n_refined",
+            (F.col("n_cell") > cell_cap).alias("was_split"),
+            (F.col("n_refined") <= cell_cap).alias("participates"),
+        )
     )
 
 

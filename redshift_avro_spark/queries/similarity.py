@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import REGISTRY, load_table, register
-from ..operators.similarity import lsh_bucket_topk, topk_neighbors
+from ..operators.similarity import DEFAULT_CELL_CAP, lsh_bucket_topk, topk_neighbors
 
 _COS = (
     "(list_aggregate(list_transform(list_zip(qvec, cvec),"
@@ -333,6 +333,41 @@ _SD_PAIR_COS = (
 )
 
 
+def _split_bits_duck(vec: str, split_planes: int = 4, dim: int = 64) -> str:
+    """The hot-cell split sub-key: sign bits of the md5 hyperplanes at
+    SPLIT_PLANE_OFFSET (operators/similarity.py::_cell_split_bits),
+    replayed with the same _plane_duck construction q36/q57 pin."""
+    from ..operators.similarity import SPLIT_PLANE_OFFSET
+
+    bits = [
+        f"(CASE WHEN ({_plane_duck(vec, SPLIT_PLANE_OFFSET + i, dim)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(split_planes)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _sd_guard_ctes(cell_cap: int, split_planes: int = 4) -> str:
+    """Hot-cell guard CTEs (VERDICT r6 #1), mirroring
+    operators/similarity.py::_semantic_cells: cells over ``cell_cap``
+    get their pair-join key refined with LSH sign bits; refined cells
+    still over the cap are excluded from pair generation."""
+    mult = 1 << split_planes
+    return f"""sd_sizes AS (SELECT cid, COUNT(*) AS cn FROM sd_assign GROUP BY cid),
+    sd_ref AS MATERIALIZED (
+      SELECT s.neighbor_id, s.cvec,
+             CASE WHEN z.cn > {cell_cap}
+                  THEN s.cid * {mult} + {_split_bits_duck('s.cvec', split_planes)}
+                  ELSE s.cid * {mult} END AS rkey
+      FROM sd_assign s JOIN sd_sizes z USING (cid)
+    ),
+    sd_rn AS (SELECT rkey, COUNT(*) AS rn FROM sd_ref GROUP BY rkey),
+    sd_live AS MATERIALIZED (
+      SELECT r.neighbor_id, r.cvec, r.rkey
+      FROM sd_ref r JOIN sd_rn USING (rkey) WHERE rn <= {cell_cap}
+    )"""
+
+
 @register(
     "q94_semantic_dedup",
     oracle=f"""
@@ -344,10 +379,11 @@ _SD_PAIR_COS = (
         FROM embeddings e CROSS JOIN {_FINAL_CENTS} c
       ) WHERE rn = 1
     ),
+    {_sd_guard_ctes(DEFAULT_CELL_CAP)},
     sd_pairs AS MATERIALIZED (
       SELECT a.neighbor_id AS id_a, b.neighbor_id AS id_b
-      FROM sd_assign a JOIN sd_assign b
-        ON a.cid = b.cid AND a.neighbor_id < b.neighbor_id
+      FROM sd_live a JOIN sd_live b
+        ON a.rkey = b.rkey AND a.neighbor_id < b.neighbor_id
       WHERE {_SD_PAIR_COS} >= 0.45
     ),
     sym AS (
@@ -376,12 +412,17 @@ _SD_PAIR_COS = (
 def q94_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup over the embedding corpus: k-means
     cells (the q45 maximin + Lloyd trajectory, bit-reproducible) bound
-    the quadratic near-dup scan, within-cell cosine ≥ 0.45 pairs fold
-    into duplicate components, one keeper per component (min id). The
-    oracle replays the full chain — seeding, two Lloyd iterations,
-    assignment, in-cell pairs, recursive-CTE transitive closure — so
-    every stage is value-pinned. See operators/similarity.py::
-    semantic_dedup for the 100 TB shape."""
+    the quadratic near-dup scan — HARD-bounded by the hot-cell guard
+    (cells over DEFAULT_CELL_CAP are LSH-split; still-oversized
+    refined cells are dropped from pair generation, the band-cap
+    policy) — within-cell cosine ≥ 0.45 pairs fold into duplicate
+    components, one keeper per component (min id). The oracle replays
+    the full chain — seeding, two Lloyd iterations, assignment, the
+    guard's split/exclude CTEs, in-cell pairs, recursive-CTE
+    transitive closure — so every stage is value-pinned (the guard
+    does not trigger at gate scale but its CTEs run in the oracle at
+    every scale). See operators/similarity.py::semantic_dedup for the
+    100 TB shape."""
     from ..operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -63,3 +63,119 @@ class TestLinearCeNullText:
         cands = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
         out = rerank_with_model(cands, docs, model="fake").collect()
         assert sorted(r.doc_id for r in out) == [1, 2]
+
+class TestSemanticDedupHotCellGuard:
+    """VERDICT r6 #1: the within-cell pair scan is HARD-bounded — an
+    oversized k-means cell is LSH-split, and a refined cell still over
+    the cap is dropped from pair generation (the band-cap policy)."""
+
+    DIM = 8
+
+    def _one_mode_corpus(self, spark, n):
+        """A corpus collapsing into one dense k-means cell: unit base
+        direction orthogonal to the two split planes (so the split
+        bits are decided by the perturbations) plus deterministic
+        md5-derived perturbations keeping every pairwise cosine high."""
+        import hashlib
+
+        import numpy as np
+
+        from redshift_avro_spark.operators.similarity import (
+            SPLIT_PLANE_OFFSET,
+            _plane_signs,
+        )
+
+        s0 = np.array(_plane_signs(SPLIT_PLANE_OFFSET, self.DIM))
+        s1 = np.array(_plane_signs(SPLIT_PLANE_OFFSET + 1, self.DIM))
+        v0 = np.ones(self.DIM)
+        for s in (s0, s1):
+            v0 = v0 - (v0 @ s) / (s @ s) * s
+        assert np.linalg.norm(v0) > 1e-6, "degenerate split planes"
+        v0 = v0 / np.linalg.norm(v0)
+        rows = []
+        for i in range(n):
+            h = hashlib.md5(b"pert%d" % i).digest()
+            d = np.array([(b - 127.5) / 127.5 for b in h[: self.DIM]])
+            v = v0 + 0.4 * d / np.linalg.norm(d)
+            rows.append((i, [float(x) for x in v]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_split_bounds_refined_cells(self, spark):
+        from redshift_avro_spark.operators.similarity import (
+            semantic_dedup,
+            semantic_dedup_cell_stats,
+        )
+
+        df = self._one_mode_corpus(spark, 60)
+        kw = dict(n_centroids=2, lloyd_iters=1, dim=self.DIM,
+                  cell_cap=25, split_planes=2)
+        stats = semantic_dedup_cell_stats(df, **kw).collect()
+        split = [r for r in stats if r.was_split]
+        assert split, "one-mode corpus must trigger the split"
+        live = [r for r in stats if r.participates]
+        assert live and all(r.n_refined <= 25 for r in live), (
+            "a participating refined cell exceeds the cap"
+        )
+        out = semantic_dedup(df, threshold=0.45, **kw).collect()
+        assert len(out) == 60
+        assert all(r.n_dups >= 1 for r in out)
+        # capped components refine the uncapped ones: every capped
+        # component's members share one uncapped component
+        base = {
+            r.vec_id: r.component_id
+            for r in semantic_dedup(
+                df, threshold=0.45, n_centroids=2, lloyd_iters=1,
+                dim=self.DIM, cell_cap=10**9, split_planes=2,
+            ).collect()
+        }
+        capped_groups = {}
+        for r in out:
+            capped_groups.setdefault(r.component_id, []).append(r.vec_id)
+        for members in capped_groups.values():
+            assert len({base[m] for m in members}) == 1
+
+    def test_unsplittable_dense_mode_drops_not_quadratic(self, spark):
+        """Exact duplicates share every hyperplane sign — no projection
+        can split them. The refined cell stays over the cap, is
+        dropped (surfaced via participates=False), and its members
+        come out as singletons instead of an all-pairs join."""
+        from redshift_avro_spark.operators.similarity import (
+            semantic_dedup,
+            semantic_dedup_cell_stats,
+        )
+
+        dup = [(i, [1.0, 2.0, -1.0, 0.5, 1.5, -0.5, 2.5, 1.0]) for i in range(40)]
+        distinct = [
+            (100 + j, [float((j + 1) * (1 if d % 2 else -1)) for d in range(8)])
+            for j in range(5)
+        ]
+        df = spark.createDataFrame(
+            dup + distinct, "vec_id long, embedding array<double>"
+        )
+        kw = dict(n_centroids=2, lloyd_iters=1, dim=8, cell_cap=8, split_planes=2)
+        stats = semantic_dedup_cell_stats(df, **kw).collect()
+        dropped = [r for r in stats if not r.participates]
+        assert dropped and max(r.n_refined for r in dropped) == 40, (
+            "the unsplittable dup cell must be dropped, not joined"
+        )
+        out = {r.vec_id: r for r in semantic_dedup(df, threshold=0.45, **kw).collect()}
+        for i in range(40):
+            assert out[i].n_dups == 1 and out[i].is_keeper, (
+                "dropped-cell members must surface as singletons"
+            )
+
+    def test_default_cap_is_inert_at_test_scale(self, spark):
+        """With the default cap (no trigger), the guarded operator is
+        value-identical to the pre-guard behavior — pairs join on
+        cid·2^p, which is one-to-one with cid."""
+        from redshift_avro_spark.operators.similarity import (
+            DEFAULT_CELL_CAP,
+            semantic_dedup_cell_stats,
+        )
+
+        df = self._one_mode_corpus(spark, 30)
+        stats = semantic_dedup_cell_stats(
+            df, n_centroids=2, lloyd_iters=1, dim=self.DIM
+        ).collect()
+        assert DEFAULT_CELL_CAP == 4096
+        assert all(not r.was_split and r.participates for r in stats)

@@ -659,6 +659,56 @@ def _driver_seed_oversample(rows: list, n_centroids: int, band_quota: int | None
     return centers
 
 
+def _quantize_repr_grid(A):
+    """Vectorized exact equivalent of per-element
+    ``Decimal(repr(x)).quantize(1e-10, HALF_UP)`` on the 1e10-scaled
+    int64 grid (VERDICT r6 #2 — the per-element Decimal loop was 1.3 M
+    quantize calls per Lloyd step at 20k×64 and the traced constant in
+    q152's 10× scale point).
+
+    Fast path: ``floor(x·1e10 + 0.5)`` — one IEEE multiply/add/floor,
+    which equals round-half-up of the SHORTEST-REPR decimal value for
+    every element that is not within floating-point error of a grid
+    half-boundary. The three error sources (the multiply's rounding,
+    repr(x)'s ≤0.5-ulp round-trip offset, the add's rounding) are each
+    ≤ |y|·2⁻⁵³, so elements with ``y + 0.5`` within
+    ``8·|y|·2⁻⁵³ + 1e-12`` of an integer — including exact decimal
+    ties, where floor(y+0.5) and HALF_UP genuinely disagree for
+    negative values — are recomputed through the Decimal path. The
+    tolerance over-covers: a false positive costs one scalar Decimal
+    call, never a wrong bit (``test_quantize_grid_matches_decimal``
+    pins element-identity on adversarial boundary values).
+
+    Returns an int64 array of scaled values, or ``None`` when any
+    element is too large for the exact-float integer range (caller
+    falls back to the full Decimal loop)."""
+    import numpy as np
+
+    y = A * 1e10
+    if not np.all(np.isfinite(y)) or np.abs(y).max(initial=0.0) >= 2.0**52:
+        return None
+    shifted = y + 0.5
+    z = np.floor(shifted)
+    tol = 8.0 * np.abs(y) * 2.0**-53 + 1e-12
+    risky = np.abs(shifted - np.rint(shifted)) <= tol
+    if risky.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        qexp = Decimal(1).scaleb(-10)
+        av = A.ravel()
+        zv = z.ravel()
+        for i in np.flatnonzero(risky.ravel()):
+            zv[i] = float(
+                int(
+                    Decimal(repr(float(av[i])))
+                    .quantize(qexp, rounding=ROUND_HALF_UP)
+                    .scaleb(10)
+                )
+            )
+        z = zv.reshape(A.shape)
+    return z.astype(np.int64)
+
+
 def _driver_lloyd_step(rows: list, centers: list) -> list:
     """Driver-side replay of one distributed Lloyd iteration:
     nearest-center assignment (cosine desc, cid asc — strict-> update
@@ -700,6 +750,26 @@ def _driver_lloyd_step(rows: list, centers: list) -> list:
             m = cs > best
             best = np.where(m, cs, best)
             best_cid = np.where(m, cid, best_cid)
+    # means: sum the quantized grid values exactly. The vectorized
+    # path (one numpy pass + k·dim int64 sums) is element-identical to
+    # the Decimal loop by _quantize_repr_grid's contract; the loop
+    # remains as the any-magnitude fallback (values beyond the exact
+    # float-int range, or cluster sums that could overflow int64).
+    scaled = _quantize_repr_grid(A)
+    if scaled is not None:
+        max_abs = int(np.abs(scaled).max(initial=0))
+        if max_abs * len(rows) < 2**62:
+            out = []
+            for cid in sorted(int(x) for x in np.unique(best_cid)):
+                m = best_cid == cid
+                n = int(m.sum())
+                tot = scaled[m].sum(axis=0, dtype=np.int64)
+                # Decimal(T)·1e-10 is the exact cluster sum; float() is
+                # the same correctly-rounded conversion float(a) was
+                out.append(
+                    (cid, [float(Decimal(int(t)).scaleb(-10)) / n for t in tot])
+                )
+            return out
     sums: dict = {}
     for idx, (_, v) in enumerate(rows):
         n, acc = sums.setdefault(int(best_cid[idx]), [0, [Decimal(0)] * dim])

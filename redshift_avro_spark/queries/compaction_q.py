@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.staging import materialize
 from . import load_table, register
 from ..operators.compaction import plan_shards
 from ..operators.layout import BITS, N_FILES, interleave_sql
@@ -173,15 +174,19 @@ def q125_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey").cast("long").alias("mn"), F.max("l_orderkey").cast("long").alias("mx")
     )
     b = F.broadcast(
-        st.selectExpr(
-            "mn",
-            "mx",
-            "mn + (mx - mn) div 2 AS mid",
-            "mn + (mx - mn) div 10 AS low",
-            "mn + (mx - mn) * 2 div 5 AS lo",
-            "mn + (mx - mn) * 9 div 20 AS hi",
+        materialize(
+            st.selectExpr(
+                "mn",
+                "mx",
+                "mn + (mx - mn) div 2 AS mid",
+                "mn + (mx - mn) div 10 AS low",
+                "mn + (mx - mn) * 2 div 5 AS lo",
+                "mn + (mx - mn) * 9 div 20 AS hi",
+            ),
+            label="compaction_bounds",
+            default="checkpoint",
         )
-    ).localCheckpoint()
+    )
 
     root = tempfile.mkdtemp(prefix="snaptbl-")
     atexit.register(shutil.rmtree, root, ignore_errors=True)

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.staging import materialize
 from . import load_table, register
 
 
@@ -79,7 +80,9 @@ def q120_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     n3 = p.agg(F.count("*").cast("long").alias("n3"))
     # one row; materialize so the three stage projections don't each
     # replay the whole funnel chain
-    ns = n1.crossJoin(n2).crossJoin(n3).localCheckpoint()
+    ns = materialize(
+        n1.crossJoin(n2).crossJoin(n3), label="funnel_counts", default="checkpoint"
+    )
     s1 = ns.select(
         F.lit(1).cast("long").alias("stage"),
         F.lit("view").alias("event_type"),

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.staging import materialize
 from . import load_table, register
 from ..operators.multimodal import attach_payload_metadata, extract_payload_features
 
@@ -296,16 +297,17 @@ def q134_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import perceptual_hash_signatures
 
     sig = perceptual_hash_signatures(docs, "doc_id", "payload")
-    clusters = (
+    clusters = materialize(
         sig.groupBy("sig")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.min("doc_id").cast("long").alias("keeper_doc"),
             F.max("doc_id").cast("long").alias("max_doc"),
         )
-        .where(F.col("n_docs") >= 2)
-        .localCheckpoint()  # consumed by both sides of the flip join
-    )
+        .where(F.col("n_docs") >= 2),
+        label="phash_clusters",
+        default="checkpoint",
+    )  # consumed by both sides of the flip join
     flips = clusters.select(
         "sig", F.explode(F.expr(f"array({_PH_FLIPS})")).alias("v")
     ).select("sig", F.expr("sig ^ v").alias("variant"))

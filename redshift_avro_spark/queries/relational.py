@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.staging import materialize
 from . import load_table, register
 
 DEC = "decimal(18,2)"
@@ -1381,7 +1382,11 @@ def q129_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, a in enumerate(cols)
         for b in cols[i:]
     ]
-    s = part_df.selectExpr(merge[0], *merge[1:]).localCheckpoint()
+    s = materialize(
+        part_df.selectExpr(merge[0], *merge[1:]),
+        label="profile_moments",
+        default="checkpoint",
+    )
     rows = [
         s.selectExpr(
             f"'{a}' AS col_a", f"'{b}' AS col_b", "n", _prof_corr_sql(a, b) + " AS corr"

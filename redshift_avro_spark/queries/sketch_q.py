@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.staging import materialize
 from . import load_table, register
 
 _DEPTH = 4
@@ -387,7 +388,11 @@ def q122_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = hist.select("flag", "bin", "cnt", F.sum("cnt").over(w).alias("cum")).localCheckpoint()
+    cum = materialize(
+        hist.select("flag", "bin", "cnt", F.sum("cnt").over(w).alias("cum")),
+        label="quantile_hist_cum",
+        default="checkpoint",
+    )
     tot = hist.groupBy("flag").agg(F.sum("cnt").cast("long").alias("n"))
     qs = cum.sparkSession.range(1).selectExpr("50 AS q_pct").union(
         cum.sparkSession.range(1).selectExpr("95 AS q_pct")

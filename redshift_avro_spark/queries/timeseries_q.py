@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.staging import materialize
 from . import load_table, register
 from ..operators.rangejoin import range_join
 from ..operators.timeseries import hypertable_rollup
@@ -200,7 +201,8 @@ def q140_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cents"),
         )
-    ).localCheckpoint()  # consumed by bounds + the grid join
+    )
+    b = materialize(b, label="ts_buckets", default="checkpoint")  # bounds + grid join
     bounds = b.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
     types = ev.select("event_type").distinct()
     grid = types.crossJoin(F.broadcast(bounds)).select(

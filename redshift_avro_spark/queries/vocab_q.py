@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.staging import materialize
 from . import load_table, register
 from ..operators.bpe import apply_bpe_merges, learn_bpe_merges
 
@@ -121,6 +122,11 @@ def q114_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint materializes in learn's first pair-count job and the
     # encode fold reads the same blocks (previously encode re-tokenized
     # the raw corpus a second time)
+    # EXEMPT from the materialize() routing rule: this is a LAZY
+    # checkpoint feeding an ITERATIVE loop (learn's first pair-count
+    # job materializes it; the encode fold reads the same blocks) —
+    # the documented iterative exemption, where an eager cut would
+    # waste a pass and parquet mode would serialize the loop state.
     corpus = corpus_strings(docs, "doc_id", "text").localCheckpoint(eager=False)
     merges = learn_bpe_merges(
         docs,
@@ -196,7 +202,9 @@ def q142_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cps = row if cps is None else cps.unionByName(row)
     return (
-        first_seen.crossJoin(F.broadcast(cps.localCheckpoint()))
+        first_seen.crossJoin(
+            F.broadcast(materialize(cps, label="vocab_cutoffs", default="checkpoint"))
+        )
         .where(F.col("first_doc") <= F.col("cutoff"))
         .groupBy(F.col("k").alias("n_docs"))
         .agg(

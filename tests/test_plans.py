@@ -312,3 +312,34 @@ def test_length_buckets_bounded_final_exchange(spark):
     df = REGISTRY["q149_length_buckets"].fn(spark, SF_SMOKE)
     assert shuffle_count(df) <= 3
     assert broadcast_join_count(df) == 0
+
+
+def test_ivf_probe_join_is_broadcast(spark):
+    # VERDICT r6 #4: the IVF query tail joins the corpus assignment to
+    # the exploded probe list — k·n_probe rows that must ride a
+    # broadcast at any corpus size, never an AQE gamble.
+    from redshift_avro_spark.plans import explain_str
+
+    df = REGISTRY["q45_ivf_topk"].fn(spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, "probe join must broadcast the probe side"
+    assert "SortMergeJoin" not in plan, "no corpus-side sort-merge in the IVF tail"
+
+
+def test_semantic_dedup_guard_joins_are_broadcast(spark, monkeypatch):
+    # the hot-cell guard's two histograms (k cell sizes, ≤ k·2^p
+    # refined sizes) join the corpus via explicit broadcast hints;
+    # inspect the refined stage directly — in the full query the
+    # guard runs behind materialize()'s lineage cut, so the final
+    # plan can't show it
+    from redshift_avro_spark.operators.similarity import _semantic_cells
+    from redshift_avro_spark.plans import explain_str
+
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "none")
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    _, refined = _semantic_cells(emb, "vec_id", "embedding", 2, 1, 64, 4096, 4)
+    plan = explain_str(refined, "simple")
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "cell-size and refined-size joins must broadcast"
+    )
+    assert "SortMergeJoin" not in plan

@@ -437,3 +437,78 @@ def test_restore_after_vacuum_is_loud(spark, tmp_path):
     _os.remove(t._load_manifest(v_live)["files"][0]["path"])
     with _pytest.raises(SnapshotError, match="vacuumed"):
         t.restore(v_live)
+
+
+def test_streaming_cdc_with_midstream_restore(spark, tmp_path):
+    """VERDICT r6 #8 — the maintenance layer and the streaming layer
+    compose: a foreachBatch CDC stream commits MERGE results into the
+    snapshot table, RESTORE rolls the table back between micro-batch
+    runs, and the RESUMED stream (same checkpoint) applies the next
+    change batch on top of the restored state — proving a restore
+    neither corrupts the stream's checkpoint nor the table's history."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+    from redshift_avro_spark.operators.cdc import merge_upsert
+
+    src_dir = str(tmp_path / "in")
+    _os.makedirs(src_dir)
+    ckpt = str(tmp_path / "ckpt")
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, bal double").coalesce(1),
+        mode="overwrite",
+        stats_cols=("k",),
+    )  # v0: base state
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        ch = batch_df.select(
+            F.split("value", ",").getItem(0).cast("long").alias("k"),
+            F.split("value", ",").getItem(1).alias("op"),
+            F.expr("try_cast(nullif(split(value, ',')[2], '') AS double)").alias("bal"),
+        )
+        merged = merge_upsert(t.read(spark), ch, key="k").select("k", "bal")
+        t.commit(merged.coalesce(1), mode="overwrite", stats_cols=("k",))
+
+    def run_stream():
+        q = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", "1")
+            .load(src_dir + "/*/")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not finish"
+
+    def land(name, rows):
+        spark.createDataFrame([(r,) for r in rows], "value string").coalesce(
+            1
+        ).write.text(src_dir + "/" + name)
+
+    land("f1", ["3,upsert,30.0"])
+    run_stream()  # v1 = base + k3
+    land("f2", ["1,delete,", "4,upsert,40.0"])
+    run_stream()  # v2 = v1 - k1 + k4
+    assert sorted(r.k for r in t.read(spark).collect()) == [2, 3, 4]
+
+    v_restore = t.restore(1)  # roll back batch 2's merge, metadata-only
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2, 3]
+
+    # the resumed stream (same checkpoint) skips f1/f2 and applies only
+    # the NEW change file on the restored state
+    land("f3", ["2,upsert,25.0", "5,upsert,50.0"])
+    run_stream()  # v4 = restored + batch 3
+    final = {r.k: r.bal for r in t.read(spark).collect()}
+    assert final == {1: 10.0, 2: 25.0, 3: 30.0, 5: 50.0}, (
+        "batch 2 must stay rolled back; batch 3 applies on the restored state"
+    )
+    actions = [h["action"] for h in t.history()]
+    assert actions == ["overwrite", "overwrite", "overwrite", "restore", "overwrite"]
+    # every boundary stays time-travelable, including the pre-restore v2
+    assert sorted(r.k for r in t.read(spark, version=2).collect()) == [2, 3, 4]
+    assert t.read(spark, version=v_restore).count() == 3

@@ -92,9 +92,12 @@ EXTENDED: dict[str, float] = {
     "q177_survivor_policy": 3.4,  # calibrated from best-of-3 3.12 s (LSH+verify+CC composition)
     "q178_release_diff": 1.0,
     "q179_ivf_delete": 2.2,
+    # round 7 additions
+    "q180_bigram_lm_score": 1.6,  # calibrated from best-of-3 1.23 s
+    "q181_semantic_cell_stats": 1.9,  # calibrated from best-of-3 1.50 s
 }
 
-_DETAIL_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r06.json")
+_DETAIL_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r07.json")
 
 
 def _best_of_3(fn) -> tuple[float, float, list]:

@@ -22,6 +22,7 @@ __all__ = [
     "language_id",
     "doc_fingerprint",
     "quality_classifier_score",
+    "bigram_lm_scores",
     "STOPWORDS",
 ]
 
@@ -227,3 +228,81 @@ def robust_outlier_spec():
         return out
 
     return schema, fn
+
+
+def bigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-fitted bigram-LM fluency score per document — the CCNet
+    perplexity-filter pattern (Wenzek et al. 2020: score each document
+    under an n-gram LM trained on the corpus/reference data; low
+    scores flag boilerplate, gibberish, and keyword stuffing) in exact
+    integer arithmetic so a DuckDB oracle replays every value.
+
+    The model is the corpus itself: for each bigram (w1, w2),
+    cond_ppm = floor(count(w1 w2) · 10⁶ / count(w1 as a prefix)) — the
+    MLE conditional probability in ppm. A document's score is the
+    integer mean of its bigrams' cond_ppm (higher = the document's
+    word transitions are typical of the corpus). Every doc gets a row:
+    docs with < 2 words carry n_bigrams = 0 and a NULL score.
+
+    Scale shape (100 TB): bigram and prefix keys ride as 60-bit md5
+    BIGINT lanes from birth (8-byte shuffle keys, not word pairs); the
+    tokenized bigram frame is materialize()d once and feeds the two
+    count aggregations (both map-side combining on uniform keys) and
+    the scoring join; the conditional table is vocabulary-sized and
+    joins the corpus bigrams on the uniform bkey — one shuffle each
+    side, no driver state, no Python in the hot path."""
+    from .staging import materialize
+
+    w = F.expr(_WORDS.format(c=text_col))
+    toks = (
+        df.select(F.col(id_col).alias("__id"), w.alias("__w"))
+        # Spark's sequence(1, 0) would DESCEND — short docs must be
+        # filtered before the bigram fan-out, not relied on to fan
+        # out to nothing
+        .where(F.size("__w") >= 2)
+    )
+    keyed = materialize(
+        toks.select(
+            "__id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__w) - 1), i -> struct("
+                    "CAST(conv(substring(md5(concat(element_at(__w, i), ' ', "
+                    "element_at(__w, i + 1))), 1, 15), 16, 10) AS BIGINT) AS bkey, "
+                    "CAST(conv(substring(md5(element_at(__w, i)), 1, 15), 16, 10)"
+                    " AS BIGINT) AS pkey))"
+                )
+            ).alias("b"),
+        ).select("__id", F.col("b.bkey").alias("bkey"), F.col("b.pkey").alias("pkey")),
+        label="bigram_lm_tokens",
+        default="checkpoint",
+    )
+    c2 = keyed.groupBy("bkey").agg(
+        # bkey determines the bigram and hence its prefix; min() is
+        # just a deterministic pick of the constant
+        F.min("pkey").alias("pkey"),
+        F.count("*").cast("long").alias("c2"),
+    )
+    c1 = keyed.groupBy("pkey").agg(F.count("*").cast("long").alias("c1"))
+    cond = c2.join(c1, "pkey").select(
+        "bkey", F.expr("c2 * 1000000 div c1").alias("cond_ppm")
+    )
+    scored = (
+        keyed.join(cond, "bkey")
+        .groupBy("__id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.expr("CAST(sum(cond_ppm) div count(*) AS BIGINT)").alias("lm_score_ppm"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(scored, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            "lm_score_ppm",
+        )
+    )

@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 173 operator demonstrations. Rather
+names), but the registry carries 175 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–8 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-173 still registered) keep guarding it. A composite can only pass if
+175 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -56,12 +56,14 @@ def _sub(name: str) -> str:
         "q95_quality_classifier",
         "q131_robust_outliers",
         "q162_lexical_diversity",
+        "q180_bigram_lm_score",
     ),
     oracle=f"""
     SELECT a.*, b.n_tokens_est, c.fingerprint,
            d.n_feats, d.logit_sum, d.logit_ppm, d.keep,
            e.q1, e.med, e.q3, e.is_outlier,
-           x.n_types, x.n_hapax, x.ttr_ppm, x.hapax_ppm
+           x.n_types, x.n_hapax, x.ttr_ppm, x.hapax_ppm,
+           y.n_bigrams, y.lm_score_ppm
     FROM {_sub('q37_text_quality')} a
     JOIN (SELECT doc_id, n_tokens_est FROM {_sub('q38_token_stats')}) b USING (doc_id)
     JOIN {_sub('q39_doc_fingerprint')} c USING (doc_id)
@@ -70,6 +72,7 @@ def _sub(name: str) -> str:
           FROM {_sub('q131_robust_outliers')}) e USING (doc_id)
     JOIN (SELECT doc_id, n_types, n_hapax, ttr_ppm, hapax_ppm
           FROM {_sub('q162_lexical_diversity')}) x USING (doc_id)
+    JOIN {_sub('q180_bigram_lm_score')} y USING (doc_id)
     ORDER BY doc_id
     """,
 )
@@ -78,9 +81,10 @@ def q78_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ⋈ token counts (q38) ⋈ rolling-hash fingerprint (q39) ⋈ hashed
     linear quality-classifier logits (q95) ⋈ grouped-map robust
     outlier stats (q131 — the applyInPandas path) ⋈ lexical diversity
-    (q162 — TTR + hapax share in exact ppm) on doc_id. Narrow
-    projections joined on the table's own key; only q131 and q162's
-    (doc, word) count shuffle (uniform keys)."""
+    (q162 — TTR + hapax share in exact ppm) ⋈ bigram-LM fluency score
+    (q180 — the CCNet-style corpus-fitted filter; r7) on doc_id.
+    Narrow projections joined on the table's own key; only q131,
+    q162 and q180's uniform-key shuffles."""
     a = _run("q37_text_quality", spark, sf_dir)
     b = _run("q38_token_stats", spark, sf_dir).select("doc_id", "n_tokens_est")
     c = _run("q39_doc_fingerprint", spark, sf_dir)
@@ -91,9 +95,10 @@ def q78_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = _run("q162_lexical_diversity", spark, sf_dir).select(
         "doc_id", "n_types", "n_hapax", "ttr_ppm", "hapax_ppm"
     )
+    y = _run("q180_bigram_lm_score", spark, sf_dir)
     return (
         a.join(b, "doc_id").join(c, "doc_id").join(d, "doc_id").join(e, "doc_id")
-        .join(x, "doc_id")
+        .join(x, "doc_id").join(y, "doc_id")
         .orderBy("doc_id")
     )
 
@@ -1391,10 +1396,12 @@ def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q154_jl_projection",
         "q155_cluster_cards",
         "q174_quant_cosine_drift",
+        "q181_semantic_cell_stats",
     ),
     oracle=f"""
     SELECT q.*, s.cid, s.component_id, s.n_dups, s.is_keeper, p.pc1,
            cc.n_vectors AS cluster_n, cc.top_label, cc.purity_ppm,
+           g.n_cell, g.n_refined, g.was_split, g.participates,
            j.jl_pairs, j.jl_l2q_sum, j.jl_min_distortion, j.jl_max_distortion,
            d.qd_dot8, d.qd_cos8_ppm, d.qd_cosq_ppm, d.qd_drift_ppm
     FROM {_sub('q64_embedding_quantize')} q
@@ -1402,6 +1409,8 @@ def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN {_sub('q115_pca_projection')} p USING (vec_id)
     JOIN (SELECT cid, n_vectors, top_label, purity_ppm
           FROM {_sub('q155_cluster_cards')}) cc USING (cid)
+    JOIN (SELECT cid, n_cell, n_refined, was_split, participates
+          FROM {_sub('q181_semantic_cell_stats')}) g USING (cid)
     LEFT JOIN (
       SELECT id_a AS vec_id, CAST(COUNT(*) AS BIGINT) AS jl_pairs,
              CAST(SUM(l2_orig_q) AS BIGINT) AS jl_l2q_sum,
@@ -1429,7 +1438,8 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic-dedup, dimensionality-analysis and cluster-profiling
     passes a 100 TB embedding store runs before ANN indexing, in one
     driver-verified result — plus the q174 quantized-cosine drift ppm
-    for the 32-pair audit sliver (null outside it)."""
+    for the 32-pair audit sliver (null outside it) and the vector's
+    hot-cell-guard accounting row (q181; r7)."""
     q = _run("q64_embedding_quantize", spark, sf_dir)
     s = _run("q94_semantic_dedup", spark, sf_dir)
     p = _run("q115_pca_projection", spark, sf_dir)
@@ -1438,6 +1448,9 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_vectors").alias("cluster_n"),
         "top_label",
         "purity_ppm",
+    )
+    g = _run("q181_semantic_cell_stats", spark, sf_dir).select(
+        "cid", "n_cell", "n_refined", "was_split", "participates"
     )
     j = (
         _run("q154_jl_projection", spark, sf_dir)
@@ -1460,11 +1473,13 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.join(s, "vec_id")
         .join(p, "vec_id")
         .join(cc, "cid")
+        .join(g, "cid")
         .join(j, "vec_id", "left")
         .join(d, "vec_id", "left")
         .select(
             *q.columns, "cid", "component_id", "n_dups", "is_keeper", "pc1",
             "cluster_n", "top_label", "purity_ppm",
+            "n_cell", "n_refined", "was_split", "participates",
             "jl_pairs", "jl_l2q_sum", "jl_min_distortion", "jl_max_distortion",
             "qd_dot8", "qd_cos8_ppm", "qd_cosq_ppm", "qd_drift_ppm",
         )

@@ -432,6 +432,63 @@ def q94_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+# --------------------------------------------------------------- q181
+# The hot-cell guard's accounting view (round 7, with VERDICT r6 #1):
+# one row per refined cell with its raw size, refined size, and the
+# split/participates flags — the dashboard an operator of semantic
+# dedup at scale watches for persistent dropped cells (raise
+# n_centroids or the cap, or run exact dedup first).
+
+
+@register(
+    "q181_semantic_cell_stats",
+    oracle=f"""
+    WITH RECURSIVE {_CENTS_CTE},
+    sd_assign AS MATERIALIZED (
+      SELECT neighbor_id, cvec, cid FROM (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS cvec, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_cent_cos('e.embedding')} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN {_FINAL_CENTS} c
+      ) WHERE rn = 1
+    ),
+    sd_sizes AS (SELECT cid, COUNT(*) AS cn FROM sd_assign GROUP BY cid),
+    sd_ref AS (
+      SELECT s.cid,
+             CAST(CASE WHEN z.cn > {DEFAULT_CELL_CAP}
+                  THEN s.cid * 16 + {_split_bits_duck('s.cvec', 4)}
+                  ELSE s.cid * 16 END AS BIGINT) AS rkey,
+             z.cn
+      FROM sd_assign s JOIN sd_sizes z USING (cid)
+    ),
+    agg AS (
+      SELECT cid, rkey,
+             CAST(MAX(cn) AS BIGINT) AS n_cell,
+             CAST(COUNT(*) AS BIGINT) AS n_refined
+      FROM sd_ref GROUP BY cid, rkey
+    )
+    SELECT cid, rkey, n_cell, n_refined,
+           n_cell > {DEFAULT_CELL_CAP} AS was_split,
+           n_refined <= {DEFAULT_CELL_CAP} AS participates
+    FROM agg ORDER BY cid, rkey
+    """,
+)
+def q181_semantic_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-cell guard accounting for the q94 semantic-dedup corpus:
+    per refined cell, the parent cell size, refined size, whether the
+    cell was LSH-split (over DEFAULT_CELL_CAP) and whether it
+    participates in pair generation (refined size within the cap). The
+    oracle replays the full trajectory — seeding, Lloyd, assignment,
+    the guard's split-bit arithmetic — so the guard's bookkeeping is
+    value-pinned at every scale, not just where it triggers. See
+    operators/similarity.py::semantic_dedup_cell_stats."""
+    from ..operators.similarity import semantic_dedup_cell_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_cell_stats(
+        emb, "vec_id", "embedding", n_centroids=8, lloyd_iters=2, dim=64
+    ).orderBy("cid", "rkey")
+
+
 @register(
     "q64_embedding_quantize",
     oracle="""

@@ -1177,3 +1177,57 @@ def q176_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------- q180
+# Corpus-fitted bigram-LM fluency score — the CCNet perplexity-filter
+# pattern (score every document under an n-gram model trained on the
+# corpus; low scores flag boilerplate/gibberish) in exact integer
+# arithmetic: cond_ppm = floor(c(w1 w2)·10⁶ / c(w1 prefix)), per-doc
+# score = integer mean over the doc's bigrams. See
+# operators/text.py::bigram_lm_scores for the 100 TB shape.
+
+
+@register(
+    "q180_bigram_lm_score",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_WORDS} AS __w FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(concat(__w[i], ' ', __w[i + 1])), 1, 15)) AS BIGINT) AS bkey,
+             CAST(concat('0x', substring(md5(__w[i]), 1, 15)) AS BIGINT) AS pkey
+      FROM w, unnest(generate_series(1, len(__w) - 1)) AS t(i)
+      WHERE len(__w) >= 2
+    ),
+    c2 AS (
+      SELECT bkey, MIN(pkey) AS pkey, CAST(count(*) AS BIGINT) AS c2
+      FROM bi GROUP BY bkey
+    ),
+    c1 AS (SELECT pkey, CAST(count(*) AS BIGINT) AS c1 FROM bi GROUP BY pkey),
+    cond AS (SELECT bkey, c2 * 1000000 // c1 AS cond_ppm FROM c2 JOIN c1 USING (pkey)),
+    scored AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(cond_ppm) // count(*) AS BIGINT) AS lm_score_ppm
+      FROM bi JOIN cond USING (bkey) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_bigrams, 0) AS n_bigrams,
+           s.lm_score_ppm
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q180_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score per document: train the corpus's own
+    bigram conditional-probability table (MLE, exact integer ppm) and
+    score each doc by the mean conditional probability of its word
+    transitions — the quality gate that catches shuffled-word and
+    template text that length/stopword features miss. Every doc gets
+    a row (short docs: 0 bigrams, NULL score), so the q78 per-doc
+    profile join stays total."""
+    from ..operators.text import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, "doc_id", "text").orderBy("doc_id")

@@ -260,3 +260,39 @@ class TestQuantizeGridMatchesDecimal:
         finally:
             S._quantize_repr_grid = orig
         assert fast == slow
+
+class TestBigramLmScores:
+    """q180's operator: MLE bigram conditionals in exact integer ppm,
+    hand-computed on a tiny corpus."""
+
+    def test_hand_computed_scores(self, spark):
+        from redshift_avro_spark.operators.text import bigram_lm_scores
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c"),      # bigrams: (a,b), (b,c)
+                (2, "a b"),        # bigram: (a,b)
+                (3, "a c"),        # bigram: (a,c)
+                (4, "solo"),       # no bigrams
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in bigram_lm_scores(docs).collect()}
+        # prefix counts: a→3 (a b, a b, a c), b→1 (b c)
+        # cond_ppm: (a,b)=2*1e6//3=666666, (b,c)=1*1e6//1=1000000,
+        #           (a,c)=1*1e6//3=333333
+        assert out[1].n_bigrams == 2
+        assert out[1].lm_score_ppm == (666666 + 1000000) // 2
+        assert out[2].n_bigrams == 1 and out[2].lm_score_ppm == 666666
+        assert out[3].n_bigrams == 1 and out[3].lm_score_ppm == 333333
+        assert out[4].n_bigrams == 0 and out[4].lm_score_ppm is None
+
+    def test_case_and_whitespace_normalized(self, spark):
+        from redshift_avro_spark.operators.text import bigram_lm_scores
+
+        docs = spark.createDataFrame(
+            [(1, "Foo  Bar"), (2, "foo bar")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in bigram_lm_scores(docs).collect()}
+        # both docs carry the same normalized bigram: c2=2, c1=2 → 1e6
+        assert out[1].lm_score_ppm == out[2].lm_score_ppm == 1000000

@@ -36,6 +36,7 @@ __all__ = [
     "maximin_seed",
     "ivf_topk",
     "ivf_train_centroids",
+    "ivf_train_centers",
     "ivf_add_topk",
     "semantic_dedup",
     "semantic_dedup_cell_stats",
@@ -624,28 +625,39 @@ def _py_md5_key(i) -> str:
     return hashlib.md5(str(int(i)).encode()).hexdigest()
 
 
-def _driver_seed_oversample(rows: list, n_centroids: int, band_quota: int | None) -> list:
-    """Driver-side replay of :func:`oversample_seed` over collected
-    (id, vec) rows: same md5 first pick, same ``floor((1−cs)·8)``
-    banding with per-band (md5, id) quotas, same farthest-point chain —
-    every float op the same IEEE op the Spark/DuckDB forms perform."""
-    import math
+def _driver_seed_oversample_np(
+    ids: list, A, n_centroids: int, band_quota: int | None
+) -> list:
+    """Driver-side replay of :func:`oversample_seed` over an (ids,
+    row-matrix) corpus: same md5 first pick, same ``floor((1−cs)·8)``
+    banding with per-band (md5, id) quotas, same farthest-point chain.
+    The banding cosine runs as the vectorized :func:`_np_fold_dot`
+    kernel — the identical IEEE left-fold :func:`_py_cosine` performs
+    per row (round 7: the per-row Python cosine loop was the seed's
+    cost at the 200k driver cap). Band contents, the per-band sort and
+    the farthest-point argmin are all order-independent, so the result
+    does not depend on collect order."""
+    import numpy as np
 
     quota = n_centroids if band_quota is None else band_quota
-    hashed = [(i, _py_md5_key(i), v) for i, v in rows]
-    if not hashed:
+    if len(ids) == 0:
         raise ValueError("oversample_seed: empty corpus")
-    first_id, _, first_vec = min(hashed, key=lambda r: (r[1], r[0]))
+    hs = [_py_md5_key(i) for i in ids]
+    first_idx = min(range(len(ids)), key=lambda j: (hs[j], ids[j]))
+    first_vec = [float(x) for x in A[first_idx]]
+    B = np.broadcast_to(A[first_idx], A.shape)
+    cs = _np_fold_dot(A, B) / (
+        np.sqrt(_np_fold_dot(A, A)) * np.sqrt(_np_fold_dot(B, B))
+    )
+    bands = np.floor((1.0 - cs) * 8.0)
     by_band: dict = {}
-    for i, h, v in hashed:
-        cs = _py_cosine(v, first_vec)
-        band = math.floor((1.0 - cs) * 8.0)
-        by_band.setdefault(band, []).append((h, i, v))
+    for j in range(len(ids)):
+        by_band.setdefault(float(bands[j]), []).append((hs[j], ids[j], j))
     cands = []
     for band in by_band:
-        for h, i, v in sorted(by_band[band])[:quota]:
-            cands.append((i, h, v))
-    centers = [(first_id, first_vec)]
+        for h, i, j in sorted(by_band[band])[:quota]:
+            cands.append((i, h, [float(x) for x in A[j]]))
+    centers = [(ids[first_idx], first_vec)]
     centvecs = [first_vec]
     for _ in range(n_centroids - 1):
         best = None
@@ -657,6 +669,15 @@ def _driver_seed_oversample(rows: list, n_centroids: int, band_quota: int | None
         centers.append((best[1], best[2]))
         centvecs.append(best[2])
     return centers
+
+
+def _driver_seed_oversample(rows: list, n_centroids: int, band_quota: int | None) -> list:
+    """List-of-(id, vec) wrapper over :func:`_driver_seed_oversample_np`."""
+    import numpy as np
+
+    ids = [i for i, _ in rows]
+    A = np.asarray([[float(x) for x in v] for _, v in rows], dtype=np.float64)
+    return _driver_seed_oversample_np(ids, A, n_centroids, band_quota)
 
 
 def _quantize_repr_grid(A):
@@ -710,7 +731,16 @@ def _quantize_repr_grid(A):
 
 
 def _driver_lloyd_step(rows: list, centers: list) -> list:
-    """Driver-side replay of one distributed Lloyd iteration:
+    """List-of-(id, vec) wrapper over :func:`_driver_lloyd_step_np`."""
+    import numpy as np
+
+    A = np.asarray([[float(x) for x in v] for _, v in rows], dtype=np.float64)
+    return _driver_lloyd_step_np(A, centers)
+
+
+def _driver_lloyd_step_np(A, centers: list) -> list:
+    """Driver-side replay of one distributed Lloyd iteration over the
+    (n, dim) row matrix ``A``:
     nearest-center assignment (cosine desc, cid asc — strict-> update
     over ascending cid, exactly :func:`_assign_nearest`), then
     per-cluster means through the SAME exact decimal arithmetic
@@ -735,7 +765,6 @@ def _driver_lloyd_step(rows: list, centers: list) -> list:
     # per-row _py_cosine loop it replaces and ~4× faster per Lloyd
     # step on a 20k×64 corpus (the pure-Python cosine loop dominated
     # the driver-train path: q152's 10× scale point traced to it)
-    A = np.asarray([[float(x) for x in v] for _, v in rows], dtype=np.float64)
     sna = np.sqrt(_np_fold_dot(A, A))
     best = None
     best_cid = None
@@ -758,7 +787,7 @@ def _driver_lloyd_step(rows: list, centers: list) -> list:
     scaled = _quantize_repr_grid(A)
     if scaled is not None:
         max_abs = int(np.abs(scaled).max(initial=0))
-        if max_abs * len(rows) < 2**62:
+        if max_abs * A.shape[0] < 2**62:
             out = []
             for cid in sorted(int(x) for x in np.unique(best_cid)):
                 m = best_cid == cid
@@ -771,7 +800,8 @@ def _driver_lloyd_step(rows: list, centers: list) -> list:
                 )
             return out
     sums: dict = {}
-    for idx, (_, v) in enumerate(rows):
+    for idx in range(A.shape[0]):
+        v = A[idx]
         n, acc = sums.setdefault(int(best_cid[idx]), [0, [Decimal(0)] * dim])
         sums[int(best_cid[idx])][0] = n + 1
         for d in range(dim):
@@ -791,6 +821,75 @@ def _driver_lloyd_step(rows: list, centers: list) -> list:
     return out
 
 
+def ivf_train_centers(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    lloyd_iters: int = 2,
+    dim: int = 64,
+    seed: str = "oversample",
+) -> list:
+    """Train the IVF centroid set (deterministic seed + bit-reproducible
+    Lloyd refinement) and return the driver-side
+    ``[(cid, [float...]), ...]`` list — the form every internal consumer
+    (:func:`ivf_topk`, :func:`ivf_add_topk`, :func:`ivf_delete_topk`,
+    :func:`semantic_dedup`) actually wants; :func:`ivf_train_centroids`
+    wraps it as a broadcast-hinted DataFrame for callers that persist
+    the centroid set. (Round 7: the previous shape round-tripped the
+    list through createDataFrame + collect on every call — pure
+    scheduling overhead traced in the q152 scale curve.)
+
+    Execution strategy (values are identical either way): corpora at or
+    under ``TRAIN_DRIVER_CAP`` rows land driver-side via ONE
+    Arrow-batched ``toPandas`` (not a py4j row collect) and the whole
+    seed + Lloyd trajectory runs in-process on numpy arrays (the FAISS
+    ``train`` shape — a distributed job per iteration on a
+    broadcast-sized problem is pure scheduling overhead); larger
+    corpora run the distributed form (map-only assignment + k-row
+    aggregation per iteration). The trajectory is the same bit-for-bit
+    — same md5 picks, same IEEE folds, same HALF_UP decimal means
+    (``test_driver_and_distributed_centroids_are_bit_identical``) — so
+    the DuckDB oracle replays either path."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    if seed == "oversample":
+        pdf = c.limit(TRAIN_DRIVER_CAP + 1).toPandas()
+        if len(pdf) <= TRAIN_DRIVER_CAP:
+            ids = [int(i) for i in pdf["neighbor_id"]]
+            # float32 → float64 widening is exact — the same value the
+            # py4j row path produced via float(x)
+            A = np.stack(pdf["cvec"].to_numpy()).astype(np.float64, copy=False)
+            centers = _driver_seed_oversample_np(ids, A, n_centroids, None)
+            for _ in range(lloyd_iters):
+                centers = _driver_lloyd_step_np(A, centers)
+            return centers
+        centers = oversample_seed(c, n_centroids)
+    elif seed == "maximin":
+        centers = maximin_seed(c, n_centroids)
+    else:
+        centers = [
+            (int(r["cid"]), [float(x) for x in r["centvec"]])
+            for r in corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("centvec"))
+            .collect()
+        ]
+    # Materialize each refined centroid set (k tiny rows) to the driver
+    # and feed the next step LITERAL centers: a lazy chain would
+    # re-evaluate the whole training prefix (each iteration itself a
+    # full-corpus scan) in every downstream consumer. Python float
+    # round-trips are bit-exact for doubles (float32 cells widen
+    # exactly), so the trajectory the DuckDB oracle replays is
+    # unchanged.
+    for _ in range(lloyd_iters):
+        rows = lloyd_step(_assign_nearest(c, centers), dim).collect()
+        centers = [(int(r["cid"]), [float(x) for x in r["centvec"]]) for r in rows]
+    return centers
+
+
 def ivf_train_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -800,63 +899,16 @@ def ivf_train_centroids(
     dim: int = 64,
     seed: str = "oversample",
 ) -> DataFrame:
-    """Train the IVF centroid set (deterministic seed + bit-reproducible
-    Lloyd refinement) and return it as a broadcast-hinted (cid, centvec)
-    DataFrame — extracted from :func:`ivf_topk` so index MAINTENANCE can
-    assign a new vector batch under FROZEN centroids
-    (:func:`ivf_add_topk`) exactly as the initial build did.
-
-    Execution strategy (values are identical either way): corpora at or
-    under ``TRAIN_DRIVER_CAP`` rows collect once and the whole
-    seed + Lloyd trajectory runs in-process (the FAISS ``train`` shape —
-    a distributed job per iteration on a broadcast-sized problem is
-    pure scheduling overhead); larger corpora run the distributed form
-    (map-only assignment + k-row aggregation per iteration). The
-    trajectory is the same bit-for-bit — same md5 picks, same IEEE
-    folds, same HALF_UP decimal means — so the DuckDB oracle replays
-    either path."""
-    spark = corpus.sparkSession
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    if seed == "oversample":
-        head = c.limit(TRAIN_DRIVER_CAP + 1).collect()
-        if len(head) <= TRAIN_DRIVER_CAP:
-            rows = [(int(r["neighbor_id"]), [float(x) for x in r["cvec"]]) for r in head]
-            centers = _driver_seed_oversample(rows, n_centroids, None)
-            for _ in range(lloyd_iters):
-                centers = _driver_lloyd_step(rows, centers)
-            return F.broadcast(
-                spark.createDataFrame(centers, "cid long, centvec array<double>")
-            )
-        cents = F.broadcast(
-            spark.createDataFrame(
-                oversample_seed(c, n_centroids), "cid long, centvec array<double>"
-            )
-        )
-    elif seed == "maximin":
-        cents = F.broadcast(
-            spark.createDataFrame(
-                maximin_seed(c, n_centroids), "cid long, centvec array<double>"
-            )
-        )
-    else:
-        cents = F.broadcast(
-            corpus.orderBy(id_col)
-            .limit(n_centroids)
-            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("centvec"))
-        )
-    # Materialize each refined centroid set (k tiny rows) to the driver
-    # and feed the next step LITERAL centers: a lazy chain would
-    # re-evaluate the whole training prefix (each iteration itself a
-    # full-corpus scan) in every downstream consumer. Python float
-    # round-trips are bit-exact for doubles (float32 cells widen
-    # exactly), so the trajectory the DuckDB oracle replays is
-    # unchanged.
-    centers = _centers_list(cents)
-    for _ in range(lloyd_iters):
-        rows = lloyd_step(_assign_nearest(c, centers), dim).collect()
-        centers = [(int(r["cid"]), [float(x) for x in r["centvec"]]) for r in rows]
+    """DataFrame form of :func:`ivf_train_centers` — a broadcast-hinted
+    (cid, centvec) frame for callers that persist or join the centroid
+    set."""
     return F.broadcast(
-        spark.createDataFrame(centers, "cid long, centvec array<double>")
+        corpus.sparkSession.createDataFrame(
+            ivf_train_centers(
+                corpus, id_col, vec_col, n_centroids, lloyd_iters, dim, seed
+            ),
+            "cid long, centvec array<double>",
+        )
     )
 
 
@@ -897,8 +949,8 @@ def ivf_topk(
     are just a partitioning."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    centers = _centers_list(
-        ivf_train_centroids(corpus, id_col, vec_col, n_centroids, lloyd_iters, dim, seed)
+    centers = ivf_train_centers(
+        corpus, id_col, vec_col, n_centroids, lloyd_iters, dim, seed
     )
     assign = _assign_nearest(c, centers)
     return _ivf_query(assign, q, centers, n_probe, k)
@@ -957,9 +1009,7 @@ def ivf_add_topk(
         # upsert semantics: a re-shipped id keeps only the NEW vector
         .join(new_c.select("neighbor_id"), "neighbor_id", "left_anti")
     )
-    centers = _centers_list(
-        ivf_train_centroids(base, id_col, vec_col, n_centroids, lloyd_iters, dim)
-    )
+    centers = ivf_train_centers(base, id_col, vec_col, n_centroids, lloyd_iters, dim)
     assign = _assign_nearest(base_c.unionByName(new_c), centers, carry=("origin",))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     return _ivf_query(assign, q, centers, n_probe, k, carry=("origin",))
@@ -995,9 +1045,7 @@ def ivf_delete_topk(
     and the delete is a metadata anti-join against the tombstone
     ledger — the query path here is identical."""
     c = base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    centers = _centers_list(
-        ivf_train_centroids(base, id_col, vec_col, n_centroids, lloyd_iters, dim)
-    )
+    centers = ivf_train_centers(base, id_col, vec_col, n_centroids, lloyd_iters, dim)
     live = c.join(
         F.broadcast(deleted.select(F.col(id_col).alias("neighbor_id"))),
         "neighbor_id",
@@ -1054,9 +1102,7 @@ def _semantic_cells(
     from .staging import materialize
 
     c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    centers = _centers_list(
-        ivf_train_centroids(df, id_col, vec_col, n_centroids, lloyd_iters, dim)
-    )
+    centers = ivf_train_centers(df, id_col, vec_col, n_centroids, lloyd_iters, dim)
     assign = materialize(
         _assign_nearest(c, centers),
         label="semantic_dedup_assign",

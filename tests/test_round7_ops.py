@@ -296,3 +296,38 @@ class TestBigramLmScores:
         out = {r.doc_id: r for r in bigram_lm_scores(docs).collect()}
         # both docs carry the same normalized bigram: c2=2, c1=2 → 1e6
         assert out[1].lm_score_ppm == out[2].lm_score_ppm == 1000000
+
+class TestQuantizeGridHypothesis:
+    """Property-based differential check: for ANY finite double within
+    the fast path's range, the vectorized quantizer equals the Decimal
+    mirror element-for-element."""
+
+    def test_fuzz_matches_decimal(self):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from redshift_avro_spark.operators.similarity import _quantize_repr_grid
+
+        q = Decimal(1).scaleb(-10)
+
+        @settings(max_examples=500, deadline=None)
+        @given(
+            st.floats(
+                min_value=-4.4e5,
+                max_value=4.4e5,
+                allow_nan=False,
+                allow_infinity=False,
+            )
+        )
+        def check(x):
+            got = _quantize_repr_grid(np.asarray([[x]]))
+            assert got is not None
+            expected = int(
+                Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP).scaleb(10)
+            )
+            assert int(got[0, 0]) == expected, repr(x)
+
+        check()

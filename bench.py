@@ -95,6 +95,7 @@ EXTENDED: dict[str, float] = {
     # round 7 additions
     "q180_bigram_lm_score": 1.6,  # calibrated from best-of-3 1.23 s
     "q181_semantic_cell_stats": 1.9,  # calibrated from best-of-3 1.50 s
+    "q182_repetition_audit": 1.1,  # calibrated from best-of-3 0.80 s
 }
 
 _DETAIL_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r07.json")

@@ -13,7 +13,7 @@ with an exactly-matching SQL formulation for the oracle:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -23,6 +23,7 @@ __all__ = [
     "doc_fingerprint",
     "quality_classifier_score",
     "bigram_lm_scores",
+    "repetition_audit",
     "STOPWORDS",
 ]
 
@@ -304,5 +305,89 @@ def bigram_lm_scores(
             F.col("__id").alias(id_col),
             F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
             "lm_score_ppm",
+        )
+    )
+
+
+def repetition_audit(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition metrics — the Gopher/MassiveText
+    repetition filters (Rae et al. 2021 §A1.1: documents dominated by
+    one token, one n-gram, or literal runs are boilerplate/spam) in
+    exact integer arithmetic:
+
+    * ``top_word_share_ppm`` — occurrences of the most frequent word
+      ×10⁶ / token count;
+    * ``top2gram_share_ppm`` — occurrences of the most frequent word
+      bigram ×10⁶ / bigram count (NULL when the doc has < 2 words);
+    * ``max_word_run`` — length of the longest run of one word
+      repeated consecutively ("a a a a"), via gaps-and-islands
+      (run key = pos − row_number within (doc, word)).
+
+    Scale shape: one posexplode, then aggregations on (doc, word),
+    (doc, bigram-md5-lane) and (doc, word, run) keys — all uniform,
+    all map-side combining; the windows partition on (doc, word),
+    bounded by a single document. No Python, no corpus self-join."""
+    from .staging import materialize
+
+    w = F.expr(_WORDS.format(c=text_col))
+    # the positioned token frame feeds both the word-count agg and the
+    # run detection — cut the lineage so the corpus splits only once
+    toks = materialize(
+        df.select(F.col(id_col).alias("__id"), F.posexplode(w).alias("pos", "w")),
+        label="repetition_tokens",
+        default="checkpoint",
+    )
+    word_counts = toks.groupBy("__id", "w").agg(F.count("*").alias("c"))
+    top_word = word_counts.groupBy("__id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.max("c").cast("long").alias("top_word_n"),
+    )
+    words_sql = _WORDS.format(c=text_col)
+    # per-doc bigram counting rides a 60-bit md5 lane like q180's LM
+    # keys; the sequence(1, n-1) fan-out is guarded by the >= 2 filter
+    # (Spark's sequence(1, 0) DESCENDS instead of being empty)
+    bi = df.where(F.expr(f"size({words_sql}) >= 2")).select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size({words_sql}) - 1), "
+                f"i -> CAST(conv(substring(md5(concat("
+                f"element_at({words_sql}, i), ' ', "
+                f"element_at({words_sql}, i + 1)"
+                f")), 1, 15), 16, 10) AS BIGINT))"
+            )
+        ).alias("bkey"),
+    )
+    top_bi = (
+        bi.groupBy("__id", "bkey")
+        .agg(F.count("*").alias("c"))
+        .groupBy("__id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.max("c").cast("long").alias("top2gram_n"),
+        )
+    )
+    run_w = Window.partitionBy("__id", "w").orderBy("pos")
+    runs = (
+        toks.withColumn("grp", F.col("pos") - F.row_number().over(run_w))
+        .groupBy("__id", "w", "grp")
+        .agg(F.count("*").alias("run_len"))
+        .groupBy("__id")
+        .agg(F.max("run_len").cast("long").alias("max_word_run"))
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(top_word, "__id")
+        .join(top_bi, "__id", "left")
+        .join(runs, "__id")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_words",
+            F.expr("top_word_n * 1000000 div n_words").alias("top_word_share_ppm"),
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            F.expr("top2gram_n * 1000000 div n_bigrams").alias("top2gram_share_ppm"),
+            "max_word_run",
         )
     )

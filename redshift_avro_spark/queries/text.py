@@ -1231,3 +1231,73 @@ def q180_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bigram_lm_scores(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# --------------------------------------------------------------- q182
+# Gopher/MassiveText repetition filters (Rae et al. 2021 §A1.1) in
+# exact integer ppm: documents dominated by one word, one bigram, or
+# literal consecutive runs are boilerplate/spam that length and
+# stopword features miss. See operators/text.py::repetition_audit.
+
+
+@register(
+    "q182_repetition_audit",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_WORDS} AS __w FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(__w) AS w, generate_subscripts(__w, 1) AS pos FROM w
+    ),
+    wc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY doc_id, w),
+    topw AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             CAST(MAX(c) AS BIGINT) AS top_word_n
+      FROM wc GROUP BY doc_id
+    ),
+    bi AS (
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(concat(__w[i], ' ', __w[i + 1])), 1, 15)) AS BIGINT) AS bkey
+      FROM w, unnest(generate_series(1, len(__w) - 1)) AS t(i)
+      WHERE len(__w) >= 2
+    ),
+    bc AS (SELECT doc_id, bkey, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY doc_id, bkey),
+    topb AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(MAX(c) AS BIGINT) AS top2gram_n
+      FROM bc GROUP BY doc_id
+    ),
+    runs AS (
+      SELECT doc_id, CAST(MAX(run_len) AS BIGINT) AS max_word_run FROM (
+        SELECT doc_id, w, grp, count(*) AS run_len FROM (
+          SELECT doc_id, w, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY doc_id, w ORDER BY pos) AS grp
+          FROM toks
+        ) GROUP BY doc_id, w, grp
+      ) GROUP BY doc_id
+    )
+    SELECT d.doc_id, t.n_words,
+           CAST(t.top_word_n * 1000000 // t.n_words AS BIGINT) AS top_word_share_ppm,
+           COALESCE(b.n_bigrams, 0) AS n_bigrams,
+           CAST(b.top2gram_n * 1000000 // b.n_bigrams AS BIGINT) AS top2gram_share_ppm,
+           r.max_word_run
+    FROM documents d
+    JOIN topw t USING (doc_id)
+    LEFT JOIN topb b USING (doc_id)
+    JOIN runs r USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q182_repetition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition audit: most-frequent-word share,
+    most-frequent-bigram share (exact integer ppm) and longest
+    consecutive same-word run — the Gopher repetition rules a quality
+    gate applies alongside the q37/q95/q180 signals. The run detection
+    is gaps-and-islands over (doc, word) windows, bounded by a single
+    document; the Spark grp key is 0-based-pos − row_number and the
+    oracle's 1-based — a constant per-partition offset, so the run
+    GROUPS (and all counts) are identical."""
+    from ..operators.text import repetition_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_audit(docs, "doc_id", "text").orderBy("doc_id")

@@ -331,3 +331,31 @@ class TestQuantizeGridHypothesis:
             assert int(got[0, 0]) == expected, repr(x)
 
         check()
+
+class TestRepetitionAudit:
+    """q182's operator: Gopher repetition rules, hand-computed."""
+
+    def test_hand_computed(self, spark):
+        from redshift_avro_spark.operators.text import repetition_audit
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a a a b"),        # top word a×3/4; bigrams: aa,aa,ab → top 2/3; run 3
+                (2, "x y x y"),        # top word 2/4; bigrams xy,yx,xy → top 2/3; run 1
+                (3, "solo"),           # 1 word, 0 bigrams, run 1
+                (4, "B b"),            # normalization: run 2 after lower()
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in repetition_audit(docs).collect()}
+        assert out[1].n_words == 4
+        assert out[1].top_word_share_ppm == 3 * 1000000 // 4
+        assert out[1].n_bigrams == 3
+        assert out[1].top2gram_share_ppm == 2 * 1000000 // 3
+        assert out[1].max_word_run == 3
+        assert out[2].top_word_share_ppm == 500000
+        assert out[2].top2gram_share_ppm == 2 * 1000000 // 3
+        assert out[2].max_word_run == 1
+        assert out[3].n_bigrams == 0 and out[3].top2gram_share_ppm is None
+        assert out[3].max_word_run == 1
+        assert out[4].max_word_run == 2

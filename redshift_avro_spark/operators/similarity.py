@@ -223,11 +223,15 @@ def _hyperplane_expr(vec_col: str, plane: int, dim: int) -> str:
     )
 
 
-def lsh_bucket_key(vec_col: str, n_planes: int, dim: int) -> Column:
-    """Random-hyperplane LSH bucket key: n sign bits → int key."""
+def lsh_bucket_key(vec_col: str, n_planes: int, dim: int, offset: int = 0) -> Column:
+    """Random-hyperplane LSH bucket key: n sign bits → int key. With
+    ``offset``, bit i reads plane ``offset + i`` (weights stay 1<<i),
+    so independent keyings draw disjoint planes from the same md5
+    stream."""
     bits = [
-        f"(CASE WHEN ({_hyperplane_expr(vec_col, p, dim)}) >= 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(n_planes)
+        f"(CASE WHEN ({_hyperplane_expr(vec_col, offset + i, dim)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
     ]
     return F.expr(" + ".join(bits))
 
@@ -645,10 +649,7 @@ def _driver_seed_oversample_np(
     hs = [_py_md5_key(i) for i in ids]
     first_idx = min(range(len(ids)), key=lambda j: (hs[j], ids[j]))
     first_vec = [float(x) for x in A[first_idx]]
-    B = np.broadcast_to(A[first_idx], A.shape)
-    cs = _np_fold_dot(A, B) / (
-        np.sqrt(_np_fold_dot(A, A)) * np.sqrt(_np_fold_dot(B, B))
-    )
+    cs = _np_cosine(A, np.broadcast_to(A[first_idx], A.shape))
     bands = np.floor((1.0 - cs) * 8.0)
     by_band: dict = {}
     for j in range(len(ids)):
@@ -853,11 +854,14 @@ def ivf_train_centers(
     the DuckDB oracle replays either path."""
     import numpy as np
 
-    spark = corpus.sparkSession
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     if seed == "oversample":
         pdf = c.limit(TRAIN_DRIVER_CAP + 1).toPandas()
         if len(pdf) <= TRAIN_DRIVER_CAP:
+            if len(pdf) == 0:
+                # before np.stack, which would raise a generic numpy
+                # error instead of the domain one
+                raise ValueError("oversample_seed: empty corpus")
             ids = [int(i) for i in pdf["neighbor_id"]]
             # float32 → float64 widening is exact — the same value the
             # py4j row path produced via float(x)
@@ -1069,16 +1073,10 @@ SPLIT_PLANE_OFFSET = 200
 
 
 def _cell_split_bits(vec_col: str, split_planes: int, dim: int) -> Column:
-    """Sub-cell key bits for splitting an oversized k-means cell: the
-    sign bits of ``split_planes`` md5-derived hyperplanes at
-    ``SPLIT_PLANE_OFFSET`` — the same deterministic construction as
-    :func:`lsh_bucket_key`, so the DuckDB oracle replays it exactly."""
-    bits = [
-        f"(CASE WHEN ({_hyperplane_expr(vec_col, SPLIT_PLANE_OFFSET + i, dim)}) >= 0"
-        f" THEN {1 << i} ELSE 0 END)"
-        for i in range(split_planes)
-    ]
-    return F.expr(" + ".join(bits))
+    """Sub-cell key bits for splitting an oversized k-means cell:
+    :func:`lsh_bucket_key` at ``SPLIT_PLANE_OFFSET`` — one copy of the
+    sign-bit construction, so the DuckDB oracle replays it exactly."""
+    return lsh_bucket_key(vec_col, split_planes, dim, offset=SPLIT_PLANE_OFFSET)
 
 
 def _semantic_cells(

@@ -58,9 +58,16 @@ MODES = ("checkpoint", "parquet", "none")
 # 'lsh_candidates' across members, and a later member overwriting a
 # shared path would delete part files an earlier member's lazy
 # read.parquet already listed → FileNotFoundException at action time
-# (ADVICE r6 #1).
+# (ADVICE r6 #1). Growth stays BOUNDED: per label only the newest
+# _GENERATIONS_PER_LABEL dirs are kept (a long-lived process — bench
+# best-of-3 over ~180 queries, the gate replica — would otherwise
+# accumulate one corpus-sized dir per call). The cap is sized well
+# above the widest real liveness window (one composite evaluation
+# holds ≤ ~7 same-label member frames at once).
 _CLEANUP_REGISTERED: set = set()
 _INVOCATION_COUNTER = 0
+_GENERATIONS_PER_LABEL = 16
+_LABEL_GENERATIONS: dict = {}
 
 
 def resolve_mode(label: str, default: str, *, extra_env: str | None = None) -> str:
@@ -105,6 +112,11 @@ def materialize(
         if path not in _CLEANUP_REGISTERED:
             _CLEANUP_REGISTERED.add(path)
             atexit.register(shutil.rmtree, path, ignore_errors=True)
+        gens = _LABEL_GENERATIONS.setdefault(safe, [])
+        gens.append(path)
+        while len(gens) > _GENERATIONS_PER_LABEL:
+            old = gens.pop(0)
+            shutil.rmtree(old, ignore_errors=True)
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
     return df.localCheckpoint(eager=True)

@@ -344,21 +344,26 @@ def repetition_audit(
         F.sum("c").cast("long").alias("n_words"),
         F.max("c").cast("long").alias("top_word_n"),
     )
-    words_sql = _WORDS.format(c=text_col)
     # per-doc bigram counting rides a 60-bit md5 lane like q180's LM
-    # keys; the sequence(1, n-1) fan-out is guarded by the >= 2 filter
-    # (Spark's sequence(1, 0) DESCENDS instead of being empty)
-    bi = df.where(F.expr(f"size({words_sql}) >= 2")).select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size({words_sql}) - 1), "
-                f"i -> CAST(conv(substring(md5(concat("
-                f"element_at({words_sql}, i), ' ', "
-                f"element_at({words_sql}, i + 1)"
-                f")), 1, 15), 16, 10) AS BIGINT))"
-            )
-        ).alias("bkey"),
+    # keys. Tokenize ONCE into __w, then transform over the array —
+    # inlining the split inside the lambda would re-run the O(L) split
+    # per element (HOF lambdas are interpreted, no CSE → O(L²)/doc).
+    # The sequence(1, n-1) fan-out is guarded by the >= 2 filter
+    # (Spark's sequence(1, 0) DESCENDS instead of being empty).
+    bi = (
+        df.select(F.col(id_col).alias("__id"), w.alias("__w"))
+        .where(F.size("__w") >= 2)
+        .select(
+            "__id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__w) - 1), "
+                    "i -> CAST(conv(substring(md5(concat("
+                    "element_at(__w, i), ' ', element_at(__w, i + 1)"
+                    ")), 1, 15), 16, 10) AS BIGINT))"
+                )
+            ).alias("bkey"),
+        )
     )
     top_bi = (
         bi.groupBy("__id", "bkey")

@@ -1409,7 +1409,7 @@ def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT q.*, s.cid, s.component_id, s.n_dups, s.is_keeper, p.pc1,
            cc.n_vectors AS cluster_n, cc.top_label, cc.purity_ppm,
-           g.n_cell, g.n_refined, g.was_split, g.participates,
+           g.n_cell, g.cell_sub_cells, g.cell_dropped, g.was_split,
            j.jl_pairs, j.jl_l2q_sum, j.jl_min_distortion, j.jl_max_distortion,
            d.qd_dot8, d.qd_cos8_ppm, d.qd_cosq_ppm, d.qd_drift_ppm
     FROM {_sub('q64_embedding_quantize')} q
@@ -1417,8 +1417,16 @@ def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN {_sub('q115_pca_projection')} p USING (vec_id)
     JOIN (SELECT cid, n_vectors, top_label, purity_ppm
           FROM {_sub('q155_cluster_cards')}) cc USING (cid)
-    JOIN (SELECT cid, n_cell, n_refined, was_split, participates
-          FROM {_sub('q181_semantic_cell_stats')}) g USING (cid)
+    JOIN (
+      -- per-cid rollup: the stats view is one row per REFINED cell,
+      -- so a split cell would fan out a cid join; aggregating keeps
+      -- the composite's per-vector grain at any scale
+      SELECT cid, CAST(MAX(n_cell) AS BIGINT) AS n_cell,
+             CAST(COUNT(*) AS BIGINT) AS cell_sub_cells,
+             CAST(SUM(CASE WHEN participates THEN 0 ELSE 1 END) AS BIGINT) AS cell_dropped,
+             MAX(was_split) AS was_split
+      FROM {_sub('q181_semantic_cell_stats')} GROUP BY cid
+    ) g USING (cid)
     LEFT JOIN (
       SELECT id_a AS vec_id, CAST(COUNT(*) AS BIGINT) AS jl_pairs,
              CAST(SUM(l2_orig_q) AS BIGINT) AS jl_l2q_sum,
@@ -1457,8 +1465,19 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_label",
         "purity_ppm",
     )
-    g = _run("q181_semantic_cell_stats", spark, sf_dir).select(
-        "cid", "n_cell", "n_refined", "was_split", "participates"
+    g = (
+        _run("q181_semantic_cell_stats", spark, sf_dir)
+        # one row per cid regardless of splits (grain guard — see the
+        # oracle's rollup comment)
+        .groupBy("cid")
+        .agg(
+            F.max("n_cell").cast("long").alias("n_cell"),
+            F.count("*").cast("long").alias("cell_sub_cells"),
+            F.sum(F.when(F.col("participates"), 0).otherwise(1))
+            .cast("long")
+            .alias("cell_dropped"),
+            F.max("was_split").alias("was_split"),
+        )
     )
     j = (
         _run("q154_jl_projection", spark, sf_dir)
@@ -1487,7 +1506,7 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             *q.columns, "cid", "component_id", "n_dups", "is_keeper", "pc1",
             "cluster_n", "top_label", "purity_ppm",
-            "n_cell", "n_refined", "was_split", "participates",
+            "n_cell", "cell_sub_cells", "cell_dropped", "was_split",
             "jl_pairs", "jl_l2q_sum", "jl_min_distortion", "jl_max_distortion",
             "qd_dot8", "qd_cos8_ppm", "qd_cosq_ppm", "qd_drift_ppm",
         )

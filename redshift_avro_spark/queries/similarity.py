@@ -66,10 +66,13 @@ def _plane_duck(vec: str, plane: int, dim: int = 64) -> str:
     )
 
 
-def _bucket_duck(vec: str, n_planes: int = 4, dim: int = 64) -> str:
+def _bucket_duck(vec: str, n_planes: int = 4, dim: int = 64, offset: int = 0) -> str:
+    """Sign-bit bucket key; with ``offset``, bit i reads plane
+    ``offset + i`` (weights stay 1<<i) — mirrors
+    operators/similarity.py::lsh_bucket_key."""
     bits = [
-        f"(CASE WHEN ({_plane_duck(vec, p, dim)}) >= 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(n_planes)
+        f"(CASE WHEN ({_plane_duck(vec, offset + i, dim)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
     ]
     return "(" + " + ".join(bits) + ")"
 
@@ -334,17 +337,12 @@ _SD_PAIR_COS = (
 
 
 def _split_bits_duck(vec: str, split_planes: int = 4, dim: int = 64) -> str:
-    """The hot-cell split sub-key: sign bits of the md5 hyperplanes at
-    SPLIT_PLANE_OFFSET (operators/similarity.py::_cell_split_bits),
-    replayed with the same _plane_duck construction q36/q57 pin."""
+    """The hot-cell split sub-key: :func:`_bucket_duck` at
+    SPLIT_PLANE_OFFSET (operators/similarity.py::_cell_split_bits) —
+    one copy of the sign-bit construction q36/q57 pin."""
     from ..operators.similarity import SPLIT_PLANE_OFFSET
 
-    bits = [
-        f"(CASE WHEN ({_plane_duck(vec, SPLIT_PLANE_OFFSET + i, dim)}) >= 0"
-        f" THEN {1 << i} ELSE 0 END)"
-        for i in range(split_planes)
-    ]
-    return "(" + " + ".join(bits) + ")"
+    return _bucket_duck(vec, split_planes, dim, offset=SPLIT_PLANE_OFFSET)
 
 
 def _sd_guard_ctes(cell_cap: int, split_planes: int = 4) -> str:

@@ -58,6 +58,7 @@ __all__ = [
     "read_kinesis_stream",
     "register_kinesis_wire_datasource",
     "SHARD_END",
+    "SHARD_TRIMMED",
 ]
 
 _TARGET_PREFIX = "Kinesis_20131202."
@@ -68,6 +69,13 @@ _MAX_EMPTY_PAGES = 1000
 # processed). Kinesis sequence numbers are numeric strings, so this
 # value can never collide with one.
 SHARD_END = "SHARD_END"
+# Sentinel for a TRACKED shard that vanished from ListShards before
+# it was drained: retention trimmed it, its remaining records are
+# unreachable, and the batch that committed this sentinel read ZERO
+# rows from it. Kept distinct from SHARD_END so a restart replays the
+# trimmed shard to zero rows while a drained-then-vanished SHARD_END
+# range still fails LOUDLY (those records were real and are now lost).
+SHARD_TRIMMED = "SHARD_TRIMMED"
 
 
 class KinesisWireError(RuntimeError):
@@ -404,8 +412,10 @@ def _streaming_classes():
         """Checkpointed micro-batches over the wire client. Offsets are
         ``{shard_id: last_processed_sequence}`` ("" = nothing yet, i.e.
         TRIM_HORIZON; ``SHARD_END`` = the shard is closed and fully
-        consumed) — the KCL checkpoint shape, including its resharding
-        contract:
+        consumed; ``SHARD_TRIMMED`` = the shard vanished from the
+        listing before it was drained — retention trimmed it, zero
+        rows were read) — the KCL checkpoint shape, including its
+        resharding contract:
 
         * each ``read`` re-lists the shard topology, so shards created
           by a mid-query SplitShard/MergeShards are discovered;
@@ -462,7 +472,7 @@ def _streaming_classes():
             end = dict(start)
 
             def parent_done(p: str) -> bool:
-                if start.get(p) == SHARD_END:
+                if start.get(p) in (SHARD_END, SHARD_TRIMMED):
                     return True
                 # referenced but neither tracked nor listed: the parent
                 # aged out of retention before this query saw it
@@ -470,17 +480,17 @@ def _streaming_classes():
 
             for shard in sorted(set(detail) | set(start)):
                 floor = start.get(shard)
-                if floor == SHARD_END:
+                if floor in (SHARD_END, SHARD_TRIMMED):
                     continue  # finished forever
                 if shard not in detail:
                     # tracked shard that disappeared from the listing:
                     # retention aged it out, so its remaining records
-                    # are trimmed/unreachable. Commit SHARD_END (the
-                    # same policy parent_done applies to vanished
-                    # parents) instead of polling drain_shard into a
-                    # ResourceNotFoundException every batch and
+                    # are trimmed/unreachable. Commit SHARD_TRIMMED
+                    # (the same done-policy parent_done applies to
+                    # vanished parents) instead of polling drain_shard
+                    # into a ResourceNotFoundException every batch and
                     # wedging the query (ADVICE r6 #4).
-                    end[shard] = SHARD_END
+                    end[shard] = SHARD_TRIMMED
                     continue
                 if floor is None:
                     # new shard (created by a reshard since the last
@@ -509,24 +519,24 @@ def _streaming_classes():
             rows = []
             for shard, stop in sorted(end.items()):
                 floor = start.get(shard, "")
-                if floor == SHARD_END or stop == floor:
+                if floor in (SHARD_END, SHARD_TRIMMED) or stop == floor:
+                    continue
+                if stop == SHARD_TRIMMED:
+                    # committed by read()'s aged-out path, whose batch
+                    # produced ZERO rows for this shard — replay to
+                    # zero rows (the records were trimmed server-side
+                    # before they were ever read)
                     continue
                 if stop == SHARD_END:
                     # a committed SHARD_END replays the closed shard's
-                    # immutable remainder; a shard the service no
-                    # longer knows replays to zero rows — that
-                    # SHARD_END was committed by read()'s aged-out
-                    # path, whose original batch also produced zero
-                    # rows for it (the records were trimmed
-                    # server-side either way)
-                    try:
-                        recs, ended = c.drain_shard(
-                            self.stream, shard, after=floor or None
-                        )
-                    except KinesisWireError as e:
-                        if e.error_type == "ResourceNotFoundException":
-                            continue
-                        raise
+                    # immutable remainder. No ResourceNotFound
+                    # tolerance here: a drained SHARD_END range held
+                    # REAL records, so a shard the service no longer
+                    # knows means those records are lost — fail loudly
+                    # like the sequence-offset branch below.
+                    recs, ended = c.drain_shard(
+                        self.stream, shard, after=floor or None
+                    )
                     if not ended:
                         raise KinesisWireError(
                             f"shard {shard}: committed SHARD_END but the "

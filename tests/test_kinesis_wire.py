@@ -780,10 +780,13 @@ class TestReshardingEdgeCases:
         finally:
             f.close()
 
-    def test_aged_out_tracked_shard_commits_shard_end(self):
+    def test_aged_out_tracked_shard_commits_shard_trimmed(self):
         """A tracked shard that vanishes from ListShards (retention)
-        must commit SHARD_END instead of wedging the query with
-        ResourceNotFoundException every batch."""
+        must commit the SHARD_TRIMMED sentinel instead of wedging the
+        query with ResourceNotFoundException every batch — and the
+        trim-committed range must replay to zero rows, while a
+        DRAINED SHARD_END range that becomes unreachable stays a loud
+        error (those records were real)."""
         f = FakeKinesis(
             {
                 ("ao", "shardId-000000000000"): [("p", b"x%d" % i) for i in range(3)],
@@ -802,7 +805,7 @@ class TestReshardingEdgeCases:
             f.topics[("ao", "shardId-000000000001")].append(("q2", b"y1"))
             rows2, end2 = r.read(end)
             rows2 = list(rows2)
-            assert end2["shardId-000000000000"] == "SHARD_END"
+            assert end2["shardId-000000000000"] == "SHARD_TRIMMED"
             assert [row[3] for row in rows2] == [b"y1"]
             # the trim-committed range replays to zero rows, not an error
             replayed = list(
@@ -816,5 +819,30 @@ class TestReshardingEdgeCases:
             # steady state: the trimmed shard stays finished
             rows3, end3 = r.read(end2)
             assert list(rows3) == [] and end3 == end2
+        finally:
+            f.close()
+
+    def test_drained_shard_end_replay_is_loud_after_trim(self):
+        """The asymmetry contract: a SHARD_END committed by a real
+        drain replays loudly (ResourceNotFoundException surfaces) if
+        the shard later ages out — unlike SHARD_TRIMMED, its range
+        held real records."""
+        from redshift_avro_spark.sources.kinesis_wire import KinesisWireError
+
+        f = FakeKinesis(
+            {("ld", "shardId-000000000000"): [("p", b"x%d" % i) for i in range(2)],
+             ("ld", "shardId-000000000001"): [("q", b"y0")]}
+        )
+        try:
+            f.split("ld", "shardId-000000000000")
+            r = _stream_reader(f.endpoint, "ld")
+            start = r.initialOffset()
+            rows, end = r.read(start)
+            assert len(list(rows)) == 3
+            assert end["shardId-000000000000"] == "SHARD_END"  # drained close
+            del f.topics[("ld", "shardId-000000000000")]
+            del f.meta[("ld", "shardId-000000000000")]
+            with pytest.raises(KinesisWireError):
+                list(r.readBetweenOffsets(start, end))
         finally:
             f.close()

@@ -359,3 +359,24 @@ class TestRepetitionAudit:
         assert out[3].n_bigrams == 0 and out[3].top2gram_share_ppm is None
         assert out[3].max_word_run == 1
         assert out[4].max_word_run == 2
+
+def test_parquet_generations_are_bounded_per_label(spark, monkeypatch):
+    """A long-lived process must not accumulate one staging dir per
+    invocation forever: only the newest _GENERATIONS_PER_LABEL dirs
+    per label survive."""
+    import os
+
+    from redshift_avro_spark.operators import staging
+
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "parquet")
+    frames = [
+        staging.materialize(spark.range(i, i + 1), label="bounded")
+        for i in range(staging._GENERATIONS_PER_LABEL + 5)
+    ]
+    gens = staging._LABEL_GENERATIONS["bounded"]
+    assert len(gens) == staging._GENERATIONS_PER_LABEL
+    live = [p for p in gens if os.path.isdir(p)]
+    assert len(live) == staging._GENERATIONS_PER_LABEL
+    # the newest frames (within the window) still read fine
+    assert frames[-1].collect()[0][0] == staging._GENERATIONS_PER_LABEL + 4
+    assert frames[-staging._GENERATIONS_PER_LABEL].count() == 1

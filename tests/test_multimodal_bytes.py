@@ -49,7 +49,7 @@ def nonascii_dir(tmp_path_factory):
 def test_multimodal_oracle_parity_non_ascii(spark, nonascii_dir, name):
     spec = REGISTRY[name]
     spark_pdf = spec.fn(spark, nonascii_dir).toPandas()
-    con = duckdb.connect()
+    con = duckdb.connect(config={"memory_limit": "4GB", "threads": 4})
     try:
         con.sql(
             f"CREATE VIEW documents AS SELECT * FROM '{nonascii_dir}/documents.parquet'"

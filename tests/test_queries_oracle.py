@@ -44,7 +44,15 @@ def _norm_df(pdf):
 
 
 def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    con = duckdb.connect()
+    # Bounded per-connection resources: a default connection claims a
+    # memory_limit of 80% of RAM (100.6 GiB here) and 32 threads, and
+    # ~176 sequential oracle connections' worth of thread-arena
+    # fragmentation at those defaults exhausted the process in round 7
+    # (every "failure" was duckdb OutOfMemoryException / malloc
+    # failure, all passing in a fresh process). 4 GiB / 4 threads is
+    # plenty for the sf0.001 fixtures and keeps the whole 637-test
+    # suite inside one process (VERDICT r7 "Next round" #1).
+    con = duckdb.connect(config={"memory_limit": "4GB", "threads": 4})
     for t in ALL_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con

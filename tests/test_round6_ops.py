@@ -232,7 +232,7 @@ class TestReleaseDiff:
         assert set(rows) == {"added", "removed", "changed", "unchanged"}
         import duckdb
 
-        con = duckdb.connect()
+        con = duckdb.connect(config={"memory_limit": "4GB", "threads": 4})
         n = con.execute(
             f"SELECT count(*), SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END),"
             f" SUM(CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 = 0 THEN 1 ELSE 0 END),"

@@ -53,7 +53,9 @@ def main() -> None:
     names = sys.argv[1:] or gated_names()
     spark = get_spark(app_name="gate-replica")
     spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
+    # bounded oracle connection (defaults are 80%-of-RAM / 32 threads;
+    # see tests/test_queries_oracle.py:_duck for the round-7 exhaustion)
+    con = duckdb.connect(config={"memory_limit": "8GB", "threads": 8})
     for t in ALL_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 

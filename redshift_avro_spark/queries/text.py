@@ -1276,15 +1276,15 @@ def q180_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) GROUP BY doc_id, w, grp
       ) GROUP BY doc_id
     )
-    SELECT d.doc_id, t.n_words,
+    SELECT d.doc_id, COALESCE(t.n_words, 0) AS n_words,
            CAST(t.top_word_n * 1000000 // t.n_words AS BIGINT) AS top_word_share_ppm,
            COALESCE(b.n_bigrams, 0) AS n_bigrams,
            CAST(b.top2gram_n * 1000000 // b.n_bigrams AS BIGINT) AS top2gram_share_ppm,
-           r.max_word_run
+           COALESCE(r.max_word_run, 0) AS max_word_run
     FROM documents d
-    JOIN topw t USING (doc_id)
+    LEFT JOIN topw t USING (doc_id)
     LEFT JOIN topb b USING (doc_id)
-    JOIN runs r USING (doc_id)
+    LEFT JOIN runs r USING (doc_id)
     ORDER BY doc_id
     """,
 )

@@ -646,6 +646,16 @@ def _driver_seed_oversample_np(
     quota = n_centroids if band_quota is None else band_quota
     if len(ids) == 0:
         raise ValueError("oversample_seed: empty corpus")
+    # A zero-norm vector has no cosine: its NaN band would otherwise
+    # key the band dict PER OBJECT (NaN != NaN, Python id-based dict
+    # fallback), silently diverging from the distributed grouping —
+    # fail loudly like the per-row path used to (ADVICE r7 #3).
+    norms = (np.asarray(A, dtype=np.float64) ** 2).sum(axis=1)
+    if not norms.all():
+        bad = [ids[j] for j in np.flatnonzero(norms == 0.0)[:5]]
+        raise ValueError(
+            f"oversample_seed: zero-norm embedding(s), cosine undefined: ids {bad}"
+        )
     hs = [_py_md5_key(i) for i in ids]
     first_idx = min(range(len(ids)), key=lambda j: (hs[j], ids[j]))
     first_vec = [float(x) for x in A[first_idx]]
@@ -1129,6 +1139,7 @@ def semantic_dedup(
     dim: int = 64,
     cell_cap: int = DEFAULT_CELL_CAP,
     split_planes: int = 4,
+    cells: tuple | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): the
     corpus is k-means-clustered in embedding space (oversampling seed +
@@ -1159,7 +1170,13 @@ def semantic_dedup(
     included."""
     from .dedup import connected_components
 
-    assign, refined = _semantic_cells(
+    # ``cells`` lets a caller that ALSO needs the accounting view
+    # (q93's composite runs both this and semantic_dedup_cell_stats)
+    # train once and share the (assign, refined) pair instead of
+    # re-running seeding + Lloyd + assignment per consumer (ADVICE
+    # r7 #4) — the trajectory is deterministic, so sharing is purely
+    # a cost optimization, never a value change.
+    assign, refined = cells if cells is not None else _semantic_cells(
         df, id_col, vec_col, n_centroids, lloyd_iters, dim, cell_cap, split_planes
     )
     live = refined.where(F.col("__rn") <= cell_cap).select(
@@ -1198,6 +1215,7 @@ def semantic_dedup_cell_stats(
     dim: int = 64,
     cell_cap: int = DEFAULT_CELL_CAP,
     split_planes: int = 4,
+    cells: tuple | None = None,
 ) -> DataFrame:
     """The hot-cell guard's accounting view: one row per refined cell
     with (cid, rkey, n_cell, n_refined, was_split, participates) —
@@ -1208,7 +1226,7 @@ def semantic_dedup_cell_stats(
     way the LSH path watches dropped bands: a persistent dropped cell
     means n_centroids (or the cap) needs raising, or exact dedup
     should run first."""
-    _, refined = _semantic_cells(
+    _, refined = cells if cells is not None else _semantic_cells(
         df, id_col, vec_col, n_centroids, lloyd_iters, dim, cell_cap, split_planes
     )
     return (

@@ -17,6 +17,33 @@ from pyspark.sql.window import Window
 from . import REGISTRY, load_table, register
 from ..operators.similarity import DEFAULT_CELL_CAP, lsh_bucket_topk, topk_neighbors
 
+# One trained semantic-dedup cell assignment per (application, corpus):
+# q94, q181 and therefore the q93 composite share the SAME (assign,
+# refined) pair instead of re-running seeding + Lloyd + the full-corpus
+# assignment once per member — the most expensive stage of the
+# composite ran twice before (ADVICE r7 #4). Safe to share because the
+# trajectory is fully deterministic (md5 seeding, decimal-exact means)
+# and ``assign`` is parquet-staged, so the reuse is a cheap re-read.
+# Bounded: the memo keeps the 4 newest corpora, well under the staging
+# layer's 16-generation liveness window for the shared label.
+_SD_CELLS_MEMO: dict = {}
+
+
+def _sd_cells(spark: SparkSession, sf_dir: str) -> tuple:
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if key not in _SD_CELLS_MEMO:
+        from ..operators.similarity import _semantic_cells
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        _SD_CELLS_MEMO[key] = _semantic_cells(
+            emb, "vec_id", "embedding", 8, 2, 64, DEFAULT_CELL_CAP, 4
+        )
+        while len(_SD_CELLS_MEMO) > 4:
+            _SD_CELLS_MEMO.pop(next(iter(_SD_CELLS_MEMO)))
+    return _SD_CELLS_MEMO[key]
+
 _COS = (
     "(list_aggregate(list_transform(list_zip(qvec, cvec),"
     " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'))"
@@ -426,7 +453,7 @@ def q94_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(
         emb, "vec_id", "embedding", threshold=0.45, n_centroids=8,
-        lloyd_iters=2, dim=64,
+        lloyd_iters=2, dim=64, cells=_sd_cells(spark, sf_dir),
     ).orderBy("vec_id")
 
 
@@ -483,7 +510,8 @@ def q181_semantic_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup_cell_stats(
-        emb, "vec_id", "embedding", n_centroids=8, lloyd_iters=2, dim=64
+        emb, "vec_id", "embedding", n_centroids=8, lloyd_iters=2, dim=64,
+        cells=_sd_cells(spark, sf_dir),
     ).orderBy("cid", "rkey")
 
 

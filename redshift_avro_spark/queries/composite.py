@@ -1064,6 +1064,7 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q169_langid_confusion",
         "q170_signal_blend",
         "q177_survivor_policy",
+        "q183_url_dedup",
     ),
     oracle=f"""
     SELECT r.doc_id, r.n_grams, r.dup_gram_fraction, r.top_gram_share,
@@ -1075,7 +1076,9 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            fn.funnel_out_words, fn.funnel_out_exact, fn.funnel_out_final,
            li.langid_correct, li.langid_total, li.langid_acc_ppm, li.langid_cells,
            bl.sel_rank, bl.blended_ppm,
-           sv.sv_component, sv.sv_cluster_size, sv.sv_keeper, sv.sv_is_kept
+           sv.sv_component, sv.sv_cluster_size, sv.sv_keeper, sv.sv_is_kept,
+           u.host AS url_host, u.canonical_url, u.url_keeper_id,
+           u.n_url_dups, u.is_url_keeper, u.host_docs, u.host_unique_urls
     FROM {_sub('q67_repetition_filter')} r
     LEFT JOIN {_sub('q65_decontamination')} d USING (doc_id)
     JOIN {_sub('q100_lm_familiarity')} l USING (doc_id)
@@ -1086,6 +1089,7 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                       cluster_size AS sv_cluster_size, keeper_id AS sv_keeper,
                       is_kept AS sv_is_kept
                FROM {_sub('q177_survivor_policy')}) sv USING (doc_id)
+    JOIN {_sub('q183_url_dedup')} u USING (doc_id)
     CROSS JOIN (
       SELECT CAST(SUM(CASE WHEN stage = 'language' THEN n_in END) AS BIGINT) AS funnel_in_total,
              CAST(SUM(CASE WHEN stage = 'language' THEN n_out END) AS BIGINT) AS funnel_out_lang,
@@ -1121,7 +1125,9 @@ def q89_scrub_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     mark their rows with selection rank and blended ppm; near-dup
     cluster members carry the q177 quality-argmax survivor verdict
     (component, cluster size, elected keeper, keep flag — null for
-    singletons). Co-keyed joins on doc_id."""
+    singletons); every doc carries its canonical-URL dedup verdict and
+    host crawl profile (q183 — the CCNet/RefinedWeb first-pass; r8).
+    Co-keyed joins on doc_id."""
     r = _run("q67_repetition_filter", spark, sf_dir)
     d = _run("q65_decontamination", spark, sf_dir)
     l = _run("q100_lm_familiarity", spark, sf_dir)
@@ -1158,6 +1164,16 @@ def q89_scrub_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("langid_acc_ppm"),
         F.count("*").cast("bigint").alias("langid_cells"),
     )
+    u = _run("q183_url_dedup", spark, sf_dir).select(
+        "doc_id",
+        F.col("host").alias("url_host"),
+        "canonical_url",
+        "url_keeper_id",
+        "n_url_dups",
+        "is_url_keeper",
+        "host_docs",
+        "host_unique_urls",
+    )
     return (
         r.join(d, "doc_id", "left")
         .select(
@@ -1172,6 +1188,7 @@ def q89_scrub_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dr, "doc_id", "left")
         .join(bl, "doc_id", "left")
         .join(sv, "doc_id", "left")
+        .join(u, "doc_id")
         .crossJoin(F.broadcast(fn))
         .crossJoin(F.broadcast(li))
         .orderBy("doc_id")

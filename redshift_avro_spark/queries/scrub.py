@@ -500,3 +500,113 @@ def q161_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_duplicated_spans(
         docs, "doc_id", "text", w=_SPAN_W, min_docs=_SPAN_MIN_DOCS
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------- q183
+# URL canonicalization + host-level dedup — the standard FIRST pass of
+# a web-crawl curation pipeline (CCNet/RefinedWeb/C4 dedup by
+# canonical URL before any content hashing). The testdata carries no
+# URL column, so the query synthesizes a deterministic messy URL per
+# document from (doc_id, source) — mixed-case schemes/hosts, default
+# and non-default ports, trailing slashes, tracking params in shuffled
+# order, fragments — and both engines canonicalize it with the same
+# string surgery (operators/web.py rules), so every canonical form,
+# keeper election and host rollup value is oracle-pinned.
+
+_URL_SYNTH_SPARK = """concat(
+  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+       WHEN 2 THEN 'http' ELSE 'HTTPS' END,
+  '://',
+  CASE CAST(doc_id % 3 AS INT)
+       WHEN 0 THEN concat('WWW.', upper(source), '.Example.COM')
+       WHEN 1 THEN concat('www.', source, '.example.com')
+       ELSE concat('cdn.', source, '.example.com') END,
+  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+       WHEN 2 THEN ':8080' ELSE '' END,
+  '/Docs/', CAST(doc_id % 40 AS STRING),
+  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+  CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+       WHEN 1 THEN '?a=1&b=2' WHEN 2 THEN '?b=2&a=1&gclid=xyz'
+       WHEN 3 THEN '?utm_campaign=x' WHEN 4 THEN '?ref=homepage'
+       ELSE '' END,
+  CASE WHEN doc_id % 7 = 0 THEN '#Section-2' ELSE '' END)"""
+
+_URL_SYNTH_DUCK = _URL_SYNTH_SPARK.replace("AS STRING", "AS VARCHAR")
+
+_TRACK_KEYS_DUCK = "['gclid', 'fbclid', 'msclkid', 'ref', 'referrer']"
+
+
+@register(
+    "q183_url_dedup",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {_URL_SYNTH_DUCK} AS url FROM documents),
+    parts AS (
+      SELECT doc_id, url,
+             lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
+             split_part(split_part(url, '#', 1), '://', 2) AS rest
+      FROM raw
+    ),
+    hp AS (
+      SELECT *,
+             split_part(split_part(rest, '/', 1), '?', 1) AS hostport,
+             CASE WHEN instr(rest, '/') > 0
+                  THEN substring(rest, instr(rest, '/')) ELSE '/' END AS pathq
+      FROM parts
+    ),
+    qp AS (
+      -- COALESCE: DuckDB's array_to_string over an EMPTY list is
+      -- NULL, not '' (Spark's array_join is '') — without it every
+      -- tracking-only/empty query string nulls the whole concat
+      SELECT *, COALESCE(array_to_string(list_sort(list_filter(
+                  string_split(split_part(pathq, '?', 2), '&'),
+                  p -> p <> '' AND NOT starts_with(split_part(p, '=', 1), 'utm_')
+                       AND NOT list_contains({_TRACK_KEYS_DUCK}, split_part(p, '=', 1)))), '&'),
+                '') AS qjoin
+      FROM hp
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             lower(split_part(hostport, ':', 1)) AS host,
+             scheme || '://' || lower(split_part(hostport, ':', 1)) ||
+             CASE WHEN nullif(split_part(hostport, ':', 2), '') IS NULL
+                       OR (scheme = 'http' AND split_part(hostport, ':', 2) = '80')
+                       OR (scheme = 'https' AND split_part(hostport, ':', 2) = '443')
+                  THEN '' ELSE ':' || split_part(hostport, ':', 2) END ||
+             CASE WHEN regexp_replace(split_part(pathq, '?', 1), '/+$', '') = ''
+                  THEN '/' ELSE regexp_replace(split_part(pathq, '?', 1), '/+$', '') END ||
+             CASE WHEN qjoin = '' THEN '' ELSE '?' || qjoin END AS canonical_url
+      FROM qp
+    ),
+    groups AS (
+      SELECT canonical_url, CAST(MIN(doc_id) AS BIGINT) AS url_keeper_id,
+             CAST(COUNT(*) AS BIGINT) AS n_url_dups
+      FROM canon GROUP BY canonical_url
+    ),
+    hosts AS (
+      SELECT host, CAST(COUNT(*) AS BIGINT) AS host_docs,
+             CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS host_unique_urls
+      FROM canon GROUP BY host
+    )
+    SELECT c.doc_id, c.host, c.canonical_url, g.url_keeper_id, g.n_url_dups,
+           c.doc_id = g.url_keeper_id AS is_url_keeper,
+           h.host_docs, h.host_unique_urls
+    FROM canon c JOIN groups g USING (canonical_url) JOIN hosts h USING (host)
+    ORDER BY doc_id
+    """,
+)
+def q183_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup + per-host crawl profile: synthesize the
+    deterministic messy URL per document, canonicalize (lowercase
+    scheme/host, default ports and fragments dropped, trailing slash
+    and tracking-param/order normalization), elect the min-doc_id
+    keeper per canonical URL, and attach the host rollup
+    (docs vs unique canonical URLs — a high ratio marks a boilerplate
+    farm). Canonicalization is a narrow codegen projection; the dedup
+    is one uniform-key shuffle; the host rollup broadcasts back. See
+    operators/web.py for the rules and the 100 TB shape."""
+    from ..operators.web import url_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_SYNTH_SPARK).alias("url")
+    )
+    return url_dedup(docs, "doc_id", "url").orderBy("doc_id")

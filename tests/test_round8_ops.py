@@ -1,0 +1,193 @@
+"""Round-8 fixes: bounded checkpoint-block lifecycle in materialize()
+(VERDICT r7 "What's wrong" #1 — 25 checkpoint-mode sites never
+unpersisted, so ~200 queries' worth of executor-storage blocks
+accumulated in the shared session until the suite exhausted memory).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _persistent_rdd_count(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+class TestCheckpointGenerationBound:
+    def test_superseded_checkpoints_are_unpersisted(self, spark):
+        """> _GENERATIONS_PER_LABEL same-label checkpoint frames: only
+        the newest N keep their blocks; the evicted ones release
+        executor storage (the round-7 leak) and fail LOUDLY on read
+        (lineage is cut — same failure mode as the parquet arm's
+        evicted dirs, never a silent wrong answer)."""
+        from redshift_avro_spark.operators import staging
+
+        label = "cp_bounded_r8"
+        before = _persistent_rdd_count(spark)
+        frames = [
+            staging.materialize(
+                spark.range(i, i + 1), label=label, default="checkpoint"
+            )
+            for i in range(staging._GENERATIONS_PER_LABEL + 5)
+        ]
+        kept = staging._LABEL_CHECKPOINTS[label]
+        assert len(kept) == staging._GENERATIONS_PER_LABEL
+        # storage growth is bounded by the cap, not the call count
+        assert (
+            _persistent_rdd_count(spark) - before
+            <= staging._GENERATIONS_PER_LABEL
+        )
+        # the full liveness window stays readable
+        assert frames[-1].collect()[0][0] == staging._GENERATIONS_PER_LABEL + 4
+        assert frames[-staging._GENERATIONS_PER_LABEL].count() == 1
+        # an evicted generation fails loudly, not silently wrong
+        with pytest.raises(Exception):
+            frames[0].collect()
+        # cleanup: release this test's own blocks
+        for f in kept:
+            staging._unpersist_checkpoint(f)
+        staging._LABEL_CHECKPOINTS.pop(label, None)
+
+    def test_unpersist_checkpoint_releases_blocks(self, spark):
+        from redshift_avro_spark.operators import staging
+
+        before = _persistent_rdd_count(spark)
+        cp = spark.range(10).localCheckpoint(eager=True)
+        assert _persistent_rdd_count(spark) == before + 1
+        staging._unpersist_checkpoint(cp)
+        assert _persistent_rdd_count(spark) == before
+
+    def test_unpersist_checkpoint_is_best_effort(self, spark):
+        """A non-checkpoint frame (no LogicalRDD at the plan root) must
+        degrade to a no-op, never raise."""
+        from redshift_avro_spark.operators.staging import _unpersist_checkpoint
+
+        _unpersist_checkpoint(spark.range(3).selectExpr("id * 2 AS v"))
+
+
+class TestUrlCanonicalization:
+    # (input, canonical) — the operator's documented rule table
+    TABLE = [
+        ("HTTP://Example.COM:80/a/", "http://example.com/a"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com:80/x", "https://example.com:80/x"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("http://example.com", "http://example.com/"),
+        (
+            "http://example.com/a?utm_source=x&b=2&a=1#frag",
+            "http://example.com/a?a=1&b=2",
+        ),
+        ("http://example.com/a?gclid=1&ref=z", "http://example.com/a"),
+        ("http://example.com/a//", "http://example.com/a"),
+        ("http://example.com/?b=2&a=1", "http://example.com/?a=1&b=2"),
+        ("http://example.com/CaseKept/Path", "http://example.com/CaseKept/Path"),
+        ("http://example.com/a#only-frag", "http://example.com/a"),
+    ]
+
+    def test_canonicalization_table(self, spark):
+        from redshift_avro_spark.operators.web import canonicalize_urls
+
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, _) in enumerate(self.TABLE)], "id INT, url STRING"
+        )
+        got = {
+            r["id"]: r["canonical_url"]
+            for r in canonicalize_urls(df, "url").collect()
+        }
+        for i, (u, want) in enumerate(self.TABLE):
+            assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+
+    def test_url_dedup_keeper_and_host_rollup(self, spark):
+        from redshift_avro_spark.operators.web import url_dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "HTTP://A.com/x?utm_source=s"),
+                (2, "http://a.COM:80/x"),
+                (3, "http://a.com/x/"),
+                (4, "http://a.com/y"),
+                (5, "https://b.com/x"),
+            ],
+            "id INT, url STRING",
+        )
+        rows = {r["id"]: r for r in url_dedup(df, "id").collect()}
+        # 1, 2, 3 canonicalize identically → keeper is min id 1
+        assert rows[1]["n_url_dups"] == 3 and rows[1]["is_url_keeper"]
+        assert rows[2]["url_keeper_id"] == 1 and not rows[2]["is_url_keeper"]
+        assert rows[3]["canonical_url"] == "http://a.com/x"
+        assert rows[4]["n_url_dups"] == 1 and rows[4]["is_url_keeper"]
+        # host rollup: a.com has 4 docs over 2 unique canonical URLs
+        assert rows[1]["host_docs"] == 4 and rows[1]["host_unique_urls"] == 2
+        assert rows[5]["host_docs"] == 1 and rows[5]["host_unique_urls"] == 1
+
+
+class TestZeroNormSeedGuard:
+    def test_zero_norm_embedding_raises_loudly(self, spark):
+        """ADVICE r7 #3: a zero-norm vector's NaN cosine must not key
+        the driver seed's band dict per-object (NaN != NaN) — it
+        raises with the offending ids, like the old per-row path."""
+        import numpy as np
+        import pytest
+
+        from redshift_avro_spark.operators.similarity import (
+            _driver_seed_oversample_np,
+        )
+
+        ids = [1, 2, 3]
+        A = np.asarray(
+            [[1.0, 0.0], [0.0, 0.0], [0.0, 1.0]], dtype=np.float64
+        )
+        with pytest.raises(ValueError, match="zero-norm"):
+            _driver_seed_oversample_np(ids, A, 2, None)
+        # non-degenerate corpora still seed fine
+        ok = _driver_seed_oversample_np(
+            [1, 2, 3],
+            np.asarray([[1.0, 0.0], [0.5, 0.5], [0.0, 1.0]]),
+            2,
+            None,
+        )
+        assert len(ok) == 2
+
+
+class TestSemanticCellsShared:
+    def test_q93_members_share_one_training(self, spark):
+        """ADVICE r7 #4: q94 and q181 (and hence the q93 composite)
+        reuse ONE trained cell assignment per (app, corpus) instead of
+        re-running seeding + Lloyd + assignment per member."""
+        from conftest import SF_SMOKE
+
+        from redshift_avro_spark.queries import similarity as qs
+
+        qs._SD_CELLS_MEMO.clear()
+        a = qs._sd_cells(spark, SF_SMOKE)
+        b = qs._sd_cells(spark, SF_SMOKE)
+        assert a is b
+        assert len(qs._SD_CELLS_MEMO) == 1
+
+
+class TestRepetitionAuditKeepsEveryDoc:
+    def test_null_text_doc_keeps_row(self, spark):
+        """ADVICE r7 #2: a NULL-text document must surface with
+        n_words = 0 and NULL shares, exactly like sibling
+        bigram_lm_scores keeps it with a NULL score — not vanish
+        through inner joins and then from the whole q78 profile."""
+        from redshift_avro_spark.operators.text import repetition_audit
+
+        df = spark.createDataFrame(
+            [(1, "a a a b"), (2, None), (3, "x")],
+            "doc_id INT, text STRING",
+        )
+        rows = {r["doc_id"]: r for r in repetition_audit(df).collect()}
+        assert set(rows) == {1, 2, 3}
+        assert rows[2]["n_words"] == 0
+        assert rows[2]["top_word_share_ppm"] is None
+        assert rows[2]["n_bigrams"] == 0
+        assert rows[2]["top2gram_share_ppm"] is None
+        assert rows[2]["max_word_run"] == 0
+        # untouched semantics for docs WITH tokens
+        assert rows[1]["n_words"] == 4
+        assert rows[1]["top_word_share_ppm"] == 750000
+        assert rows[1]["max_word_run"] == 3
+        assert rows[3]["n_words"] == 1
+        assert rows[3]["n_bigrams"] == 0
+        assert rows[3]["top2gram_share_ppm"] is None

@@ -98,7 +98,7 @@ EXTENDED: dict[str, float] = {
     "q182_repetition_audit": 1.1,  # calibrated from best-of-3 0.80 s
 }
 
-_DETAIL_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r07.json")
+_DETAIL_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r08.json")
 
 
 def _best_of_3(fn) -> tuple[float, float, list]:
@@ -114,6 +114,26 @@ def _best_of_3(fn) -> tuple[float, float, list]:
     )
 
 
+# Host-noise sentinel (VERDICT r7 task #3): a FIXED pure-JVM
+# microbenchmark — whole-stage-codegen sum over spark.range, no I/O,
+# no Python, no shuffle — timed best-of-3 before and after the query
+# runs. Its cost depends only on CPU availability, so cross-round
+# drift in the sentinel separates host noise from code regressions
+# mechanically: a round whose headline moved 1.2x while the sentinel
+# also moved 1.2x is a noisy host, not a regression. Quiet-host
+# reference (local[32], this box): ~0.35 s best-of-3.
+_SENTINEL_ROWS = 500_000_000
+
+
+def _sentinel(spark) -> dict:
+    best, mean, rng = _best_of_3(
+        lambda: spark.range(_SENTINEL_ROWS)
+        .selectExpr("sum(id * 2 + 1) AS s")
+        .collect()
+    )
+    return {"best": best, "mean": mean, "range": rng, "rows": _SENTINEL_ROWS}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -126,6 +146,8 @@ def main() -> None:
     # before anything is timed
     registry["q02_parts_filter"].fn(spark, sf_dir).count()
     registry["q20_avro_roundtrip"].fn(spark, "/root/testdata/sf0.001").count()
+
+    sentinel_before = _sentinel(spark)
 
     # best-of-3 per query: later runs reuse warmed code paths, and
     # min() is robust to transient host noise (measured run-to-run
@@ -163,10 +185,14 @@ def main() -> None:
     # stdout carries only the short driver-spec line, printed LAST so it
     # is always in the tail. Budget violations ALSO go to stderr so a
     # human (or CI grep) can't miss them.
+    sentinel_after = _sentinel(spark)
+
     detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "sentinel_before": sentinel_before,
+        "sentinel_after": sentinel_after,
         "queries": timings,
         "queries_mean": means,
         "queries_range": ranges,

@@ -42,6 +42,7 @@ __all__ = [
     "semantic_dedup_cell_stats",
     "DEFAULT_CELL_CAP",
     "quantize_embeddings",
+    "embedding_decontaminate",
     "pq_adc_topk",
     "hard_negatives",
 ]
@@ -1239,6 +1240,66 @@ def semantic_dedup_cell_stats(
             "n_refined",
             (F.col("n_cell") > cell_cap).alias("was_split"),
             (F.col("n_refined") <= cell_cap).alias("participates"),
+        )
+    )
+
+
+def embedding_decontaminate(
+    df: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "pvec",
+    threshold: float = 0.28,
+    dim: int | None = 64,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic-leakage
+    check that n-gram decontamination (q65/q69) misses: a training
+    document paraphrasing a benchmark item shares no long exact gram
+    but sits next to it in embedding space. Flags every corpus vector
+    whose cosine to ANY probe (benchmark embedding) reaches
+    ``threshold``; per vector the hit count, the best-matching probe
+    (ties by min probe id) and its cosine.
+
+    Returns ``(id, n_probe_hits, top_probe_id, top_probe_cos,
+    is_contaminated)`` for EVERY corpus vector (vectors with no scored
+    probe partner — possible only when the probe set is a subset of
+    the corpus and the vector is the sole probe — carry 0/NULL/NULL/
+    false). Self-pairs (probe drawn from the corpus scoring itself)
+    are excluded.
+
+    Scale shape (100 TB): the probe set is benchmark-sized (thousands)
+    → broadcast, exactly like q174's audit anchors; the scan is a
+    map-only broadcast nested loop over the corpus with the Arrow
+    numpy cosine kernel (bit-identical to the SQL fold the oracle
+    replays), then ONE aggregation keyed on the corpus id — uniform,
+    map-side combining. No corpus shuffle, no quadratic term: cost is
+    corpus × |probes|, the same contract as brute-force scoring
+    against a fixed query set."""
+    c = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    p = probes.select(
+        F.col(probe_id_col).alias("__pid"), F.col(probe_vec_col).alias("__pv")
+    )
+    scored = (
+        c.join(F.broadcast(p), F.col("__id") != F.col("__pid"))
+        .withColumn("__cos", cosine_expr("__v", "__pv", dim))
+    )
+    agg = scored.groupBy("__id").agg(
+        F.sum(F.when(F.col("__cos") >= threshold, 1).otherwise(0))
+        .cast("long")
+        .alias("n_probe_hits"),
+        F.max(F.struct(F.col("__cos"), (-F.col("__pid")).alias("__np"))).alias("__t"),
+    )
+    return (
+        c.select("__id")
+        .join(agg, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_probe_hits", F.lit(0).cast("long")).alias("n_probe_hits"),
+            (-F.col("__t.__np")).cast("long").alias("top_probe_id"),
+            F.col("__t.__cos").alias("top_probe_cos"),
+            (F.coalesce("n_probe_hits", F.lit(0)) > 0).alias("is_contaminated"),
         )
     )
 

@@ -1422,13 +1422,15 @@ def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q155_cluster_cards",
         "q174_quant_cosine_drift",
         "q181_semantic_cell_stats",
+        "q184_embedding_decontam",
     ),
     oracle=f"""
     SELECT q.*, s.cid, s.component_id, s.n_dups, s.is_keeper, p.pc1,
            cc.n_vectors AS cluster_n, cc.top_label, cc.purity_ppm,
            g.n_cell, g.cell_sub_cells, g.cell_dropped, g.was_split,
            j.jl_pairs, j.jl_l2q_sum, j.jl_min_distortion, j.jl_max_distortion,
-           d.qd_dot8, d.qd_cos8_ppm, d.qd_cosq_ppm, d.qd_drift_ppm
+           d.qd_dot8, d.qd_cos8_ppm, d.qd_cosq_ppm, d.qd_drift_ppm,
+           dc.n_probe_hits, dc.top_probe_id, dc.top_probe_cos, dc.is_contaminated
     FROM {_sub('q64_embedding_quantize')} q
     JOIN {_sub('q94_semantic_dedup')} s USING (vec_id)
     JOIN {_sub('q115_pca_projection')} p USING (vec_id)
@@ -1456,6 +1458,7 @@ def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              cosq_ppm AS qd_cosq_ppm, drift_ppm AS qd_drift_ppm
       FROM {_sub('q174_quant_cosine_drift')}
     ) d USING (vec_id)
+    JOIN {_sub('q184_embedding_decontam')} dc USING (vec_id)
     ORDER BY vec_id
     """,
 )
@@ -1471,8 +1474,10 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic-dedup, dimensionality-analysis and cluster-profiling
     passes a 100 TB embedding store runs before ANN indexing, in one
     driver-verified result — plus the q174 quantized-cosine drift ppm
-    for the 32-pair audit sliver (null outside it) and the vector's
-    hot-cell-guard accounting row (q181; r7)."""
+    for the 32-pair audit sliver (null outside it), the vector's
+    hot-cell-guard accounting row (q181; r7), and its embedding-space
+    decontamination verdict against the broadcast benchmark probes
+    (q184 — the semantic-leakage check n-gram decontam misses; r8)."""
     q = _run("q64_embedding_quantize", spark, sf_dir)
     s = _run("q94_semantic_dedup", spark, sf_dir)
     p = _run("q115_pca_projection", spark, sf_dir)
@@ -1513,6 +1518,7 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosq_ppm").alias("qd_cosq_ppm"),
         F.col("drift_ppm").alias("qd_drift_ppm"),
     )
+    dc = _run("q184_embedding_decontam", spark, sf_dir)
     return (
         q.join(s, "vec_id")
         .join(p, "vec_id")
@@ -1520,12 +1526,14 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(g, "cid")
         .join(j, "vec_id", "left")
         .join(d, "vec_id", "left")
+        .join(dc, "vec_id")
         .select(
             *q.columns, "cid", "component_id", "n_dups", "is_keeper", "pc1",
             "cluster_n", "top_label", "purity_ppm",
             "n_cell", "cell_sub_cells", "cell_dropped", "was_split",
             "jl_pairs", "jl_l2q_sum", "jl_min_distortion", "jl_max_distortion",
             "qd_dot8", "qd_cos8_ppm", "qd_cosq_ppm", "qd_drift_ppm",
+            "n_probe_hits", "top_probe_id", "top_probe_cos", "is_contaminated",
         )
         .orderBy("vec_id")
     )

@@ -1539,3 +1539,66 @@ def q179_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, deleted, queries, "vec_id", "embedding",
         k=5, n_centroids=8, n_probe=2, lloyd_iters=2, dim=64,
     ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------- q184
+# Embedding-space benchmark decontamination (round 8, VERDICT r7 task
+# #5) — the semantic-leakage complement to q65/q69's n-gram arm: a
+# training item paraphrasing a benchmark question shares no long exact
+# gram but sits next to it in embedding space. Probes are the q65
+# benchmark-slice convention (vec_id % 97 = 0) so the check runs on
+# the stock testdata; at production scale the probe frame is the
+# benchmark suite's embeddings, broadcast exactly the same way.
+
+_DECON_TAU = 0.28  # ~p99 of the probe-cosine distribution in testdata
+
+
+@register(
+    "q184_embedding_decontam",
+    oracle=f"""
+    WITH p AS (SELECT vec_id AS pid, embedding AS pvec FROM embeddings
+               WHERE vec_id % 97 = 0),
+    scored AS (
+      SELECT e.vec_id, p.pid,
+             (list_aggregate(list_transform(list_zip(e.embedding, p.pvec),
+                z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum'))
+             / (sqrt(list_aggregate(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+              * sqrt(list_aggregate(list_transform(p.pvec,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS c
+      FROM embeddings e JOIN p ON e.vec_id <> p.pid
+    ),
+    ranked AS (
+      SELECT vec_id, pid, c,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, pid) AS rn,
+             CAST(SUM(CASE WHEN c >= {_DECON_TAU} THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY vec_id) AS BIGINT) AS n_probe_hits
+      FROM scored
+    )
+    SELECT e.vec_id,
+           COALESCE(r.n_probe_hits, 0) AS n_probe_hits,
+           r.pid AS top_probe_id,
+           r.c AS top_probe_cos,
+           COALESCE(r.n_probe_hits, 0) > 0 AS is_contaminated
+    FROM embeddings e
+    LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (vec_id)
+    ORDER BY vec_id
+    """,
+)
+def q184_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training vectors semantically too close to a benchmark
+    probe: every corpus embedding scores against the broadcast probe
+    set with the shared left-fold cosine (Arrow numpy kernel ≡ SQL
+    fold, bit-identical), hits at cosine ≥ 0.28 count per vector, and
+    the best probe (ties by min probe id) is attached. Map-only
+    broadcast scan + one uniform-key aggregation — the q174-anchor
+    shape. See operators/similarity.py::embedding_decontaminate."""
+    from ..operators.similarity import embedding_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    )
+    return embedding_decontaminate(
+        emb, probes, "vec_id", "embedding", threshold=_DECON_TAU, dim=64
+    ).orderBy("vec_id")

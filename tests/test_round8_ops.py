@@ -165,6 +165,68 @@ class TestSemanticCellsShared:
         assert len(qs._SD_CELLS_MEMO) == 1
 
 
+class TestEmbeddingDecontaminate:
+    def test_planted_leak_is_flagged(self, spark):
+        """A corpus vector equal to a benchmark probe (or a scaled
+        copy — cosine is scale-invariant) must be flagged; an
+        orthogonal vector must not."""
+        from redshift_avro_spark.operators.similarity import (
+            embedding_decontaminate,
+        )
+
+        probes = spark.createDataFrame(
+            [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+            "probe_id BIGINT, pvec ARRAY<DOUBLE>",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0, 0.0]),      # exact leak of probe 100
+                (2, [0.5, 0.0, 0.0]),      # scaled copy — same cosine
+                (3, [0.0, 0.0, 1.0]),      # orthogonal to both
+                (4, [0.7, 0.7, 0.0]),      # near both (cos ~0.707)
+            ],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        )
+        rows = {
+            r["vec_id"]: r
+            for r in embedding_decontaminate(
+                corpus, probes, threshold=0.9, dim=3
+            ).collect()
+        }
+        assert rows[1]["is_contaminated"] and rows[1]["top_probe_id"] == 100
+        assert rows[1]["top_probe_cos"] == 1.0
+        assert rows[2]["is_contaminated"] and rows[2]["n_probe_hits"] == 1
+        assert not rows[3]["is_contaminated"] and rows[3]["n_probe_hits"] == 0
+        assert not rows[4]["is_contaminated"]  # 0.707 < 0.9
+        assert rows[4]["n_probe_hits"] == 0
+
+    def test_self_pair_excluded_and_tie_break(self, spark):
+        """A probe drawn from the corpus must not contaminate itself,
+        and equal-cosine ties pick the min probe id."""
+        from redshift_avro_spark.operators.similarity import (
+            embedding_decontaminate,
+        )
+
+        probes = spark.createDataFrame(
+            [(7, [1.0, 0.0]), (9, [1.0, 0.0])],
+            "probe_id BIGINT, pvec ARRAY<DOUBLE>",
+        )
+        corpus = spark.createDataFrame(
+            [(7, [1.0, 0.0]), (8, [0.0, 1.0])],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        )
+        rows = {
+            r["vec_id"]: r
+            for r in embedding_decontaminate(
+                corpus, probes, threshold=0.9, dim=2
+            ).collect()
+        }
+        # vec 7 scores only against probe 9 (self-pair with 7 excluded)
+        assert rows[7]["n_probe_hits"] == 1 and rows[7]["top_probe_id"] == 9
+        # vec 8 ties 0.0 against both probes → min probe id 7 wins
+        assert rows[8]["top_probe_id"] == 7 and not rows[8]["is_contaminated"]
+
+
 class TestRepetitionAuditKeepsEveryDoc:
     def test_null_text_doc_keeps_row(self, spark):
         """ADVICE r7 #2: a NULL-text document must surface with

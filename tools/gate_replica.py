@@ -54,8 +54,11 @@ def main() -> None:
     spark = get_spark(app_name="gate-replica")
     spark.sparkContext.setLogLevel("ERROR")
     # bounded oracle connection (defaults are 80%-of-RAM / 32 threads;
-    # see tests/test_queries_oracle.py:_duck for the round-7 exhaustion)
-    con = duckdb.connect(config={"memory_limit": "8GB", "threads": 8})
+    # see tests/test_queries_oracle.py:_duck for the round-7
+    # exhaustion). 32 GiB: the ONE shared replica connection must fit
+    # the heaviest composite oracle — q93 embeds q115's recursive
+    # power-iteration CTE, which OOMs under 8 GiB at sf0.01.
+    con = duckdb.connect(config={"memory_limit": "32GB", "threads": 8})
     for t in ALL_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 

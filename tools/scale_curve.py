@@ -56,6 +56,11 @@ QUERIES = [
     "q114_bpe_encode",
     "q163_source_overlap",
     "q170_signal_blend",
+    # round 8 (VERDICT r7 task #8): the round-7 corpus-token-scale
+    # text families + the round-8 URL dedup
+    "q180_bigram_lm_score",
+    "q182_repetition_audit",
+    "q183_url_dedup",
 ]
 
 # ANN families measured against a 10× EMBEDDINGS table: ten replicas,

@@ -96,6 +96,9 @@ EXTENDED: dict[str, float] = {
     "q180_bigram_lm_score": 1.6,  # calibrated from best-of-3 1.23 s
     "q181_semantic_cell_stats": 1.9,  # calibrated from best-of-3 1.50 s
     "q182_repetition_audit": 1.1,  # calibrated from best-of-3 0.80 s
+    # round 8 additions
+    "q183_url_dedup": 1.5,  # calibrated from best-of-3 1.07 s
+    "q184_embedding_decontam": 0.5,  # calibrated from best-of-3 0.30 s
 }
 
 _DETAIL_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r08.json")

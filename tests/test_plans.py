@@ -343,3 +343,37 @@ def test_semantic_dedup_guard_joins_are_broadcast(spark, monkeypatch):
         "cell-size and refined-size joins must broadcast"
     )
     assert "SortMergeJoin" not in plan
+
+
+def test_url_dedup_host_rollup_broadcasts(spark, monkeypatch):
+    # q183 (round 8): the host rollup (hosts-sized) must ride the
+    # explicit broadcast back onto the per-doc frame, and the dedup
+    # runs on the canonical-URL key — inspect with the staging cut
+    # disabled so the whole shape is in one plan
+    from redshift_avro_spark.plans import explain_str, shuffle_count
+
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "none")
+    df = REGISTRY["q183_url_dedup"].fn(spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, "host rollup must broadcast"
+    # canonical-URL groups + host rollup + canonical join + order:
+    # bounded, no corpus-squared term anywhere
+    assert shuffle_count(df) <= 7
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_decontam_probes_broadcast_no_corpus_shuffle(spark):
+    # q184 (round 8): the probe set must broadcast (map-only scan of
+    # the corpus); the only exchanges are the per-vector aggregation
+    # and the output sort — the corpus never shuffles for scoring
+    from redshift_avro_spark.plans import explain_str, shuffle_count
+
+    df = REGISTRY["q184_embedding_decontam"].fn(spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan, "probe side must broadcast"
+    # the scoring path itself never sort-merges; the single allowed
+    # SMJ is the narrow id-only left join that keeps partnerless
+    # vectors (8-byte keys, dominated by the scoring scan)
+    assert plan.count("SortMergeJoin") <= 1
+    assert shuffle_count(df) <= 3
+    assert "CartesianProduct" not in plan

@@ -104,6 +104,9 @@ EXTENDED: dict[str, float] = {
     # round 8 additions
     "q183_url_dedup": 1.5,  # calibrated from best-of-3 1.07 s
     "q184_embedding_decontam": 0.5,  # calibrated from best-of-3 0.30 s
+    # warm best-of-3 0.46 s; the first run additionally pays the
+    # shared _sd_cells training, amortized across the process
+    "q185_ivf_decontam": 0.8,
 }
 
 _DETAIL_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r08.json")

@@ -43,6 +43,7 @@ __all__ = [
     "DEFAULT_CELL_CAP",
     "quantize_embeddings",
     "embedding_decontaminate",
+    "ivf_decontaminate",
     "pq_adc_topk",
     "hard_negatives",
 ]
@@ -410,26 +411,15 @@ def _assign_nearest(
     return c.select(id_, vec, *carry, _nearest(F.col(vec)).alias("cid"))
 
 
-def _ivf_query(
-    assign: DataFrame,
-    q: DataFrame,
-    centers: list,
-    n_probe: int,
-    k: int,
-    carry: tuple = (),
-) -> DataFrame:
-    """The IVF query tail shared by :func:`ivf_topk` and
-    :func:`ivf_add_topk`: probe the ``n_probe`` nearest centroid lists
-    per query (map-only Arrow kernel ranking the literal centers by
-    (cosine DESC, cid ASC) per row), exact cosine re-rank via a
-    broadcast join on cid, per-query top-``k``. ``carry`` names extra
-    assignment columns surfaced in the output. The corpus side never
-    shuffles: assignment is a projection and the probe join is
-    broadcast."""
+def _nearest_cells_udf(centers: list, n_probe: int):
+    """Arrow kernel ranking the LITERAL centroid set per row by
+    (cosine DESC, cid ASC) and returning the top-``n_probe`` cids —
+    the probe-side half of every IVF consumer (:func:`_ivf_query`,
+    :func:`ivf_decontaminate`). Map-only: the corpus never shuffles
+    for probing."""
     import numpy as np
     import pandas as pd
 
-    dim = len(centers[0][1])
     cents = _center_arrays(centers)
 
     @F.pandas_udf("array<long>")
@@ -450,8 +440,30 @@ def _ivf_query(
             out.append([cids[j] for j in order[:n_probe]])
         return pd.Series(out)
 
+    return _probe
+
+
+def _ivf_query(
+    assign: DataFrame,
+    q: DataFrame,
+    centers: list,
+    n_probe: int,
+    k: int,
+    carry: tuple = (),
+) -> DataFrame:
+    """The IVF query tail shared by :func:`ivf_topk` and
+    :func:`ivf_add_topk`: probe the ``n_probe`` nearest centroid lists
+    per query (map-only Arrow kernel ranking the literal centers by
+    (cosine DESC, cid ASC) per row), exact cosine re-rank via a
+    broadcast join on cid, per-query top-``k``. ``carry`` names extra
+    assignment columns surfaced in the output. The corpus side never
+    shuffles: assignment is a projection and the probe join is
+    broadcast."""
+    dim = len(centers[0][1])
     probes = q.select(
-        "query_id", "qvec", F.explode(_probe(F.col("qvec"))).alias("cid")
+        "query_id",
+        "qvec",
+        F.explode(_nearest_cells_udf(centers, n_probe)(F.col("qvec"))).alias("cid"),
     )
     scored = (
         assign.join(F.broadcast(probes), "cid")
@@ -1101,13 +1113,15 @@ def _semantic_cells(
     split_planes: int,
 ) -> tuple:
     """Shared front half of :func:`semantic_dedup` /
-    :func:`semantic_dedup_cell_stats`: k-means assignment plus the
-    hot-cell refinement. Returns ``(assign, refined)`` where ``assign``
-    is (neighbor_id, cvec, cid) with the lineage cut (it feeds the
-    size histogram, the pair join, and the final labeling) and
-    ``refined`` adds ``__cn`` (cell size), ``rkey`` (the pair-join
-    key: cid·2^p, plus LSH sign bits when the cell is over the cap)
-    and ``__rn`` (refined-cell size)."""
+    :func:`semantic_dedup_cell_stats` / :func:`ivf_decontaminate`:
+    k-means assignment plus the hot-cell refinement. Returns
+    ``(assign, refined, centers)`` where ``assign`` is (neighbor_id,
+    cvec, cid) with the lineage cut (it feeds the size histogram, the
+    pair join, and the final labeling), ``refined`` adds ``__cn``
+    (cell size), ``rkey`` (the pair-join key: cid·2^p, plus LSH sign
+    bits when the cell is over the cap) and ``__rn`` (refined-cell
+    size), and ``centers`` is the trained driver-side centroid list
+    (broadcast-sized) for consumers that rank cells per probe."""
     from .staging import materialize
 
     c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
@@ -1127,7 +1141,7 @@ def _semantic_cells(
         ).otherwise(F.col("cid") * mult),
     )
     rsizes = refined.groupBy("rkey").agg(F.count("*").alias("__rn"))
-    return assign, refined.join(F.broadcast(rsizes), "rkey")
+    return assign, refined.join(F.broadcast(rsizes), "rkey"), centers
 
 
 def semantic_dedup(
@@ -1177,9 +1191,9 @@ def semantic_dedup(
     # re-running seeding + Lloyd + assignment per consumer (ADVICE
     # r7 #4) — the trajectory is deterministic, so sharing is purely
     # a cost optimization, never a value change.
-    assign, refined = cells if cells is not None else _semantic_cells(
+    assign, refined = (cells if cells is not None else _semantic_cells(
         df, id_col, vec_col, n_centroids, lloyd_iters, dim, cell_cap, split_planes
-    )
+    ))[:2]
     live = refined.where(F.col("__rn") <= cell_cap).select(
         "neighbor_id", "cvec", "rkey"
     )
@@ -1227,9 +1241,9 @@ def semantic_dedup_cell_stats(
     way the LSH path watches dropped bands: a persistent dropped cell
     means n_centroids (or the cap) needs raising, or exact dedup
     should run first."""
-    _, refined = cells if cells is not None else _semantic_cells(
+    refined = (cells if cells is not None else _semantic_cells(
         df, id_col, vec_col, n_centroids, lloyd_iters, dim, cell_cap, split_planes
-    )
+    ))[1]
     return (
         refined.groupBy("cid", "rkey")
         .agg(F.max("__cn").alias("n_cell"), F.max("__rn").alias("n_refined"))
@@ -1300,6 +1314,94 @@ def embedding_decontaminate(
             (-F.col("__t.__np")).cast("long").alias("top_probe_id"),
             F.col("__t.__cos").alias("top_probe_cos"),
             (F.coalesce("n_probe_hits", F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )
+
+
+def ivf_decontaminate(
+    df: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "pvec",
+    threshold: float = 0.28,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    lloyd_iters: int = 2,
+    dim: int = 64,
+    cells: tuple | None = None,
+) -> DataFrame:
+    """IVF-pruned embedding decontamination — the scale path next to
+    :func:`embedding_decontaminate`'s brute scan: at 100 TB the exact
+    pass costs |corpus|·|probes| cosines (10¹³ at 10⁹ docs × 10⁴
+    benchmark items), while this variant scores a corpus vector only
+    against probes whose ``n_probe`` nearest k-means cells include the
+    vector's cell — the q45 IVF contract applied to decontamination.
+    Recall is approximate BY DESIGN (a leak sitting across a cell
+    boundary from its probe can be missed); run both on a sample and
+    compare (the q93 composite joins this verdict with the exact one,
+    so the missed set is a column diff), and raise ``n_probe`` /
+    retrain k to close the gap — the same knobs as ANN search.
+
+    Returns ``(id, ivf_probe_hits, ivf_top_probe_id, ivf_top_probe_cos,
+    ivf_contaminated)`` for EVERY corpus vector (vectors whose cell no
+    probe reaches carry 0/NULL/NULL/false). Self-pairs excluded; best
+    probe ties break to the min probe id, exactly like the brute pass.
+
+    Scale shape: training + corpus assignment come from the SHARED
+    :func:`_semantic_cells` pass when ``cells`` is given (the q93
+    composite trains ONCE for dedup + stats + this), probes rank the
+    broadcast centroid list in a map-only Arrow kernel, and the
+    candidate join is corpus-assignment ⨝ broadcast probe-cells on
+    cid — the corpus never shuffles for scoring; the per-vector
+    aggregation is the only corpus-keyed exchange."""
+    c = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    if cells is not None:
+        assign, _, centers = cells
+    else:
+        centers = ivf_train_centers(df, id_col, vec_col, n_centroids, lloyd_iters, dim)
+        assign = _assign_nearest(
+            df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
+            centers,
+        )
+    p = probes.select(
+        F.col(probe_id_col).alias("__pid"), F.col(probe_vec_col).alias("__pv")
+    )
+    probe_cells = p.select(
+        "__pid",
+        "__pv",
+        F.explode(_nearest_cells_udf(centers, n_probe)(F.col("__pv"))).alias("cid"),
+    )
+    # a corpus vector lives in exactly ONE cell and the probe's cell
+    # list is distinct, so each (vector, probe) candidate appears at
+    # most once — no pair dedup needed
+    scored = (
+        assign.join(F.broadcast(probe_cells), "cid")
+        .where(F.col("neighbor_id") != F.col("__pid"))
+        .select(
+            F.col("neighbor_id").alias("__id"),
+            "__pid",
+            cosine_expr("cvec", "__pv", dim).alias("__cos"),
+        )
+    )
+    agg = scored.groupBy("__id").agg(
+        F.sum(F.when(F.col("__cos") >= threshold, 1).otherwise(0))
+        .cast("long")
+        .alias("ivf_probe_hits"),
+        F.max(F.struct(F.col("__cos"), (-F.col("__pid")).alias("__np"))).alias("__t"),
+    )
+    return (
+        c.select("__id")
+        .join(agg, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("ivf_probe_hits", F.lit(0).cast("long")).alias(
+                "ivf_probe_hits"
+            ),
+            (-F.col("__t.__np")).cast("long").alias("ivf_top_probe_id"),
+            F.col("__t.__cos").alias("ivf_top_probe_cos"),
+            (F.coalesce("ivf_probe_hits", F.lit(0)) > 0).alias("ivf_contaminated"),
         )
     )
 

@@ -2,7 +2,7 @@
 
 The driver correctness gate verifies at most 50 declared entries
 (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted registry
-names), but the registry carries 178 operator demonstrations. Rather
+names), but the registry carries 179 operator demonstrations. Rather
 than drop any, each composite here JOINS or UNIONS the results of
 2–8 member queries into one DataFrame with one combined oracle, so
 the declared surface (``queries/__init__.py::gated_names``) collapses
@@ -14,7 +14,7 @@ Spark side calls the registered member ``fn`` s and composes their
 DataFrames; the oracle wraps the member oracle SQL as subqueries —
 so there is exactly one copy of every operator formula and the
 members' standalone oracle checks (tests/test_queries_oracle.py, all
-178 still registered) keep guarding it. A composite can only pass if
+179 still registered) keep guarding it. A composite can only pass if
 each member matches, plus the join/union alignment itself.
 
 Scale note: composing is joins on the members' natural keys (doc_id /
@@ -1423,6 +1423,7 @@ def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q174_quant_cosine_drift",
         "q181_semantic_cell_stats",
         "q184_embedding_decontam",
+        "q185_ivf_decontam",
     ),
     oracle=f"""
     SELECT q.*, s.cid, s.component_id, s.n_dups, s.is_keeper, p.pc1,
@@ -1430,7 +1431,9 @@ def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            g.n_cell, g.cell_sub_cells, g.cell_dropped, g.was_split,
            j.jl_pairs, j.jl_l2q_sum, j.jl_min_distortion, j.jl_max_distortion,
            d.qd_dot8, d.qd_cos8_ppm, d.qd_cosq_ppm, d.qd_drift_ppm,
-           dc.n_probe_hits, dc.top_probe_id, dc.top_probe_cos, dc.is_contaminated
+           dc.n_probe_hits, dc.top_probe_id, dc.top_probe_cos, dc.is_contaminated,
+           iv.ivf_probe_hits, iv.ivf_contaminated,
+           (dc.is_contaminated AND NOT iv.ivf_contaminated) AS decon_missed_by_ivf
     FROM {_sub('q64_embedding_quantize')} q
     JOIN {_sub('q94_semantic_dedup')} s USING (vec_id)
     JOIN {_sub('q115_pca_projection')} p USING (vec_id)
@@ -1459,6 +1462,8 @@ def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM {_sub('q174_quant_cosine_drift')}
     ) d USING (vec_id)
     JOIN {_sub('q184_embedding_decontam')} dc USING (vec_id)
+    JOIN (SELECT vec_id, ivf_probe_hits, ivf_contaminated
+          FROM {_sub('q185_ivf_decontam')}) iv USING (vec_id)
     ORDER BY vec_id
     """,
 )
@@ -1476,8 +1481,10 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-verified result — plus the q174 quantized-cosine drift ppm
     for the 32-pair audit sliver (null outside it), the vector's
     hot-cell-guard accounting row (q181; r7), and its embedding-space
-    decontamination verdict against the broadcast benchmark probes
-    (q184 — the semantic-leakage check n-gram decontam misses; r8)."""
+    decontamination verdicts against the broadcast benchmark probes —
+    the exact brute arm (q184) AND the IVF-pruned scale arm (q185),
+    with the missed-leak diff as a first-class column (r8); both arms
+    and the dedup/stats members share ONE trained cell assignment."""
     q = _run("q64_embedding_quantize", spark, sf_dir)
     s = _run("q94_semantic_dedup", spark, sf_dir)
     p = _run("q115_pca_projection", spark, sf_dir)
@@ -1519,6 +1526,9 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("drift_ppm").alias("qd_drift_ppm"),
     )
     dc = _run("q184_embedding_decontam", spark, sf_dir)
+    iv = _run("q185_ivf_decontam", spark, sf_dir).select(
+        "vec_id", "ivf_probe_hits", "ivf_contaminated"
+    )
     return (
         q.join(s, "vec_id")
         .join(p, "vec_id")
@@ -1527,6 +1537,7 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(j, "vec_id", "left")
         .join(d, "vec_id", "left")
         .join(dc, "vec_id")
+        .join(iv, "vec_id")
         .select(
             *q.columns, "cid", "component_id", "n_dups", "is_keeper", "pc1",
             "cluster_n", "top_label", "purity_ppm",
@@ -1534,6 +1545,10 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jl_pairs", "jl_l2q_sum", "jl_min_distortion", "jl_max_distortion",
             "qd_dot8", "qd_cos8_ppm", "qd_cosq_ppm", "qd_drift_ppm",
             "n_probe_hits", "top_probe_id", "top_probe_cos", "is_contaminated",
+            "ivf_probe_hits", "ivf_contaminated",
+            (F.col("is_contaminated") & ~F.col("ivf_contaminated")).alias(
+                "decon_missed_by_ivf"
+            ),
         )
         .orderBy("vec_id")
     )

@@ -1602,3 +1602,84 @@ def q184_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_decontaminate(
         emb, probes, "vec_id", "embedding", threshold=_DECON_TAU, dim=64
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------- q185
+# IVF-pruned decontamination — the 100 TB scale path next to q184's
+# brute probe scan (|corpus|·|probes| cosines): score a corpus vector
+# only against probes whose n_probe=2 nearest k-means cells include
+# the vector's cell. Shares the q94/q181 trained cells via _sd_cells
+# (the q93 composite trains ONCE for dedup + stats + both decontam
+# arms); recall is approximate by design and the composite's join
+# with q184's exact verdict makes the missed set a column diff.
+
+_IVF_DECON_COS = (
+    "(list_aggregate(list_transform(list_zip(a.cvec, p.pvec),"
+    " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum'))"
+    " / (sqrt(list_aggregate(list_transform(a.cvec,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    " * sqrt(list_aggregate(list_transform(p.pvec,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
+)
+
+
+@register(
+    "q185_ivf_decontam",
+    oracle=f"""
+    WITH {_CENTS_CTE},
+    sd_assign AS MATERIALIZED (
+      SELECT neighbor_id, cvec, cid FROM (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS cvec, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_cent_cos('e.embedding')} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN {_FINAL_CENTS} c
+      ) WHERE rn = 1
+    ),
+    pc AS (
+      SELECT pid, pvec, cid FROM (
+        SELECT e.vec_id AS pid, e.embedding AS pvec, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_cent_cos('e.embedding')} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN {_FINAL_CENTS} c
+        WHERE e.vec_id % 97 = 0
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT a.neighbor_id AS vec_id, p.pid, {_IVF_DECON_COS} AS c
+      FROM sd_assign a JOIN pc p USING (cid)
+      WHERE a.neighbor_id <> p.pid
+    ),
+    ranked AS (
+      SELECT vec_id, pid, c,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, pid) AS rn,
+             CAST(SUM(CASE WHEN c >= {_DECON_TAU} THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY vec_id) AS BIGINT) AS ivf_probe_hits
+      FROM scored
+    )
+    SELECT e.vec_id,
+           COALESCE(r.ivf_probe_hits, 0) AS ivf_probe_hits,
+           r.pid AS ivf_top_probe_id,
+           r.c AS ivf_top_probe_cos,
+           COALESCE(r.ivf_probe_hits, 0) > 0 AS ivf_contaminated
+    FROM embeddings e
+    LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (vec_id)
+    ORDER BY vec_id
+    """,
+)
+def q185_ivf_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-pruned decontamination over the shared q94 k-means cells:
+    probes rank the broadcast centroid list (top-2 cells each, the q45
+    probe kernel), candidates are the corpus-assignment ⨝ broadcast
+    probe-cells join on cid, and hits at the q184 threshold aggregate
+    per vector. The oracle replays the full trajectory — seeding,
+    Lloyd, both assignments, the pruned scoring — so the approximate
+    verdict is value-pinned, missed-leak behavior included. See
+    operators/similarity.py::ivf_decontaminate."""
+    from ..operators.similarity import ivf_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    )
+    return ivf_decontaminate(
+        emb, probes, "vec_id", "embedding", threshold=_DECON_TAU,
+        n_probe=2, dim=64, cells=_sd_cells(spark, sf_dir),
+    ).orderBy("vec_id")

@@ -337,7 +337,7 @@ def test_semantic_dedup_guard_joins_are_broadcast(spark, monkeypatch):
 
     monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "none")
     emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
-    _, refined = _semantic_cells(emb, "vec_id", "embedding", 2, 1, 64, 4096, 4)
+    refined = _semantic_cells(emb, "vec_id", "embedding", 2, 1, 64, 4096, 4)[1]
     plan = explain_str(refined, "simple")
     assert plan.count("BroadcastHashJoin") >= 2, (
         "cell-size and refined-size joins must broadcast"
@@ -375,5 +375,19 @@ def test_embedding_decontam_probes_broadcast_no_corpus_shuffle(spark):
     # SMJ is the narrow id-only left join that keeps partnerless
     # vectors (8-byte keys, dominated by the scoring scan)
     assert plan.count("SortMergeJoin") <= 1
+    assert shuffle_count(df) <= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_decontam_probe_cells_broadcast(spark):
+    # q185 (round 8): the probe-cells frame (|probes|·n_probe rows)
+    # must ride a broadcast onto the corpus assignment — the corpus
+    # never shuffles for the pruned scoring
+    from redshift_avro_spark.plans import explain_str, shuffle_count
+
+    df = REGISTRY["q185_ivf_decontam"].fn(spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, "probe-cells join must broadcast"
+    assert plan.count("SortMergeJoin") <= 1  # the id-only keep-all left join
     assert shuffle_count(df) <= 3
     assert "CartesianProduct" not in plan

@@ -227,6 +227,79 @@ class TestEmbeddingDecontaminate:
         assert rows[8]["top_probe_id"] == 7 and not rows[8]["is_contaminated"]
 
 
+class TestIvfDecontaminate:
+    def test_exact_leak_found_and_far_vector_clean(self, spark):
+        """An exact copy of a probe lands in the probe's own cell, so
+        the IVF-pruned arm must find it; an orthogonal vector stays
+        clean. The pruned arm can only ever score a SUBSET of the
+        brute arm's pairs (hits_ivf <= hits_exact per vector)."""
+        from redshift_avro_spark.operators.similarity import (
+            embedding_decontaminate,
+            ivf_decontaminate,
+        )
+
+        # two well-separated directions, a few vectors around each
+        corpus = spark.createDataFrame(
+            [
+                (1, [1.0, 0.05, 0.0, 0.0]),
+                (2, [1.0, 0.0, 0.0, 0.0]),   # exact leak of probe 100
+                (3, [0.0, 0.0, 1.0, 0.1]),
+                (4, [0.0, 0.0, 0.9, 0.0]),
+            ],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        )
+        probes = spark.createDataFrame(
+            [(100, [1.0, 0.0, 0.0, 0.0])],
+            "probe_id BIGINT, pvec ARRAY<DOUBLE>",
+        )
+        ivf = {
+            r["vec_id"]: r
+            for r in ivf_decontaminate(
+                corpus, probes, threshold=0.9, n_centroids=2,
+                n_probe=1, lloyd_iters=2, dim=4,
+            ).collect()
+        }
+        assert ivf[2]["ivf_contaminated"] and ivf[2]["ivf_top_probe_id"] == 100
+        assert ivf[2]["ivf_top_probe_cos"] == 1.0
+        assert ivf[1]["ivf_contaminated"]  # cos ~0.9988 >= 0.9, same cell
+        assert not ivf[3]["ivf_contaminated"]
+        assert not ivf[4]["ivf_contaminated"]
+        exact = {
+            r["vec_id"]: r
+            for r in embedding_decontaminate(
+                corpus, probes, threshold=0.9, dim=4
+            ).collect()
+        }
+        for vid in ivf:
+            assert ivf[vid]["ivf_probe_hits"] <= exact[vid]["n_probe_hits"]
+
+    def test_shared_cells_match_own_training(self, spark):
+        """ivf_decontaminate(cells=...) over the shared _semantic_cells
+        pass must equal the operator training its own cells with the
+        same parameters — sharing is a cost optimization, never a
+        value change."""
+        from conftest import SF_SMOKE
+
+        from redshift_avro_spark.operators.similarity import ivf_decontaminate
+        from redshift_avro_spark.queries import similarity as qs
+
+        emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+        probes = emb.where("vec_id % 97 = 0").selectExpr(
+            "vec_id AS probe_id", "embedding AS pvec"
+        )
+        shared = ivf_decontaminate(
+            emb, probes, threshold=0.28, n_probe=2, dim=64,
+            cells=qs._sd_cells(spark, SF_SMOKE),
+        )
+        own = ivf_decontaminate(
+            emb, probes, threshold=0.28, n_centroids=8, n_probe=2,
+            lloyd_iters=2, dim=64,
+        )
+        a = sorted(map(tuple, shared.collect()))
+        b = sorted(map(tuple, own.collect()))
+        assert a == b
+
+
 class TestRepetitionAuditKeepsEveryDoc:
     def test_null_text_doc_keeps_row(self, spark):
         """ADVICE r7 #2: a NULL-text document must surface with

@@ -6,8 +6,8 @@ precision — the driver hashes values, so "close" is not enough).
 Runs at sf0.001 for speed; the driver runs the same check at sf0.01.
 
 Process-memory budget (round 8, VERDICT r7 #1): the whole suite runs
-in ONE process again — `python -m pytest tests/ -q` measured 648
-passed / 1 skipped in 36 min with PEAK RSS 2.9 GiB (max over the
+in ONE process again — `python -m pytest tests/ -q` measured 654
+passed / 1 skipped in 33 min with PEAK RSS 3.1 GiB (max over the
 pytest process, the Spark JVM and its workers) — because (a) every
 oracle connection is bounded to 4 GiB / 4 threads (three heavy
 recursive-CTE oracles get 24 GiB via HEAVY_ORACLE_MEM; a DEFAULT

@@ -107,6 +107,7 @@ EXTENDED: dict[str, float] = {
     # warm best-of-3 0.46 s; the first run additionally pays the
     # shared _sd_cells training, amortized across the process
     "q185_ivf_decontam": 0.8,
+    "q186_c4_line_filter": 0.8,  # calibrated from best-of-3 0.47 s
 }
 
 _DETAIL_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r08.json")

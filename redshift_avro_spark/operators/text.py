@@ -24,6 +24,8 @@ __all__ = [
     "quality_classifier_score",
     "bigram_lm_scores",
     "repetition_audit",
+    "c4_line_filter",
+    "C4_BAD_PHRASES",
     "STOPWORDS",
 ]
 
@@ -407,4 +409,79 @@ def repetition_audit(
             F.expr("top2gram_n * 1000000 div n_bigrams").alias("top2gram_share_ppm"),
             F.coalesce("max_word_run", F.lit(0).cast("long")).alias("max_word_run"),
         )
+    )
+
+
+# C4-style line filter (Raffel et al. 2020 §2.2, the "colossal clean
+# crawled corpus" cleaning rules): exact-match bad phrases and the
+# structural rules a crawled page's boilerplate lines fail.
+C4_BAD_PHRASES = ("lorem ipsum", "javascript", "cookie policy")
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): a
+    crawled page's boilerplate lives in LINES — nav stubs, cookie
+    banners, placeholder text — that document-level quality signals
+    average away. Per ``\\n``-separated line of each document, drop it
+    when (first matching rule wins, so the drop counts partition):
+
+    1. ``short`` — fewer than ``min_words_per_line`` words;
+    2. ``punct`` — does not end in terminal punctuation (. ! ? ");
+    3. ``phrase`` — contains a bad phrase (lowercased exact substring:
+       ``lorem ipsum``, ``javascript``, ``cookie policy``).
+
+    Returns one row per document: line counts per drop reason, the
+    kept-line count, the cleaned text's word count and its md5 digest
+    (the rebuilt text itself stays out of the frame — at 100 TB the
+    digest checksums the rebuild without carrying a second corpus
+    column through the aggregation).
+
+    Scale shape: one narrow projection builds the per-line verdict
+    arrays with JVM higher-order functions (filter/transform over the
+    line array — bounded by a document, interpreted HOFs but tiny),
+    no explode, NO shuffle at all: every output is a per-document
+    scalar of the line array. Runs at scan speed like q37/q66."""
+    lines = f"split({text_col}, '\\n')"
+    lw = f"transform({lines}, ln -> size(split(trim(ln), '\\\\s+')))"
+    bad = " OR ".join(
+        f"contains(lower(ln), '{p}')" for p in C4_BAD_PHRASES
+    )
+    punct_ok = " OR ".join(
+        "endswith(trim(ln), '" + (p if p != '"' else '\\"') + "')"
+        for p in C4_TERMINAL_PUNCT
+    )
+    # verdict per line: 0 kept, 1 short, 2 punct, 3 phrase (first rule
+    # wins); trailing-empty lines from a final '\n' count as short
+    verdict = (
+        f"transform({lines}, ln -> CASE "
+        f"WHEN size(split(trim(ln), '\\\\s+')) < {min_words_per_line} "
+        f" OR trim(ln) = '' THEN 1 "
+        f"WHEN NOT ({punct_ok}) THEN 2 "
+        f"WHEN {bad} THEN 3 ELSE 0 END)"
+    )
+    # explicit NULL-filter before the join so both engines rebuild the
+    # identical string (null-element skipping inside array_join /
+    # array_to_string is engine lore we refuse to depend on)
+    kept = (
+        f"filter(zip_with({lines}, {verdict}, "
+        f"(ln, v) -> CASE WHEN v = 0 THEN ln END), x -> x IS NOT NULL)"
+    )
+    return df.select(
+        F.col(id_col).alias(id_col),
+        F.expr(f"size({lines})").cast("long").alias("n_lines"),
+        F.expr(f"size({kept})").cast("long").alias("n_kept_lines"),
+        F.expr(f"size(filter({verdict}, v -> v = 1))").cast("long").alias("n_dropped_short"),
+        F.expr(f"size(filter({verdict}, v -> v = 2))").cast("long").alias("n_dropped_punct"),
+        F.expr(f"size(filter({verdict}, v -> v = 3))").cast("long").alias("n_dropped_phrase"),
+        F.expr(
+            f"CASE WHEN size({kept}) = 0 THEN 0 ELSE "
+            f"size(split(trim(array_join({kept}, '\\n')), '\\\\s+')) END"
+        ).cast("long").alias("cleaned_n_words"),
+        F.expr(f"md5(array_join({kept}, '\\n'))").alias("cleaned_digest"),
     )

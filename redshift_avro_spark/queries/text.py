@@ -1301,3 +1301,100 @@ def q182_repetition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return repetition_audit(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# --------------------------------------------------------------- q186
+# C4-style line-level cleaning (Raffel et al. 2020 §2.2) — the
+# line-filter pass every crawled-web pipeline runs before document-
+# level signals: drop lines that are too short, lack terminal
+# punctuation, or carry boilerplate phrases. The testdata text has no
+# line structure, so the query synthesizes it deterministically from
+# the word stream (7-word lines; punctuation by (doc_id + line) % 3 —
+# '.' / '!' / none — and a "cookie policy" boilerplate line prepended
+# to every 31st doc), exercising all three drop rules for real; both
+# engines build the identical string and replay the identical filter,
+# so every count and the cleaned-text digest is value-pinned.
+
+_C4_LINE_SPARK = """CASE WHEN doc_id % 31 = 0
+  THEN concat('please accept our cookie policy terms.', '\\n', {j})
+  ELSE {j} END""".format(
+    j="""array_join(transform(sequence(0, CAST(ceil(size({w}) / 7.0) AS INT) - 1),
+  b -> concat(array_join(slice({w}, b * 7 + 1, 7), ' '),
+              CASE CAST((doc_id + b) % 3 AS INT) WHEN 0 THEN '.'
+                   WHEN 1 THEN '!' ELSE '' END)), '\\n')""".format(
+        w="split(trim(lower(text)), '\\\\s+')"
+    )
+)
+
+_C4_LINE_DUCK = """CASE WHEN doc_id % 31 = 0
+  THEN 'please accept our cookie policy terms.' || chr(10) || {j}
+  ELSE {j} END""".format(
+    j="""array_to_string(list_transform(generate_series(0, CAST(ceil(len({w}) / 7.0) AS INT) - 1),
+  b -> array_to_string(list_slice({w}, b * 7 + 1, b * 7 + 7), ' ') ||
+       CASE CAST((doc_id + b) % 3 AS INT) WHEN 0 THEN '.'
+            WHEN 1 THEN '!' ELSE '' END), chr(10))""".format(
+        w="regexp_split_to_array(trim(lower(text)), '\\s+')"
+    )
+)
+
+_C4_BAD_DUCK = (
+    "(contains(lower(ln), 'lorem ipsum') OR contains(lower(ln), 'javascript')"
+    " OR contains(lower(ln), 'cookie policy'))"
+)
+_C4_PUNCT_DUCK = (
+    "(ends_with(trim(ln), '.') OR ends_with(trim(ln), '!')"
+    " OR ends_with(trim(ln), '?') OR ends_with(trim(ln), '\"'))"
+)
+
+
+@register(
+    "q186_c4_line_filter",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id, {_C4_LINE_DUCK} AS t FROM documents
+    ),
+    lined AS (
+      SELECT doc_id, string_split(t, chr(10)) AS lns FROM synth
+    ),
+    verdicts AS (
+      SELECT doc_id, lns,
+             list_transform(lns, ln -> CASE
+               WHEN len(regexp_split_to_array(trim(ln), '\\s+')) < 3
+                    OR trim(ln) = '' THEN 1
+               WHEN NOT {_C4_PUNCT_DUCK} THEN 2
+               WHEN {_C4_BAD_DUCK} THEN 3 ELSE 0 END) AS v
+      FROM lined
+    ),
+    kept AS (
+      SELECT doc_id, lns, v,
+             list_filter(list_transform(generate_series(1, len(lns)),
+               i -> CASE WHEN v[i] = 0 THEN lns[i] END),
+               x -> x IS NOT NULL) AS k
+      FROM verdicts
+    )
+    SELECT doc_id,
+           CAST(len(lns) AS BIGINT) AS n_lines,
+           CAST(len(k) AS BIGINT) AS n_kept_lines,
+           CAST(len(list_filter(v, x -> x = 1)) AS BIGINT) AS n_dropped_short,
+           CAST(len(list_filter(v, x -> x = 2)) AS BIGINT) AS n_dropped_punct,
+           CAST(len(list_filter(v, x -> x = 3)) AS BIGINT) AS n_dropped_phrase,
+           CAST(CASE WHEN len(k) = 0 THEN 0 ELSE
+             len(regexp_split_to_array(trim(array_to_string(k, chr(10))), '\\s+'))
+           END AS BIGINT) AS cleaned_n_words,
+           md5(array_to_string(k, chr(10))) AS cleaned_digest
+    FROM kept ORDER BY doc_id
+    """,
+)
+def q186_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line filter over the synthesized line structure: per doc the
+    line counts by drop reason (short / no terminal punct / bad
+    phrase, first rule wins), the kept-line count, and the cleaned
+    text's word count + md5 digest. A single narrow projection of JVM
+    higher-order functions — no explode, no shuffle; see
+    operators/text.py::c4_line_filter for the rules and shape."""
+    from ..operators.text import c4_line_filter
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_C4_LINE_SPARK).alias("text")
+    )
+    return c4_line_filter(docs, "doc_id", "text").orderBy("doc_id")

@@ -300,6 +300,53 @@ class TestIvfDecontaminate:
         assert a == b
 
 
+class TestC4LineFilter:
+    def test_rule_precedence_and_rebuild(self, spark):
+        """First matching rule wins (short → punct → phrase); the
+        cleaned digest hashes exactly the kept lines joined by \\n."""
+        import hashlib
+
+        from redshift_avro_spark.operators.text import c4_line_filter
+
+        good1 = "this line is long enough."
+        good2 = "another good long line!"
+        df = spark.createDataFrame(
+            [
+                (
+                    1,
+                    "\n".join(
+                        [
+                            good1,
+                            "short one",  # rule 1
+                            "this has no terminal punct here",  # rule 2
+                            "contains lorem ipsum filler text.",  # rule 3
+                            good2,
+                        ]
+                    ),
+                ),
+                # a short line containing a bad phrase: short wins
+                (2, "lorem ipsum.\nok."),
+                # quoted terminal punctuation is accepted
+                (3, 'a quoted ending line here "'),
+            ],
+            "doc_id INT, text STRING",
+        )
+        rows = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+        r1 = rows[1]
+        assert (
+            r1["n_lines"],
+            r1["n_kept_lines"],
+            r1["n_dropped_short"],
+            r1["n_dropped_punct"],
+            r1["n_dropped_phrase"],
+        ) == (5, 2, 1, 1, 1)
+        assert r1["cleaned_n_words"] == 9
+        want = hashlib.md5(f"{good1}\n{good2}".encode()).hexdigest()
+        assert r1["cleaned_digest"] == want
+        assert rows[2]["n_dropped_short"] == 2 and rows[2]["n_dropped_phrase"] == 0
+        assert rows[3]["n_kept_lines"] == 1
+
+
 class TestRepetitionAuditKeepsEveryDoc:
     def test_null_text_doc_keeps_row(self, spark):
         """ADVICE r7 #2: a NULL-text document must surface with

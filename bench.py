@@ -82,7 +82,12 @@ EXTENDED: dict[str, float] = {
     "q167_shard_plan": 0.7,
     "q168_winnowing_fps": 0.5,
     "q169_langid_confusion": 1.3,
-    "q170_signal_blend": 2.0,
+    # recalibrated r8: its two per-doc staged frames (signal join,
+    # q-rank) moved checkpoint → parquet (corpus-ROW-scale rule, same
+    # reclassification as q180/q182's token frames); measured best-of-3
+    # 1.95 checkpoint vs 2.64 parquet — the documented 100 TB
+    # fault-tolerance trade
+    "q170_signal_blend": 3.4,
     "q171_matryoshka_audit": 1.3,
     "q173_rendezvous_plan": 1.0,
     # round 6 additions

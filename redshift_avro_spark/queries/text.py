@@ -970,16 +970,20 @@ def q170_signal_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # each rank phase consumes its input twice (value histogram +
     # broadcast-plan join) and the second phase stacks on the first, so
-    # without lineage cuts the signal join would evaluate 4×; the
-    # staged frame is 3 integers per doc (checkpoint default — narrow
-    # and cheap to rebuild)
+    # without lineage cuts the signal join would evaluate 4×. Both
+    # staged frames are ONE ROW PER DOCUMENT (3-4 integers wide) —
+    # corpus-ROW scale, not candidate slivers — so they default to the
+    # parquet boundary per the staging rule (r8, the same
+    # reclassification bigram_lm_tokens/repetition_tokens got: at
+    # 100 TB an executor loss must not restart the feature extraction
+    # + rank pipeline; the narrow write is cheap)
     j = materialize(
-        feat.join(lex, "doc_id"), label="q170_signal_join", default="checkpoint"
+        feat.join(lex, "doc_id"), label="q170_signal_join", default="parquet"
     )
     r = materialize(
         distributed_rank(j, "qs6", "doc_id", rank_name="q_rank"),
         label="q170_q_rank",
-        default="checkpoint",
+        default="parquet",
     )
     r = distributed_rank(r, "ttr_ppm", "doc_id", rank_name="d_rank")
     n = j.agg(F.count("*").cast("long").alias("n"))

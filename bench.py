@@ -54,7 +54,11 @@ HEADLINE = [
 # single-run, so headroom shrinks, not grows).
 EXTENDED: dict[str, float] = {
     "q113_bm25_topk": 2.0,
-    "q114_bpe_encode": 2.8,
+    # recalibrated r8 from three same-session quiet-host (sentinel
+    # 0.10-0.21 s) best-of-3 measurements: 2.62 / 2.83 / 3.00 on
+    # untouched code — the r6 budget of 2.8 sat inside the query's own
+    # run-to-run band and tripped on noise, not regression
+    "q114_bpe_encode": 3.2,
     "q115_pca_projection": 1.0,
     "q116_knn_graph": 2.6,
     "q117_zorder_layout": 1.3,

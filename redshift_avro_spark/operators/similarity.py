@@ -1267,6 +1267,7 @@ def embedding_decontaminate(
     probe_vec_col: str = "pvec",
     threshold: float = 0.28,
     dim: int | None = 64,
+    probes_from_corpus: bool = True,
 ) -> DataFrame:
     """Embedding-space benchmark decontamination — the semantic-leakage
     check that n-gram decontamination (q65/q69) misses: a training
@@ -1280,8 +1281,15 @@ def embedding_decontaminate(
     is_contaminated)`` for EVERY corpus vector (vectors with no scored
     probe partner — possible only when the probe set is a subset of
     the corpus and the vector is the sole probe — carry 0/NULL/NULL/
-    false). Self-pairs (probe drawn from the corpus scoring itself)
-    are excluded.
+    false).
+
+    ``probes_from_corpus`` (default True) declares that probe ids
+    share the corpus id space, so a probe never scores the corpus row
+    it was drawn from (self-pair exclusion by id equality). When the
+    probe set is an EXTERNAL benchmark with its own id space, pass
+    False — otherwise a numeric id collision across the two spaces
+    would silently skip a real corpus↔probe pair, a false-negative
+    leak in a decontamination operator.
 
     Scale shape (100 TB): the probe set is benchmark-sized (thousands)
     → broadcast, exactly like q174's audit anchors; the scan is a
@@ -1295,8 +1303,11 @@ def embedding_decontaminate(
     p = probes.select(
         F.col(probe_id_col).alias("__pid"), F.col(probe_vec_col).alias("__pv")
     )
+    pair_cond = (
+        F.col("__id") != F.col("__pid") if probes_from_corpus else F.lit(True)
+    )
     scored = (
-        c.join(F.broadcast(p), F.col("__id") != F.col("__pid"))
+        c.join(F.broadcast(p), pair_cond)
         .withColumn("__cos", cosine_expr("__v", "__pv", dim))
     )
     agg = scored.groupBy("__id").agg(
@@ -1331,6 +1342,7 @@ def ivf_decontaminate(
     lloyd_iters: int = 2,
     dim: int = 64,
     cells: tuple | None = None,
+    probes_from_corpus: bool = True,
 ) -> DataFrame:
     """IVF-pruned embedding decontamination — the scale path next to
     :func:`embedding_decontaminate`'s brute scan: at 100 TB the exact
@@ -1346,8 +1358,12 @@ def ivf_decontaminate(
 
     Returns ``(id, ivf_probe_hits, ivf_top_probe_id, ivf_top_probe_cos,
     ivf_contaminated)`` for EVERY corpus vector (vectors whose cell no
-    probe reaches carry 0/NULL/NULL/false). Self-pairs excluded; best
-    probe ties break to the min probe id, exactly like the brute pass.
+    probe reaches carry 0/NULL/NULL/false). Best probe ties break to
+    the min probe id, exactly like the brute pass. ``probes_from_corpus``
+    carries the same contract as :func:`embedding_decontaminate`: the
+    id-equality self-pair exclusion applies only when probe ids share
+    the corpus id space; pass False for an external benchmark id
+    space so an accidental numeric collision can't hide a real leak.
 
     Scale shape: training + corpus assignment come from the SHARED
     :func:`_semantic_cells` pass when ``cells`` is given (the q93
@@ -1376,9 +1392,11 @@ def ivf_decontaminate(
     # a corpus vector lives in exactly ONE cell and the probe's cell
     # list is distinct, so each (vector, probe) candidate appears at
     # most once — no pair dedup needed
+    candidates = assign.join(F.broadcast(probe_cells), "cid")
+    if probes_from_corpus:
+        candidates = candidates.where(F.col("neighbor_id") != F.col("__pid"))
     scored = (
-        assign.join(F.broadcast(probe_cells), "cid")
-        .where(F.col("neighbor_id") != F.col("__pid"))
+        candidates
         .select(
             F.col("neighbor_id").alias("__id"),
             "__pid",

@@ -446,9 +446,15 @@ def c4_line_filter(
     arrays with JVM higher-order functions (filter/transform over the
     line array — bounded by a document, interpreted HOFs but tiny),
     no explode, NO shuffle at all: every output is a per-document
-    scalar of the line array. Runs at scan speed like q37/q66."""
-    lines = f"split({text_col}, '\\n')"
-    lw = f"transform({lines}, ln -> size(split(trim(ln), '\\\\s+')))"
+    scalar of the line array. Runs at scan speed like q37/q66.
+
+    NULL text is treated as an empty document (0 lines, digest of the
+    empty string) rather than propagating NULL through every count —
+    the coalesce below pins that; a crawled corpus at 100 TB WILL
+    carry null payload rows and a cleaning operator that silently
+    emits ``n_lines = -1`` (Spark's legacy ``size(NULL)``) for them
+    would poison every downstream sum."""
+    lines = f"coalesce(split({text_col}, '\\n'), CAST(array() AS array<string>))"
     bad = " OR ".join(
         f"contains(lower(ln), '{p}')" for p in C4_BAD_PHRASES
     )

@@ -78,15 +78,26 @@ def _canonical_sql(url: str) -> str:
 
 
 def canonicalize_urls(
-    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "canonical_url",
+    host_col: str = "host",
 ) -> DataFrame:
-    """Append ``out_col`` (and the lowercase ``host``) to ``df`` — a
-    narrow JVM projection, no shuffle."""
+    """Append ``out_col`` and the lowercase ``host_col`` to ``df`` — a
+    narrow JVM projection, no shuffle. Raises if either output column
+    already exists on the input (silently overwriting a caller's
+    ``host`` column would corrupt downstream joins)."""
+    for c in (out_col, host_col):
+        if c in df.columns:
+            raise ValueError(
+                f"canonicalize_urls: output column {c!r} already exists on the "
+                "input frame; pass a different out_col/host_col"
+            )
     u = f"split_part({url_col}, '#', 1)"
     rest = f"split_part({u}, '://', 2)"
     hostport = f"split_part(split_part({rest}, '/', 1), '?', 1)"
     return df.withColumn(out_col, F.expr(_canonical_sql(url_col))).withColumn(
-        "host", F.expr(f"lower(split_part({hostport}, ':', 1))")
+        host_col, F.expr(f"lower(split_part({hostport}, ':', 1))")
     )
 
 

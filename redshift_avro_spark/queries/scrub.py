@@ -536,15 +536,17 @@ _URL_SYNTH_DUCK = _URL_SYNTH_SPARK.replace("AS STRING", "AS VARCHAR")
 _TRACK_KEYS_DUCK = "['gclid', 'fbclid', 'msclkid', 'ref', 'referrer']"
 
 
-@register(
-    "q183_url_dedup",
-    oracle=f"""
-    WITH raw AS (SELECT doc_id, {_URL_SYNTH_DUCK} AS url FROM documents),
-    parts AS (
+def url_canon_ctes(src: str) -> str:
+    """The canonical-URL CTE chain (parts → hp → qp → canon) over any
+    relation ``src`` exposing (doc_id, url) — ONE copy of the DuckDB
+    canonicalization formula, shared by q183 and the q187 full funnel
+    so the two can never drift. ``canon`` yields
+    (doc_id, url, host, canonical_url)."""
+    return f"""parts AS (
       SELECT doc_id, url,
              lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
              split_part(split_part(url, '#', 1), '://', 2) AS rest
-      FROM raw
+      FROM {src}
     ),
     hp AS (
       SELECT *,
@@ -576,7 +578,14 @@ _TRACK_KEYS_DUCK = "['gclid', 'fbclid', 'msclkid', 'ref', 'referrer']"
                   THEN '/' ELSE regexp_replace(split_part(pathq, '?', 1), '/+$', '') END ||
              CASE WHEN qjoin = '' THEN '' ELSE '?' || qjoin END AS canonical_url
       FROM qp
-    ),
+    )"""
+
+
+@register(
+    "q183_url_dedup",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {_URL_SYNTH_DUCK} AS url FROM documents),
+    {url_canon_ctes('raw')},
     groups AS (
       SELECT canonical_url, CAST(MIN(doc_id) AS BIGINT) AS url_keeper_id,
              CAST(COUNT(*) AS BIGINT) AS n_url_dups

@@ -1351,14 +1351,13 @@ _C4_PUNCT_DUCK = (
 )
 
 
-@register(
-    "q186_c4_line_filter",
-    oracle=f"""
-    WITH synth AS (
-      SELECT doc_id, {_C4_LINE_DUCK} AS t FROM documents
-    ),
-    lined AS (
-      SELECT doc_id, string_split(t, chr(10)) AS lns FROM synth
+def c4_profile_ctes(src: str) -> str:
+    """The C4 line-verdict CTE chain (lined → verdicts → kept) over any
+    relation ``src`` exposing (doc_id, t) — ONE copy of the DuckDB
+    line-cleaning formula, shared by q186 and the q187 full funnel.
+    ``kept`` yields (doc_id, lns, v, k) where k is the kept-line list."""
+    return f"""lined AS (
+      SELECT doc_id, string_split(t, chr(10)) AS lns FROM {src}
     ),
     verdicts AS (
       SELECT doc_id, lns,
@@ -1375,16 +1374,30 @@ _C4_PUNCT_DUCK = (
                i -> CASE WHEN v[i] = 0 THEN lns[i] END),
                x -> x IS NOT NULL) AS k
       FROM verdicts
-    )
+    )"""
+
+
+# the cleaned-text word count over kept.k — shared with the q187
+# funnel's line_clean gate
+_C4_CLEAN_WORDS_DUCK = """CASE WHEN len(k) = 0 THEN 0 ELSE
+             len(regexp_split_to_array(trim(array_to_string(k, chr(10))), '\\s+'))
+           END"""
+
+
+@register(
+    "q186_c4_line_filter",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id, {_C4_LINE_DUCK} AS t FROM documents
+    ),
+    {c4_profile_ctes('synth')}
     SELECT doc_id,
            CAST(len(lns) AS BIGINT) AS n_lines,
            CAST(len(k) AS BIGINT) AS n_kept_lines,
            CAST(len(list_filter(v, x -> x = 1)) AS BIGINT) AS n_dropped_short,
            CAST(len(list_filter(v, x -> x = 2)) AS BIGINT) AS n_dropped_punct,
            CAST(len(list_filter(v, x -> x = 3)) AS BIGINT) AS n_dropped_phrase,
-           CAST(CASE WHEN len(k) = 0 THEN 0 ELSE
-             len(regexp_split_to_array(trim(array_to_string(k, chr(10))), '\\s+'))
-           END AS BIGINT) AS cleaned_n_words,
+           CAST({_C4_CLEAN_WORDS_DUCK} AS BIGINT) AS cleaned_n_words,
            md5(array_to_string(k, chr(10))) AS cleaned_digest
     FROM kept ORDER BY doc_id
     """,

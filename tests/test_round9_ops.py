@@ -1,0 +1,114 @@
+"""Round-9 surface: the four ADVICE-r8 fixes (NULL-text C4 cleaning,
+canonicalize_urls column-clobber guard, cross-namespace decontamination
+pair gating) plus the round-9 operators' unit coverage (added below as
+they land)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+class TestC4NullText:
+    def test_null_text_is_empty_document(self, spark):
+        """NULL text must clean to an empty document (0 lines), not the
+        legacy size(NULL) = -1 poison value (ADVICE r8)."""
+        from redshift_avro_spark.operators.text import c4_line_filter
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "Keep this full sentence here."), (3, "")],
+            "doc_id LONG, text STRING",
+        )
+        rows = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+        assert rows[1]["n_lines"] == 0
+        assert rows[1]["n_kept_lines"] == 0
+        assert rows[1]["n_dropped_short"] == 0
+        assert rows[1]["cleaned_n_words"] == 0
+        # digest of the empty rebuild, same as an all-dropped doc
+        assert rows[1]["cleaned_digest"] == rows[3]["cleaned_digest"]
+        assert rows[2]["n_kept_lines"] == 1
+        # the empty string still splits to one (short, dropped) line
+        assert rows[3]["n_lines"] == 1
+        assert rows[3]["n_dropped_short"] == 1
+
+
+class TestCanonicalizeUrlsGuard:
+    def test_existing_host_column_raises(self, spark):
+        from redshift_avro_spark.operators.web import canonicalize_urls
+
+        df = spark.createDataFrame(
+            [(1, "http://a.com/x", "pre-existing")],
+            "id LONG, url STRING, host STRING",
+        )
+        with pytest.raises(ValueError, match="host"):
+            canonicalize_urls(df, "url")
+        # a caller-chosen name sidesteps the collision
+        out = canonicalize_urls(df, "url", host_col="url_host")
+        assert set(out.columns) == {"id", "url", "host", "canonical_url", "url_host"}
+        r = out.collect()[0]
+        assert r["host"] == "pre-existing" and r["url_host"] == "a.com"
+
+    def test_existing_out_col_raises(self, spark):
+        from redshift_avro_spark.operators.web import canonicalize_urls
+
+        df = spark.createDataFrame(
+            [(1, "http://a.com/x", "z")], "id LONG, url STRING, canonical_url STRING"
+        )
+        with pytest.raises(ValueError, match="canonical_url"):
+            canonicalize_urls(df, "url")
+
+
+class TestCrossNamespaceDecontamination:
+    """probe ids from an EXTERNAL benchmark id space must be allowed to
+    collide numerically with corpus ids without hiding a real leak
+    (ADVICE r8): probes_from_corpus=False disables the id-equality
+    self-pair exclusion on both the brute and the IVF arm."""
+
+    def _frames(self, spark):
+        # corpus vec_id=7 and probe probe_id=7 are DIFFERENT items that
+        # happen to share the number; their vectors are identical, so
+        # the pair is a certain leak (cos = 1.0)
+        v = [1.0, 0.0, 0.0, 0.0]
+        corpus = spark.createDataFrame(
+            [(7, v), (8, [0.0, 1.0, 0.0, 0.0])],
+            "vec_id LONG, embedding ARRAY<DOUBLE>",
+        )
+        probes = spark.createDataFrame(
+            [(7, v)], "probe_id LONG, pvec ARRAY<DOUBLE>"
+        )
+        return corpus, probes
+
+    def test_brute_arm(self, spark):
+        from redshift_avro_spark.operators.similarity import embedding_decontaminate
+
+        corpus, probes = self._frames(spark)
+        kw = dict(threshold=0.9, dim=4)
+        same_space = {
+            r["vec_id"]: r for r in embedding_decontaminate(corpus, probes, **kw).collect()
+        }
+        assert not same_space[7]["is_contaminated"]  # excluded as a self-pair
+        cross = {
+            r["vec_id"]: r
+            for r in embedding_decontaminate(
+                corpus, probes, probes_from_corpus=False, **kw
+            ).collect()
+        }
+        assert cross[7]["is_contaminated"] and cross[7]["n_probe_hits"] == 1
+        assert cross[7]["top_probe_id"] == 7
+        assert not cross[8]["is_contaminated"]
+
+    def test_ivf_arm(self, spark):
+        from redshift_avro_spark.operators.similarity import ivf_decontaminate
+
+        corpus, probes = self._frames(spark)
+        kw = dict(threshold=0.9, n_centroids=1, n_probe=1, lloyd_iters=1, dim=4)
+        same_space = {
+            r["vec_id"]: r for r in ivf_decontaminate(corpus, probes, **kw).collect()
+        }
+        assert not same_space[7]["ivf_contaminated"]
+        cross = {
+            r["vec_id"]: r
+            for r in ivf_decontaminate(
+                corpus, probes, probes_from_corpus=False, **kw
+            ).collect()
+        }
+        assert cross[7]["ivf_contaminated"] and cross[7]["ivf_probe_hits"] == 1

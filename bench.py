@@ -117,9 +117,26 @@ EXTENDED: dict[str, float] = {
     # shared _sd_cells training, amortized across the process
     "q185_ivf_decontam": 0.8,
     "q186_c4_line_filter": 0.8,  # calibrated from best-of-3 0.47 s
+    # round 9 additions — calibrated from same-session best-of-3 at
+    # sf0.1 (sentinel best 0.20 s): q187 full funnel 4.27 s (it runs
+    # the whole URL→C4→quality→dedup→decontam→packing DAG with 8
+    # per-stage count actions), q188 trigram KN LM 2.40 s
+    "q187_full_funnel": 6.0,
+    "q188_trigram_lm_score": 3.4,
 }
 
-_DETAIL_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r08.json")
+_DETAIL_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r09.json")
+
+# Sentinel-normalized budget check (VERDICT r8 task #6): the sentinel
+# records host noise, but raw seconds were still compared against the
+# budgets — a loaded host could fire false alarms. Each extended best
+# is now divided by max(1, sentinel_best_mean / _SENTINEL_QUIET)
+# before the comparison, so a measurably-loaded host scales the check
+# instead of tripping it. The factor is clamped at 1.0 from below:
+# sentinel jitter on an already-quiet host (measured 0.11-0.22 s band)
+# must not TIGHTEN budgets and fire alarms the raw numbers don't
+# support. Raw numbers are still recorded unmodified.
+_SENTINEL_QUIET = 0.15  # quiet-host reference best (round-8 band midpoint)
 
 
 def _best_of_3(fn) -> tuple[float, float, list]:
@@ -191,15 +208,10 @@ def main() -> None:
     extended: dict[str, float] = {}
     ext_means: dict[str, float] = {}
     ext_ranges: dict[str, list] = {}
-    regressions: list[dict] = []
-    for name, budget in EXTENDED.items():
+    for name in EXTENDED:
         extended[name], ext_means[name], ext_ranges[name] = _best_of_3(
             lambda n=name: registry[n].fn(spark, sf_dir).count()
         )
-        if extended[name] > budget:
-            regressions.append(
-                {"query": name, "best": extended[name], "budget": budget}
-            )
 
     # VERDICT r3 "What's wrong" #1: the enriched single-line output grew
     # past the driver's captured stdout tail, so BENCH_r03 parsed as null.
@@ -208,6 +220,32 @@ def main() -> None:
     # is always in the tail. Budget violations ALSO go to stderr so a
     # human (or CI grep) can't miss them.
     sentinel_after = _sentinel(spark)
+
+    # budget comparison on sentinel-normalized seconds (see the
+    # _SENTINEL_QUIET comment): both sentinel measurements bracket the
+    # query runs, so their mean best is the round's load estimate
+    noise_factor = max(
+        1.0,
+        round(
+            (sentinel_before["best"] + sentinel_after["best"])
+            / 2.0
+            / _SENTINEL_QUIET,
+            3,
+        ),
+    )
+    ext_normalized = {
+        name: round(best / noise_factor, 3) for name, best in extended.items()
+    }
+    regressions = [
+        {
+            "query": name,
+            "best": extended[name],
+            "normalized": ext_normalized[name],
+            "budget": EXTENDED[name],
+        }
+        for name in EXTENDED
+        if ext_normalized[name] > EXTENDED[name]
+    ]
 
     detail = {
         "metric": "headline_queries_total",
@@ -222,6 +260,9 @@ def main() -> None:
         "extended_queries": extended,
         "extended_means": ext_means,
         "extended_ranges": ext_ranges,
+        "noise_factor": noise_factor,
+        "sentinel_quiet_ref": _SENTINEL_QUIET,
+        "extended_normalized": ext_normalized,
         "extended_budgets": EXTENDED,
         "extended_total": round(sum(extended.values()), 3),
         "regressions": regressions,
@@ -234,7 +275,8 @@ def main() -> None:
         print(
             "BUDGET REGRESSIONS: "
             + ", ".join(
-                f"{r['query']} best {r['best']}s > budget {r['budget']}s"
+                f"{r['query']} best {r['best']}s (normalized {r['normalized']}s)"
+                f" > budget {r['budget']}s"
                 for r in regressions
             ),
             file=sys.stderr,

@@ -316,6 +316,140 @@ def bigram_lm_scores(
     )
 
 
+def trigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-fitted INTERPOLATED TRIGRAM LM fluency score with
+    Kneser–Ney-style backoff — the production shape of the CCNet
+    perplexity filter (Wenzek et al. 2020 train a 5-gram KenLM;
+    :func:`bigram_lm_scores` is the toy version). Absolute discount
+    D = 1 (integer, so DuckDB replays every value exactly), with the
+    discounted mass backed off through a bigram model into a
+    continuation-count unigram — the KN idea that a word's lower-order
+    probability should reflect how many CONTEXTS it follows, not how
+    often it occurs:
+
+        p1(w3)       = N1+(· w3) · S ÷ |distinct bigram types|
+        p2(w3|w2)    = (c(w2 w3) − 1) · S ÷ c(w2 ·)
+                       + (N1+(w2 ·) · S ÷ c(w2 ·)) · p1(w3) ÷ S
+        p3(w3|w1 w2) = (c(w1 w2 w3) − 1) · S ÷ c(w1 w2 ·)
+                       + (N1+(w1 w2 ·) · S ÷ c(w1 w2 ·)) · p2 ÷ S
+
+    with S = 10⁶, ÷ integer division, and all counts drawn from the
+    corpus's trigram token stream (so every denominator ≥ its
+    numerator's count and ≥ 1 — no zero guards needed). A document's
+    score is the integer mean of p3 over its trigram tokens; docs with
+    < 3 words carry n_trigrams = 0 and a NULL score. Unlike the
+    undiscounted bigram MLE, an unseen-context path never dominates:
+    hapax trigrams contribute only their backoff mass, so gibberish
+    (novel word transitions) scores far below fluent corpus-typical
+    text — the ordering test pins this.
+
+    Scale shape (100 TB): identical to :func:`bigram_lm_scores` with
+    one extra order — all five keys ride as 60-bit md5 BIGINT lanes
+    from birth; the trigram token frame is materialize()d ONCE at the
+    parquet boundary (corpus-token scale) and feeds the five count
+    aggregations (each map-side combining on a uniform 8-byte key) and
+    the scoring join; every assembled table is n-gram-TYPE-scale
+    (vocabulary-bounded, joins on uniform lanes); the only
+    corpus-scale exchanges are the tkey scoring join and the per-doc
+    mean. No driver state, no Python in the hot path."""
+    from .staging import materialize
+
+    w = F.expr(_WORDS.format(c=text_col))
+    toks = (
+        df.select(F.col(id_col).alias("__id"), w.alias("__w"))
+        # sequence(1, 0) would DESCEND — filter short docs before the
+        # fan-out (same guard as bigram_lm_scores)
+        .where(F.size("__w") >= 3)
+    )
+
+    def _lane(expr: str) -> str:
+        return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+    w1 = "element_at(__w, i)"
+    w2 = "element_at(__w, i + 1)"
+    w3 = "element_at(__w, i + 2)"
+    tri = materialize(
+        toks.select(
+            "__id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__w) - 2), i -> struct("
+                    f"{_lane(f'concat({w1}, {chr(39)} {chr(39)}, {w2}, {chr(39)} {chr(39)}, {w3})')} AS tkey, "
+                    f"{_lane(f'concat({w1}, {chr(39)} {chr(39)}, {w2})')} AS p2key, "
+                    f"{_lane(f'concat({w2}, {chr(39)} {chr(39)}, {w3})')} AS b23key, "
+                    f"{_lane(w2)} AS w2key, "
+                    f"{_lane(w3)} AS w3key))"
+                )
+            ).alias("g"),
+        ).select("__id", "g.tkey", "g.p2key", "g.b23key", "g.w2key", "g.w3key"),
+        # one row PER TRIGRAM OCCURRENCE — corpus-token scale → parquet
+        # boundary per the staging rule
+        label="trigram_lm_tokens",
+        default="parquet",
+    )
+    c3 = tri.groupBy("tkey").agg(
+        # tkey determines the trigram, hence all its sub-keys; min() is
+        # a deterministic pick of the constant
+        F.min("p2key").alias("p2key"),
+        F.min("b23key").alias("b23key"),
+        F.count("*").cast("long").alias("c3"),
+    )
+    p2stats = tri.groupBy("p2key").agg(
+        F.count("*").cast("long").alias("c2p"),
+        F.countDistinct("tkey").cast("long").alias("n3t"),
+    )
+    b23stats = tri.groupBy("b23key").agg(
+        F.min("w2key").alias("w2key"),
+        F.min("w3key").alias("w3key"),
+        F.count("*").cast("long").alias("c2"),
+    )
+    w2stats = tri.groupBy("w2key").agg(
+        F.count("*").cast("long").alias("c1p"),
+        F.countDistinct("b23key").cast("long").alias("n2t"),
+    )
+    w3stats = tri.groupBy("w3key").agg(
+        F.countDistinct("b23key").cast("long").alias("nprec")
+    )
+    btypes = tri.agg(F.countDistinct("b23key").cast("long").alias("btypes"))
+    cond = (
+        c3.join(p2stats, "p2key")
+        .join(b23stats, "b23key")
+        .join(w2stats, "w2key")
+        .join(w3stats, "w3key")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "tkey",
+            F.expr(
+                "(c3 - 1) * 1000000 div c2p"
+                " + ((n3t * 1000000 div c2p) * ("
+                "(c2 - 1) * 1000000 div c1p"
+                " + ((n2t * 1000000 div c1p) * (nprec * 1000000 div btypes))"
+                " div 1000000"
+                ")) div 1000000"
+            ).alias("p3_ppm"),
+        )
+    )
+    scored = (
+        tri.join(cond, "tkey")
+        .groupBy("__id")
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.expr("CAST(sum(p3_ppm) div count(*) AS BIGINT)").alias("kn_score_ppm"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(scored, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_trigrams", F.lit(0).cast("long")).alias("n_trigrams"),
+            "kn_score_ppm",
+        )
+    )
+
+
 def repetition_audit(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

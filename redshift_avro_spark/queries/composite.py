@@ -59,6 +59,7 @@ def _sub(name: str) -> str:
         "q180_bigram_lm_score",
         "q182_repetition_audit",
         "q186_c4_line_filter",
+        "q188_trigram_lm_score",
     ),
     oracle=f"""
     SELECT a.*, b.n_tokens_est, c.fingerprint,
@@ -66,6 +67,7 @@ def _sub(name: str) -> str:
            e.q1, e.med, e.q3, e.is_outlier,
            x.n_types, x.n_hapax, x.ttr_ppm, x.hapax_ppm,
            y.n_bigrams, y.lm_score_ppm,
+           y3.n_trigrams, y3.kn_score_ppm,
            z.top_word_share_ppm, z.top2gram_share_ppm, z.max_word_run,
            c4.n_lines, c4.n_kept_lines, c4.cleaned_n_words, c4.cleaned_digest
     FROM {_sub('q37_text_quality')} a
@@ -77,6 +79,7 @@ def _sub(name: str) -> str:
     JOIN (SELECT doc_id, n_types, n_hapax, ttr_ppm, hapax_ppm
           FROM {_sub('q162_lexical_diversity')}) x USING (doc_id)
     JOIN {_sub('q180_bigram_lm_score')} y USING (doc_id)
+    JOIN {_sub('q188_trigram_lm_score')} y3 USING (doc_id)
     JOIN (SELECT doc_id, top_word_share_ppm, top2gram_share_ppm, max_word_run
           FROM {_sub('q182_repetition_audit')}) z USING (doc_id)
     JOIN (SELECT doc_id, n_lines, n_kept_lines, cleaned_n_words, cleaned_digest
@@ -90,7 +93,9 @@ def q78_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear quality-classifier logits (q95) ⋈ grouped-map robust
     outlier stats (q131 — the applyInPandas path) ⋈ lexical diversity
     (q162 — TTR + hapax share in exact ppm) ⋈ bigram-LM fluency score
-    (q180 — the CCNet-style corpus-fitted filter; r7) ⋈ Gopher
+    (q180 — the CCNet-style corpus-fitted filter; r7) ⋈ interpolated
+    trigram KN-backoff fluency score (q188 — the production shape of
+    the same filter; r9) ⋈ Gopher
     repetition rules (q182 — top-word/top-bigram share, longest word
     run; r7) ⋈ the C4 line-filter profile (q186 — per-doc drop counts
     and cleaned-text digest over the synthesized line structure; r8)
@@ -107,6 +112,7 @@ def q78_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_types", "n_hapax", "ttr_ppm", "hapax_ppm"
     )
     y = _run("q180_bigram_lm_score", spark, sf_dir)
+    y3 = _run("q188_trigram_lm_score", spark, sf_dir)
     z = _run("q182_repetition_audit", spark, sf_dir).select(
         "doc_id", "top_word_share_ppm", "top2gram_share_ppm", "max_word_run"
     )
@@ -115,7 +121,8 @@ def q78_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(b, "doc_id").join(c, "doc_id").join(d, "doc_id").join(e, "doc_id")
-        .join(x, "doc_id").join(y, "doc_id").join(z, "doc_id").join(c4, "doc_id")
+        .join(x, "doc_id").join(y, "doc_id").join(y3, "doc_id").join(z, "doc_id")
+        .join(c4, "doc_id")
         .orderBy("doc_id")
     )
 
@@ -1074,6 +1081,7 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q170_signal_blend",
         "q177_survivor_policy",
         "q183_url_dedup",
+        "q187_full_funnel",
     ),
     oracle=f"""
     SELECT r.doc_id, r.n_grams, r.dup_gram_fraction, r.top_gram_share,
@@ -1087,7 +1095,10 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            bl.sel_rank, bl.blended_ppm,
            sv.sv_component, sv.sv_cluster_size, sv.sv_keeper, sv.sv_is_kept,
            u.host AS url_host, u.canonical_url, u.url_keeper_id,
-           u.n_url_dups, u.is_url_keeper, u.host_docs, u.host_unique_urls
+           u.n_url_dups, u.is_url_keeper, u.host_docs, u.host_unique_urls,
+           ff.ff_out_url, ff.ff_out_clean, ff.ff_out_lang, ff.ff_out_quality,
+           ff.ff_out_exact, ff.ff_out_neardup, ff.ff_out_final,
+           ff.ff_tokens_final, ff.ff_shards
     FROM {_sub('q67_repetition_filter')} r
     LEFT JOIN {_sub('q65_decontamination')} d USING (doc_id)
     JOIN {_sub('q100_lm_familiarity')} l USING (doc_id)
@@ -1116,6 +1127,18 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS langid_cells
       FROM {_sub('q169_langid_confusion')}
     ) li
+    CROSS JOIN (
+      SELECT CAST(SUM(CASE WHEN stage = 'url_dedup' THEN n_out END) AS BIGINT) AS ff_out_url,
+             CAST(SUM(CASE WHEN stage = 'line_clean' THEN n_out END) AS BIGINT) AS ff_out_clean,
+             CAST(SUM(CASE WHEN stage = 'language' THEN n_out END) AS BIGINT) AS ff_out_lang,
+             CAST(SUM(CASE WHEN stage = 'quality' THEN n_out END) AS BIGINT) AS ff_out_quality,
+             CAST(SUM(CASE WHEN stage = 'exact_dedup' THEN n_out END) AS BIGINT) AS ff_out_exact,
+             CAST(SUM(CASE WHEN stage = 'near_dup' THEN n_out END) AS BIGINT) AS ff_out_neardup,
+             CAST(SUM(CASE WHEN stage = 'decontam' THEN n_out END) AS BIGINT) AS ff_out_final,
+             CAST(SUM(CASE WHEN stage = 'decontam' THEN tokens_out END) AS BIGINT) AS ff_tokens_final,
+             CAST(SUM(CASE WHEN stage = 'packing' THEN shards_out END) AS BIGINT) AS ff_shards
+      FROM {_sub('q187_full_funnel')}
+    ) ff
     ORDER BY doc_id
     """,
 )
@@ -1135,8 +1158,12 @@ def q89_scrub_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster members carry the q177 quality-argmax survivor verdict
     (component, cluster size, elected keeper, keep flag — null for
     singletons); every doc carries its canonical-URL dedup verdict and
-    host crawl profile (q183 — the CCNet/RefinedWeb first-pass; r8).
-    Co-keyed joins on doc_id."""
+    host crawl profile (q183 — the CCNet/RefinedWeb first-pass; r8);
+    the FULL release funnel v2 (q187 — URL dedup → C4 line clean →
+    language → quality → exact dedup → near-dup → decontam → shard
+    packing; r9) rides as one pivoted broadcast row of stage-survivor
+    counts, final token mass, and shard count. Co-keyed joins on
+    doc_id."""
     r = _run("q67_repetition_filter", spark, sf_dir)
     d = _run("q65_decontamination", spark, sf_dir)
     l = _run("q100_lm_familiarity", spark, sf_dir)
@@ -1183,6 +1210,25 @@ def q89_scrub_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host_docs",
         "host_unique_urls",
     )
+
+    def _ffs(stage, col, alias):
+        return (
+            F.sum(F.when(F.col("stage") == stage, F.col(col)))
+            .cast("bigint")
+            .alias(alias)
+        )
+
+    ff = _run("q187_full_funnel", spark, sf_dir).agg(
+        _ffs("url_dedup", "n_out", "ff_out_url"),
+        _ffs("line_clean", "n_out", "ff_out_clean"),
+        _ffs("language", "n_out", "ff_out_lang"),
+        _ffs("quality", "n_out", "ff_out_quality"),
+        _ffs("exact_dedup", "n_out", "ff_out_exact"),
+        _ffs("near_dup", "n_out", "ff_out_neardup"),
+        _ffs("decontam", "n_out", "ff_out_final"),
+        _ffs("decontam", "tokens_out", "ff_tokens_final"),
+        _ffs("packing", "shards_out", "ff_shards"),
+    )
     return (
         r.join(d, "doc_id", "left")
         .select(
@@ -1200,6 +1246,7 @@ def q89_scrub_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(u, "doc_id")
         .crossJoin(F.broadcast(fn))
         .crossJoin(F.broadcast(li))
+        .crossJoin(F.broadcast(ff))
         .orderBy("doc_id")
     )
 

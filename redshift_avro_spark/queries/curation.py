@@ -386,3 +386,328 @@ def q178_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# --------------------------------------------------------------- q187
+# Full-funnel curation v2 — the RefinedWeb/CCNet-style release DAG
+# (VERDICT r8 "Next round" #1): the q49/q157 funnel predates the
+# round-8 operators; a real web-corpus release runs
+#
+#   URL dedup → C4 line cleaning → language → quality
+#     → exact dedup → near-dup drop → benchmark decontamination
+#     → token-budgeted shard packing
+#
+# as ONE pipeline. Every stage reuses the registered fragment / operator
+# verbatim (url_canon_ctes ≡ q183, c4_profile_ctes ≡ q186, the
+# language/quality/exact/near-dup chain ≡ q49/q157, the word-3-gram
+# decontamination ≡ q65, the shard plan ≡ q167), so this funnel can
+# never drift from the members the driver already hash-verifies.
+#
+# Stage semantics:
+#  - url_dedup    keeps the min-doc_id keeper per canonical URL;
+#  - line_clean   applies the C4 verdict to the synthesized line
+#                 structure and drops docs whose CLEANED text falls
+#                 under the pipeline's min-words bar (the min-words
+#                 gate thereby rides the post-cleaning word count —
+#                 stricter and more faithful than q49's raw count);
+#  - language / quality / exact_dedup / near_dup exactly as q49;
+#  - decontam     removes the held-out benchmark slice itself
+#                 (doc_id % 97 = 0) plus any survivor sharing a word
+#                 3-gram with it (q65's protocol, applied as a drop);
+#  - packing      drops nothing; its output is the q167-shape shard
+#                 count for the released corpus (shards_out).
+#
+# Content signals (normalization hash, shingles, grams) read the RAW
+# text as in q49 — the C4 stage is a document-level gate here; the
+# cleaned text itself stays out of the frame per q186's 100 TB rule
+# (the digest checksums the rebuild).
+
+from .scrub import (  # noqa: E402  (fragment reuse, see module docstring)
+    _BENCH_MOD,
+    _URL_SYNTH_DUCK,
+    _URL_SYNTH_SPARK,
+    _W_SQL,
+    _grams_sql,
+    url_canon_ctes,
+)
+from .text import _C4_CLEAN_WORDS_DUCK, _C4_LINE_DUCK, _C4_LINE_SPARK, c4_profile_ctes
+from .training import _SHARD_BUDGET
+from ..operators.scrub import decontaminate_candidates
+from ..operators.text import c4_line_filter
+from ..operators.web import canonicalize_urls
+
+_FF_TOK_DUCK = (
+    f"CAST(greatest({_N_WORDS}, CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)"
+)
+
+
+def _funnel_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """The q187 stage frames, keyed by stage name. Exposed for the plan
+    test (tests/test_plans.py) — with SPARK_GRAFT_MATERIALIZE=none the
+    final frame's single plan carries the whole funnel.
+
+    Materialization boundaries (one per multi-consumer stage, per the
+    staging rule): s_url and s_c4 and survivors are corpus-ROW-scale →
+    parquet; the candidate/drop-list slivers → checkpoint. s_nd and
+    s_final stay unstaged: both are anti-joins of the survivors
+    parquet against broadcast-sized drop lists, so each extra consumer
+    re-reads one parquet scan, never a shuffle chain."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "source",
+        F.expr(_URL_SYNTH_SPARK).alias("url"),
+        token_count("text").getField("n_tokens_est").cast("long").alias("tok"),
+    )
+    canon = canonicalize_urls(docs, "url")
+    s_url = materialize(
+        canon.withColumn(
+            "keeper", F.min("doc_id").over(Window.partitionBy("canonical_url"))
+        )
+        .where(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "text", "source", "tok"),
+        label="q187_url_keepers",
+        default="parquet",
+    )
+    c4v = c4_line_filter(
+        s_url.select("doc_id", F.expr(_C4_LINE_SPARK).alias("t")), "doc_id", "t"
+    )
+    s_c4 = materialize(
+        s_url.join(
+            c4v.where(F.col("cleaned_n_words") >= _MIN_WORDS).select("doc_id"),
+            "doc_id",
+            "semi",
+        ),
+        label="q187_clean",
+        default="parquet",
+    )
+    feat = s_c4.select(
+        "doc_id",
+        "text",
+        "source",
+        "tok",
+        language_id("text").alias("lang_pred"),
+        quality_features("text").getField("quality_score").alias("quality_score"),
+    )
+    s_lang = feat.where(F.col("lang_pred") == "en")
+    s_quality = s_lang.where(F.col("quality_score") >= _MIN_SCORE)
+    survivors = materialize(
+        s_quality.withColumn(
+            "keeper",
+            F.min("doc_id").over(Window.partitionBy(F.md5(F.expr(_NORM_SPARK)))),
+        )
+        .where(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "text", "source", "tok"),
+        label="q187_survivors",
+        default="parquet",
+    )
+    cands = materialize(
+        minhash_candidate_pairs(survivors, "doc_id", "text", 12, 3, 3),
+        label="q187_candidates",
+        default="checkpoint",
+    )
+    nd_drop = materialize(
+        ngram_jaccard_pairs(
+            survivors, "doc_id", "text", n=3, threshold=0.5, candidates=cands
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct(),
+        label="q187_nd_drop",
+        default="checkpoint",
+    )
+    s_nd = survivors.join(nd_drop, "doc_id", "left_anti")
+    bench = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % _BENCH_MOD == 0
+    )
+    hits = materialize(
+        decontaminate_candidates(
+            s_nd.where(F.col("doc_id") % _BENCH_MOD != 0), bench, n=3
+        ).select("doc_id"),
+        label="q187_decon_hits",
+        default="checkpoint",
+    )
+    s_final = (
+        s_nd.where(F.col("doc_id") % _BENCH_MOD != 0).join(hits, "doc_id", "left_anti")
+    )
+    return {
+        "docs": docs,
+        "url_dedup": s_url,
+        "line_clean": s_c4,
+        "language": s_lang,
+        "quality": s_quality,
+        "exact_dedup": survivors,
+        "near_dup": s_nd,
+        "decontam": s_final,
+    }
+
+
+@register(
+    "q187_full_funnel",
+    oracle=f"""
+    WITH raw AS MATERIALIZED (
+      SELECT doc_id, text, source, {_URL_SYNTH_DUCK} AS url,
+             {_FF_TOK_DUCK} AS tok
+      FROM documents
+    ),
+    {url_canon_ctes('raw')},
+    u_keep AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY canonical_url) AS keeper
+      FROM canon
+    ),
+    s_url AS MATERIALIZED (
+      SELECT r.doc_id, r.text, r.source, r.tok
+      FROM raw r JOIN u_keep u ON r.doc_id = u.doc_id
+      WHERE u.doc_id = u.keeper
+    ),
+    synth AS (SELECT doc_id, {_C4_LINE_DUCK} AS t FROM s_url),
+    {c4_profile_ctes('synth')},
+    s_c4 AS MATERIALIZED (
+      SELECT s.doc_id, s.text, s.source, s.tok
+      FROM s_url s JOIN kept ON s.doc_id = kept.doc_id
+      WHERE {_C4_CLEAN_WORDS_DUCK} >= {_MIN_WORDS}
+    ),
+    feat AS (
+      SELECT doc_id, text, source, tok, {_LANG_PRED} AS lang_pred,
+             {_SCORE} AS quality_score
+      FROM s_c4
+    ),
+    s_lang AS (SELECT * FROM feat WHERE lang_pred = 'en'),
+    s_quality AS (SELECT * FROM s_lang WHERE quality_score >= {_MIN_SCORE}),
+    survivors AS MATERIALIZED (
+      SELECT doc_id, text, source, tok FROM (
+        SELECT k.*, MIN(doc_id) OVER (PARTITION BY md5({_NORM_DUCK})) AS keeper
+        FROM s_quality k
+      ) WHERE doc_id = keeper
+    ),
+    {minhash_cte("survivors")},
+    grams AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(generate_series(1, length(text) - 2),
+               i -> substring(text, i, 3))) AS g
+      FROM survivors WHERE length(text) >= 3
+    ),
+    nd_drop AS (
+      SELECT DISTINCT c.id_b FROM candidates c
+      JOIN grams a ON a.id = c.id_a
+      JOIN grams b ON b.id = c.id_b
+      WHERE len(list_intersect(a.g, b.g))
+            / CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) >= 0.5
+    ),
+    s_nd AS MATERIALIZED (SELECT * FROM survivors WHERE doc_id NOT IN (SELECT id_b FROM nd_drop)),
+    bw AS (
+      SELECT doc_id, {_W_SQL} AS __w FROM documents WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    bench AS (
+      SELECT DISTINCT gram
+      FROM (SELECT unnest({_grams_sql(3)}) AS gram FROM bw)
+    ),
+    cw AS (
+      SELECT doc_id, {_W_SQL} AS __w FROM s_nd WHERE doc_id % {_BENCH_MOD} <> 0
+    ),
+    hits AS (
+      SELECT DISTINCT c.doc_id
+      FROM (SELECT doc_id, unnest({_grams_sql(3)}) AS gram FROM cw) c
+      JOIN bench b USING (gram)
+    ),
+    s_final AS MATERIALIZED (
+      SELECT * FROM s_nd
+      WHERE doc_id % {_BENCH_MOD} <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM hits)
+    ),
+    shards AS MATERIALIZED (
+      SELECT DISTINCT source, (cum_tok - tok) // {_SHARD_BUDGET} AS shard
+      FROM (
+        SELECT source, tok,
+               SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum_tok
+        FROM s_final
+      )
+    ),
+    c AS (
+      SELECT (SELECT COUNT(*) FROM raw) AS n0,
+             (SELECT COUNT(*) FROM s_url) AS n1,
+             (SELECT COALESCE(SUM(tok), 0) FROM s_url) AS t1,
+             (SELECT COUNT(*) FROM s_c4) AS n2,
+             (SELECT COALESCE(SUM(tok), 0) FROM s_c4) AS t2,
+             (SELECT COUNT(*) FROM s_lang) AS n3,
+             (SELECT COALESCE(SUM(tok), 0) FROM s_lang) AS t3,
+             (SELECT COUNT(*) FROM s_quality) AS n4,
+             (SELECT COALESCE(SUM(tok), 0) FROM s_quality) AS t4,
+             (SELECT COUNT(*) FROM survivors) AS n5,
+             (SELECT COALESCE(SUM(tok), 0) FROM survivors) AS t5,
+             (SELECT COUNT(*) FROM s_nd) AS n6,
+             (SELECT COALESCE(SUM(tok), 0) FROM s_nd) AS t6,
+             (SELECT COUNT(*) FROM s_final) AS n7,
+             (SELECT COALESCE(SUM(tok), 0) FROM s_final) AS t7,
+             (SELECT COUNT(*) FROM shards) AS nsh
+    )
+    SELECT CAST(ord AS INT) AS ord, stage,
+           CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+           CAST(n_in - n_out AS BIGINT) AS n_dropped,
+           CAST(tokens_out AS BIGINT) AS tokens_out,
+           CAST(shards_out AS BIGINT) AS shards_out
+    FROM (
+      SELECT 1 AS ord, 'url_dedup' AS stage, n0 AS n_in, n1 AS n_out,
+             t1 AS tokens_out, NULL AS shards_out FROM c
+      UNION ALL SELECT 2, 'line_clean', n1, n2, t2, NULL FROM c
+      UNION ALL SELECT 3, 'language', n2, n3, t3, NULL FROM c
+      UNION ALL SELECT 4, 'quality', n3, n4, t4, NULL FROM c
+      UNION ALL SELECT 5, 'exact_dedup', n4, n5, t5, NULL FROM c
+      UNION ALL SELECT 6, 'near_dup', n5, n6, t6, NULL FROM c
+      UNION ALL SELECT 7, 'decontam', n6, n7, t7, NULL FROM c
+      UNION ALL SELECT 8, 'packing', n7, n7, t7, nsh FROM c
+    ) ORDER BY ord
+    """,
+)
+def q187_full_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full release funnel (see the block comment above): one row
+    per stage with (n_in, n_out, n_dropped, tokens_out) — token mass
+    via q38's n_tokens_est — plus the q167-shape shard count on the
+    final packing row. Scale shape: each stage is exactly its member
+    query's plan (the fragments are shared, not copied); the funnel
+    adds only doc_id-keyed semi/anti joins against broadcast-sized
+    drop lists and per-stage single-row aggregations."""
+    fr = _funnel_frames(spark, sf_dir)
+
+    def _ct(df):
+        r = df.agg(
+            F.count("*").cast("long").alias("n"),
+            F.coalesce(F.sum("tok"), F.lit(0)).cast("long").alias("t"),
+        ).collect()[0]
+        return r["n"], r["t"]
+
+    n0 = fr["docs"].count()
+    n1, t1 = _ct(fr["url_dedup"])
+    n2, t2 = _ct(fr["line_clean"])
+    n3, t3 = _ct(fr["language"])
+    n4, t4 = _ct(fr["quality"])
+    n5, t5 = _ct(fr["exact_dedup"])
+    n6, t6 = _ct(fr["near_dup"])
+    n7, t7 = _ct(fr["decontam"])
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    nsh = (
+        fr["decontam"]
+        .withColumn("cum_tok", F.sum("tok").over(w).cast("long"))
+        .select(
+            "source", F.expr(f"(cum_tok - tok) div {_SHARD_BUDGET}").alias("shard")
+        )
+        .distinct()
+        .count()
+    )
+    rows = [
+        (1, "url_dedup", n0, n1, t1, None),
+        (2, "line_clean", n1, n2, t2, None),
+        (3, "language", n2, n3, t3, None),
+        (4, "quality", n3, n4, t4, None),
+        (5, "exact_dedup", n4, n5, t5, None),
+        (6, "near_dup", n5, n6, t6, None),
+        (7, "decontam", n6, n7, t7, None),
+        (8, "packing", n7, n7, t7, nsh),
+    ]
+    return spark.createDataFrame(
+        [(o, s, a, b, a - b, t, sh) for o, s, a, b, t, sh in rows],
+        "ord int, stage string, n_in long, n_out long, n_dropped long, "
+        "tokens_out long, shards_out long",
+    )

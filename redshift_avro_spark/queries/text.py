@@ -1415,3 +1415,91 @@ def q186_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(_C4_LINE_SPARK).alias("text")
     )
     return c4_line_filter(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# --------------------------------------------------------------- q188
+# Interpolated trigram LM with Kneser–Ney-style backoff (VERDICT r8
+# "Next round" #2) — the production shape of q180's CCNet filter
+# (Wenzek et al. 2020 use a 5-gram KenLM; the bigram MLE is the toy).
+# Absolute discount D = 1 keeps everything integer so DuckDB replays
+# every ppm value; the discounted mass backs off through a bigram
+# model into a continuation-count unigram. Formulas and the 100 TB
+# shape: operators/text.py::trigram_lm_scores.
+
+_LANE_DUCK = "CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "q188_trigram_lm_score",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_WORDS} AS __w FROM documents
+    ),
+    tri AS (
+      SELECT doc_id,
+             {_LANE_DUCK.format(x="concat(__w[i], ' ', __w[i + 1], ' ', __w[i + 2])")} AS tkey,
+             {_LANE_DUCK.format(x="concat(__w[i], ' ', __w[i + 1])")} AS p2key,
+             {_LANE_DUCK.format(x="concat(__w[i + 1], ' ', __w[i + 2])")} AS b23key,
+             {_LANE_DUCK.format(x="__w[i + 1]")} AS w2key,
+             {_LANE_DUCK.format(x="__w[i + 2]")} AS w3key
+      FROM w, unnest(generate_series(1, len(__w) - 2)) AS t(i)
+      WHERE len(__w) >= 3
+    ),
+    c3 AS (
+      SELECT tkey, MIN(p2key) AS p2key, MIN(b23key) AS b23key,
+             CAST(count(*) AS BIGINT) AS c3
+      FROM tri GROUP BY tkey
+    ),
+    p2s AS (
+      SELECT p2key, CAST(count(*) AS BIGINT) AS c2p,
+             CAST(count(DISTINCT tkey) AS BIGINT) AS n3t
+      FROM tri GROUP BY p2key
+    ),
+    b23s AS (
+      SELECT b23key, MIN(w2key) AS w2key, MIN(w3key) AS w3key,
+             CAST(count(*) AS BIGINT) AS c2
+      FROM tri GROUP BY b23key
+    ),
+    w2s AS (
+      SELECT w2key, CAST(count(*) AS BIGINT) AS c1p,
+             CAST(count(DISTINCT b23key) AS BIGINT) AS n2t
+      FROM tri GROUP BY w2key
+    ),
+    w3s AS (
+      SELECT w3key, CAST(count(DISTINCT b23key) AS BIGINT) AS nprec
+      FROM tri GROUP BY w3key
+    ),
+    bt AS (SELECT CAST(count(DISTINCT b23key) AS BIGINT) AS btypes FROM tri),
+    cond AS (
+      SELECT tkey,
+             (c3 - 1) * 1000000 // c2p
+             + ((n3t * 1000000 // c2p) * (
+                 (c2 - 1) * 1000000 // c1p
+                 + ((n2t * 1000000 // c1p) * (nprec * 1000000 // btypes)) // 1000000
+               )) // 1000000 AS p3_ppm
+      FROM c3 JOIN p2s USING (p2key) JOIN b23s USING (b23key)
+              JOIN w2s USING (w2key) JOIN w3s USING (w3key) CROSS JOIN bt
+    ),
+    scored AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+             CAST(SUM(p3_ppm) // count(*) AS BIGINT) AS kn_score_ppm
+      FROM tri JOIN cond USING (tkey) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_trigrams, 0) AS n_trigrams,
+           s.kn_score_ppm
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q188_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-trigram (KN-style D=1 backoff) fluency score per
+    document, exact integer ppm: train the corpus's own trigram /
+    bigram / continuation-unigram tables and score each doc by the
+    mean interpolated probability of its word transitions. Every doc
+    gets a row (short docs: 0 trigrams, NULL score) so the q78 per-doc
+    profile join stays total."""
+    from ..operators.text import trigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return trigram_lm_scores(docs, "doc_id", "text").orderBy("doc_id")

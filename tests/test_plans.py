@@ -391,3 +391,30 @@ def test_ivf_decontam_probe_cells_broadcast(spark):
     assert plan.count("SortMergeJoin") <= 1  # the id-only keep-all left join
     assert shuffle_count(df) <= 3
     assert "CartesianProduct" not in plan
+
+
+def test_full_funnel_adds_no_corpus_shuffles(spark, monkeypatch):
+    # q187 (round 9): the funnel composes member fragments — its ONLY
+    # additions over the members' own plans are doc_id-keyed semi/anti
+    # joins and single-row aggs. With the staging cut disabled the
+    # whole DAG sits in one plan: pin that it stays free of cartesian
+    # products, that the benchmark-gram and drop-list joins ride
+    # broadcasts, and that the total exchange count stays at the sum
+    # of the member chains (the uncut minhash+jaccard+window lineage
+    # measured 87 at round 9 — a new corpus-squared or re-shuffle
+    # regression would blow well past this).
+    from redshift_avro_spark.plans import explain_str, shuffle_count
+    from redshift_avro_spark.queries.curation import _funnel_frames
+
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "none")
+    fr = _funnel_frames(spark, SF_SMOKE)
+    final = fr["decontam"]
+    plan = explain_str(final, "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5, (
+        "bench grams, jaccard gram sides and drop lists must broadcast"
+    )
+    assert shuffle_count(final) <= 90
+    # stage gates are filters/joins on the stage key only — the early
+    # frames stay cheap (url keeper window + c4 semi join)
+    assert shuffle_count(fr["line_clean"]) <= 12

@@ -48,9 +48,12 @@ def _norm_df(pdf):
     return cols, sorted(rows)
 
 
-def main() -> None:
+def run(names: list[str] | None = None) -> dict:
+    """Run the replica over ``names`` (default: the gated surface) and
+    return {name: row}. Callable in-process (tools/soak.py) — stops
+    the SparkSession it creates."""
     registry = load_all()
-    names = sys.argv[1:] or gated_names()
+    names = names or gated_names()
     spark = get_spark(app_name="gate-replica")
     spark.sparkContext.setLogLevel("ERROR")
     # bounded oracle connection (defaults are 80%-of-RAM / 32 threads;
@@ -85,9 +88,14 @@ def main() -> None:
         ok = row["hash_match"] if row["err"] is None else "ERR"
         print(f"  {name}: {ok}", file=sys.stderr)
 
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    out = run(sys.argv[1:] or None)
     bad = {k: v for k, v in out.items() if v["err"] or v["hash_match"] is False}
     print(json.dumps({"n": len(out), "bad": bad or None}, indent=1))
-    spark.stop()
 
 
 if __name__ == "__main__":

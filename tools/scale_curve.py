@@ -26,10 +26,20 @@ is measured linear.
 Usage::
 
     python tools/scale_curve.py [out_dir]   # default /tmp/scale10x
+    python tools/scale_curve.py /tmp/scale100x --replicas 100 \
+        --queries q163_source_overlap --emb-queries q152_ivf_incremental_add
 
-Prints a markdown table (query, sf0.1 best, 10x best, ratio) for
+Prints a markdown table (query, sf0.1 best, Nx best, ratio) for
 SCALING.md. Best-of-2 per point — the curve needs the ratio's order
 of magnitude, not a tracked minimum.
+
+Round 9 (VERDICT r8 task #3): ``--replicas`` builds an N× corpus with
+the same construction (the third scale point for the steepest curves);
+``--queries`` / ``--emb-queries`` restrict the sweep so a 100× run
+doesn't re-measure the whole watch list. Embedding replicas beyond the
+vector dimension negate the rotated copy (negation is orthogonal too,
+so norms and within-replica structure still hold and cross-replica
+cosines stay decorrelated instead of replica r and r+64 colliding).
 """
 
 from __future__ import annotations
@@ -81,12 +91,12 @@ EMB_QUERIES = [
 EMB_ID_STRIDE = 10**7
 
 
-def build_corpus(spark, out_dir: str) -> None:
+def build_corpus(spark, out_dir: str, n_replicas: int = N_REPLICAS) -> None:
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
     sw = ", ".join(f"'{w}'" for w in all_stop)
     parts = [docs]
-    for r in range(1, N_REPLICAS):
+    for r in range(1, n_replicas):
         subst = (
             f"array_join(transform(split(trim(lower(text)), '\\\\s+'), "
             f"w -> CASE WHEN w IN ({sw}) THEN w "
@@ -111,18 +121,26 @@ def build_corpus(spark, out_dir: str) -> None:
     )
 
 
-def build_embeddings(spark, out_dir: str) -> None:
+def build_embeddings(spark, out_dir: str, n_replicas: int = N_REPLICAS) -> None:
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     dim = 64
     parts = [emb]
-    for r in range(1, N_REPLICAS):
+    for r in range(1, n_replicas):
+        k = r % dim
+        rot = (
+            f"concat(slice(embedding, {k + 1}, {dim - k}), "
+            f"slice(embedding, 1, {k}))"
+            if k
+            else "embedding"
+        )
+        # past one full cycle of rotations, negate — also orthogonal,
+        # so replica r and r+dim don't become exact duplicates
+        if (r // dim) % 2 == 1:
+            rot = f"transform({rot}, x -> -x)"
         parts.append(
             emb.select(
                 (F.col("vec_id") + F.lit(r * EMB_ID_STRIDE)).alias("vec_id"),
-                F.expr(
-                    f"concat(slice(embedding, {r + 1}, {dim - r}), "
-                    f"slice(embedding, 1, {r}))"
-                ).alias("embedding"),
+                F.expr(rot).alias("embedding"),
                 "label",
             )
         )
@@ -144,35 +162,62 @@ def _best_of_2(fn) -> float:
 
 
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10x"
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir", nargs="?", default="/tmp/scale10x")
+    ap.add_argument("--replicas", type=int, default=N_REPLICAS)
+    ap.add_argument("--queries", default=None, help="csv subset of the doc sweep")
+    ap.add_argument("--emb-queries", default=None, help="csv subset of the ANN sweep")
+    args = ap.parse_args()
+    queries = args.queries.split(",") if args.queries is not None else QUERIES
+    emb_queries = (
+        args.emb_queries.split(",") if args.emb_queries is not None else EMB_QUERIES
+    )
+    queries = [q for q in queries if q]
+    emb_queries = [q for q in emb_queries if q]
+
     registry = load_all()
     spark = get_spark(app_name="scale-curve")
     spark.sparkContext.setLogLevel("ERROR")
-    build_corpus(spark, out_dir)
-    n_small = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
-    n_big = spark.read.parquet(os.path.join(out_dir, "documents.parquet")).count()
-    print(f"corpus: {n_small} docs -> {n_big} docs ({n_big / n_small:.1f}x)")
+    label = f"{args.replicas}x"
 
     # warmup
     registry["q37_text_quality"].fn(spark, SF_DIR).count()
 
-    print("| query | sf0.1 best (s) | 10x best (s) | time ratio |")
-    print("|---|---|---|---|")
-    for name in QUERIES:
-        t_small = _best_of_2(lambda: registry[name].fn(spark, SF_DIR).count())
-        t_big = _best_of_2(lambda: registry[name].fn(spark, out_dir).count())
-        ratio = round(t_big / t_small, 2) if t_small else float("inf")
-        print(f"| {name} | {t_small} | {t_big} | {ratio}x |")
+    if queries:
+        build_corpus(spark, args.out_dir, args.replicas)
+        n_small = spark.read.parquet(
+            os.path.join(SF_DIR, "documents.parquet")
+        ).count()
+        n_big = spark.read.parquet(
+            os.path.join(args.out_dir, "documents.parquet")
+        ).count()
+        print(f"corpus: {n_small} docs -> {n_big} docs ({n_big / n_small:.1f}x)")
+        print(f"| query | sf0.1 best (s) | {label} best (s) | time ratio |")
+        print("|---|---|---|---|")
+        for name in queries:
+            t_small = _best_of_2(lambda: registry[name].fn(spark, SF_DIR).count())
+            t_big = _best_of_2(lambda: registry[name].fn(spark, args.out_dir).count())
+            ratio = round(t_big / t_small, 2) if t_small else float("inf")
+            print(f"| {name} | {t_small} | {t_big} | {ratio}x |")
 
-    build_embeddings(spark, out_dir)
-    ne_small = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).count()
-    ne_big = spark.read.parquet(os.path.join(out_dir, "embeddings.parquet")).count()
-    print(f"embeddings: {ne_small} -> {ne_big} ({ne_big / ne_small:.1f}x)")
-    for name in EMB_QUERIES:
-        t_small = _best_of_2(lambda: registry[name].fn(spark, SF_DIR).count())
-        t_big = _best_of_2(lambda: registry[name].fn(spark, out_dir).count())
-        ratio = round(t_big / t_small, 2) if t_small else float("inf")
-        print(f"| {name} | {t_small} | {t_big} | {ratio}x |")
+    if emb_queries:
+        build_embeddings(spark, args.out_dir, args.replicas)
+        ne_small = spark.read.parquet(
+            os.path.join(SF_DIR, "embeddings.parquet")
+        ).count()
+        ne_big = spark.read.parquet(
+            os.path.join(args.out_dir, "embeddings.parquet")
+        ).count()
+        print(f"embeddings: {ne_small} -> {ne_big} ({ne_big / ne_small:.1f}x)")
+        print(f"| query | sf0.1 best (s) | {label} best (s) | time ratio |")
+        print("|---|---|---|---|")
+        for name in emb_queries:
+            t_small = _best_of_2(lambda: registry[name].fn(spark, SF_DIR).count())
+            t_big = _best_of_2(lambda: registry[name].fn(spark, args.out_dir).count())
+            ratio = round(t_big / t_small, 2) if t_small else float("inf")
+            print(f"| {name} | {t_small} | {t_big} | {ratio}x |")
     spark.stop()
 
 

@@ -123,6 +123,13 @@ EXTENDED: dict[str, float] = {
     # per-stage count actions), q188 trigram KN LM 2.40 s
     "q187_full_funnel": 6.0,
     "q188_trigram_lm_score": 3.4,
+    # q189 re-derives the repetition verdicts and 4-way-joins the
+    # filter frames per run (the trigram pass is memoized after the
+    # first run — _kn_scores); measured best-of-3 9.5 s raw at
+    # sentinel 0.285 (loaded host) ≈ 5.0 s normalized; budget on the
+    # normalized scale
+    "q189_filter_agreement": 7.0,
+    "q190_source_overlap_topn": 2.8,  # calibrated from best-of-3 1.94 s
 }
 
 _DETAIL_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r09.json")

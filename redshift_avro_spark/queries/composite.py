@@ -60,6 +60,7 @@ def _sub(name: str) -> str:
         "q182_repetition_audit",
         "q186_c4_line_filter",
         "q188_trigram_lm_score",
+        "q189_filter_agreement",
     ),
     oracle=f"""
     SELECT a.*, b.n_tokens_est, c.fingerprint,
@@ -69,7 +70,8 @@ def _sub(name: str) -> str:
            y.n_bigrams, y.lm_score_ppm,
            y3.n_trigrams, y3.kn_score_ppm,
            z.top_word_share_ppm, z.top2gram_share_ppm, z.max_word_run,
-           c4.n_lines, c4.n_kept_lines, c4.cleaned_n_words, c4.cleaned_digest
+           c4.n_lines, c4.n_kept_lines, c4.cleaned_n_words, c4.cleaned_digest,
+           ag.*
     FROM {_sub('q37_text_quality')} a
     JOIN (SELECT doc_id, n_tokens_est FROM {_sub('q38_token_stats')}) b USING (doc_id)
     JOIN {_sub('q39_doc_fingerprint')} c USING (doc_id)
@@ -84,6 +86,16 @@ def _sub(name: str) -> str:
           FROM {_sub('q182_repetition_audit')}) z USING (doc_id)
     JOIN (SELECT doc_id, n_lines, n_kept_lines, cleaned_n_words, cleaned_digest
           FROM {_sub('q186_c4_line_filter')}) c4 USING (doc_id)
+    CROSS JOIN (
+      SELECT {", ".join(
+        f"CAST(SUM(CASE WHEN filter_a = '{a}' AND filter_b = '{b}' THEN {m} END)"
+        f" AS BIGINT) AS agr_{a}_{b}_{m.split('_')[0]}"
+        for a, b in (("clf", "heur"), ("clf", "lm"), ("clf", "rep"),
+                     ("heur", "lm"), ("heur", "rep"), ("lm", "rep"))
+        for m in ("po_ppm", "kappa_ppm")
+      )}
+      FROM {_sub('q189_filter_agreement')}
+    ) ag
     ORDER BY doc_id
     """,
 )
@@ -95,7 +107,10 @@ def q78_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q162 — TTR + hapax share in exact ppm) ⋈ bigram-LM fluency score
     (q180 — the CCNet-style corpus-fitted filter; r7) ⋈ interpolated
     trigram KN-backoff fluency score (q188 — the production shape of
-    the same filter; r9) ⋈ Gopher
+    the same filter; r9, sharing ONE trained score pass with q189 via
+    the _kn_scores memo) ⋈ the filter-agreement audit (q189 — pairwise
+    keep/drop agreement + Cohen's kappa across the four quality
+    filters, one pivoted broadcast row; r9) ⋈ Gopher
     repetition rules (q182 — top-word/top-bigram share, longest word
     run; r7) ⋈ the C4 line-filter profile (q186 — per-doc drop counts
     and cleaned-text digest over the synthesized line structure; r8)
@@ -119,10 +134,28 @@ def q78_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     c4 = _run("q186_c4_line_filter", spark, sf_dir).select(
         "doc_id", "n_lines", "n_kept_lines", "cleaned_n_words", "cleaned_digest"
     )
+    _pairs = (
+        ("clf", "heur"), ("clf", "lm"), ("clf", "rep"),
+        ("heur", "lm"), ("heur", "rep"), ("lm", "rep"),
+    )
+    ag = _run("q189_filter_agreement", spark, sf_dir).agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("filter_a") == pa) & (F.col("filter_b") == pb), F.col(m)
+                )
+            )
+            .cast("bigint")
+            .alias(f"agr_{pa}_{pb}_{m.split('_')[0]}")
+            for pa, pb in _pairs
+            for m in ("po_ppm", "kappa_ppm")
+        ]
+    )
     return (
         a.join(b, "doc_id").join(c, "doc_id").join(d, "doc_id").join(e, "doc_id")
         .join(x, "doc_id").join(y, "doc_id").join(y3, "doc_id").join(z, "doc_id")
         .join(c4, "doc_id")
+        .crossJoin(F.broadcast(ag))
         .orderBy("doc_id")
     )
 
@@ -1879,6 +1912,7 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q165_retrieval_metrics",
         "q166_inference_rerank",
         "q176_zipf_audit",
+        "q190_source_overlap_topn",
     ),
     oracle=f"""
     SELECT 'tfidf' AS kind, lang AS k_str, term AS k_str2,
@@ -1949,6 +1983,11 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            rank AS n1, n_occ AS n2, share_ppm AS n3,
            CAST(cum_share_ppm AS DOUBLE) AS val
     FROM {_sub('q176_zipf_audit')}
+    UNION ALL
+    SELECT 'overlapN' AS kind, src_a AS k_str, src_b AS k_str2,
+           shared_topn AS n1, topn_a AS n2, topn_b AS n3,
+           CAST(containment_ppm AS DOUBLE) AS val
+    FROM {_sub('q190_source_overlap_topn')}
     ORDER BY kind, n1, k_str, k_str2
     """,
 )
@@ -1973,7 +2012,10 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q166 — mapInPandas with a once-per-partition linear cross-encoder
     reading broadcast weights; exact integer logits), and the Zipf
     rank-frequency audit (q176 — top-20 head terms with exact ppm
-    shares plus vocab/hapax/token scalars), tagged
+    shares plus vocab/hapax/token scalars), and the top-N gram-cutoff
+    overlap view (q190 — each source's 200 most frequent windows,
+    salted two-phase rank, corpus-size-independent tail; the q163
+    scale lever as its own oracle-matched query; r9), tagged
     and unioned. The passes an LLM pipeline runs over the corpus
     before training, in one driver-verified result."""
     a = _run("q56_tfidf_terms", spark, sf_dir).select(
@@ -2103,11 +2145,20 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("share_ppm").alias("n3"),
         F.col("cum_share_ppm").cast("double").alias("val"),
     )
+    jn = _run("q190_source_overlap_topn", spark, sf_dir).select(
+        F.lit("overlapN").alias("kind"),
+        F.col("src_a").alias("k_str"),
+        F.col("src_b").alias("k_str2"),
+        F.col("shared_topn").alias("n1"),
+        F.col("topn_a").alias("n2"),
+        F.col("topn_b").alias("n3"),
+        F.col("containment_ppm").cast("double").alias("val"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
         .unionByName(g).unionByName(h).unionByName(i)
         .unionByName(j).unionByName(k).unionByName(m).unionByName(o)
-        .unionByName(z)
+        .unionByName(z).unionByName(jn)
         .orderBy("kind", "n1", "k_str", "k_str2")
     )
 

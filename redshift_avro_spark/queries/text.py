@@ -474,6 +474,15 @@ def q162_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _OVL_W = 4
 
+# the 4-word-window md5 BIGINT lane, shared by q163 and q190 so the
+# two overlap views hash the identical window string
+_OVL_GRAMS_SPARK = (
+    f"transform(sequence(1, size(split(trim(lower(text)), '\\\\s+')) - {_OVL_W - 1}), "
+    f"i -> CAST(conv(substring(md5("
+    f"array_join(slice(split(trim(lower(text)), '\\\\s+'), i, {_OVL_W}), ' ')"
+    f"), 1, 15), 16, 10) AS BIGINT))"
+)
+
 
 @register(
     "q163_source_overlap",
@@ -525,12 +534,7 @@ def q163_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is never self-joined (the oracle's gram⋈gram is the
     oracle's affordance, not the plan). Output is O(sources²) rows."""
     w = F.expr("split(trim(lower(text)), '\\\\s+')")
-    grams = F.expr(
-        f"transform(sequence(1, size(split(trim(lower(text)), '\\\\s+')) - {_OVL_W - 1}), "
-        f"i -> CAST(conv(substring(md5("
-        f"array_join(slice(split(trim(lower(text)), '\\\\s+'), i, {_OVL_W}), ' ')"
-        f"), 1, 15), 16, 10) AS BIGINT))"
-    )
+    grams = F.expr(_OVL_GRAMS_SPARK)
     docs = load_table(spark, sf_dir, "documents")
     # spread the md5-per-window workload first: a single small input
     # file otherwise evaluates the whole gram fan-out on ONE core
@@ -1499,7 +1503,371 @@ def q188_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean interpolated probability of its word transitions. Every doc
     gets a row (short docs: 0 trigrams, NULL score) so the q78 per-doc
     profile join stays total."""
+    return _kn_scores(spark, sf_dir).orderBy("doc_id")
+
+
+# Shared trigram-score pass (the _sd_cells pattern from r8): q188 and
+# q189 both consume the scored frame, and the q78 composite runs both —
+# ONE training per (app, corpus) instead of re-deriving the five count
+# tables per consumer. The scored frame is corpus-ROW-scale → parquet
+# staging boundary per the staging rule.
+_KN_MEMO: dict = {}
+
+
+def _kn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.staging import materialize
     from ..operators.text import trigram_lm_scores
 
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if key not in _KN_MEMO:
+        docs = load_table(spark, sf_dir, "documents")
+        _KN_MEMO[key] = materialize(
+            trigram_lm_scores(docs, "doc_id", "text"),
+            label="kn_scores",
+            default="parquet",
+        )
+        while len(_KN_MEMO) > 4:
+            _KN_MEMO.pop(next(iter(_KN_MEMO)))
+    return _KN_MEMO[key]
+
+
+# --------------------------------------------------------------- q189
+# Filter-agreement audit: a curation pipeline stacks independent
+# quality filters (heuristic score, trained classifier, LM perplexity,
+# repetition rules — the CCNet/Gopher/C4 stack this repo implements as
+# q37/q95/q188/q182), and the tuning question is which filters are
+# REDUNDANT vs COMPLEMENTARY: high agreement → one can be dropped or
+# demoted to a cheap pre-filter; low agreement → they remove different
+# failure modes and both earn their cost. Per ordered filter pair this
+# reports raw agreement and Cohen's kappa (chance-corrected — two
+# filters that both keep ~95% agree ~90% by chance alone), in exact
+# integer ppm so DuckDB replays every value.
+#
+# Keep verdicts (each reusing the REGISTERED member's formula):
+#   heur = q37 quality_score >= 0.68 (the q49 gate threshold)
+#   clf  = q95 classifier keep (logit_sum > 0)
+#   lm   = q188 kn_score_ppm >= corpus median (docs with no trigrams
+#          drop); the median is exact via a HISTOGRAM running count —
+#          scores are integers in [0, 10^6], so the histogram is
+#          bounded at ~10^6 rows regardless of corpus size (the q170
+#          skew-safe-rank lesson: never a global row sort at 100 TB)
+#   rep  = q182 top_word_share_ppm < 300000 (Gopher's ~0.3 top-word
+#          cap; zero-token docs drop)
+#
+# kappa = (po - pe) / (1 - pe) with pe from the ppm-rounded marginals;
+# the negative branch is sign-split so Spark's truncating `div` and
+# DuckDB's flooring `//` only ever divide non-negative integers.
+
+
+@register(
+    "q189_filter_agreement",
+    oracle=None,  # set below — needs the member oracles
+)
+def q189_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise keep/drop agreement + Cohen's kappa (integer ppm) for
+    the four quality filters. One narrow per-doc verdict projection
+    (members' own plans), a bounded histogram median for the LM
+    threshold, ONE single-row aggregation for all counts; po/pe/kappa
+    assembled driver-side from the exact counts with the same integer
+    formulas the oracle replays."""
+    from ..operators.text import (
+        quality_classifier_score,
+        repetition_audit,
+    )
+
+    S = 1_000_000
     docs = load_table(spark, sf_dir, "documents")
-    return trigram_lm_scores(docs, "doc_id", "text").orderBy("doc_id")
+    # the members' OPERATORS, not their registered fns — the fns end in
+    # a per-member global orderBy the joins would immediately re-shuffle
+    # away (measured: fn-reuse 9.5 s vs operator-reuse at sf0.1); the
+    # formulas are identical and the oracle replays the members' SQL
+    heur = docs.select(
+        "doc_id",
+        (quality_features("text").getField("quality_score") >= 0.68).alias(
+            "keep_heur"
+        ),
+    )
+    clf = docs.select(
+        "doc_id",
+        quality_classifier_score("text").getField("keep").alias("keep_clf"),
+    )
+    rep = repetition_audit(docs, "doc_id", "text").select(
+        "doc_id",
+        F.coalesce(F.col("top_word_share_ppm") < 300000, F.lit(False)).alias(
+            "keep_rep"
+        ),
+    )
+    lm = _kn_scores(spark, sf_dir).select("doc_id", "kn_score_ppm")
+    hist = (
+        lm.where(F.col("kn_score_ppm").isNotNull())
+        .groupBy("kn_score_ppm")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy("kn_score_ppm").rowsBetween(Window.unboundedPreceding, 0)
+    med = (
+        hist.withColumn("cum", F.sum("c").over(w))
+        .crossJoin(F.broadcast(hist.agg(((F.sum("c") + 1) / 2).cast("long").alias("k"))))
+        .where(F.col("cum") >= F.col("k"))
+        .agg(F.min("kn_score_ppm").alias("med"))
+    )
+    base = (
+        heur.join(clf, "doc_id")
+        .join(rep, "doc_id")
+        .join(lm, "doc_id")
+        .crossJoin(F.broadcast(med))
+        .select(
+            "keep_clf",
+            "keep_heur",
+            F.coalesce(
+                F.col("kn_score_ppm") >= F.col("med"), F.lit(False)
+            ).alias("keep_lm"),
+            "keep_rep",
+        )
+    )
+    names = ["clf", "heur", "lm", "rep"]
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1 :]]
+    aggs = [F.count("*").cast("long").alias("n")]
+    aggs += [
+        F.sum(F.when(F.col(f"keep_{f}"), 1).otherwise(0)).cast("long").alias(f"k_{f}")
+        for f in names
+    ]
+    aggs += [
+        F.sum(F.when(F.col(f"keep_{a}") == F.col(f"keep_{b}"), 1).otherwise(0))
+        .cast("long")
+        .alias(f"agree_{a}_{b}")
+        for a, b in pairs
+    ]
+    r = base.agg(*aggs).collect()[0]
+    rows = []
+    for a, b in pairs:
+        n, ka, kb = r["n"], r[f"k_{a}"], r[f"k_{b}"]
+        n_agree = r[f"agree_{a}_{b}"]
+        po = n_agree * S // n
+        pa, pb = ka * S // n, kb * S // n
+        pe = (pa * pb) // S + ((S - pa) * (S - pb)) // S
+        if pe == S:
+            kappa = None
+        elif po >= pe:
+            kappa = (po - pe) * S // (S - pe)
+        else:
+            kappa = -((pe - po) * S // (S - pe))
+        rows.append((a, b, n, ka, kb, n_agree, po, pe, kappa))
+    return spark.createDataFrame(
+        rows,
+        "filter_a string, filter_b string, n_docs long, a_keep_n long, "
+        "b_keep_n long, n_agree long, po_ppm long, pe_ppm long, kappa_ppm long",
+    ).orderBy("filter_a", "filter_b")
+
+
+def _q189_oracle() -> str:
+    from . import REGISTRY
+
+    q37 = REGISTRY["q37_text_quality"].oracle
+    q95 = REGISTRY["q95_quality_classifier"].oracle
+    q182 = REGISTRY["q182_repetition_audit"].oracle
+    q188 = REGISTRY["q188_trigram_lm_score"].oracle
+    pairs = [
+        ("clf", "heur"), ("clf", "lm"), ("clf", "rep"),
+        ("heur", "lm"), ("heur", "rep"), ("lm", "rep"),
+    ]
+    pair_rows = "\n      UNION ALL ".join(
+        f"SELECT '{a}' AS filter_a, '{b}' AS filter_b, n, k_{a} AS ka, "
+        f"k_{b} AS kb, agree_{a}_{b} AS n_agree FROM agg"
+        for a, b in pairs
+    )
+    keep_sums = ", ".join(
+        f"CAST(SUM(CASE WHEN keep_{f} THEN 1 ELSE 0 END) AS BIGINT) AS k_{f}"
+        for f in ["clf", "heur", "lm", "rep"]
+    )
+    agree_sums = ", ".join(
+        f"CAST(SUM(CASE WHEN keep_{a} = keep_{b} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS agree_{a}_{b}"
+        for a, b in pairs
+    )
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT h.doc_id, h.quality_score >= 0.68 AS keep_heur,
+             c.keep AS keep_clf,
+             COALESCE(r.top_word_share_ppm < 300000, FALSE) AS keep_rep,
+             l.kn_score_ppm
+      FROM (SELECT doc_id, quality_score FROM ({q37})) h
+      JOIN (SELECT doc_id, keep FROM ({q95})) c USING (doc_id)
+      JOIN (SELECT doc_id, top_word_share_ppm FROM ({q182})) r USING (doc_id)
+      JOIN (SELECT doc_id, kn_score_ppm FROM ({q188})) l USING (doc_id)
+    ),
+    hist AS (
+      SELECT kn_score_ppm AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base WHERE kn_score_ppm IS NOT NULL GROUP BY 1
+    ),
+    med AS (
+      SELECT MIN(v) AS med FROM (
+        SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+               (SELECT (SUM(c) + 1) // 2 FROM hist) AS k
+        FROM hist
+      ) WHERE cum >= k
+    ),
+    verdicts AS (
+      SELECT keep_clf, keep_heur,
+             COALESCE(kn_score_ppm >= (SELECT med FROM med), FALSE) AS keep_lm,
+             keep_rep
+      FROM base
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, {keep_sums}, {agree_sums}
+      FROM verdicts
+    ),
+    pairs AS (
+      {pair_rows}
+    ),
+    calc AS (
+      SELECT filter_a, filter_b, n AS n_docs, ka AS a_keep_n, kb AS b_keep_n,
+             n_agree,
+             n_agree * 1000000 // n AS po_ppm,
+             (ka * 1000000 // n) * (kb * 1000000 // n) // 1000000
+             + (1000000 - ka * 1000000 // n)
+               * (1000000 - kb * 1000000 // n) // 1000000 AS pe_ppm
+      FROM pairs
+    )
+    SELECT filter_a, filter_b, n_docs, a_keep_n, b_keep_n, n_agree,
+           CAST(po_ppm AS BIGINT) AS po_ppm, CAST(pe_ppm AS BIGINT) AS pe_ppm,
+           CAST(CASE WHEN pe_ppm = 1000000 THEN NULL
+                WHEN po_ppm >= pe_ppm
+                  THEN (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm)
+                ELSE -((pe_ppm - po_ppm) * 1000000 // (1000000 - pe_ppm))
+           END AS BIGINT) AS kappa_ppm
+    FROM calc ORDER BY filter_a, filter_b
+    """
+
+
+from . import REGISTRY as _REG  # noqa: E402
+
+# the oracle composes member oracles that register above in this module
+_REG["q189_filter_agreement"].oracle = _q189_oracle()
+
+
+# --------------------------------------------------------------- q190
+# Top-N gram-cutoff source overlap — the scale lever the q163 verdicts
+# documented (VERDICT r8 watch item #3, task #3): q163's per-gram
+# source-set index grows with the GRAM VOCABULARY, which is linear in
+# the corpus (measured 4.29x at 10x, 27.3x at 100x on the
+# disjoint-vocabulary worst-case corpus). This variant bounds the
+# index at sources x N regardless of corpus size: each source keeps
+# only its TOP-N most frequent 4-word windows (tf DESC, gram ASC —
+# deterministic), and the overlap audit runs over those bounded sets.
+# Value-changing vs q163 BY DESIGN (a cutoff is an approximation), so
+# it is a NEW oracle-matched query rather than a silent q163 change;
+# the audit question it answers — "do these sources restate each
+# other's CHARACTERISTIC content" — is the mixture-tuning question,
+# and boilerplate shared across sources is exactly what the top of the
+# tf ranking surfaces.
+
+_OVL_TOPN = 200
+
+
+@register(
+    "q190_source_overlap_topn",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, {_WORDS} AS __w FROM documents
+    ),
+    occ AS (
+      SELECT source,
+             CAST(concat('0x', substring(md5(
+               array_to_string(list_slice(__w, i, i + {_OVL_W - 1}), ' ')
+             ), 1, 15)) AS BIGINT) AS gram
+      FROM w, unnest(generate_series(1, len(__w) - {_OVL_W - 1})) AS t(i)
+    ),
+    tf AS (
+      SELECT source, gram, CAST(count(*) AS BIGINT) AS tf
+      FROM occ GROUP BY source, gram
+    ),
+    top AS (
+      SELECT source, gram, tf FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY tf DESC, gram) AS rn
+        FROM tf
+      ) WHERE rn <= {_OVL_TOPN}
+    ),
+    tot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_top FROM top GROUP BY source
+    ),
+    sh AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS shared_topn
+      FROM top a JOIN top b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT sh.src_a, sh.src_b, sh.shared_topn,
+           ta.n_top AS topn_a, tb.n_top AS topn_b,
+           CAST(sh.shared_topn * 1000000
+             // least(ta.n_top, tb.n_top) AS BIGINT) AS containment_ppm
+    FROM sh
+    JOIN tot ta ON ta.source = sh.src_a
+    JOIN tot tb ON tb.source = sh.src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def q190_source_overlap_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise overlap of each source's top-N most frequent 4-word
+    windows: shared windows per pair, each side's retained-set size
+    (min(N, vocabulary)), containment of the smaller side in exact ppm.
+
+    Scale shape: the gram rides the same 8-byte md5 lane as q163; ONE
+    (source, gram) count aggregation; the per-source top-N is the
+    SALTED TWO-PHASE form (phase 1 ranks within (source, gram % 32) so
+    no task ever sorts a whole source's vocabulary — the q165 lesson;
+    phase 2 ranks the <= 32*N survivors per source), and everything
+    downstream of the cutoff is bounded at sources x N rows — the pair
+    join broadcasts, totals are trivial, and the whole tail is
+    corpus-size-INDEPENDENT, which is the point of the cutoff."""
+    from ..operators.staging import materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.expr("split(trim(lower(text)), '\\\\s+')")
+    n_part = max(2, spark.sparkContext.defaultParallelism // 2)
+    tf = (
+        docs.repartition(n_part, "doc_id")
+        .where(F.size(w) >= _OVL_W)
+        .select("source", F.explode(F.expr(_OVL_GRAMS_SPARK)).alias("gram"))
+        .groupBy("source", "gram")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    w1 = Window.partitionBy("source", F.pmod("gram", F.lit(32))).orderBy(
+        F.desc("tf"), F.asc("gram")
+    )
+    w2 = Window.partitionBy("source").orderBy(F.desc("tf"), F.asc("gram"))
+    top = materialize(
+        tf.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= _OVL_TOPN)
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= _OVL_TOPN)
+        .select("source", "gram", "tf"),
+        # sources x N rows — a sliver feeding the pair join and the
+        # totals -> checkpoint
+        label="q190_top_grams",
+        default="checkpoint",
+    )
+    tot = top.groupBy("source").agg(F.count("*").cast("long").alias("n_top"))
+    a = top.select(F.col("source").alias("src_a"), "gram")
+    b = top.select(F.col("source").alias("src_b"), "gram")
+    sh = (
+        a.join(F.broadcast(b), "gram")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("shared_topn"))
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n_top").alias("topn_a"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n_top").alias("topn_b"))
+    return (
+        sh.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a", "src_b", "shared_topn", "topn_a", "topn_b",
+            F.expr("shared_topn * 1000000 div least(topn_a, topn_b)").alias(
+                "containment_ppm"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )

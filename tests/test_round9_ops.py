@@ -200,3 +200,76 @@ class TestIvfDecontamRecallSweep:
         # n_probe = n_centroids probes EVERY cell → all pairs are
         # candidates → recall is exactly 1.0 by construction
         assert recalls[-1] == 1.0, recalls
+
+
+class TestFilterAgreement:
+    def test_kappa_arithmetic_and_shape(self, spark):
+        """q189 invariants at the smoke corpus: six lexicographic
+        pairs, ppm ranges, and kappa recomputed INDEPENDENTLY from the
+        emitted counts with the same sign-split integer formula (the
+        driver-side arithmetic and this reimplementation must agree)."""
+        from conftest import SF_SMOKE
+
+        from redshift_avro_spark.queries import load_all
+
+        rows = load_all()["q189_filter_agreement"].fn(spark, SF_SMOKE).collect()
+        S = 1_000_000
+        assert [(r["filter_a"], r["filter_b"]) for r in rows] == [
+            ("clf", "heur"), ("clf", "lm"), ("clf", "rep"),
+            ("heur", "lm"), ("heur", "rep"), ("lm", "rep"),
+        ]
+        for r in rows:
+            n, ka, kb = r["n_docs"], r["a_keep_n"], r["b_keep_n"]
+            assert 0 <= r["n_agree"] <= n and 0 < n
+            po = r["n_agree"] * S // n
+            pa, pb = ka * S // n, kb * S // n
+            pe = (pa * pb) // S + ((S - pa) * (S - pb)) // S
+            assert r["po_ppm"] == po and r["pe_ppm"] == pe
+            if pe == S:
+                assert r["kappa_ppm"] is None
+            elif po >= pe:
+                assert r["kappa_ppm"] == (po - pe) * S // (S - pe)
+            else:
+                assert r["kappa_ppm"] == -((pe - po) * S // (S - pe))
+            assert r["kappa_ppm"] is None or r["kappa_ppm"] <= S
+
+    def test_lm_median_split_keeps_about_half(self, spark):
+        """The LM filter thresholds at the corpus histogram-median, so
+        its keep count sits in a sane band (not ~0/~all — the failure
+        mode of a hardcoded absolute threshold)."""
+        from conftest import SF_SMOKE
+
+        from redshift_avro_spark.queries import load_all
+
+        rows = load_all()["q189_filter_agreement"].fn(spark, SF_SMOKE).collect()
+        lm_keep = next(
+            r["a_keep_n"] for r in rows if r["filter_a"] == "lm"
+        )
+        n = rows[0]["n_docs"]
+        assert 0.3 * n <= lm_keep <= 0.7 * n, (lm_keep, n)
+
+
+class TestTopNOverlapCutoff:
+    def test_topn_bounded_and_subset_of_exact(self, spark):
+        """q190's retained sets are bounded at N; every pair it emits
+        shares a top gram, hence A gram — its pair-key set must be a
+        subset of q163's exact pairs, and containment must replay
+        shared * 10^6 div min(topn)."""
+        from conftest import SF_SMOKE
+
+        from redshift_avro_spark.queries import load_all
+
+        reg = load_all()
+        topn = reg["q190_source_overlap_topn"].fn(spark, SF_SMOKE).collect()
+        exact_pairs = {
+            (r["src_a"], r["src_b"])
+            for r in reg["q163_source_overlap"].fn(spark, SF_SMOKE).collect()
+        }
+        assert topn, "smoke corpus must yield at least one overlapping pair"
+        for r in topn:
+            assert r["topn_a"] <= 200 and r["topn_b"] <= 200
+            assert 1 <= r["shared_topn"] <= min(r["topn_a"], r["topn_b"])
+            assert (r["src_a"], r["src_b"]) in exact_pairs
+            assert r["containment_ppm"] == r["shared_topn"] * 1_000_000 // min(
+                r["topn_a"], r["topn_b"]
+            )

@@ -71,6 +71,12 @@ QUERIES = [
     "q180_bigram_lm_score",
     "q182_repetition_audit",
     "q183_url_dedup",
+    # round 9: the full release funnel, the trigram KN LM, and the
+    # top-N overlap cutoff (the q163 scale lever — its curve should
+    # stay flat where q163's grows with the gram vocabulary)
+    "q187_full_funnel",
+    "q188_trigram_lm_score",
+    "q190_source_overlap_topn",
 ]
 
 # ANN families measured against a 10× EMBEDDINGS table: ten replicas,

@@ -74,8 +74,9 @@ def _duck(sf_dir: str, mem: str = "4GB") -> duckdb.DuckDBPyConnection:
     # fragmentation at those defaults exhausted the process in round 7
     # (every "failure" was duckdb OutOfMemoryException / malloc
     # failure, all passing in a fresh process). 4 GiB / 4 threads is
-    # plenty for the sf0.001 fixtures and keeps the whole 637-test
-    # suite inside one process (VERDICT r7 "Next round" #1).
+    # plenty for the sf0.001 fixtures and keeps the whole suite
+    # inside one process (VERDICT r7 "Next round" #1; current counts
+    # come from tools/round_stats.py).
     con = duckdb.connect(config={"memory_limit": mem, "threads": 4})
     for t in ALL_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

@@ -123,12 +123,15 @@ EXTENDED: dict[str, float] = {
     # per-stage count actions), q188 trigram KN LM 2.40 s
     "q187_full_funnel": 6.0,
     "q188_trigram_lm_score": 3.4,
-    # q189 re-derives the repetition verdicts and 4-way-joins the
-    # filter frames per run (the trigram pass is memoized after the
-    # first run — _kn_scores); measured best-of-3 9.5 s raw at
-    # sentinel 0.285 (loaded host) ≈ 5.0 s normalized; budget on the
-    # normalized scale
-    "q189_filter_agreement": 7.0,
+    # q189 re-derives the repetition verdicts and joins the filter
+    # frames per run (the trigram pass is memoized after the first run
+    # — _kn_scores); its cost is STAGE COUNT, not data (5k rows at
+    # sf0.1): repetition_audit's staged token frame + ~20 tiny
+    # exchanges. Soak-measured best-of-3 9.198 raw / 7.62 normalized
+    # at sentinel 0.14-0.22 (the quietest same-session measurement);
+    # the r9 heur+clf single-scan merge shaves one join pair. Budget
+    # from that measurement + headroom.
+    "q189_filter_agreement": 9.0,
     "q190_source_overlap_topn": 2.8,  # calibrated from best-of-3 1.94 s
 }
 

@@ -1583,14 +1583,13 @@ def q189_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a per-member global orderBy the joins would immediately re-shuffle
     # away (measured: fn-reuse 9.5 s vs operator-reuse at sf0.1); the
     # formulas are identical and the oracle replays the members' SQL
-    heur = docs.select(
+    # heur + clf in ONE scan/projection (both are pure per-doc codegen
+    # over text) — separate frames would shuffle twice into the join
+    hc = docs.select(
         "doc_id",
         (quality_features("text").getField("quality_score") >= 0.68).alias(
             "keep_heur"
         ),
-    )
-    clf = docs.select(
-        "doc_id",
         quality_classifier_score("text").getField("keep").alias("keep_clf"),
     )
     rep = repetition_audit(docs, "doc_id", "text").select(
@@ -1613,8 +1612,7 @@ def q189_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("kn_score_ppm").alias("med"))
     )
     base = (
-        heur.join(clf, "doc_id")
-        .join(rep, "doc_id")
+        hc.join(rep, "doc_id")
         .join(lm, "doc_id")
         .crossJoin(F.broadcast(med))
         .select(

@@ -122,6 +122,10 @@ EXTENDED: dict[str, float] = {
     # the whole URL→C4→quality→dedup→decontam→packing DAG with 8
     # per-stage count actions), q188 trigram KN LM 2.40 s
     "q187_full_funnel": 6.0,
+    # like q185: the first run pays the shared _kn_scores training
+    # (~2.4 s at sf0.1), later runs read the staged parquet (best-of-3
+    # min ≈ 0.06 s warm) — the training cost shows in the 10× curve
+    # and the run range, not the best
     "q188_trigram_lm_score": 3.4,
     # q189 re-derives the repetition verdicts and joins the filter
     # frames per run (the trigram pass is memoized after the first run

@@ -25,6 +25,7 @@ __all__ = [
     "bigram_lm_scores",
     "repetition_audit",
     "c4_line_filter",
+    "source_overlap",
     "C4_BAD_PHRASES",
     "STOPWORDS",
 ]
@@ -624,4 +625,139 @@ def c4_line_filter(
             f"size(split(trim(array_join({kept}, '\\n')), '\\\\s+')) END"
         ).cast("long").alias("cleaned_n_words"),
         F.expr(f"md5(array_join({kept}, '\\n'))").alias("cleaned_digest"),
+    )
+
+
+def source_overlap(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    window: int = 4,
+    top_n: int | None = None,
+    salt: int = 32,
+) -> DataFrame:
+    """Pairwise cross-source overlap of distinct ``window``-word text
+    windows — the dataset-level contamination audit run before mixing
+    corpora (reference README.md:17's "other transformations" stage,
+    expressed as the training-mix datasheet check).
+
+    One operator, two regimes (VERDICT r9 #4 — q190 proved the bounded
+    form; a 100 TB caller opts into it with a parameter instead of
+    switching queries):
+
+    - ``top_n=None`` (exact, q163): per-gram source-set index — ONE
+      aggregation collapses the gram fan-out to one row per DISTINCT
+      gram (``collect_set`` dedups map-side); hapax grams never reach
+      the pair explode. Index grows with the gram vocabulary (linear
+      in the corpus; measured 27.3× wall at 100×), so this is the
+      small-to-mid-scale exact audit. Output: ``src_a, src_b,
+      shared_grams, grams_a, grams_b, containment_ppm``.
+    - ``top_n=N`` (bounded, q190): each source keeps only its top-N
+      most frequent windows (``tf DESC, gram ASC`` — deterministic),
+      ranked in the SALTED TWO-PHASE form (phase 1 within
+      ``(source, gram % salt)`` so no task ever sorts a whole source's
+      vocabulary; phase 2 over the ≤ salt·N survivors); everything
+      past the cutoff is bounded at sources×N rows and
+      corpus-size-INDEPENDENT (measured 20.2× wall at 100× vs the
+      exact form's 27.3×). Output: ``src_a, src_b, shared_topn,
+      topn_a, topn_b, containment_ppm``.
+
+    Both regimes ride the same 8-byte md5 BIGINT gram lane from birth
+    (both engines hash the identical window string, so counts stay
+    exact while shuffles move 8-byte keys, not ~25-char strings).
+    """
+    from .staging import materialize
+
+    w = F.expr(_WORDS.format(c=text_col))
+    grams_expr = (
+        f"transform(sequence(1, size({_WORDS.format(c=text_col)}) - {window - 1}), "
+        f"i -> CAST(conv(substring(md5("
+        f"array_join(slice({_WORDS.format(c=text_col)}, i, {window}), ' ')"
+        f"), 1, 15), 16, 10) AS BIGINT))"
+    )
+    # spread the md5-per-window workload first: a single small input
+    # file otherwise evaluates the whole gram fan-out on ONE core; the
+    # exchange is absorbed by the aggregation that follows anyway
+    n_part = max(2, docs.sparkSession.sparkContext.defaultParallelism // 2)
+    occ = (
+        docs.repartition(n_part, doc_col)
+        .where(F.size(w) >= window)
+        .select(source_col, F.explode(F.expr(grams_expr)).alias("gram"))
+    )
+
+    if top_n is None:
+        gsets = materialize(
+            occ.groupBy("gram").agg(
+                F.array_sort(F.collect_set(source_col)).alias("srcs")
+            ),
+            label="source_overlap_gram_index",
+            default="checkpoint",
+        )
+        tot = (
+            gsets.select(F.explode("srcs").alias(source_col))
+            .groupBy(source_col)
+            .agg(F.count("*").cast("long").alias("n_grams"))
+        )
+        pair_expr = (
+            "flatten(transform(srcs, (x, i) -> "
+            "transform(slice(srcs, i + 2, size(srcs) - i - 1), "
+            "y -> named_struct('src_a', x, 'src_b', y))))"
+        )
+        sh = (
+            gsets.where(F.size("srcs") >= 2)
+            .select(F.explode(F.expr(pair_expr)).alias("p"))
+            .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+            .agg(F.count("*").cast("long").alias("shared_grams"))
+        )
+        ta = tot.select(F.col(source_col).alias("src_a"), F.col("n_grams").alias("grams_a"))
+        tb = tot.select(F.col(source_col).alias("src_b"), F.col("n_grams").alias("grams_b"))
+        return (
+            sh.join(F.broadcast(ta), "src_a")
+            .join(F.broadcast(tb), "src_b")
+            .select(
+                "src_a", "src_b", "shared_grams", "grams_a", "grams_b",
+                F.expr(
+                    "shared_grams * 1000000 div least(grams_a, grams_b)"
+                ).alias("containment_ppm"),
+            )
+            .orderBy("src_a", "src_b")
+        )
+
+    tf = occ.groupBy(source_col, "gram").agg(F.count("*").cast("long").alias("tf"))
+    w1 = Window.partitionBy(source_col, F.pmod("gram", F.lit(salt))).orderBy(
+        F.desc("tf"), F.asc("gram")
+    )
+    w2 = Window.partitionBy(source_col).orderBy(F.desc("tf"), F.asc("gram"))
+    top = materialize(
+        tf.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= top_n)
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= top_n)
+        .select(source_col, "gram", "tf"),
+        # sources × N rows — a sliver feeding the pair join and totals
+        label="source_overlap_top_grams",
+        default="checkpoint",
+    )
+    tot = top.groupBy(source_col).agg(F.count("*").cast("long").alias("n_top"))
+    a = top.select(F.col(source_col).alias("src_a"), "gram")
+    b = top.select(F.col(source_col).alias("src_b"), "gram")
+    sh = (
+        a.join(F.broadcast(b), "gram")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("shared_topn"))
+    )
+    ta = tot.select(F.col(source_col).alias("src_a"), F.col("n_top").alias("topn_a"))
+    tb = tot.select(F.col(source_col).alias("src_b"), F.col("n_top").alias("topn_b"))
+    return (
+        sh.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a", "src_b", "shared_topn", "topn_a", "topn_b",
+            F.expr("shared_topn * 1000000 div least(topn_a, topn_b)").alias(
+                "containment_ppm"
+            ),
+        )
+        .orderBy("src_a", "src_b")
     )

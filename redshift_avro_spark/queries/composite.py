@@ -41,6 +41,25 @@ def _sub(name: str) -> str:
     return "(" + REGISTRY[name].oracle + ")"
 
 
+def _with_members(*names: str) -> str:
+    """WITH prologue binding each member oracle as a MATERIALIZED CTE
+    named ``m_<qNN>``. DuckDB 1.0 inlines plain CTEs/derived tables per
+    reference, so a composite that joins N heavy member oracles via
+    :func:`_sub` re-expands each member's whole pipeline at every
+    reference — the round-9 driver gate OOM'd q93's oracle that way
+    even at 24 GiB. MATERIALIZED forces one evaluation per member, so
+    the composite's peak memory is bounded by its heaviest single
+    member (all fit the replica's 4 GiB default)."""
+    return "WITH " + ",\n    ".join(
+        f"{_m(n)} AS MATERIALIZED ({REGISTRY[n].oracle})" for n in names
+    )
+
+
+def _m(name: str) -> str:
+    """CTE alias for a member bound by :func:`_with_members`."""
+    return "m_" + name.split("_", 1)[0]
+
+
 # ---------------------------------------------------------------- q78
 # q37 + q38 + q39: the per-document text-analysis profile, one row per
 # doc (join on doc_id; q38 re-emits n_words so only n_tokens_est is
@@ -681,47 +700,51 @@ def q84_event_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q179_ivf_delete",
     ),
     oracle=f"""
+    {_with_members('q35_cosine_topk', 'q36_ann_lsh_topk', 'q45_ivf_topk',
+                   'q116_knn_graph', 'q124_rrf_fusion', 'q147_pq_adc_topk',
+                   'q148_hard_negatives', 'q152_ivf_incremental_add',
+                   'q179_ivf_delete', 'q159_ann_recall', 'q171_matryoshka_audit')}
     SELECT 'brute' AS method, query_id, rank, neighbor_id, cosine
-    FROM {_sub('q35_cosine_topk')}
+    FROM {_m('q35_cosine_topk')}
     UNION ALL
     SELECT 'lsh' AS method, query_id, rank, neighbor_id, cosine
-    FROM {_sub('q36_ann_lsh_topk')}
+    FROM {_m('q36_ann_lsh_topk')}
     UNION ALL
     SELECT 'ivf' AS method, query_id, rank, neighbor_id, cosine
-    FROM {_sub('q45_ivf_topk')}
+    FROM {_m('q45_ivf_topk')}
     UNION ALL
     SELECT 'knn' AS method, query_id, rank, neighbor_id, cosine
-    FROM {_sub('q116_knn_graph')}
+    FROM {_m('q116_knn_graph')}
     UNION ALL
     SELECT 'rrf' AS method, query_id, CAST(fused_rank AS INTEGER) AS rank,
            neighbor_id, CAST(rrf_score AS DOUBLE) AS cosine
-    FROM {_sub('q124_rrf_fusion')}
+    FROM {_m('q124_rrf_fusion')}
     UNION ALL
     SELECT 'pq' AS method, query_id, rank, neighbor_id,
            CAST(adist_q AS DOUBLE) AS cosine
-    FROM {_sub('q147_pq_adc_topk')}
+    FROM {_m('q147_pq_adc_topk')}
     UNION ALL
     SELECT 'hardneg' AS method, anchor_id AS query_id, rank,
            negative_id AS neighbor_id, cosine
-    FROM {_sub('q148_hard_negatives')}
+    FROM {_m('q148_hard_negatives')}
     UNION ALL
     SELECT 'ivfadd' AS method, query_id, rank, neighbor_id, cosine
-    FROM {_sub('q152_ivf_incremental_add')}
+    FROM {_m('q152_ivf_incremental_add')}
     UNION ALL
     SELECT 'ivfdel' AS method, query_id, rank, neighbor_id, cosine
-    FROM {_sub('q179_ivf_delete')}
+    FROM {_m('q179_ivf_delete')}
     UNION ALL
     SELECT 'recall' AS method, query_id,
            CAST(lsh_recall_ppm AS INTEGER) AS rank,
            ivf_recall_ppm AS neighbor_id,
            CAST(n_exact AS DOUBLE) AS cosine
-    FROM {_sub('q159_ann_recall')}
+    FROM {_m('q159_ann_recall')}
     UNION ALL
     SELECT 'mrl' AS method, query_id,
            CAST(loss16_ppm AS INTEGER) AS rank,
            neighbor_id,
            CAST(cos64_ppm AS DOUBLE) AS cosine
-    FROM {_sub('q171_matryoshka_audit')}
+    FROM {_m('q171_matryoshka_audit')}
     ORDER BY method, query_id, rank, neighbor_id
     """,
 )
@@ -1515,6 +1538,11 @@ def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q185_ivf_decontam",
     ),
     oracle=f"""
+    {_with_members('q64_embedding_quantize', 'q94_semantic_dedup',
+                   'q115_pca_projection', 'q155_cluster_cards',
+                   'q181_semantic_cell_stats', 'q154_jl_projection',
+                   'q174_quant_cosine_drift', 'q184_embedding_decontam',
+                   'q185_ivf_decontam')}
     SELECT q.*, s.cid, s.component_id, s.n_dups, s.is_keeper, p.pc1,
            cc.n_vectors AS cluster_n, cc.top_label, cc.purity_ppm,
            g.n_cell, g.cell_sub_cells, g.cell_dropped, g.was_split,
@@ -1523,11 +1551,11 @@ def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            dc.n_probe_hits, dc.top_probe_id, dc.top_probe_cos, dc.is_contaminated,
            iv.ivf_probe_hits, iv.ivf_contaminated,
            (dc.is_contaminated AND NOT iv.ivf_contaminated) AS decon_missed_by_ivf
-    FROM {_sub('q64_embedding_quantize')} q
-    JOIN {_sub('q94_semantic_dedup')} s USING (vec_id)
-    JOIN {_sub('q115_pca_projection')} p USING (vec_id)
+    FROM {_m('q64_embedding_quantize')} q
+    JOIN {_m('q94_semantic_dedup')} s USING (vec_id)
+    JOIN {_m('q115_pca_projection')} p USING (vec_id)
     JOIN (SELECT cid, n_vectors, top_label, purity_ppm
-          FROM {_sub('q155_cluster_cards')}) cc USING (cid)
+          FROM {_m('q155_cluster_cards')}) cc USING (cid)
     JOIN (
       -- per-cid rollup: the stats view is one row per REFINED cell,
       -- so a split cell would fan out a cid join; aggregating keeps
@@ -1536,23 +1564,23 @@ def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS cell_sub_cells,
              CAST(SUM(CASE WHEN participates THEN 0 ELSE 1 END) AS BIGINT) AS cell_dropped,
              MAX(was_split) AS was_split
-      FROM {_sub('q181_semantic_cell_stats')} GROUP BY cid
+      FROM {_m('q181_semantic_cell_stats')} GROUP BY cid
     ) g USING (cid)
     LEFT JOIN (
       SELECT id_a AS vec_id, CAST(COUNT(*) AS BIGINT) AS jl_pairs,
              CAST(SUM(l2_orig_q) AS BIGINT) AS jl_l2q_sum,
              MIN(distortion) AS jl_min_distortion,
              MAX(distortion) AS jl_max_distortion
-      FROM {_sub('q154_jl_projection')} GROUP BY id_a
+      FROM {_m('q154_jl_projection')} GROUP BY id_a
     ) j USING (vec_id)
     LEFT JOIN (
       SELECT id_a AS vec_id, dot8 AS qd_dot8, cos8_ppm AS qd_cos8_ppm,
              cosq_ppm AS qd_cosq_ppm, drift_ppm AS qd_drift_ppm
-      FROM {_sub('q174_quant_cosine_drift')}
+      FROM {_m('q174_quant_cosine_drift')}
     ) d USING (vec_id)
-    JOIN {_sub('q184_embedding_decontam')} dc USING (vec_id)
+    JOIN {_m('q184_embedding_decontam')} dc USING (vec_id)
     JOIN (SELECT vec_id, ivf_probe_hits, ivf_contaminated
-          FROM {_sub('q185_ivf_decontam')}) iv USING (vec_id)
+          FROM {_m('q185_ivf_decontam')}) iv USING (vec_id)
     ORDER BY vec_id
     """,
 )

@@ -225,15 +225,23 @@ def _oversample_cte(n_centroids: int, quota: int | None = None) -> str:
     min (md5(id), id); candidates = first ``quota`` rows per distance
     band floor((1 − cos)·8) by (md5(id), id); then the farthest-point
     chain runs over the candidate set only (mc1..mc{k-1}) with the
-    same (max-cosine, md5, id) tie order as :func:`_maximin_cte`."""
+    same (max-cosine, md5, id) tie order as :func:`_maximin_cte`.
+
+    Chain links are MATERIALIZED: each mc{{i}} is referenced twice (by
+    mx{{i+1}} and mc{{i+1}}), so DuckDB 1.0's default inlining doubles
+    the plan tree per link — 2^k copies of the seed scan by mc{{k}}
+    (measured: q45's 500-row oracle took 9.4 s / ~1.5 GiB this way,
+    and three such members OOM'd a 4 GiB composite — the round-9 q93
+    gate failure). Materialized, each link is a ≤17·k-row table and
+    the whole chain runs in well under a second."""
     q = n_centroids if quota is None else quota
     cos = _cent_cos("s.embedding")
     parts = [
-        "seedh AS (\n      SELECT vec_id, embedding,"
+        "seedh AS MATERIALIZED (\n      SELECT vec_id, embedding,"
         " md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings\n    )",
-        "mc0 AS (\n      SELECT vec_id AS cid, embedding AS centvec"
+        "mc0 AS MATERIALIZED (\n      SELECT vec_id AS cid, embedding AS centvec"
         " FROM seedh ORDER BY h, vec_id LIMIT 1\n    )",
-        f"""cand AS (
+        f"""cand AS MATERIALIZED (
       SELECT vec_id, embedding, h FROM (
         SELECT s.vec_id, s.embedding, s.h,
                ROW_NUMBER() OVER (
@@ -254,7 +262,7 @@ def _oversample_cte(n_centroids: int, quota: int | None = None) -> str:
     )"""
         )
         parts.append(
-            f"mc{i} AS (\n      SELECT * FROM mc{i - 1} UNION ALL"
+            f"mc{i} AS MATERIALIZED (\n      SELECT * FROM mc{i - 1} UNION ALL"
             f" SELECT vec_id AS cid, embedding AS centvec FROM mx{i}\n    )"
         )
     return ",\n    ".join(parts)
@@ -269,13 +277,13 @@ def _ivf_cents_cte(lloyd_iters: int, n_centroids: int = 8) -> tuple[str, str]:
         _oversample_cte(n_centroids),
         # Spark ships the seed as array<double> (exact float→double);
         # mirror the representation so downstream cosines are identical
-        f"cents0 AS (\n      SELECT cid,"
+        f"cents0 AS MATERIALIZED (\n      SELECT cid,"
         f" list_transform(centvec, x -> CAST(x AS DOUBLE)) AS centvec"
         f" FROM mc{n_centroids - 1}\n    )",
     ]
     for i in range(lloyd_iters):
         ctes.append(
-            f"""assign{i} AS (
+            f"""assign{i} AS MATERIALIZED (
       SELECT neighbor_id, cvec, cid FROM (
         SELECT e.vec_id AS neighbor_id, e.embedding AS cvec, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_cent_cos('e.embedding')} DESC, c.cid) AS rn
@@ -284,7 +292,7 @@ def _ivf_cents_cte(lloyd_iters: int, n_centroids: int = 8) -> tuple[str, str]:
     )"""
         )
         ctes.append(
-            f"""cents{i + 1} AS (
+            f"""cents{i + 1} AS MATERIALIZED (
       SELECT cid, list(CAST(s AS DOUBLE) / n ORDER BY d) AS centvec FROM (
         SELECT cid, d, SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(27,10))) AS s, COUNT(*) AS n
         FROM (SELECT cid, unnest(cvec) AS v, generate_subscripts(cvec, 1) AS d FROM assign{i})
@@ -570,12 +578,17 @@ _PCA_ITERS = 8
 
 
 def _pca_iter_cte(k: int) -> str:
-    return f"""w{k} AS (
+    # MATERIALIZED: each w{k}/v{k} is referenced more than once by the
+    # next round; without it DuckDB 1.0 inlines the whole upstream
+    # pipeline per reference and the 8-round plan tree grows
+    # exponentially (measured: OOM at 4 GiB on 500 rows — the round-9
+    # driver-gate q93 failure; materialized it runs in ~1 s).
+    return f"""w{k} AS MATERIALIZED (
       SELECT c.i, CAST(SUM(CAST(c.c * v.v AS DECIMAL(30,15))) AS DOUBLE) AS w
       FROM cov c JOIN v{k - 1} v ON c.j = v.i GROUP BY c.i
     ),
     nr{k} AS (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(30,15))) AS DOUBLE)) AS nrm FROM w{k}),
-    v{k} AS (SELECT i, w / nrm AS v FROM w{k}, nr{k})"""
+    v{k} AS MATERIALIZED (SELECT i, w / nrm AS v FROM w{k}, nr{k})"""
 
 
 @register(
@@ -583,24 +596,28 @@ def _pca_iter_cte(k: int) -> str:
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding AS x FROM embeddings),
     n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
-    xi AS (
-      SELECT vec_id, i, CAST(x[i + 1] AS DOUBLE) AS xi, x
+    xi AS MATERIALIZED (
+      SELECT vec_id, i, CAST(x[i + 1] AS DOUBLE) AS xi
       FROM e, range({_PCA_DIM}) t(i)
     ),
     -- quantized elements: one IEEE multiply/add/floor, bit-identical
     -- to the Spark side's numpy pass
-    yi AS (
-      SELECT vec_id, i, CAST(FLOOR(xi * 1e7 + 0.5) AS BIGINT) AS y, x FROM xi
+    yi AS MATERIALIZED (
+      SELECT vec_id, i, CAST(FLOOR(xi * 1e7 + 0.5) AS BIGINT) AS y FROM xi
     ),
-    moments AS (
-      SELECT i, j, SUM(y * CAST(FLOOR(CAST(x[j + 1] AS DOUBLE) * 1e7 + 0.5) AS BIGINT)) AS sxx
-      FROM yi, range({_PCA_DIM}) t2(j) GROUP BY i, j
+    -- self-join on the quantized table instead of re-expanding the
+    -- raw arrays: SUM(y_i * y_j) is the identical exact-integer sum
+    -- (y_j = FLOOR(x[j+1]*1e7 + 0.5) by construction) and nothing
+    -- downstream of yi ever touches the embedding array again
+    moments AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, SUM(a.y * b.y) AS sxx
+      FROM yi a JOIN yi b USING (vec_id) GROUP BY a.i, b.i
     ),
-    mu AS (
+    mu AS MATERIALIZED (
       SELECT i, (CAST(SUM(y) AS DOUBLE) / 1e7) / CAST(n AS DOUBLE) AS mu
       FROM yi, n GROUP BY i, n
     ),
-    cov AS (
+    cov AS MATERIALIZED (
       SELECT m.i, m.j,
              (CAST(sxx AS DOUBLE) / 1e14) / CAST(n AS DOUBLE) - mi.mu * mj.mu AS c
       FROM moments m, n

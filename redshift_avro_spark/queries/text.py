@@ -532,57 +532,16 @@ def q163_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment denominators); pair generation filters to multi-source
     sets only, so hapax grams never reach the pair explode — the
     corpus is never self-joined (the oracle's gram⋈gram is the
-    oracle's affordance, not the plan). Output is O(sources²) rows."""
-    w = F.expr("split(trim(lower(text)), '\\\\s+')")
-    grams = F.expr(_OVL_GRAMS_SPARK)
+    oracle's affordance, not the plan). Output is O(sources²) rows.
+
+    Round 10 (VERDICT r9 #4): the pipeline lives in
+    operators/text.py::source_overlap — ``top_n=None`` is this exact
+    audit; a 100 TB caller passes ``top_n=N`` to get q190's bounded
+    index from the same operator."""
+    from ..operators.text import source_overlap
+
     docs = load_table(spark, sf_dir, "documents")
-    # spread the md5-per-window workload first: a single small input
-    # file otherwise evaluates the whole gram fan-out on ONE core
-    # (same fix as the minhash signature stage); the exchange is
-    # absorbed by the distinct that follows anyway
-    n_part = max(2, spark.sparkContext.defaultParallelism // 2)
-    gsets = materialize(
-        docs.repartition(n_part, "doc_id")
-        .where(F.size(w) >= _OVL_W)
-        .select("source", F.explode(grams).alias("gram"))
-        .groupBy("gram")
-        .agg(F.array_sort(F.collect_set("source")).alias("srcs")),
-        # per-gram source-set index: one row per distinct gram, built
-        # in the single shuffle whose map side dedups (collect_set) —
-        # cheap to rebuild from one corpus pass → checkpoint default;
-        # flip the env knob to parquet for executor-loss-safe runs
-        label="q163_gram_index",
-        default="checkpoint",
-    )
-    tot = (
-        gsets.select(F.explode("srcs").alias("source"))
-        .groupBy("source")
-        .agg(F.count("*").cast("long").alias("n_grams"))
-    )
-    pair_expr = (
-        "flatten(transform(srcs, (x, i) -> "
-        "transform(slice(srcs, i + 2, size(srcs) - i - 1), "
-        "y -> named_struct('src_a', x, 'src_b', y))))"
-    )
-    sh = (
-        gsets.where(F.size("srcs") >= 2)
-        .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
-        .agg(F.count("*").cast("long").alias("shared_grams"))
-    )
-    ta = tot.select(F.col("source").alias("src_a"), F.col("n_grams").alias("grams_a"))
-    tb = tot.select(F.col("source").alias("src_b"), F.col("n_grams").alias("grams_b"))
-    return (
-        sh.join(F.broadcast(ta), "src_a")
-        .join(F.broadcast(tb), "src_b")
-        .select(
-            "src_a", "src_b", "shared_grams", "grams_a", "grams_b",
-            F.expr(
-                "shared_grams * 1000000 div least(grams_a, grams_b)"
-            ).alias("containment_ppm"),
-        )
-        .orderBy("src_a", "src_b")
-    )
+    return source_overlap(docs, "doc_id", "text", "source", window=_OVL_W, top_n=None)
 
 
 # --------------------------------------------------------------- q164
@@ -1359,9 +1318,17 @@ def c4_profile_ctes(src: str) -> str:
     """The C4 line-verdict CTE chain (lined → verdicts → kept) over any
     relation ``src`` exposing (doc_id, t) — ONE copy of the DuckDB
     line-cleaning formula, shared by q186 and the q187 full funnel.
-    ``kept`` yields (doc_id, lns, v, k) where k is the kept-line list."""
+    ``kept`` yields (doc_id, lns, v, k) where k is the kept-line list.
+
+    NULL-text contract (ADVICE r9): the Spark operator maps NULL text
+    to an EMPTY document (0 lines, digest of ''), so the coalesce to
+    an empty list is mirrored here — string_split(NULL) would
+    propagate NULL through lns/v/k and a NULL-text fixture row would
+    hash-mismatch the gate. NOTE: '' (empty string) still splits to
+    one short dropped line in BOTH engines; only NULL is the empty
+    document."""
     return f"""lined AS (
-      SELECT doc_id, string_split(t, chr(10)) AS lns FROM {src}
+      SELECT doc_id, coalesce(string_split(t, chr(10)), []) AS lns FROM {src}
     ),
     verdicts AS (
       SELECT doc_id, lns,
@@ -1402,7 +1369,10 @@ _C4_CLEAN_WORDS_DUCK = """CASE WHEN len(k) = 0 THEN 0 ELSE
            CAST(len(list_filter(v, x -> x = 2)) AS BIGINT) AS n_dropped_punct,
            CAST(len(list_filter(v, x -> x = 3)) AS BIGINT) AS n_dropped_phrase,
            CAST({_C4_CLEAN_WORDS_DUCK} AS BIGINT) AS cleaned_n_words,
-           md5(array_to_string(k, chr(10))) AS cleaned_digest
+           -- coalesce: DuckDB's array_to_string([], sep) is NULL, but
+           -- Spark's array_join([], sep) is '' — an all-dropped (or
+           -- NULL-text) doc must digest to md5('') in both engines
+           md5(coalesce(array_to_string(k, chr(10)), '')) AS cleaned_digest
     FROM kept ORDER BY doc_id
     """,
 )
@@ -1820,52 +1790,9 @@ def q190_source_overlap_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream of the cutoff is bounded at sources x N rows — the pair
     join broadcasts, totals are trivial, and the whole tail is
     corpus-size-INDEPENDENT, which is the point of the cutoff."""
-    from ..operators.staging import materialize
+    from ..operators.text import source_overlap
 
     docs = load_table(spark, sf_dir, "documents")
-    w = F.expr("split(trim(lower(text)), '\\\\s+')")
-    n_part = max(2, spark.sparkContext.defaultParallelism // 2)
-    tf = (
-        docs.repartition(n_part, "doc_id")
-        .where(F.size(w) >= _OVL_W)
-        .select("source", F.explode(F.expr(_OVL_GRAMS_SPARK)).alias("gram"))
-        .groupBy("source", "gram")
-        .agg(F.count("*").cast("long").alias("tf"))
-    )
-    w1 = Window.partitionBy("source", F.pmod("gram", F.lit(32))).orderBy(
-        F.desc("tf"), F.asc("gram")
-    )
-    w2 = Window.partitionBy("source").orderBy(F.desc("tf"), F.asc("gram"))
-    top = materialize(
-        tf.withColumn("rn1", F.row_number().over(w1))
-        .where(F.col("rn1") <= _OVL_TOPN)
-        .withColumn("rn", F.row_number().over(w2))
-        .where(F.col("rn") <= _OVL_TOPN)
-        .select("source", "gram", "tf"),
-        # sources x N rows — a sliver feeding the pair join and the
-        # totals -> checkpoint
-        label="q190_top_grams",
-        default="checkpoint",
-    )
-    tot = top.groupBy("source").agg(F.count("*").cast("long").alias("n_top"))
-    a = top.select(F.col("source").alias("src_a"), "gram")
-    b = top.select(F.col("source").alias("src_b"), "gram")
-    sh = (
-        a.join(F.broadcast(b), "gram")
-        .where(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count("*").cast("long").alias("shared_topn"))
-    )
-    ta = tot.select(F.col("source").alias("src_a"), F.col("n_top").alias("topn_a"))
-    tb = tot.select(F.col("source").alias("src_b"), F.col("n_top").alias("topn_b"))
-    return (
-        sh.join(F.broadcast(ta), "src_a")
-        .join(F.broadcast(tb), "src_b")
-        .select(
-            "src_a", "src_b", "shared_topn", "topn_a", "topn_b",
-            F.expr("shared_topn * 1000000 div least(topn_a, topn_b)").alias(
-                "containment_ppm"
-            ),
-        )
-        .orderBy("src_a", "src_b")
+    return source_overlap(
+        docs, "doc_id", "text", "source", window=_OVL_W, top_n=_OVL_TOPN
     )

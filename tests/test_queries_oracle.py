@@ -9,10 +9,11 @@ Process-memory budget (round 8, VERDICT r7 #1): the whole suite runs
 in ONE process again — `python -m pytest tests/ -q` measured 654
 passed / 1 skipped in 33 min with PEAK RSS 3.1 GiB (max over the
 pytest process, the Spark JVM and its workers) — because (a) every
-oracle connection is bounded to 4 GiB / 4 threads (three heavy
-recursive-CTE oracles get 24 GiB via HEAVY_ORACLE_MEM; a DEFAULT
+oracle connection is bounded to 4 GiB / 4 threads (a DEFAULT
 connection claims 80% of RAM and 32 threads, and ~176 of those
-exhausted the box in round 7) and (b) materialize() now unpersists
+exhausted the box in round 7; round 10 removed the last 24 GiB
+exceptions by materializing the unrolled CTE chains) and (b)
+materialize() now unpersists
 superseded checkpoint generations instead of pinning every
 localCheckpoint block forever. Treat ~3 GiB peak RSS as the
 regression budget for this suite.
@@ -55,16 +56,15 @@ def _norm_df(pdf):
     return cols, sorted(rows)
 
 
-# Oracles that genuinely need more than the bounded default within a
-# single query (measured: q115's recursive power-iteration CTE fails
-# at 6 GiB, runs at 16 GiB in ~105 s at any thread count). Everything
-# else fits 4 GiB at the sf0.001 fixtures.
-HEAVY_ORACLE_MEM = {
-    "q115_pca_projection": "24GB",
-    # embed q115's CTE / the full ANN trajectory replay via _sub()
-    "q93_embedding_curation": "24GB",
-    "q85_ann_suite": "24GB",
-}
+# Round 10: HEAVY_ORACLE_MEM is gone. Every oracle now fits the 4 GiB
+# default — the former 24 GiB entries (q115/q93/q85) were plan-tree
+# blowups, not data: DuckDB 1.0 inlines a CTE per reference, so the
+# unrolled power-iteration / Lloyd-seed chains (each link referenced
+# twice) expanded to 2^k copies of the upstream pipeline. Marking the
+# chain links AS MATERIALIZED bounds each to its actual ≤500-row
+# size; measured at sf0.01: q115 OOM@4GiB→0.15 s, q85 OOM→2.7 s,
+# q93 OOM→1.7 s. The driver's oracle memory is outside our control,
+# so no oracle may need more than any plausible default.
 
 
 def _duck(sf_dir: str, mem: str = "4GB") -> duckdb.DuckDBPyConnection:
@@ -87,7 +87,7 @@ def _duck(sf_dir: str, mem: str = "4GB") -> duckdb.DuckDBPyConnection:
 def test_query_matches_oracle(spark, name):
     spec = REGISTRY[name]
     spark_pdf = spec.fn(spark, SF_SMOKE).toPandas()
-    con = _duck(SF_SMOKE, HEAVY_ORACLE_MEM.get(name, "4GB"))
+    con = _duck(SF_SMOKE)
     try:
         duck_pdf = con.sql(spec.oracle).df()
     finally:

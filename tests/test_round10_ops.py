@@ -1,0 +1,134 @@
+"""Round-10 surface (VERDICT r9 tasks):
+
+- #1: every DuckDB oracle fits the replica's default 4 GiB — the
+  former HEAVY_ORACLE_MEM entries (q115/q93/q85) were DuckDB-1.0
+  CTE-inlining plan blowups, fixed by MATERIALIZED chain links; a
+  regression guard here runs the three at a *1 GiB* connection so a
+  reintroduced blowup fails loudly before any driver run.
+- #4: ``source_overlap`` takes ``top_n`` as a parameter — q163 is the
+  ``top_n=None`` exact audit, q190 is ``top_n=200``; the equivalence
+  is pinned on the fixtures.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from conftest import SF_SMOKE
+
+from redshift_avro_spark.queries import ALL_TABLES, load_all
+
+REGISTRY = load_all()
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(repr(r[c]) for c in cols) for r in df.collect())
+
+
+class TestSourceOverlapParam:
+    def test_top_n_none_is_q163(self, spark):
+        from redshift_avro_spark.operators.text import source_overlap
+        from redshift_avro_spark.queries.relational import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        op = source_overlap(docs, "doc_id", "text", "source", window=4, top_n=None)
+        q = REGISTRY["q163_source_overlap"].fn(spark, SF_SMOKE)
+        assert sorted(op.columns) == sorted(q.columns)
+        assert _rows(op) == _rows(q)
+
+    def test_top_n_200_is_q190(self, spark):
+        from redshift_avro_spark.operators.text import source_overlap
+        from redshift_avro_spark.queries.relational import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        op = source_overlap(docs, "doc_id", "text", "source", window=4, top_n=200)
+        q = REGISTRY["q190_source_overlap_topn"].fn(spark, SF_SMOKE)
+        assert sorted(op.columns) == sorted(q.columns)
+        assert _rows(op) == _rows(q)
+
+    def test_cutoff_bounds_retained_sets(self, spark):
+        """top_n=1 retains exactly one gram per source, so every pair's
+        shared count is 0 or 1 and containment is 0 or 1e6."""
+        from redshift_avro_spark.operators.text import source_overlap
+        from redshift_avro_spark.queries.relational import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        out = source_overlap(docs, "doc_id", "text", "source", top_n=1).collect()
+        for r in out:
+            assert r["topn_a"] == 1 and r["topn_b"] == 1
+            assert r["shared_topn"] in (0, 1)
+            assert r["containment_ppm"] in (0, 1_000_000)
+
+
+class TestC4NullTextCrossEngine:
+    """ADVICE r9: the NULL-text contract (NULL → empty document) was
+    pinned only by a Spark-side unit test; the shared DuckDB fragments
+    propagated NULL. Both engines must now agree on a frame that
+    CONTAINS a NULL-text row."""
+
+    def test_duckdb_fragment_matches_spark_operator(self, spark):
+        from redshift_avro_spark.operators.text import c4_line_filter
+        from redshift_avro_spark.queries.text import (
+            _C4_CLEAN_WORDS_DUCK,
+            c4_profile_ctes,
+        )
+
+        rows = [
+            (1, None),
+            (2, "Keep this full sentence here."),
+            (3, ""),
+            (4, "Too short\nAnd this one has no terminal punctuation"),
+        ]
+        sdf = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        got_spark = {
+            r["doc_id"]: (
+                r["n_lines"], r["n_kept_lines"], r["cleaned_n_words"],
+                r["cleaned_digest"],
+            )
+            for r in c4_line_filter(sdf).collect()
+        }
+
+        import pandas as pd
+
+        con = duckdb.connect()
+        src_pdf = pd.DataFrame(rows, columns=["doc_id", "t"])  # noqa: F841
+        con.sql("CREATE TABLE src AS SELECT * FROM src_pdf")
+        duck = con.sql(
+            f"""WITH {c4_profile_ctes('src')}
+            SELECT doc_id, len(lns) AS n_lines, len(k) AS n_kept,
+                   CAST({_C4_CLEAN_WORDS_DUCK} AS BIGINT) AS cleaned_n_words,
+                   md5(coalesce(array_to_string(k, chr(10)), '')) AS digest
+            FROM kept ORDER BY doc_id"""
+        ).fetchall()
+        con.close()
+        got_duck = {r[0]: (r[1], r[2], r[3], r[4]) for r in duck}
+        assert got_spark == got_duck
+        # the NULL row is the empty document in both engines
+        assert got_duck[1][:3] == (0, 0, 0)
+
+
+class TestOracleMemoryBudget:
+    """The driver's oracle connection memory is outside our control, so
+    every oracle must fit far under any plausible limit. The three
+    round-9 offenders ran out of 24 GiB when DuckDB 1.0 inlined their
+    unrolled CTE chains (2^k plan copies); materialized they need only
+    their data size. 1 GiB here = loud early warning at sf0.001."""
+
+    def _duck(self, mem: str) -> duckdb.DuckDBPyConnection:
+        con = duckdb.connect(config={"memory_limit": mem, "threads": 4})
+        for t in ALL_TABLES:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
+        return con
+
+    def test_former_heavy_oracles_fit_1gib(self):
+        for name in (
+            "q115_pca_projection",
+            "q85_ann_suite",
+            "q93_embedding_curation",
+        ):
+            con = self._duck("1GB")
+            try:
+                assert len(con.sql(REGISTRY[name].oracle).fetchall()) > 0, name
+            finally:
+                con.close()

@@ -127,15 +127,14 @@ EXTENDED: dict[str, float] = {
     # min ≈ 0.06 s warm) — the training cost shows in the 10× curve
     # and the run range, not the best
     "q188_trigram_lm_score": 3.4,
-    # q189 re-derives the repetition verdicts and joins the filter
-    # frames per run (the trigram pass is memoized after the first run
-    # — _kn_scores); its cost is STAGE COUNT, not data (5k rows at
-    # sf0.1): repetition_audit's staged token frame + ~20 tiny
-    # exchanges. Soak-measured best-of-3 9.198 raw / 7.62 normalized
-    # at sentinel 0.14-0.22 (the quietest same-session measurement);
-    # the r9 heur+clf single-scan merge shaves one join pair. Budget
-    # from that measurement + headroom.
-    "q189_filter_agreement": 9.0,
+    # q189 (round 10, VERDICT r9 #5): the rep verdict is computed
+    # inline in the heur+clf scan (top_word_share_ppm_expr) and the
+    # real r9 cost turned out to be an O(L²) interpreted-lambda bug in
+    # quality_classifier_score (the split re-ran per bigram), fixed by
+    # the array-binding trick. Measured best-of-3 2.731 s at sf0.1
+    # (was 8.16 s); the trigram pass stays memoized (_kn_scores).
+    # Budget from that measurement + headroom.
+    "q189_filter_agreement": 4.5,
     "q190_source_overlap_topn": 2.8,  # calibrated from best-of-3 1.94 s
 }
 

@@ -138,29 +138,39 @@ def quality_classifier_score(text_col: str, n_buckets: int = 1024) -> Column:
     weight array lookup — the plumbing (hash → bucket → weight → per
     doc aggregate, one narrow map, no shuffle, no Python) is identical.
 
-    Returns struct(n_feats, logit_sum, logit_ppm, keep)."""
+    Returns struct(n_feats, logit_sum, logit_ppm, keep).
+
+    Evaluation shape (round 10): the word array and the logit are each
+    BOUND ONCE via the single-element-array lambda trick
+    (``transform(array(e), x -> body)[0]``). Interpreted HOF lambdas
+    get no common-subexpression elimination, so the former inline form
+    re-ran the O(L) split PER BIGRAM — O(L²)/doc, measured ~7 s of the
+    q189/q95 scan at sf0.1 (36 ms once fixed) — and re-ran the whole
+    O(L) md5 aggregate per struct field. Same expressions, same
+    values; only the binding changed."""
     words = _WORDS.format(c=text_col)
     # CASE guard: Spark's sequence(1, 0) DESCENDS instead of being
     # empty, so single-word docs must short-circuit to an empty array
     bigrams = (
-        f"CASE WHEN size({words}) >= 2 THEN "
-        f"transform(sequence(1, size({words}) - 1), "
-        f"i -> concat({words}[i-1], ' ', {words}[i])) "
-        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+        "CASE WHEN size(ws) >= 2 THEN "
+        "transform(sequence(1, size(ws) - 1), "
+        "i -> concat(ws[i-1], ' ', ws[i])) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
     )
     w_expr = (
         f"((CAST(conv(substring(md5(bg), 1, 8), 16, 10) AS BIGINT) % {n_buckets})"
         f" * 2654435761) % 2003 - 1001"
     )
     logit = f"aggregate({bigrams}, CAST(0 AS BIGINT), (acc, bg) -> acc + ({w_expr}))"
-    n_feats = f"greatest(size({words}) - 1, 0)"
+    n_feats = "greatest(size(ws) - 1, 0)"
     return F.expr(
-        f"named_struct("
+        f"transform(array({words}), ws -> "
+        f"transform(array({logit}), lg -> named_struct("
         f"'n_feats', CAST({n_feats} AS INT), "
-        f"'logit_sum', {logit}, "
+        f"'logit_sum', lg, "
         f"'logit_ppm', CASE WHEN {n_feats} = 0 THEN CAST(0 AS BIGINT) "
-        f"ELSE ({logit}) * 1000000 div {n_feats} END, "
-        f"'keep', ({logit}) > 0)"
+        f"ELSE lg * 1000000 div {n_feats} END, "
+        f"'keep', lg > 0))[0])[0]"
     )
 
 
@@ -670,11 +680,16 @@ def source_overlap(
     from .staging import materialize
 
     w = F.expr(_WORDS.format(c=text_col))
+    # bind the split ONCE (single-element-array lambda): the inline
+    # form re-ran the O(L) split per window inside the interpreted
+    # transform lambda — O(L²)/doc (same fix as
+    # quality_classifier_score, round 10)
     grams_expr = (
-        f"transform(sequence(1, size({_WORDS.format(c=text_col)}) - {window - 1}), "
+        f"transform(array({_WORDS.format(c=text_col)}), ws -> "
+        f"transform(sequence(1, size(ws) - {window - 1}), "
         f"i -> CAST(conv(substring(md5("
-        f"array_join(slice({_WORDS.format(c=text_col)}, i, {window}), ' ')"
-        f"), 1, 15), 16, 10) AS BIGINT))"
+        f"array_join(slice(ws, i, {window}), ' ')"
+        f"), 1, 15), 16, 10) AS BIGINT)))[0]"
     )
     # spread the md5-per-window workload first: a single small input
     # file otherwise evaluates the whole gram fan-out on ONE core; the
@@ -761,3 +776,33 @@ def source_overlap(
         )
         .orderBy("src_a", "src_b")
     )
+
+
+def top_word_share_ppm_expr(text_col: str = "text") -> Column:
+    """``top_word_share_ppm`` — q182's most-frequent-word share (ppm,
+    exact integer) as a PURE PROJECTION over the text column: sort the
+    word array, then one ``aggregate`` pass takes the longest run of
+    equal words (= the top word's frequency in a sorted array).
+
+    Value-identical to :func:`repetition_audit`'s column of the same
+    name (pinned by test), but with no token explode, no staged token
+    frame and no joins — so a consumer that needs only the REP VERDICT
+    (q189's filter-agreement audit — VERDICT r9 #5) can compute it in
+    the same whole-stage-codegen scan as the other per-doc filters
+    instead of paying repetition_audit's corpus-token staging. O(L
+    log L) per document, shuffle-free; NULL text → NULL (zero-token
+    document), same as the audit."""
+    w = _WORDS.format(c=text_col)
+    step = (
+        "named_struct('prev', x, "
+        "'cur', CASE WHEN acc.prev <=> x THEN acc.cur + 1 ELSE CAST(1 AS BIGINT) END, "
+        "'best', GREATEST(acc.best, "
+        "CASE WHEN acc.prev <=> x THEN acc.cur + 1 ELSE CAST(1 AS BIGINT) END))"
+    )
+    top_n = (
+        f"aggregate(array_sort({w}), "
+        f"named_struct('prev', CAST(NULL AS STRING), "
+        f"'cur', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)), "
+        f"(acc, x) -> {step}, acc -> acc.best)"
+    )
+    return F.expr(f"{top_n} * 1000000 div size({w})")

@@ -473,15 +473,9 @@ def q162_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # source largely restates another and the mixture over-weights it).
 
 _OVL_W = 4
-
-# the 4-word-window md5 BIGINT lane, shared by q163 and q190 so the
-# two overlap views hash the identical window string
-_OVL_GRAMS_SPARK = (
-    f"transform(sequence(1, size(split(trim(lower(text)), '\\\\s+')) - {_OVL_W - 1}), "
-    f"i -> CAST(conv(substring(md5("
-    f"array_join(slice(split(trim(lower(text)), '\\\\s+'), i, {_OVL_W}), ' ')"
-    f"), 1, 15), 16, 10) AS BIGINT))"
-)
+# the 4-word-window md5 BIGINT lane lives in
+# operators/text.py::source_overlap (round 10) — q163 and q190 both
+# call it, so the two overlap views hash the identical window string
 
 
 @register(
@@ -1282,13 +1276,18 @@ def q182_repetition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines build the identical string and replay the identical filter,
 # so every count and the cleaned-text digest is value-pinned.
 
+# the split is BOUND ONCE via the single-element-array lambda (round
+# 10): the inline form re-ran the O(L) split per 7-word block inside
+# the interpreted transform lambda — O(L²/7)/doc (same fix as
+# quality_classifier_score)
 _C4_LINE_SPARK = """CASE WHEN doc_id % 31 = 0
   THEN concat('please accept our cookie policy terms.', '\\n', {j})
   ELSE {j} END""".format(
-    j="""array_join(transform(sequence(0, CAST(ceil(size({w}) / 7.0) AS INT) - 1),
-  b -> concat(array_join(slice({w}, b * 7 + 1, 7), ' '),
+    j="""transform(array({w}), ws ->
+  array_join(transform(sequence(0, CAST(ceil(size(ws) / 7.0) AS INT) - 1),
+  b -> concat(array_join(slice(ws, b * 7 + 1, 7), ' '),
               CASE CAST((doc_id + b) % 3 AS INT) WHEN 0 THEN '.'
-                   WHEN 1 THEN '!' ELSE '' END)), '\\n')""".format(
+                   WHEN 1 THEN '!' ELSE '' END)), '\\n'))[0]""".format(
         w="split(trim(lower(text)), '\\\\s+')"
     )
 )
@@ -1544,7 +1543,7 @@ def q189_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulas the oracle replays."""
     from ..operators.text import (
         quality_classifier_score,
-        repetition_audit,
+        top_word_share_ppm_expr,
     )
 
     S = 1_000_000
@@ -1553,18 +1552,19 @@ def q189_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a per-member global orderBy the joins would immediately re-shuffle
     # away (measured: fn-reuse 9.5 s vs operator-reuse at sf0.1); the
     # formulas are identical and the oracle replays the members' SQL
-    # heur + clf in ONE scan/projection (both are pure per-doc codegen
-    # over text) — separate frames would shuffle twice into the join
+    # heur + clf + rep in ONE scan/projection (round 10, VERDICT r9
+    # #5: the rep verdict needs only the top-word share, which
+    # top_word_share_ppm_expr computes as a pure projection —
+    # value-identical to repetition_audit's column, pinned by test —
+    # so the former repetition token staging + three-frame join chain
+    # is gone and only the LM join remains)
     hc = docs.select(
         "doc_id",
         (quality_features("text").getField("quality_score") >= 0.68).alias(
             "keep_heur"
         ),
         quality_classifier_score("text").getField("keep").alias("keep_clf"),
-    )
-    rep = repetition_audit(docs, "doc_id", "text").select(
-        "doc_id",
-        F.coalesce(F.col("top_word_share_ppm") < 300000, F.lit(False)).alias(
+        F.coalesce(top_word_share_ppm_expr("text") < 300000, F.lit(False)).alias(
             "keep_rep"
         ),
     )
@@ -1582,8 +1582,7 @@ def q189_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("kn_score_ppm").alias("med"))
     )
     base = (
-        hc.join(rep, "doc_id")
-        .join(lm, "doc_id")
+        hc.join(lm, "doc_id")
         .crossJoin(F.broadcast(med))
         .select(
             "keep_clf",

@@ -61,6 +61,61 @@ class TestSourceOverlapParam:
             assert r["containment_ppm"] in (0, 1_000_000)
 
 
+class TestTopWordShareExpr:
+    """VERDICT r9 #5: q189 computes the rep verdict inline instead of
+    joining repetition_audit's staged frame. The inline projection must
+    be value-identical to the audit's top_word_share_ppm column."""
+
+    def test_matches_repetition_audit_on_edges(self, spark):
+        from redshift_avro_spark.operators.text import (
+            repetition_audit,
+            top_word_share_ppm_expr,
+        )
+
+        rows = [
+            (1, None),                      # NULL text -> NULL share
+            (2, ""),                        # one '' token -> 1e6
+            (3, "word"),                    # single word -> 1e6
+            (4, "a b a b a"),               # top 'a' 3/5
+            (5, "x x x y y z"),             # run at array front
+            (6, "z y y x x x"),             # run at array back
+            (7, "tie tie one two"),         # 2/4
+            (8, "  leading   spaces  a a"), # trim + multi-space split
+        ]
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        audit = {
+            r["doc_id"]: r["top_word_share_ppm"]
+            for r in repetition_audit(df, "doc_id", "text").collect()
+        }
+        inline = {
+            r["doc_id"]: r["s"]
+            for r in df.select(
+                "doc_id", top_word_share_ppm_expr("text").alias("s")
+            ).collect()
+        }
+        assert inline == audit
+
+    def test_matches_on_fixture_corpus(self, spark):
+        from redshift_avro_spark.operators.text import (
+            repetition_audit,
+            top_word_share_ppm_expr,
+        )
+        from redshift_avro_spark.queries.relational import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        audit = {
+            r["doc_id"]: r["top_word_share_ppm"]
+            for r in repetition_audit(docs, "doc_id", "text").collect()
+        }
+        inline = {
+            r["doc_id"]: r["s"]
+            for r in docs.select(
+                "doc_id", top_word_share_ppm_expr("text").alias("s")
+            ).collect()
+        }
+        assert inline == audit
+
+
 class TestC4NullTextCrossEngine:
     """ADVICE r9: the NULL-text contract (NULL → empty document) was
     pinned only by a Spark-side unit test; the shared DuckDB fragments

@@ -1536,13 +1536,14 @@ def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q181_semantic_cell_stats",
         "q184_embedding_decontam",
         "q185_ivf_decontam",
+        "q191_external_decontam",
     ),
     oracle=f"""
     {_with_members('q64_embedding_quantize', 'q94_semantic_dedup',
                    'q115_pca_projection', 'q155_cluster_cards',
                    'q181_semantic_cell_stats', 'q154_jl_projection',
                    'q174_quant_cosine_drift', 'q184_embedding_decontam',
-                   'q185_ivf_decontam')}
+                   'q185_ivf_decontam', 'q191_external_decontam')}
     SELECT q.*, s.cid, s.component_id, s.n_dups, s.is_keeper, p.pc1,
            cc.n_vectors AS cluster_n, cc.top_label, cc.purity_ppm,
            g.n_cell, g.cell_sub_cells, g.cell_dropped, g.was_split,
@@ -1550,7 +1551,8 @@ def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            d.qd_dot8, d.qd_cos8_ppm, d.qd_cosq_ppm, d.qd_drift_ppm,
            dc.n_probe_hits, dc.top_probe_id, dc.top_probe_cos, dc.is_contaminated,
            iv.ivf_probe_hits, iv.ivf_contaminated,
-           (dc.is_contaminated AND NOT iv.ivf_contaminated) AS decon_missed_by_ivf
+           (dc.is_contaminated AND NOT iv.ivf_contaminated) AS decon_missed_by_ivf,
+           xd.xd_hits, xd.xd_gated_hits, xd.xd_missed_if_gated
     FROM {_m('q64_embedding_quantize')} q
     JOIN {_m('q94_semantic_dedup')} s USING (vec_id)
     JOIN {_m('q115_pca_projection')} p USING (vec_id)
@@ -1581,6 +1583,9 @@ def q91_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN {_m('q184_embedding_decontam')} dc USING (vec_id)
     JOIN (SELECT vec_id, ivf_probe_hits, ivf_contaminated
           FROM {_m('q185_ivf_decontam')}) iv USING (vec_id)
+    JOIN (SELECT vec_id, n_probe_hits AS xd_hits, gated_hits AS xd_gated_hits,
+                 missed_if_gated AS xd_missed_if_gated
+          FROM {_m('q191_external_decontam')}) xd USING (vec_id)
     ORDER BY vec_id
     """,
 )
@@ -1601,7 +1606,10 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination verdicts against the broadcast benchmark probes —
     the exact brute arm (q184) AND the IVF-pruned scale arm (q185),
     with the missed-leak diff as a first-class column (r8); both arms
-    and the dedup/stats members share ONE trained cell assignment."""
+    and the dedup/stats members share ONE trained cell assignment.
+    Round 10 adds the external-id-space audit (q191): per vector the
+    planted-leak hit counts under the correct and mis-declared
+    probes_from_corpus arms and the resulting false-negative flag."""
     q = _run("q64_embedding_quantize", spark, sf_dir)
     s = _run("q94_semantic_dedup", spark, sf_dir)
     p = _run("q115_pca_projection", spark, sf_dir)
@@ -1646,6 +1654,12 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = _run("q185_ivf_decontam", spark, sf_dir).select(
         "vec_id", "ivf_probe_hits", "ivf_contaminated"
     )
+    xd = _run("q191_external_decontam", spark, sf_dir).select(
+        "vec_id",
+        F.col("n_probe_hits").alias("xd_hits"),
+        F.col("gated_hits").alias("xd_gated_hits"),
+        F.col("missed_if_gated").alias("xd_missed_if_gated"),
+    )
     return (
         q.join(s, "vec_id")
         .join(p, "vec_id")
@@ -1655,6 +1669,7 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(d, "vec_id", "left")
         .join(dc, "vec_id")
         .join(iv, "vec_id")
+        .join(xd, "vec_id")
         .select(
             *q.columns, "cid", "component_id", "n_dups", "is_keeper", "pc1",
             "cluster_n", "top_label", "purity_ppm",
@@ -1666,6 +1681,7 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("is_contaminated") & ~F.col("ivf_contaminated")).alias(
                 "decon_missed_by_ivf"
             ),
+            "xd_hits", "xd_gated_hits", "xd_missed_if_gated",
         )
         .orderBy("vec_id")
     )

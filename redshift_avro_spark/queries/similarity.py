@@ -1700,3 +1700,110 @@ def q185_ivf_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, probes, "vec_id", "embedding", threshold=_DECON_TAU,
         n_probe=2, dim=64, cells=_sd_cells(spark, sf_dir),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------- q191
+# External-id-space decontamination (round 10, VERDICT r9 #6): the
+# probes_from_corpus contract added in round 9 says the self-pair
+# exclusion (probe never scores the corpus row with the same id) is
+# ONLY valid when probe ids live in the corpus id space — an external
+# benchmark whose item numbers happen to collide with corpus vec_ids
+# would otherwise have its real leaks silently skipped. This query
+# PLANTS exactly that: an "external benchmark" of ten items whose ids
+# numerically collide with corpus vec_ids 0..9 and whose vectors are
+# verbatim copies of those corpus rows (the archetypal benchmark leak:
+# the benchmark item itself is in the training set). Both arms run —
+# probes_from_corpus=False (correct for an external id space) and
+# =True (the mis-declared gate) — and `missed_if_gated` is the
+# false-negative diff the contract exists to prevent. Oracle-checked
+# end-to-end via the q93 composite, not just unit-checked.
+
+_EXT_TAU = 0.9  # near-verbatim only: the planted self-copies hit, the
+#                 corpus's ordinary 0.28-level neighbors do not
+
+
+@register(
+    "q191_external_decontam",
+    oracle=f"""
+    WITH p AS (SELECT vec_id AS pid, embedding AS pvec FROM embeddings
+               WHERE vec_id < 10),
+    scored AS (
+      SELECT e.vec_id, p.pid,
+             (list_aggregate(list_transform(list_zip(e.embedding, p.pvec),
+                z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum'))
+             / (sqrt(list_aggregate(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+              * sqrt(list_aggregate(list_transform(p.pvec,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS c
+      FROM embeddings e CROSS JOIN p
+    ),
+    ranked AS (
+      SELECT vec_id, pid, c,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, pid) AS rn,
+             CAST(SUM(CASE WHEN c >= {_EXT_TAU} THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY vec_id) AS BIGINT) AS n_probe_hits
+      FROM scored
+    ),
+    -- the mis-declared arm: identical scan, but the id-equality
+    -- "self-pair" exclusion wrongly applied to an external id space
+    g_ranked AS (
+      SELECT vec_id, c,
+             CAST(SUM(CASE WHEN c >= {_EXT_TAU} THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY vec_id) AS BIGINT) AS g_hits
+      FROM scored WHERE vec_id <> pid
+    ),
+    g AS (SELECT vec_id, MAX(g_hits) AS gated_hits FROM g_ranked GROUP BY vec_id)
+    SELECT e.vec_id,
+           COALESCE(r.n_probe_hits, 0) AS n_probe_hits,
+           r.pid AS top_probe_id,
+           r.c AS top_probe_cos,
+           COALESCE(r.n_probe_hits, 0) > 0 AS is_contaminated,
+           COALESCE(g.gated_hits, 0) AS gated_hits,
+           COALESCE(g.gated_hits, 0) > 0 AS gated_contaminated,
+           (COALESCE(r.n_probe_hits, 0) > 0
+            AND NOT COALESCE(g.gated_hits, 0) > 0) AS missed_if_gated
+    FROM embeddings e
+    LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (vec_id)
+    LEFT JOIN g USING (vec_id)
+    ORDER BY vec_id
+    """,
+)
+def q191_external_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-leak audit of the probes_from_corpus contract: ten
+    "external benchmark" probes with id-colliding verbatim copies of
+    corpus vectors; the correctly-declared arm
+    (``probes_from_corpus=False``) catches every planted leak, the
+    mis-declared arm skips exactly the colliding self-pairs, and
+    ``missed_if_gated`` is the resulting false-negative set. Both arms
+    are the same broadcast map-only scan + per-vector aggregation as
+    q184 (probes are benchmark-sized; the corpus never shuffles for
+    scoring). See operators/similarity.py::embedding_decontaminate."""
+    from ..operators.similarity import embedding_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    )
+    ext = embedding_decontaminate(
+        emb, probes, "vec_id", "embedding", threshold=_EXT_TAU, dim=64,
+        probes_from_corpus=False,
+    )
+    gated = embedding_decontaminate(
+        emb, probes, "vec_id", "embedding", threshold=_EXT_TAU, dim=64,
+        probes_from_corpus=True,
+    ).select(
+        "vec_id",
+        F.col("n_probe_hits").alias("gated_hits"),
+        F.col("is_contaminated").alias("gated_contaminated"),
+    )
+    return (
+        ext.join(gated, "vec_id")
+        .select(
+            "vec_id", "n_probe_hits", "top_probe_id", "top_probe_cos",
+            "is_contaminated", "gated_hits", "gated_contaminated",
+            (F.col("is_contaminated") & ~F.col("gated_contaminated")).alias(
+                "missed_if_gated"
+            ),
+        )
+        .orderBy("vec_id")
+    )

@@ -163,6 +163,38 @@ class TestC4NullTextCrossEngine:
         assert got_duck[1][:3] == (0, 0, 0)
 
 
+class TestExternalDecontamPlantedLeak:
+    """VERDICT r9 #6: the probes_from_corpus id-space gate, exercised
+    end-to-end. q191 plants ten external probes whose ids collide with
+    corpus vec_ids 0..9 and whose vectors are verbatim copies of those
+    rows: the correctly-declared arm must catch every planted leak,
+    the mis-declared arm must miss exactly the colliding self-pairs."""
+
+    def test_planted_leaks_caught_and_gated_arm_misses(self, spark):
+        rows = {
+            r["vec_id"]: r
+            for r in REGISTRY["q191_external_decontam"].fn(spark, SF_SMOKE).collect()
+        }
+        for vid in range(10):
+            r = rows[vid]
+            assert r["is_contaminated"], f"planted leak {vid} not caught"
+            # the verbatim copy is the top match at cosine ~1
+            assert r["top_probe_id"] == vid
+            assert r["top_probe_cos"] > 0.999
+            # the mis-declared arm skipped the colliding self-pair:
+            # its hit count is one lower than the correct arm's
+            assert r["gated_hits"] == r["n_probe_hits"] - 1
+        # the false-negative set is exactly the planted rows whose ONLY
+        # hit was the colliding probe
+        missed = {v for v, r in rows.items() if r["missed_if_gated"]}
+        expected = {
+            v for v in range(10) if rows[v]["n_probe_hits"] == 1
+        }
+        assert missed == expected and missed, (
+            f"missed_if_gated {missed} != planted-only {expected}"
+        )
+
+
 class TestOracleMemoryBudget:
     """The driver's oracle connection memory is outside our control, so
     every oracle must fit far under any plausible limit. The three

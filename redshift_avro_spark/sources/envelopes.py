@@ -274,6 +274,25 @@ def encode_kpl_aggregate(agg: KplAggregate) -> bytes:
     return bytes(out)
 
 
+def encode_kpl_simple(partition_key: str, datas: list) -> bytes:
+    """Bulk fixture builder for the common KPL shape — one partition
+    key, every record at partition_key_index 0, no explicit hash keys,
+    no tags. Byte-identical to ``encode_kpl_aggregate(KplAggregate(
+    partition_key_table=[partition_key], records=[KplRecord(
+    partition_key_index=0, data=d) for d in datas]))`` (pinned by
+    test) but without the per-record dataclass + field-assembly loop:
+    the record prefix is constant, so the whole aggregate is one
+    ``join`` over precomputed slices (~3× less Python per record —
+    this loop dominated q24's envelope-synthesis stage at 100k rows)."""
+    rec_prefix = _varint_field(1, 0)
+    rec_key = _varint((3 << 3) | _WT_LEN)
+    parts = [_len_field(1, partition_key.encode("utf-8"))]
+    for d in datas:
+        body = rec_prefix + _len_field(3, d)
+        parts.append(rec_key + _varint(len(body)) + body)
+    return b"".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Spark integration
 # ---------------------------------------------------------------------------

@@ -13,11 +13,22 @@ replica + the whole pytest suite SEQUENTIALLY IN ONE PROCESS, with
 
 Usage::
 
-    python tools/soak.py [--skip-suite]   # full run ~45 min
+    python tools/soak.py [--skip-suite] [--max-rss-gib N]  # ~45 min
 
 Exit code 0 iff bench has no budget regressions, the replica has no
 bad rows, and the suite passes. Prints one JSON line with phase
 outcomes + peak RSS for SCALING.md.
+
+``--max-rss-gib N`` (round 10, VERDICT r9 #7) clamps the whole run to
+N GiB so the soak PROVES the system fits a fraction of the box instead
+of merely reporting its peak — catching the next q93-style
+driver-environment OOM before the driver does. The clamp is a REAL
+kernel limit where the environment allows it (a dedicated cgroup-v1
+memory group the process moves itself into; breach = kernel OOM-kill
+inside the group = loud non-zero exit), and always ALSO a watchdog
+that marks ``rss_breach`` and fails the run if the sampled tree RSS
+ever exceeds the clamp (covers the cgroup-unwritable case, and
+records the breach even if the kernel kill lands later).
 """
 
 from __future__ import annotations
@@ -68,19 +79,49 @@ def _tree_rss_kib() -> int:
 
 
 class _PeakTracker(threading.Thread):
-    def __init__(self) -> None:
+    def __init__(self, max_kib: int | None = None) -> None:
         super().__init__(daemon=True)
         self.peak_kib = 0
+        self.max_kib = max_kib
+        self.breached = False
         self._stop = threading.Event()
 
     def run(self) -> None:
         while not self._stop.is_set():
             self.peak_kib = max(self.peak_kib, _tree_rss_kib())
+            if self.max_kib is not None and self.peak_kib > self.max_kib:
+                if not self.breached:
+                    print(
+                        f"soak: RSS breach — tree peak {self.peak_kib >> 20} GiB"
+                        f" > clamp {self.max_kib >> 20} GiB",
+                        file=sys.stderr,
+                        flush=True,
+                    )
+                self.breached = True
             self._stop.wait(2.0)
 
     def stop(self) -> int:
         self._stop.set()
         return self.peak_kib
+
+
+def _enter_cgroup_clamp(gib: float) -> str:
+    """Move this process (and all future children) into a fresh
+    cgroup-v1 memory group limited to ``gib`` GiB. Returns the
+    enforcement mode actually achieved: 'cgroup' (kernel-enforced) or
+    'watchdog' (creation/attach failed — sampled-RSS check only)."""
+    try:
+        grp = f"/sys/fs/cgroup/memory/spark_graft_soak_{os.getpid()}"
+        os.makedirs(grp, exist_ok=True)
+        with open(os.path.join(grp, "memory.limit_in_bytes"), "w") as f:
+            f.write(str(int(gib * (1 << 30))))
+        with open(os.path.join(grp, "cgroup.procs"), "w") as f:
+            f.write(str(os.getpid()))
+        return "cgroup"
+    except OSError as e:
+        print(f"soak: cgroup clamp unavailable ({e}); watchdog only",
+              file=sys.stderr)
+        return "watchdog"
 
 
 class _EvictionCounter(logging.Handler):
@@ -94,7 +135,15 @@ class _EvictionCounter(logging.Handler):
 
 
 def main() -> None:
-    tracker = _PeakTracker()
+    max_rss_gib = None
+    if "--max-rss-gib" in sys.argv:
+        max_rss_gib = float(sys.argv[sys.argv.index("--max-rss-gib") + 1])
+    clamp_mode = None
+    if max_rss_gib is not None:
+        clamp_mode = _enter_cgroup_clamp(max_rss_gib)
+    tracker = _PeakTracker(
+        max_kib=int(max_rss_gib * (1 << 20)) if max_rss_gib else None
+    )
     tracker.start()
     evictions = _EvictionCounter()
     logging.getLogger("redshift_avro_spark.operators.staging").addHandler(evictions)
@@ -142,10 +191,15 @@ def main() -> None:
     result["evictions_total"] = evictions.count
     result["peak_rss_gib"] = round(tracker.stop() / 1024 / 1024, 2)
     result["wall_sec"] = round(time.time() - t0, 1)
+    if max_rss_gib is not None:
+        result["rss_clamp_gib"] = max_rss_gib
+        result["rss_clamp_mode"] = clamp_mode
+        result["rss_breach"] = tracker.breached
     ok = (
         result["bench_regressions"] == 0
         and not result["replica_bad"]
         and result.get("suite_rc", 0) == 0
+        and not tracker.breached
     )
     result["ok"] = ok
     print(json.dumps(result))

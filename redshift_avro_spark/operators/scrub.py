@@ -45,11 +45,16 @@ def word_ngrams(text_col: str, n: int, distinct: bool = True) -> Column:
     """Array of space-joined word ``n``-grams of ``text_col``.
 
     The sequence guard matters: Spark's ``sequence(1, k)`` DESCENDS for
-    k < 1, so short documents must short-circuit to an empty array."""
+    k < 1, so short documents must short-circuit to an empty array.
+
+    The split is bound once via the single-element-array lambda (round
+    10): interpreted HOF lambdas get no CSE, so the former inline form
+    re-ran the O(L) split per n-gram — O(L²)/doc."""
     words = _WORDS.format(c=text_col)
     grams = (
-        f"transform(sequence(1, size({words}) - {n - 1}), "
-        f"i -> array_join(slice({words}, i, {n}), ' '))"
+        f"transform(array({words}), __ws -> "
+        f"transform(sequence(1, size(__ws) - {n - 1}), "
+        f"i -> array_join(slice(__ws, i, {n}), ' ')))[0]"
     )
     if distinct:
         grams = f"array_distinct({grams})"
@@ -138,9 +143,11 @@ def _duplicated_window_hits(
     Deterministic; a 64-bit collision (p ≈ n²/2⁶⁵, ~10⁻⁶ at 10⁷
     windows) could only over-mark one window as duplicated."""
     words = _WORDS.format(c=text_col)
+    # split bound once (round 10) — the inline form re-split per window
     grams = (
-        f"transform(sequence(1, size({words}) - {w - 1}), "
-        f"i -> xxhash64(array_join(slice({words}, i, {w}), ' ')))"
+        f"transform(array({words}), __ws -> "
+        f"transform(sequence(1, size(__ws) - {w - 1}), "
+        f"i -> xxhash64(array_join(slice(__ws, i, {w}), ' '))))[0]"
     )
     wins = (
         df.select(

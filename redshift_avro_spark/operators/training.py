@@ -211,13 +211,16 @@ def chunk_documents(
     stride = window - overlap
     words = f"split(trim(lower({text_col})), '\\\\s+')"
     n = f"size({words})"
+    # split bound once via the single-element-array lambda (round 10):
+    # the inline form re-ran the O(L) split per chunk — O(L²/stride)/doc
     chunks = (
         f"CASE WHEN {n} > 0 AND trim({text_col}) != '' THEN "
-        f"transform(sequence(0, CAST(ceil({n} / {stride}.0) AS INT) - 1), "
+        f"transform(array({words}), __ws -> "
+        f"transform(sequence(0, CAST(ceil(size(__ws) / {stride}.0) AS INT) - 1), "
         f"k -> named_struct("
         f"'start_word', k * {stride}, "
-        f"'n_words', least({window}, {n} - k * {stride}), "
-        f"'chunk_text', array_join(slice({words}, k * {stride} + 1, {window}), ' '))) "
+        f"'n_words', least({window}, size(__ws) - k * {stride}), "
+        f"'chunk_text', array_join(slice(__ws, k * {stride} + 1, {window}), ' '))))[0] "
         f"ELSE CAST(array() AS ARRAY<STRUCT<start_word INT, n_words INT, chunk_text STRING>>) END"
     )
     return df.select(

@@ -217,6 +217,36 @@ class TestEncodeKplSimple:
         assert encode_kpl_simple("pk", datas) == general
 
 
+class TestSoakMemoryClamp:
+    def test_cgroup_clamp_kills_overallocation(self):
+        """VERDICT r9 #7: the soak's --max-rss-gib clamp must be a REAL
+        limit where the environment allows it — a child that
+        over-allocates under a 256 MiB cgroup clamp is OOM-killed by
+        the kernel (SIGKILL), not merely observed."""
+        import subprocess
+        import sys as _sys
+
+        script = (
+            "import sys; sys.path.insert(0, '/root/repo/tools');"
+            "sys.path.insert(0, '/root/repo');"
+            "from soak import _enter_cgroup_clamp;"
+            "mode = _enter_cgroup_clamp(0.25);"
+            "print(mode, flush=True);"
+            "blob = bytearray(512 * 1024 * 1024);"
+            "print('survived')"
+        )
+        r = subprocess.run(
+            [_sys.executable, "-c", script], capture_output=True, text=True,
+            timeout=120,
+        )
+        if "watchdog" in r.stdout:
+            import pytest as _pytest
+
+            _pytest.skip("cgroup v1 memory controller not writable here")
+        assert r.returncode == -9, (r.returncode, r.stdout, r.stderr[-200:])
+        assert "survived" not in r.stdout
+
+
 class TestOracleMemoryBudget:
     """The driver's oracle connection memory is outside our control, so
     every oracle must fit far under any plausible limit. The three

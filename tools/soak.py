@@ -111,7 +111,19 @@ def _enter_cgroup_clamp(gib: float) -> str:
     enforcement mode actually achieved: 'cgroup' (kernel-enforced) or
     'watchdog' (creation/attach failed — sampled-RSS check only)."""
     try:
-        grp = f"/sys/fs/cgroup/memory/spark_graft_soak_{os.getpid()}"
+        base = "/sys/fs/cgroup/memory"
+        # sweep empty groups left by earlier (possibly OOM-killed) runs
+        # — a process can't remove the group it is sitting in, so each
+        # run tidies its predecessors'
+        for name in os.listdir(base):
+            if name.startswith("spark_graft_soak_"):
+                try:
+                    with open(os.path.join(base, name, "cgroup.procs")) as f:
+                        if not f.read().strip():
+                            os.rmdir(os.path.join(base, name))
+                except OSError:
+                    pass
+        grp = f"{base}/spark_graft_soak_{os.getpid()}"
         os.makedirs(grp, exist_ok=True)
         with open(os.path.join(grp, "memory.limit_in_bytes"), "w") as f:
             f.write(str(int(gib * (1 << 30))))

@@ -1000,6 +1000,7 @@ def q87_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q144_temperature_weights",
         "q156_leakage_safe_split",
         "q167_shard_plan",
+        "q192_source_datasheet",
     ),
     oracle=f"""
     SELECT s.lang, s.n_total, s.n_sampled, s.sampled_tokens,
@@ -1009,7 +1010,9 @@ def q87_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            pp.pps_n, pp.pps_chars, tw.temp_ppm, tw.natural_ppm,
            lk.leak_train_docs, lk.leak_test_docs, lk.leak_groups, lk.leak_group_sum,
            sh.shard_n, sh.shard_docs, sh.shard_token_sum,
-           sh.shard_max_fill_ppm, sh.shard_weighted_sum
+           sh.shard_max_fill_ppm, sh.shard_weighted_sum,
+           ds.ds_sources, ds.ds_tokens, ds.ds_dups, ds.ds_contaminated,
+           ds.ds_min_quality_ppm, ds.ds_max_quality_ppm
     FROM {_sub('q60_stratified_sample')} s
     JOIN (
       SELECT lang,
@@ -1042,6 +1045,17 @@ def q87_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(shard * n_docs) AS BIGINT) AS shard_weighted_sum
       FROM {_sub('q167_shard_plan')}
     ) sh
+    CROSS JOIN (
+      -- release-datasheet rollup (q192's per-source grain stays in the
+      -- standalone member; the mix suite carries the corpus-level line)
+      SELECT CAST(COUNT(*) AS BIGINT) AS ds_sources,
+             CAST(SUM(n_tokens) AS BIGINT) AS ds_tokens,
+             CAST(SUM(n_exact_dups) AS BIGINT) AS ds_dups,
+             CAST(SUM(n_contaminated) AS BIGINT) AS ds_contaminated,
+             CAST(MIN(mean_quality_ppm) AS BIGINT) AS ds_min_quality_ppm,
+             CAST(MAX(mean_quality_ppm) AS BIGINT) AS ds_max_quality_ppm
+      FROM {_sub('q192_source_datasheet')}
+    ) ds
     ORDER BY lang
     """,
 )
@@ -1055,10 +1069,12 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast row: per-side doc counts, group count and the exact
     component-id sum as a value digest) ⋈ the token-budgeted output
     shard plan summary (q167, pivoted to one broadcast row: shard
-    count, doc/token mass, max fill ppm and a shard-weighted digest) —
-    all four sampling modes plus both weighting recipes a mixture
-    builder needs, joined on the 5-value lang key of already-tiny
-    aggregates."""
+    count, doc/token mass, max fill ppm and a shard-weighted digest) ⋈
+    the release-datasheet rollup (q192, one broadcast row: source
+    count, token mass, within-source dup and contamination totals,
+    min/max per-source mean quality — round 10) — all four sampling
+    modes plus both weighting recipes a mixture builder needs, joined
+    on the 5-value lang key of already-tiny aggregates."""
     s = _run("q60_stratified_sample", spark, sf_dir)
     sp = (
         _run("q61_train_test_split", spark, sf_dir)
@@ -1111,10 +1127,19 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("fill_ppm").cast("bigint").alias("shard_max_fill_ppm"),
         F.sum(F.col("shard") * F.col("n_docs")).cast("bigint").alias("shard_weighted_sum"),
     )
+    ds = _run("q192_source_datasheet", spark, sf_dir).agg(
+        F.count("*").cast("bigint").alias("ds_sources"),
+        F.sum("n_tokens").cast("bigint").alias("ds_tokens"),
+        F.sum("n_exact_dups").cast("bigint").alias("ds_dups"),
+        F.sum("n_contaminated").cast("bigint").alias("ds_contaminated"),
+        F.min("mean_quality_ppm").cast("bigint").alias("ds_min_quality_ppm"),
+        F.max("mean_quality_ppm").cast("bigint").alias("ds_max_quality_ppm"),
+    )
     return (
         s.join(sp, "lang").join(m, "lang").join(q, "lang").join(pp, "lang").join(tw, "lang")
         .crossJoin(F.broadcast(lk))
         .crossJoin(F.broadcast(sh))
+        .crossJoin(F.broadcast(ds))
         .orderBy("lang")
     )
 

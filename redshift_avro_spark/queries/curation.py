@@ -711,3 +711,156 @@ def q187_full_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ord int, stage string, n_in long, n_out long, n_dropped long, "
         "tokens_out long, shards_out long",
     )
+
+
+# --------------------------------------------------------------- q192
+# Per-source release datasheet (round 10, beyond the verdict list): the
+# "datasheets for datasets" one-row-per-source summary a corpus release
+# ships next to the shards — volume (docs/tokens), language share, mean
+# quality, within-source exact-duplicate count, the q49 gate's keep
+# count, and benchmark contamination (count + ppm of non-benchmark
+# docs sharing a 3-gram with the benchmark slice). Every column reuses
+# a registered fragment verbatim (_LANG_PRED/_SCORE/_N_WORDS feature
+# scan, _NORM_DUCK exact-dup hash, the q187 decontamination protocol),
+# so the datasheet can't drift from the filters it reports on.
+
+
+@register(
+    "q192_source_datasheet",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, source, {_LANG_PRED} AS lang_pred,
+             CAST({_N_WORDS} AS BIGINT) AS n_words,
+             {_SCORE} AS quality_score,
+             md5({_NORM_DUCK}) AS h
+      FROM documents
+    ),
+    base AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+             CAST(SUM(CAST(FLOOR(quality_score * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS q_sum_ppm,
+             CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
+             CAST(SUM(CASE WHEN lang_pred = 'en' AND quality_score >= {_MIN_SCORE}
+                            AND n_words >= {_MIN_WORDS} THEN 1 ELSE 0 END) AS BIGINT) AS n_gate_kept
+      FROM feat GROUP BY source
+    ),
+    bw AS (
+      SELECT doc_id, {_W_SQL} AS __w FROM documents WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    bench AS (
+      SELECT DISTINCT gram
+      FROM (SELECT unnest({_grams_sql(3)}) AS gram FROM bw)
+    ),
+    cw AS (
+      SELECT doc_id, source, {_W_SQL} AS __w FROM documents
+      WHERE doc_id % {_BENCH_MOD} <> 0
+    ),
+    hits AS (
+      SELECT DISTINCT c.doc_id, c.source
+      FROM (SELECT doc_id, source, unnest({_grams_sql(3)}) AS gram FROM cw) c
+      JOIN bench b USING (gram)
+    ),
+    cont AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+      FROM hits GROUP BY source
+    ),
+    nb AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_nonbench FROM documents
+      WHERE doc_id % {_BENCH_MOD} <> 0 GROUP BY source
+    )
+    SELECT b.source, b.n_docs, b.n_tokens, b.n_en,
+           CAST(b.q_sum_ppm // b.n_docs AS BIGINT) AS mean_quality_ppm,
+           b.n_exact_dups, b.n_gate_kept,
+           CAST(COALESCE(c.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           CAST(COALESCE(c.n_contaminated, 0) * 1000000 // nb.n_nonbench AS BIGINT)
+             AS contaminated_ppm
+    FROM base b
+    JOIN nb USING (source)
+    LEFT JOIN cont c USING (source)
+    ORDER BY source
+    """,
+)
+def q192_source_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One datasheet row per source: docs, whitespace-token mass,
+    English-doc count, mean quality in exact integer ppm
+    (floor(score·10⁶ + 0.5) per doc — the bit-stable quantization —
+    summed exactly, then integer-divided), within-source exact-dup
+    count (n_docs − distinct normalized-text hashes), the q49 quality
+    gate's keep count, and benchmark contamination (distinct
+    3-gram-sharing non-benchmark docs, count + ppm).
+
+    Scale shape: ONE narrow codegen feature scan → ONE per-source
+    aggregation (sources are a tiny domain, so the shuffle is a
+    sliver); the contamination arm is the q187 protocol — the
+    benchmark gram set broadcasts, corpus grams fan out in a projection
+    and the hit set aggregates on the uniform doc key. Nothing joins
+    corpus-to-corpus; output is O(sources)."""
+    from ..operators.dedup import content_hash
+    from ..operators.scrub import decontaminate_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        "source",
+        language_id("text").alias("lang_pred"),
+        quality_features("text").alias("q"),
+        content_hash(F.expr(_NORM_SPARK)).alias("h"),
+    ).select(
+        "doc_id",
+        "source",
+        "lang_pred",
+        F.col("q.n_words").cast("long").alias("n_words"),
+        F.col("q.quality_score").alias("quality_score"),
+        "h",
+    )
+    gate = (
+        (F.col("lang_pred") == "en")
+        & (F.col("quality_score") >= _MIN_SCORE)
+        & (F.col("n_words") >= _MIN_WORDS)
+    )
+    base = feat.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("lang_pred") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("n_en"),
+        F.sum(F.expr("CAST(FLOOR(quality_score * 1000000 + 0.5) AS BIGINT)"))
+        .cast("long")
+        .alias("q_sum_ppm"),
+        (F.count("*") - F.countDistinct("h")).cast("long").alias("n_exact_dups"),
+        F.sum(F.when(gate, 1).otherwise(0)).cast("long").alias("n_gate_kept"),
+    )
+    bench = docs.where(F.col("doc_id") % _BENCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % _BENCH_MOD != 0)
+    hits = decontaminate_candidates(corpus, bench, "doc_id", "text", n=3).select(
+        "doc_id"
+    )
+    cont = (
+        corpus.select("doc_id", "source")
+        .join(hits, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+    nb = corpus.groupBy("source").agg(F.count("*").cast("long").alias("n_nonbench"))
+    return (
+        base.join(nb, "source")
+        .join(cont, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_en",
+            F.expr("q_sum_ppm div n_docs").cast("long").alias("mean_quality_ppm"),
+            "n_exact_dups",
+            "n_gate_kept",
+            F.coalesce("n_contaminated", F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
+            F.expr(
+                "coalesce(n_contaminated, 0) * 1000000 div n_nonbench"
+            ).cast("long").alias("contaminated_ppm"),
+        )
+        .orderBy("source")
+    )

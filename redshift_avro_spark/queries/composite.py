@@ -1163,11 +1163,18 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q177_survivor_policy",
         "q183_url_dedup",
         "q187_full_funnel",
+        "q193_benchmark_reach",
     ),
     oracle=f"""
     SELECT r.doc_id, r.n_grams, r.dup_gram_fraction, r.top_gram_share,
            (r.doc_id % 97 = 0) AS is_benchmark,
            CAST(COALESCE(d.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+           -- -1 = "not a benchmark item" (NULL BIGINTs round-trip as
+           -- pandas NaN on one engine and None on the other)
+           CAST(COALESCE(br.n_corpus_hits, -1) AS BIGINT) AS reach_hits,
+           CAST(COALESCE(br.n_sources, -1) AS BIGINT) AS reach_sources,
+           br.top_source AS reach_top_source,
+           COALESCE(br.is_burned, FALSE) AS reach_burned,
            l.n_bigrams, l.n_known, l.fam_sum, l.known_ppm, l.lm_keep,
            dr.rel_rank, dr.rel_score,
            fn.funnel_in_total, fn.funnel_out_lang, fn.funnel_out_quality,
@@ -1182,6 +1189,9 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            ff.ff_tokens_final, ff.ff_shards
     FROM {_sub('q67_repetition_filter')} r
     LEFT JOIN {_sub('q65_decontamination')} d USING (doc_id)
+    LEFT JOIN (SELECT bench_id AS doc_id, n_corpus_hits, n_sources,
+                      top_source, is_burned
+               FROM {_sub('q193_benchmark_reach')}) br USING (doc_id)
     JOIN {_sub('q100_lm_familiarity')} l USING (doc_id)
     LEFT JOIN {_sub('q150_domain_relevance')} dr USING (doc_id)
     LEFT JOIN (SELECT doc_id, sel_rank, blended_ppm
@@ -1243,8 +1253,10 @@ def q89_scrub_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the FULL release funnel v2 (q187 — URL dedup → C4 line clean →
     language → quality → exact dedup → near-dup → decontam → shard
     packing; r9) rides as one pivoted broadcast row of stage-survivor
-    counts, final token mass, and shard count. Co-keyed joins on
-    doc_id."""
+    counts, final token mass, and shard count; benchmark rows carry
+    their q193 reach verdict (distinct contaminated corpus docs,
+    sources reached, top source, burned flag — round 10, null for
+    non-benchmark rows). Co-keyed joins on doc_id."""
     r = _run("q67_repetition_filter", spark, sf_dir)
     d = _run("q65_decontamination", spark, sf_dir)
     l = _run("q100_lm_familiarity", spark, sf_dir)
@@ -1310,6 +1322,13 @@ def q89_scrub_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ffs("decontam", "tokens_out", "ff_tokens_final"),
         _ffs("packing", "shards_out", "ff_shards"),
     )
+    br = _run("q193_benchmark_reach", spark, sf_dir).select(
+        F.col("bench_id").alias("doc_id"),
+        "n_corpus_hits",
+        "n_sources",
+        F.col("top_source").alias("reach_top_source"),
+        "is_burned",
+    )
     return (
         r.join(d, "doc_id", "left")
         .select(
@@ -1320,6 +1339,16 @@ def q89_scrub_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % 97 == 0).alias("is_benchmark"),
             F.coalesce("n_hit_grams", F.lit(0)).cast("bigint").alias("n_hit_grams"),
         )
+        .join(br, "doc_id", "left")
+        .withColumn(
+            "reach_hits",
+            F.coalesce("n_corpus_hits", F.lit(-1)).cast("bigint"),
+        )
+        .withColumn(
+            "reach_sources", F.coalesce("n_sources", F.lit(-1)).cast("bigint")
+        )
+        .withColumn("reach_burned", F.coalesce("is_burned", F.lit(False)))
+        .drop("n_corpus_hits", "n_sources", "is_burned")
         .join(l, "doc_id")
         .join(dr, "doc_id", "left")
         .join(bl, "doc_id", "left")

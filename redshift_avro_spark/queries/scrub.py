@@ -619,3 +619,123 @@ def q183_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(_URL_SYNTH_SPARK).alias("url")
     )
     return url_dedup(docs, "doc_id", "url").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- q193
+# Benchmark-item reach (round 10): the TRANSPOSE of q65 — q65 reports
+# which TRAINING docs are contaminated; this reports which BENCHMARK
+# items are burned, and how widely. An eval owner reads this row to
+# decide whether an item can stay in the suite (reach 0), needs the
+# contaminated training docs scrubbed (small reach, one source), or is
+# hopeless boilerplate that must be dropped from eval (reach across
+# many sources). Every benchmark doc keeps a row (reach 0 = clean).
+
+
+@register(
+    "q193_benchmark_reach",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, {_W_SQL} AS __w FROM documents
+    ), g AS (
+      SELECT doc_id, source, {_grams_sql(_DECON_N)} AS grams FROM w
+    ), bg AS (
+      SELECT DISTINCT doc_id AS bench_id, gram
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM g
+            WHERE doc_id % {_BENCH_MOD} = 0)
+    ), cg AS (
+      SELECT doc_id, source, unnest(grams) AS gram FROM g
+      WHERE doc_id % {_BENCH_MOD} <> 0
+    ), pairs AS (
+      SELECT DISTINCT b.bench_id, c.doc_id, c.source
+      FROM cg c JOIN bg b USING (gram)
+    ), reach AS (
+      SELECT bench_id,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_corpus_hits,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM pairs GROUP BY bench_id
+    ), per_src AS (
+      SELECT bench_id, source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS c
+      FROM pairs GROUP BY bench_id, source
+    ), top AS (
+      SELECT bench_id, source AS top_source, c AS top_source_hits FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY bench_id
+          ORDER BY c DESC, source) AS rn
+        FROM per_src
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id AS bench_id,
+           CAST(COALESCE(r.n_corpus_hits, 0) AS BIGINT) AS n_corpus_hits,
+           CAST(COALESCE(r.n_sources, 0) AS BIGINT) AS n_sources,
+           t.top_source, t.top_source_hits,
+           COALESCE(r.n_corpus_hits, 0) > 0 AS is_burned
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {_BENCH_MOD} = 0) d
+    LEFT JOIN reach r ON r.bench_id = d.doc_id
+    LEFT JOIN top t ON t.bench_id = d.doc_id
+    ORDER BY bench_id
+    """,
+)
+def q193_benchmark_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark-item contamination reach: distinct contaminated
+    corpus docs, distinct sources reached, the top source by hit count
+    (ties to the lexicographically smallest) and a burned flag; every
+    benchmark doc keeps a row.
+
+    Scale shape: SAME join direction as q65 — the benchmark gram set
+    is benchmark-sized and broadcasts (here carrying its bench_id so
+    the reach aggregates per item), the corpus grams fan out in a
+    projection and never shuffle for the join; the (bench, corpus,
+    source) pair set is bounded by actual contamination, and the two
+    aggregations key on bench_id — benchmark-sized exchanges. Output
+    is O(|benchmark|)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.where(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.explode(word_ngrams("text", _DECON_N)).alias("gram"),
+        )
+        .distinct()
+    )
+    pairs = (
+        docs.where(F.col("doc_id") % _BENCH_MOD != 0)
+        .select(
+            "doc_id", "source", F.explode(word_ngrams("text", _DECON_N)).alias("gram")
+        )
+        .join(F.broadcast(bg), "gram")
+        .select("bench_id", "doc_id", "source")
+        .distinct()
+    )
+    reach = pairs.groupBy("bench_id").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_corpus_hits"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    from pyspark.sql import Window
+
+    per_src = pairs.groupBy("bench_id", "source").agg(
+        F.countDistinct("doc_id").cast("long").alias("c")
+    )
+    rn = Window.partitionBy("bench_id").orderBy(F.desc("c"), F.asc("source"))
+    top = (
+        per_src.withColumn("rn", F.row_number().over(rn))
+        .where(F.col("rn") == 1)
+        .select(
+            "bench_id",
+            F.col("source").alias("top_source"),
+            F.col("c").alias("top_source_hits"),
+        )
+    )
+    return (
+        docs.where(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.col("doc_id").alias("bench_id"))
+        .join(reach, "bench_id", "left")
+        .join(top, "bench_id", "left")
+        .select(
+            "bench_id",
+            F.coalesce("n_corpus_hits", F.lit(0).cast("long")).alias("n_corpus_hits"),
+            F.coalesce("n_sources", F.lit(0).cast("long")).alias("n_sources"),
+            "top_source",
+            "top_source_hits",
+            (F.coalesce("n_corpus_hits", F.lit(0)) > 0).alias("is_burned"),
+        )
+        .orderBy("bench_id")
+    )

@@ -139,6 +139,18 @@ EXTENDED: dict[str, float] = {
     # Budget from that measurement + headroom.
     "q189_filter_agreement": 4.5,
     "q190_source_overlap_topn": 2.8,  # calibrated from best-of-3 1.94 s
+    # round 10 additions — calibrated from same-session best-of-3 at
+    # sf0.1: q191 planted-leak decontam audit 1.56 s, q192 per-source
+    # release datasheet 0.88 s, q193 per-benchmark-item reach 1.55 s
+    "q191_external_decontam": 2.4,
+    "q192_source_datasheet": 1.5,
+    "q193_benchmark_reach": 2.4,
+    # like q185/q188: the first run pays the shared _bpe_encoded
+    # training+encode (~8.8 s at sf0.1), later runs read the staged
+    # parquet (best-of-3 min 0.41 s warm) — the training cost shows in
+    # q114's own row and the run range, not the best
+    "q194_tokenizer_efficiency": 0.9,
+    "q195_boilerplate_lines": 1.4,  # calibrated from best-of-3 0.84 s
 }
 
 _DETAIL_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r10.json")

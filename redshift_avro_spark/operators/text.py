@@ -638,6 +638,78 @@ def c4_line_filter(
     )
 
 
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document frequent-LINE boilerplate removal (the
+    RefinedWeb/Dolma paragraph-frequency rule, the complement of
+    :func:`c4_line_filter`): a line whose TRIMMED form appears in at
+    least ``min_docs`` DISTINCT documents is boilerplate — nav menus,
+    footers, legal banners — no matter what it says, so this catches
+    org-specific boilerplate that no curated phrase list anticipates,
+    while C4's rules catch one-off junk lines frequency can't see.
+
+    Per document: total line count, boilerplate line count, boiler
+    ppm, and the md5 digest of the KEPT lines rebuilt in original
+    order (the rebuilt text stays out of the frame — the digest
+    checksums the rebuild without carrying a second corpus column).
+    Empty/whitespace-only lines are never boilerplate (they carry no
+    content to repeat) and are kept verbatim in the rebuild; NULL text
+    is an empty document (0 lines, digest of ``''``) per the corpus
+    NULL contract c4_line_filter pins.
+
+    Scale shape: the line fan-out rides an 8-byte md5 lane from birth
+    (both engines hash the identical trimmed line, so the frequency
+    count shuffles 8-byte keys, not full line strings). Three
+    exchanges: (1) the distinct-doc count per lane — map-side partial
+    dedup of (lane, doc) then a uniform-key count; (2) the lane-keyed
+    join of lines against the ≥ ``min_docs`` survivor set (the
+    survivor set is bounded by the REPEATED-line vocabulary, far
+    smaller than the corpus — AQE broadcasts it when it fits); (3) the
+    per-document rebuild aggregation. No Python, no explode beyond the
+    one line fan-out every line-level operator pays."""
+    lines = f"coalesce(split({text_col}, '\\n'), CAST(array() AS array<string>))"
+    lx = df.select(
+        F.col(id_col).alias(id_col),
+        F.posexplode_outer(F.expr(lines)).alias("pos", "ln"),
+    ).withColumn(
+        "lh",
+        F.expr(
+            "CASE WHEN trim(ln) <> '' THEN "
+            "CAST(conv(substring(md5(trim(ln)), 1, 15), 16, 10) AS BIGINT) END"
+        ),
+    )
+    survivors = (
+        lx.filter(F.col("lh").isNotNull())
+        .groupBy("lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("lh", F.lit(True).alias("__b"))
+    )
+    marked = lx.join(survivors, "lh", "left").withColumn(
+        "__b", F.coalesce("__b", F.lit(False))
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("pos").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("__b"), 1).otherwise(0)).cast("long").alias("n_boiler_lines"),
+        F.expr(
+            "CAST(CASE WHEN count(pos) = 0 THEN 0 ELSE "
+            "sum(CASE WHEN __b THEN 1 ELSE 0 END) * 1000000 DIV count(pos) "
+            "END AS BIGINT)"
+        ).alias("boiler_ppm"),
+        F.md5(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "CASE WHEN NOT __b AND pos IS NOT NULL THEN struct(pos, ln) END)), "
+                "x -> x.ln), '\\n')"
+            )
+        ).alias("cleaned_digest"),
+    )
+
+
 def source_overlap(
     docs: DataFrame,
     doc_col: str = "doc_id",

@@ -1755,6 +1755,7 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q146_duplicated_spans",
         "q161_span_scrub",
         "q168_winnowing_fps",
+        "q195_boilerplate_lines",
     ),
     oracle=f"""
     SELECT p.doc_id, p.cleaned_text, p.n_chunks, p.n_dropped,
@@ -1763,7 +1764,9 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
            s.n_windows AS n_span_windows, s.n_dup_windows, s.n_dup_spans,
            s.dup_span_words, s.max_span_words,
            sc.n_scrubbed, md5(sc.scrubbed_text) AS scrubbed_digest,
-           wf.n_fps, wf.n_shared_fps, wf.shared_ppm
+           wf.n_fps, wf.n_shared_fps, wf.shared_ppm,
+           bl.n_lines AS bl_n_lines, bl.n_boiler_lines, bl.boiler_ppm,
+           bl.cleaned_digest AS bl_digest
     FROM {_sub('q68_passage_dedup')} p
     LEFT JOIN (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
@@ -1773,6 +1776,7 @@ def q93_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN {_sub('q146_duplicated_spans')} s USING (doc_id)
     LEFT JOIN {_sub('q161_span_scrub')} sc USING (doc_id)
     LEFT JOIN {_sub('q168_winnowing_fps')} wf USING (doc_id)
+    LEFT JOIN {_sub('q195_boilerplate_lines')} bl USING (doc_id)
     ORDER BY doc_id
     """,
 )
@@ -1786,8 +1790,11 @@ def q97_passage_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrub count + md5 digest of the rewritten text, so one moved word
     in the reconstruction fails the row) ⋈ winnowing fingerprints
     (q168 — MOSS-style window-min selection with cross-document
-    sharing ppm). Left joins: documents with no chunkable words /
-    fewer than 6 words keep null columns."""
+    sharing ppm) ⋈ frequency-based boilerplate-line removal (q195 —
+    lines repeated across >= 3 distinct docs dropped, kept-lines
+    digest; the RefinedWeb/Dolma rule complementing q186's C4 rules;
+    r10). Left joins: documents with no chunkable words / fewer than
+    6 words keep null columns."""
     p = _run("q68_passage_dedup", spark, sf_dir)
     c = (
         _run("q96_doc_chunking", spark, sf_dir)
@@ -1818,6 +1825,13 @@ def q97_passage_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     wf = _run("q168_winnowing_fps", spark, sf_dir).select(
         "doc_id", "n_fps", "n_shared_fps", "shared_ppm"
     )
+    bl = _run("q195_boilerplate_lines", spark, sf_dir).select(
+        "doc_id",
+        F.col("n_lines").alias("bl_n_lines"),
+        "n_boiler_lines",
+        "boiler_ppm",
+        F.col("cleaned_digest").alias("bl_digest"),
+    )
     return (
         p.join(c, "doc_id", "left")
         .select(
@@ -1831,6 +1845,7 @@ def q97_passage_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, "doc_id", "left")
         .join(sc, "doc_id", "left")
         .join(wf, "doc_id", "left")
+        .join(bl, "doc_id", "left")
         .orderBy("doc_id")
     )
 
@@ -2011,6 +2026,7 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q166_inference_rerank",
         "q176_zipf_audit",
         "q190_source_overlap_topn",
+        "q194_tokenizer_efficiency",
     ),
     oracle=f"""
     SELECT 'tfidf' AS kind, lang AS k_str, term AS k_str2,
@@ -2086,6 +2102,13 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            shared_topn AS n1, topn_a AS n2, topn_b AS n3,
            CAST(containment_ppm AS DOUBLE) AS val
     FROM {_sub('q190_source_overlap_topn')}
+    UNION ALL
+    SELECT 'fert' AS kind, source AS k_str,
+           concat(CAST(n_merged_tokens AS VARCHAR), ':',
+                  CAST(saved_ppm AS VARCHAR)) AS k_str2,
+           n_docs AS n1, n_words AS n2, n_tokens AS n3,
+           CAST(chars_per_token_ppm AS DOUBLE) AS val
+    FROM {_sub('q194_tokenizer_efficiency')}
     ORDER BY kind, n1, k_str, k_str2
     """,
 )
@@ -2113,7 +2136,10 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares plus vocab/hapax/token scalars), and the top-N gram-cutoff
     overlap view (q190 — each source's 200 most frequent windows,
     salted two-phase rank, corpus-size-independent tail; the q163
-    scale lever as its own oracle-matched query; r9), tagged
+    scale lever as its own oracle-matched query; r9), and the
+    per-source tokenizer-efficiency datasheet (q194 — word/BPE-token
+    totals, ppm saved, chars-per-token; shares ONE training+encode
+    with q114 via the ``_bpe_encoded`` memo; r10), tagged
     and unioned. The passes an LLM pipeline runs over the corpus
     before training, in one driver-verified result."""
     a = _run("q56_tfidf_terms", spark, sf_dir).select(
@@ -2252,11 +2278,24 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("topn_b").alias("n3"),
         F.col("containment_ppm").cast("double").alias("val"),
     )
+    fe = _run("q194_tokenizer_efficiency", spark, sf_dir).select(
+        F.lit("fert").alias("kind"),
+        F.col("source").alias("k_str"),
+        F.concat(
+            F.col("n_merged_tokens").cast("string"),
+            F.lit(":"),
+            F.col("saved_ppm").cast("string"),
+        ).alias("k_str2"),
+        F.col("n_docs").alias("n1"),
+        F.col("n_words").alias("n2"),
+        F.col("n_tokens").alias("n3"),
+        F.col("chars_per_token_ppm").cast("double").alias("val"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
         .unionByName(g).unionByName(h).unionByName(i)
         .unionByName(j).unionByName(k).unionByName(m).unionByName(o)
-        .unionByName(z).unionByName(jn)
+        .unionByName(z).unionByName(jn).unionByName(fe)
         .orderBy("kind", "n1", "k_str", "k_str2")
     )
 

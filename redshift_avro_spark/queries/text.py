@@ -1795,3 +1795,78 @@ def q190_source_overlap_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap(
         docs, "doc_id", "text", "source", window=_OVL_W, top_n=_OVL_TOPN
     )
+
+
+# --------------------------------------------------------------- q195
+# Cross-document frequent-line boilerplate removal — the
+# RefinedWeb/Dolma paragraph-frequency rule, the frequency-based
+# complement of q186's C4 phrase/structure rules: a line repeated
+# verbatim across >= 3 distinct documents is boilerplate no matter
+# what it says (nav menus, footers, legal banners), which catches the
+# org-specific junk no curated phrase list anticipates. Runs over the
+# SAME synthesized line structure as q186 so the two line-level
+# cleaners are directly comparable on the gate: the injected
+# cookie-policy footer (every doc_id % 31 == 0) is caught HERE by
+# pure frequency — no phrase list — and any 7-word chunk that happens
+# to repeat across documents is caught too.
+
+
+@register(
+    "q195_boilerplate_lines",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id, {_C4_LINE_DUCK} AS t FROM documents
+    ),
+    lined AS (
+      SELECT doc_id, coalesce(string_split(t, chr(10)), []) AS lns FROM synth
+    ),
+    lx AS (
+      SELECT doc_id, i AS pos, lns[i] AS ln
+      FROM lined, unnest(generate_series(1, len(lns))) AS u(i)
+    ),
+    survivors AS (
+      SELECT {_LANE_DUCK.format(x="trim(ln)")} AS lh
+      FROM lx WHERE trim(ln) <> ''
+      GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3
+    ),
+    marked AS (
+      SELECT doc_id, pos, ln,
+             (trim(ln) <> '' AND {_LANE_DUCK.format(x="trim(ln)")}
+               IN (SELECT lh FROM survivors)) AS b
+      FROM lx
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(pos) AS BIGINT) AS n_lines,
+             CAST(coalesce(sum(CASE WHEN b THEN 1 END), 0) AS BIGINT)
+               AS n_boiler_lines,
+             md5(coalesce(string_agg(CASE WHEN NOT b THEN ln END,
+                                     chr(10) ORDER BY pos), ''))
+               AS cleaned_digest
+      FROM marked GROUP BY doc_id
+    )
+    SELECT l.doc_id,
+           CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(a.n_boiler_lines, 0) AS BIGINT) AS n_boiler_lines,
+           CAST(CASE WHEN coalesce(a.n_lines, 0) = 0 THEN 0
+                ELSE a.n_boiler_lines * 1000000 // a.n_lines
+           END AS BIGINT) AS boiler_ppm,
+           coalesce(a.cleaned_digest, md5('')) AS cleaned_digest
+    FROM lined l LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q195_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-based boilerplate-line removal over the synthesized
+    line structure: per doc the line count, the count of lines whose
+    trimmed form appears in >= 3 distinct documents, boiler ppm, and
+    the md5 digest of the kept lines rebuilt in original order. See
+    operators/text.py::boilerplate_lines for the rule and the 100 TB
+    shape (8-byte line lane, three uniform-key exchanges, AQE
+    broadcast of the bounded repeated-line survivor set)."""
+    from ..operators.text import boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_C4_LINE_SPARK).alias("text")
+    )
+    return boilerplate_lines(docs, "doc_id", "text", min_docs=3).orderBy("doc_id")

@@ -84,10 +84,10 @@ def q105_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q114_bpe_encode",
-    oracle=f"""
-    WITH {_BASE_CTES},
+# Shared oracle chain: the learned merges applied corpus-wide, per-doc
+# token arrays before/after — ONE copy of the formula consumed by the
+# q114 per-doc report and the q194 per-source efficiency rollup.
+_ENC_CTES = f"""{_BASE_CTES},
     {", ".join(_round_cte(k) for k in range(1, _ROUNDS + 1))},
     enc AS (
       SELECT c0.doc_id,
@@ -95,7 +95,53 @@ def q105_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS tokens_before,
              string_split(substring(c{_ROUNDS}.s, 2, length(c{_ROUNDS}.s) - 2), '][') AS t
       FROM c0 JOIN c{_ROUNDS} USING (doc_id)
-    )
+    )"""
+
+
+# Shared encode pass (the _kn_scores pattern): q114 and q194 both
+# consume the per-doc encode frame, and the q106 composite runs both —
+# ONE BPE training + corpus fold per (app, corpus) instead of one per
+# consumer. Corpus-ROW-scale frame → parquet staging boundary per the
+# staging rule.
+_BPE_MEMO: dict = {}
+
+
+def _bpe_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if key not in _BPE_MEMO:
+        docs = load_table(spark, sf_dir, "documents")
+        from ..operators.bpe import corpus_strings
+
+        # ONE md5 tokenization shared by learn and encode: the lazy
+        # checkpoint materializes in learn's first pair-count job and
+        # the encode fold reads the same blocks. EXEMPT from the
+        # materialize() routing rule: a LAZY checkpoint feeding an
+        # ITERATIVE loop — the documented iterative exemption.
+        corpus = corpus_strings(docs, "doc_id", "text").localCheckpoint(eager=False)
+        merges = learn_bpe_merges(
+            docs,
+            id_col="doc_id",
+            text_col="text",
+            rounds=_ROUNDS,
+            track_tokens=False,
+            corpus=corpus,
+        ).select("merge_round", "pattern", "merged")
+        _BPE_MEMO[key] = materialize(
+            apply_bpe_merges(docs, merges, id_col="doc_id", text_col="text", corpus=corpus),
+            label="bpe_encoded",
+            default="parquet",
+        )
+        while len(_BPE_MEMO) > 4:
+            _BPE_MEMO.pop(next(iter(_BPE_MEMO)))
+    return _BPE_MEMO[key]
+
+
+@register(
+    "q114_bpe_encode",
+    oracle=f"""
+    WITH {_ENC_CTES}
     SELECT doc_id, tokens_before,
            CAST(len(t) AS BIGINT) AS tokens_after,
            CAST(len(list_filter(t, x -> contains(x, '+'))) AS BIGINT) AS n_merged,
@@ -114,31 +160,74 @@ def q114_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle replays the same five merges per document via the q105
     CTE chain (sequential corpus-wide replace ≡ the per-doc fold,
-    because each round's replace is literal and leftmost)."""
-    from ..operators.bpe import corpus_strings
+    because each round's replace is literal and leftmost). The encode
+    frame itself comes from the per-(app, corpus) ``_bpe_encoded``
+    memo shared with q194's per-source rollup — one training + one
+    corpus fold however many consumers run."""
+    return _bpe_encoded(spark, sf_dir).orderBy("doc_id")
 
-    docs = load_table(spark, sf_dir, "documents")
-    # ONE md5 tokenization shared by learn and encode: the lazy
-    # checkpoint materializes in learn's first pair-count job and the
-    # encode fold reads the same blocks (previously encode re-tokenized
-    # the raw corpus a second time)
-    # EXEMPT from the materialize() routing rule: this is a LAZY
-    # checkpoint feeding an ITERATIVE loop (learn's first pair-count
-    # job materializes it; the encode fold reads the same blocks) —
-    # the documented iterative exemption, where an eager cut would
-    # waste a pass and parquet mode would serialize the loop state.
-    corpus = corpus_strings(docs, "doc_id", "text").localCheckpoint(eager=False)
-    merges = learn_bpe_merges(
-        docs,
-        id_col="doc_id",
-        text_col="text",
-        rounds=_ROUNDS,
-        track_tokens=False,
-        corpus=corpus,
-    ).select("merge_round", "pattern", "merged")
-    return apply_bpe_merges(
-        docs, merges, id_col="doc_id", text_col="text", corpus=corpus
-    ).orderBy("doc_id")
+
+@register(
+    "q194_tokenizer_efficiency",
+    oracle=f"""
+    WITH {_ENC_CTES},
+    j AS (
+      SELECT d.source,
+             e.tokens_before,
+             CAST(len(e.t) AS BIGINT) AS tokens_after,
+             CAST(len(list_filter(e.t, x -> contains(x, '+'))) AS BIGINT) AS n_merged,
+             d.n_chars
+      FROM enc e JOIN documents d USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tokens_before) AS BIGINT) AS n_words,
+           CAST(sum(tokens_after) AS BIGINT) AS n_tokens,
+           CAST(sum(n_merged) AS BIGINT) AS n_merged_tokens,
+           CAST((sum(tokens_before) - sum(tokens_after)) * 1000000
+             // sum(tokens_before) AS BIGINT) AS saved_ppm,
+           CAST(sum(n_chars) * 1000000 // sum(tokens_after) AS BIGINT)
+             AS chars_per_token_ppm
+    FROM j GROUP BY source ORDER BY source
+    """,
+)
+def q194_tokenizer_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE tokenizer-efficiency datasheet — the release metric a
+    tokenizer change is judged by (fertility/compression per corpus
+    slice, the per-language table in every tokenizer paper): word and
+    BPE-token totals, fused-symbol count, ppm tokens saved by the
+    merges, and chars-per-token in exact ppm (sum of the documents'
+    ``n_chars`` over the post-merge token count). A source whose
+    chars-per-token lags the corpus is the one paying the context
+    budget — the signal that drives per-source vocabulary extension.
+
+    Scale shape: the expensive half (training + corpus fold) is the
+    shared ``_bpe_encoded`` memo — this query adds ONE broadcast-sized
+    join (the per-doc encode frame against the documents projection on
+    the parquet-pruned ``doc_id/source/n_chars`` columns, doc-keyed
+    and co-partitioned) and one tiny per-source aggregation: sources
+    number in the dozens at 100 TB, so the rollup is a map-side
+    partial into a near-empty shuffle."""
+    enc = _bpe_encoded(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return (
+        enc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tokens_before").cast("long").alias("n_words"),
+            F.sum("tokens_after").cast("long").alias("n_tokens"),
+            F.sum("n_merged").cast("long").alias("n_merged_tokens"),
+            F.expr(
+                "CAST((sum(tokens_before) - sum(tokens_after)) * 1000000"
+                " DIV sum(tokens_before) AS BIGINT)"
+            ).alias("saved_ppm"),
+            F.expr(
+                "CAST(sum(n_chars) * 1000000 DIV sum(tokens_after) AS BIGINT)"
+            ).alias("chars_per_token_ppm"),
+        )
+        .orderBy("source")
+    )
 
 
 _HEAPS_CHECKPOINTS = (10, 25, 50, 100, 250, 500)

@@ -1001,6 +1001,7 @@ def q87_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q156_leakage_safe_split",
         "q167_shard_plan",
         "q192_source_datasheet",
+        "q196_filter_threshold_sweep",
     ),
     oracle=f"""
     SELECT s.lang, s.n_total, s.n_sampled, s.sampled_tokens,
@@ -1012,7 +1013,9 @@ def q87_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            sh.shard_n, sh.shard_docs, sh.shard_token_sum,
            sh.shard_max_fill_ppm, sh.shard_weighted_sum,
            ds.ds_sources, ds.ds_tokens, ds.ds_dups, ds.ds_contaminated,
-           ds.ds_min_quality_ppm, ds.ds_max_quality_ppm
+           ds.ds_min_quality_ppm, ds.ds_max_quality_ppm,
+           sw.sw_bins, sw.sw_docs, sw.sw_tokens,
+           sw.sw_half_token_threshold_ppm, sw.sw_digest
     FROM {_sub('q60_stratified_sample')} s
     JOIN (
       SELECT lang,
@@ -1056,6 +1059,20 @@ def q87_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(MAX(mean_quality_ppm) AS BIGINT) AS ds_max_quality_ppm
       FROM {_sub('q192_source_datasheet')}
     ) ds
+    CROSS JOIN (
+      -- filter-threshold-sweep rollup (q196's per-bin curve stays in
+      -- the standalone member; the mix suite carries the corpus line:
+      -- bin count, total mass, the lowest threshold keeping <= half
+      -- the tokens, and a doc-weighted threshold digest)
+      SELECT CAST(COUNT(*) AS BIGINT) AS sw_bins,
+             CAST(MAX(cum_docs) AS BIGINT) AS sw_docs,
+             CAST(MAX(cum_tokens) AS BIGINT) AS sw_tokens,
+             CAST(MIN(CASE WHEN kept_token_ppm <= 500000
+                           THEN threshold_ppm END) AS BIGINT)
+               AS sw_half_token_threshold_ppm,
+             CAST(SUM(threshold_ppm * n_docs) AS BIGINT) AS sw_digest
+      FROM {_sub('q196_filter_threshold_sweep')}
+    ) sw
     ORDER BY lang
     """,
 )
@@ -1072,7 +1089,10 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, doc/token mass, max fill ppm and a shard-weighted digest) ⋈
     the release-datasheet rollup (q192, one broadcast row: source
     count, token mass, within-source dup and contamination totals,
-    min/max per-source mean quality — round 10) — all four sampling
+    min/max per-source mean quality — round 10) ⋈ the filter-threshold
+    sweep rollup (q196, one broadcast row: bin count, total doc/token
+    mass, the lowest quality threshold keeping ≤ half the tokens, and
+    a doc-weighted threshold digest — round 10) — all four sampling
     modes plus both weighting recipes a mixture builder needs, joined
     on the 5-value lang key of already-tiny aggregates."""
     s = _run("q60_stratified_sample", spark, sf_dir)
@@ -1135,11 +1155,22 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mean_quality_ppm").cast("bigint").alias("ds_min_quality_ppm"),
         F.max("mean_quality_ppm").cast("bigint").alias("ds_max_quality_ppm"),
     )
+    sw = _run("q196_filter_threshold_sweep", spark, sf_dir).agg(
+        F.count("*").cast("bigint").alias("sw_bins"),
+        F.max("cum_docs").cast("bigint").alias("sw_docs"),
+        F.max("cum_tokens").cast("bigint").alias("sw_tokens"),
+        F.min(
+            F.when(F.col("kept_token_ppm") <= 500_000, F.col("threshold_ppm"))
+        ).cast("bigint").alias("sw_half_token_threshold_ppm"),
+        F.sum(F.col("threshold_ppm") * F.col("n_docs"))
+        .cast("bigint").alias("sw_digest"),
+    )
     return (
         s.join(sp, "lang").join(m, "lang").join(q, "lang").join(pp, "lang").join(tw, "lang")
         .crossJoin(F.broadcast(lk))
         .crossJoin(F.broadcast(sh))
         .crossJoin(F.broadcast(ds))
+        .crossJoin(F.broadcast(sw))
         .orderBy("lang")
     )
 

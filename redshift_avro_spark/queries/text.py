@@ -1870,3 +1870,126 @@ def q195_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(_C4_LINE_SPARK).alias("text")
     )
     return boilerplate_lines(docs, "doc_id", "text", min_docs=3).orderBy("doc_id")
+
+
+# --------------------------------------------------------------- q196
+# Filter-threshold sweep — the calibration table every filtering paper
+# publishes (and the knob a release engineer actually turns): for each
+# candidate quality threshold, how many documents and tokens survive.
+# Computed as a BOUNDED score histogram (classifier logit_ppm binned
+# at 50k-ppm width on a shifted non-negative key so Spark's DIV and
+# DuckDB's // agree on negatives) with a descending cumulative — at
+# 100 TB the corpus pays ONE classifier scan and a map-side-combining
+# aggregation onto <= a-few-dozen bins; the cumulative window runs
+# over those bins, never the corpus. The q122 histogram lesson applied
+# to filter tuning: no global sort by score, no per-threshold rescan.
+
+_SWEEP_BIN = 50_000_000
+_SWEEP_SHIFT = 1_001_000_000  # |logit_ppm| <= 1001e6 by the weight table
+
+
+@register(
+    "q196_filter_threshold_sweep",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_WORDS} AS ws FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 2 THEN list_transform(generate_series(1, len(ws)-1),
+               i -> concat(ws[i], ' ', ws[i+1])) ELSE CAST([] AS VARCHAR[]) END AS bgs,
+             greatest(len(ws)-1, 0) AS nf,
+             CAST(len(ws) AS BIGINT) AS n_tokens
+      FROM w
+    ),
+    s AS (
+      SELECT CASE WHEN nf = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(coalesce(list_aggregate(list_transform(bgs,
+               bg -> ((CAST(concat('0x', substring(md5(bg), 1, 8)) AS BIGINT) % 1024)
+                      * 2654435761) % 2003 - 1001), 'sum'), 0) AS BIGINT)
+                       * 1000000 // nf END AS score_ppm,
+             n_tokens
+      FROM b
+    ),
+    pb AS (
+      SELECT (score_ppm + {_SWEEP_SHIFT}) // {_SWEEP_BIN} AS bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM s GROUP BY 1
+    ),
+    cu AS (
+      SELECT bin, n_docs, n_tokens,
+             CAST(sum(n_docs) OVER (ORDER BY bin DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+             CAST(sum(n_tokens) OVER (ORDER BY bin DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+             CAST(sum(n_docs) OVER () AS BIGINT) AS tot_docs,
+             CAST(sum(n_tokens) OVER () AS BIGINT) AS tot_tokens
+      FROM pb
+    )
+    SELECT CAST(bin * {_SWEEP_BIN} - {_SWEEP_SHIFT} AS BIGINT) AS threshold_ppm,
+           n_docs, n_tokens, cum_docs, cum_tokens,
+           CAST(cum_docs * 1000000 // tot_docs AS BIGINT) AS kept_doc_ppm,
+           CAST(cum_tokens * 1000000 // tot_tokens AS BIGINT) AS kept_token_ppm
+    FROM cu ORDER BY threshold_ppm
+    """,
+)
+def q196_filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept-docs/kept-tokens vs quality-threshold curve: classifier
+    logit_ppm binned at 50M-ppm width (~40 bins over the weight
+    table's +-1001M range); per bin the doc/token mass and
+    the descending cumulative (what survives a threshold at this bin's
+    lower edge), plus corpus-share ppm. One classifier scan, a tiny
+    uniform-key histogram aggregation, and a window over the bounded
+    bin set — the threshold sweep never rescans the corpus."""
+    from ..operators.text import quality_classifier_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        quality_classifier_score("text").getField("logit_ppm").alias("score_ppm"),
+        F.expr("CAST(size(split(trim(lower(text)), '\\\\s+')) AS BIGINT)").alias(
+            "n_tokens"
+        ),
+    )
+    per_bin = (
+        scored.select(
+            F.expr(f"(score_ppm + {_SWEEP_SHIFT}) DIV {_SWEEP_BIN}").alias("bin"),
+            "n_tokens",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    cum = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    return (
+        per_bin.select(
+            F.expr(f"CAST(bin * {_SWEEP_BIN} - {_SWEEP_SHIFT} AS BIGINT)").alias(
+                "threshold_ppm"
+            ),
+            "n_docs",
+            "n_tokens",
+            F.sum("n_docs").over(cum).cast("long").alias("cum_docs"),
+            F.sum("n_tokens").over(cum).cast("long").alias("cum_tokens"),
+            F.sum("n_docs").over(tot).cast("long").alias("__td"),
+            F.sum("n_tokens").over(tot).cast("long").alias("__tt"),
+        )
+        .select(
+            "threshold_ppm",
+            "n_docs",
+            "n_tokens",
+            "cum_docs",
+            "cum_tokens",
+            F.expr("CAST(cum_docs * 1000000 DIV __td AS BIGINT)").alias(
+                "kept_doc_ppm"
+            ),
+            F.expr("CAST(cum_tokens * 1000000 DIV __tt AS BIGINT)").alias(
+                "kept_token_ppm"
+            ),
+        )
+        .orderBy("threshold_ppm")
+    )

@@ -381,3 +381,76 @@ class TestTokenizerEfficiency:
         assert a is b  # second consumer reads the same staged frame
         key = (spark.sparkContext.applicationId, os.path.abspath(SF_SMOKE))
         assert key in _BPE_MEMO
+
+
+class TestFilterThresholdSweep:
+    """q196 (round 10): kept-docs/kept-tokens vs quality-threshold
+    curve as a BOUNDED score histogram — the calibration table a
+    release engineer turns the filter knob against."""
+
+    def test_cumulative_matches_per_doc_scores(self, spark):
+        """Every (threshold, cum_docs, cum_tokens) row must equal the
+        brute-force count of docs whose classifier score >= threshold
+        — the histogram + descending window is an exact factoring, not
+        an approximation."""
+        from pyspark.sql import functions as F
+        from redshift_avro_spark.operators.text import quality_classifier_score
+        from redshift_avro_spark.queries.relational import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        per_doc = docs.select(
+            quality_classifier_score("text").getField("logit_ppm").alias("s"),
+            F.expr(
+                "CAST(size(split(trim(lower(text)), '\\\\s+')) AS BIGINT)"
+            ).alias("t"),
+        ).collect()
+        out = REGISTRY["q196_filter_threshold_sweep"].fn(spark, SF_SMOKE).collect()
+        assert len(out) >= 3  # the fixture spreads over several bins
+        tot_docs = len(per_doc)
+        tot_tokens = sum(r["t"] for r in per_doc)
+        for row in out:
+            thr = row["threshold_ppm"]
+            kept = [r for r in per_doc if r["s"] >= thr]
+            assert row["cum_docs"] == len(kept), thr
+            assert row["cum_tokens"] == sum(r["t"] for r in kept), thr
+            assert row["kept_doc_ppm"] == len(kept) * 1_000_000 // tot_docs
+        # the lowest threshold keeps everything
+        low = min(out, key=lambda r: r["threshold_ppm"])
+        assert low["cum_docs"] == tot_docs and low["cum_tokens"] == tot_tokens
+
+    def test_bin_edges_floor_negative_scores(self, spark):
+        """Scores are negative for roughly half the corpus; the
+        shifted non-negative bin key must floor identically in Spark
+        (DIV) and the closed form — a doc's score always lands in
+        [threshold, threshold + BIN)."""
+        from pyspark.sql import functions as F
+        from redshift_avro_spark.operators.text import quality_classifier_score
+        from redshift_avro_spark.queries.relational import load_table
+        from redshift_avro_spark.queries.text import _SWEEP_BIN, _SWEEP_SHIFT
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        scores = [
+            r["s"]
+            for r in docs.select(
+                quality_classifier_score("text").getField("logit_ppm").alias("s")
+            ).collect()
+        ]
+        assert any(s < 0 for s in scores)  # the regime under test
+        out = REGISTRY["q196_filter_threshold_sweep"].fn(spark, SF_SMOKE).collect()
+        edges = sorted(r["threshold_ppm"] for r in out)
+        for s in scores:
+            thr = ((s + _SWEEP_SHIFT) // _SWEEP_BIN) * _SWEEP_BIN - _SWEEP_SHIFT
+            assert thr in edges
+            assert thr <= s < thr + _SWEEP_BIN
+
+    def test_per_bin_mass_sums_to_totals(self, spark):
+        out = REGISTRY["q196_filter_threshold_sweep"].fn(spark, SF_SMOKE).collect()
+        tot_docs = sum(r["n_docs"] for r in out)
+        tot_tokens = sum(r["n_tokens"] for r in out)
+        top = max(out, key=lambda r: r["threshold_ppm"])
+        low = min(out, key=lambda r: r["threshold_ppm"])
+        assert low["cum_docs"] == tot_docs
+        assert low["cum_tokens"] == tot_tokens
+        assert top["cum_docs"] == top["n_docs"]  # top bin keeps only itself
+        assert low["kept_doc_ppm"] == 1_000_000
+        assert low["kept_token_ppm"] == 1_000_000

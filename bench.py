@@ -154,6 +154,10 @@ EXTENDED: dict[str, float] = {
     # one classifier scan + a ~40-bin histogram window; calibrated
     # from warm best 0.79 s measured on a sentinel-0.65 (loaded) host
     "q196_filter_threshold_sweep": 1.5,
+    # like q188: the first run pays the shared _kn_scores training;
+    # warm best 0.763 s measured on a sentinel-0.56 (loaded) host —
+    # the bounded per-lang histogram + broadcast threshold join
+    "q197_perplexity_buckets": 1.6,
 }
 
 _DETAIL_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r10.json")

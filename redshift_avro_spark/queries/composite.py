@@ -80,6 +80,7 @@ def _m(name: str) -> str:
         "q186_c4_line_filter",
         "q188_trigram_lm_score",
         "q189_filter_agreement",
+        "q197_perplexity_buckets",
     ),
     oracle=f"""
     SELECT a.*, b.n_tokens_est, c.fingerprint,
@@ -90,7 +91,7 @@ def _m(name: str) -> str:
            y3.n_trigrams, y3.kn_score_ppm,
            z.top_word_share_ppm, z.top2gram_share_ppm, z.max_word_run,
            c4.n_lines, c4.n_kept_lines, c4.cleaned_n_words, c4.cleaned_digest,
-           ag.*
+           ag.*, px.*
     FROM {_sub('q37_text_quality')} a
     JOIN (SELECT doc_id, n_tokens_est FROM {_sub('q38_token_stats')}) b USING (doc_id)
     JOIN {_sub('q39_doc_fingerprint')} c USING (doc_id)
@@ -115,6 +116,19 @@ def _m(name: str) -> str:
       )}
       FROM {_sub('q189_filter_agreement')}
     ) ag
+    CROSS JOIN (
+      -- perplexity-bucket rollup (q197's per-(lang,bucket) grain stays
+      -- in the standalone member; the profile carries the corpus-level
+      -- head/middle/tail/none mass plus a share digest)
+      SELECT {", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN bucket = '{bk}' THEN {m} END), 0)"
+        f" AS BIGINT) AS ppx_{bk}_{m.split('_')[1]}"
+        for bk in ("head", "middle", "tail", "none")
+        for m in ("n_docs", "n_tokens")
+      )},
+             CAST(SUM(share_ppm * n_docs) AS BIGINT) AS ppx_share_digest
+      FROM {_sub('q197_perplexity_buckets')}
+    ) px
     ORDER BY doc_id
     """,
 )
@@ -129,7 +143,10 @@ def q78_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same filter; r9, sharing ONE trained score pass with q189 via
     the _kn_scores memo) ⋈ the filter-agreement audit (q189 — pairwise
     keep/drop agreement + Cohen's kappa across the four quality
-    filters, one pivoted broadcast row; r9) ⋈ Gopher
+    filters, one pivoted broadcast row; r9) ⋈ the CCNet perplexity
+    head/middle/tail bucket rollup (q197 — per-bucket doc/token mass
+    + share digest, one pivoted broadcast row, sharing the SAME
+    _kn_scores training as q188/q189; r10) ⋈ Gopher
     repetition rules (q182 — top-word/top-bigram share, longest word
     run; r7) ⋈ the C4 line-filter profile (q186 — per-doc drop counts
     and cleaned-text digest over the synthesized line structure; r8)
@@ -170,11 +187,26 @@ def q78_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in ("po_ppm", "kappa_ppm")
         ]
     )
+    px = _run("q197_perplexity_buckets", spark, sf_dir).agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("bucket") == bk, F.col(m))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"ppx_{bk}_{m.split('_')[1]}")
+            for bk in ("head", "middle", "tail", "none")
+            for m in ("n_docs", "n_tokens")
+        ],
+        F.sum(F.col("share_ppm") * F.col("n_docs"))
+        .cast("bigint")
+        .alias("ppx_share_digest"),
+    )
     return (
         a.join(b, "doc_id").join(c, "doc_id").join(d, "doc_id").join(e, "doc_id")
         .join(x, "doc_id").join(y, "doc_id").join(y3, "doc_id").join(z, "doc_id")
         .join(c4, "doc_id")
         .crossJoin(F.broadcast(ag))
+        .crossJoin(F.broadcast(px))
         .orderBy("doc_id")
     )
 

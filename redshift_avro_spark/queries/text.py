@@ -1993,3 +1993,149 @@ def q196_filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_ppm")
     )
+
+
+# --------------------------------------------------------------- q197
+# CCNet-style perplexity bucketing (Wenzek et al. 2020): per language,
+# split the corpus into head / middle / tail TERCILES of LM fluency
+# and report each bucket's doc and token mass — the table a mixture
+# builder samples from ("train mostly on head+middle, downsample
+# tail"). Thresholds are EXACT per-language terciles computed from a
+# bounded score histogram (kn_score_ppm is an integer in [0, 10^6],
+# so the histogram is ≤ 10^6 rows per language regardless of corpus
+# size — the q170/q189 lesson: never a global row sort at 100 TB);
+# docs with no trigrams land in an explicit 'none' bucket so the
+# accounting stays total. The LM pass itself is the q188/q189 shared
+# ``_kn_scores`` memo — the q78 suite trains ONCE for all three
+# consumers.
+
+
+@register(
+    "q197_perplexity_buckets",
+    oracle=None,  # set below — composes the q188 member oracle
+)
+def q197_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, bucket) doc/token mass with the exact tercile
+    thresholds: bucket = tail (score <= t1), middle (t1 < score <=
+    t2), head (score > t2), none (no trigrams); t_k = the smallest
+    score whose per-language cumulative count reaches k/3 of the
+    scored docs. share_ppm is the bucket's doc share within its
+    language, exact integer ppm."""
+    lm = _kn_scores(spark, sf_dir).select("doc_id", "kn_score_ppm")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CAST(size(split(trim(lower(text)), '\\\\s+')) AS BIGINT)"
+        ).alias("n_tokens"),
+    )
+    base = docs.join(lm, "doc_id")
+    hist = (
+        base.where(F.col("kn_score_ppm").isNotNull())
+        .groupBy("lang", "kn_score_ppm")
+        .agg(F.count("*").alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("kn_score_ppm")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        F.col("kn_score_ppm").alias("v"),
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wtot).alias("tot"),
+    )
+    th = cum.groupBy("lang").agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("tot"), F.col("v"))).alias("t1"),
+        F.min(F.when(F.col("cum") * 3 >= F.col("tot") * 2, F.col("v"))).alias("t2"),
+    )
+    bucketed = base.join(F.broadcast(th), "lang", "left").select(
+        "lang",
+        "n_tokens",
+        F.expr(
+            "CASE WHEN kn_score_ppm IS NULL THEN 'none'"
+            " WHEN kn_score_ppm <= t1 THEN 'tail'"
+            " WHEN kn_score_ppm <= t2 THEN 'middle'"
+            " ELSE 'head' END"
+        ).alias("bucket"),
+    )
+    agg = bucketed.groupBy("lang", "bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    tot2 = agg.groupBy("lang").agg(
+        F.sum("n_docs").cast("long").alias("lang_docs")
+    )
+    return (
+        agg.join(tot2, "lang")
+        .join(F.broadcast(th), "lang", "left")
+        .select(
+            "lang",
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            F.expr("n_docs * 1000000 div lang_docs").alias("share_ppm"),
+            F.col("t1").cast("long").alias("t1_ppm"),
+            F.col("t2").cast("long").alias("t2_ppm"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+def _q197_oracle() -> str:
+    from . import REGISTRY
+
+    q188 = REGISTRY["q188_trigram_lm_score"].oracle
+    return f"""
+    WITH lm AS MATERIALIZED (
+      SELECT doc_id, kn_score_ppm FROM ({q188})
+    ),
+    base AS (
+      SELECT d.lang, CAST({_N_WORDS} AS BIGINT) AS n_tokens, l.kn_score_ppm
+      FROM documents d JOIN lm l USING (doc_id)
+    ),
+    hist AS (
+      SELECT lang, kn_score_ppm AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base WHERE kn_score_ppm IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT lang, v,
+             SUM(c) OVER (PARTITION BY lang ORDER BY v
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (PARTITION BY lang) AS tot
+      FROM hist
+    ),
+    th AS (
+      SELECT lang, MIN(CASE WHEN cum * 3 >= tot THEN v END) AS t1,
+             MIN(CASE WHEN cum * 3 >= tot * 2 THEN v END) AS t2
+      FROM cum GROUP BY lang
+    ),
+    bucketed AS (
+      SELECT b.lang,
+             CASE WHEN b.kn_score_ppm IS NULL THEN 'none'
+                  WHEN b.kn_score_ppm <= t.t1 THEN 'tail'
+                  WHEN b.kn_score_ppm <= t.t2 THEN 'middle'
+                  ELSE 'head' END AS bucket,
+             b.n_tokens
+      FROM base b LEFT JOIN th t USING (lang)
+    ),
+    agg AS (
+      SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM bucketed GROUP BY 1, 2
+    ),
+    lt AS (
+      SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS lang_docs
+      FROM agg GROUP BY lang
+    )
+    SELECT a.lang, a.bucket, a.n_docs, a.n_tokens,
+           CAST(a.n_docs * 1000000 // lt.lang_docs AS BIGINT) AS share_ppm,
+           CAST(th.t1 AS BIGINT) AS t1_ppm, CAST(th.t2 AS BIGINT) AS t2_ppm
+    FROM agg a JOIN lt USING (lang) LEFT JOIN th USING (lang)
+    ORDER BY lang, bucket
+    """
+
+
+_REG["q197_perplexity_buckets"].oracle = _q197_oracle()

@@ -454,3 +454,80 @@ class TestFilterThresholdSweep:
         assert top["cum_docs"] == top["n_docs"]  # top bin keeps only itself
         assert low["kept_doc_ppm"] == 1_000_000
         assert low["kept_token_ppm"] == 1_000_000
+
+
+class TestPerplexityBuckets:
+    """q197 (round 10): CCNet-style per-language head/middle/tail
+    perplexity terciles from a bounded score histogram."""
+
+    def test_thresholds_are_exact_terciles(self, spark):
+        """t1/t2 must equal the ceil(n/3)-th / ceil(2n/3)-th smallest
+        score per language — the histogram cumulative is an exact
+        order-statistic factoring."""
+        scored = REGISTRY["q188_trigram_lm_score"].fn(spark, SF_SMOKE)
+        from redshift_avro_spark.queries.relational import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+        per_doc = {
+            (r["doc_id"]): r
+            for r in scored.join(docs, "doc_id").collect()
+        }
+        by_lang = {}
+        for r in per_doc.values():
+            if r["kn_score_ppm"] is not None:
+                by_lang.setdefault(r["lang"], []).append(r["kn_score_ppm"])
+        out = REGISTRY["q197_perplexity_buckets"].fn(spark, SF_SMOKE).collect()
+        th = {r["lang"]: (r["t1_ppm"], r["t2_ppm"]) for r in out}
+        assert len(by_lang) >= 2  # fixture spans languages
+        for lang, scores in by_lang.items():
+            scores.sort()
+            n = len(scores)
+            t1, t2 = th[lang]
+            assert t1 == scores[(n + 2) // 3 - 1], lang
+            assert t2 == scores[(2 * n + 2) // 3 - 1], lang
+
+    def test_buckets_partition_each_language(self, spark):
+        out = REGISTRY["q197_perplexity_buckets"].fn(spark, SF_SMOKE).collect()
+        from redshift_avro_spark.queries.relational import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        lang_counts = {
+            r["lang"]: r["n"]
+            for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()
+        }
+        seen = {}
+        for r in out:
+            seen[r["lang"]] = seen.get(r["lang"], 0) + r["n_docs"]
+            assert r["bucket"] in ("head", "middle", "tail", "none")
+            assert r["share_ppm"] == r["n_docs"] * 1_000_000 // lang_counts[r["lang"]]
+        assert seen == lang_counts  # every doc lands in exactly one bucket
+
+    def test_none_bucket_is_no_trigram_docs(self, spark):
+        scored = REGISTRY["q188_trigram_lm_score"].fn(spark, SF_SMOKE)
+        from redshift_avro_spark.queries.relational import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+        joined = scored.join(docs, "doc_id").collect()
+        none_by_lang = {}
+        for r in joined:
+            if r["kn_score_ppm"] is None:
+                none_by_lang[r["lang"]] = none_by_lang.get(r["lang"], 0) + 1
+        out = REGISTRY["q197_perplexity_buckets"].fn(spark, SF_SMOKE).collect()
+        got = {r["lang"]: r["n_docs"] for r in out if r["bucket"] == "none"}
+        assert got == none_by_lang
+
+    def test_tercile_masses_balanced(self, spark):
+        """Ties aside, each of head/middle/tail holds ~1/3 of the
+        scored docs — the bucketing is by count, not by score range."""
+        out = REGISTRY["q197_perplexity_buckets"].fn(spark, SF_SMOKE).collect()
+        by_lang = {}
+        for r in out:
+            if r["bucket"] != "none":
+                by_lang.setdefault(r["lang"], {})[r["bucket"]] = r["n_docs"]
+        for lang, b in by_lang.items():
+            tot = sum(b.values())
+            if tot < 9:
+                continue
+            for bk in ("head", "middle", "tail"):
+                # each tercile within ±40% of n/3 (ties can skew small fixtures)
+                assert abs(b.get(bk, 0) - tot / 3) <= max(2, 0.4 * tot), (lang, b)

@@ -158,6 +158,9 @@ EXTENDED: dict[str, float] = {
     # warm best 0.763 s measured on a sentinel-0.56 (loaded) host —
     # the bounded per-lang histogram + broadcast threshold join
     "q197_perplexity_buckets": 1.6,
+    # (source, gram) DISTINCT + per-gram MIN(source) on the md5 lane;
+    # best-of-3 0.743 s warm on a sentinel-0.47 (loaded) host
+    "q198_gram_novelty": 1.6,
 }
 
 _DETAIL_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r10.json")

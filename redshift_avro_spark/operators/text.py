@@ -26,6 +26,7 @@ __all__ = [
     "repetition_audit",
     "c4_line_filter",
     "source_overlap",
+    "gram_novelty",
     "C4_BAD_PHRASES",
     "STOPWORDS",
 ]
@@ -848,6 +849,71 @@ def source_overlap(
         )
         .orderBy("src_a", "src_b")
     )
+
+
+def gram_novelty(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    window: int = 4,
+) -> DataFrame:
+    """Marginal gram novelty per source: in a fixed deterministic
+    source order (alphabetical), how many of each source's distinct
+    ``window``-word text windows are NEW — first contributed by that
+    source — plus the cumulative distinct-gram coverage. The
+    "what does adding this corpus actually buy the mixture" datasheet
+    column (the marginal-diversity complement of :func:`source_overlap`'s
+    pairwise redundancy view; reference README.md:17's dataset-level
+    "other transformations" stage).
+
+    Output: ``source, source_rank, n_grams, n_new_grams, novelty_ppm,
+    cum_grams`` — one row per source; ``novelty_ppm`` is the exact
+    integer share of the source's grams it contributed first.
+
+    100 TB shape: grams ride the 8-byte md5 BIGINT lane from birth;
+    the corpus pays one ``(source, gram)`` DISTINCT and one per-gram
+    ``MIN(source)`` aggregation — both uniform-key shuffles with
+    map-side partials, nothing pairwise. The rank/cumulative windows
+    run over the ≤ |sources| summary rows (the single-partition
+    window is bounded at the source count by construction)."""
+    w = F.expr(_WORDS.format(c=text_col))
+    # bind the split ONCE (single-element-array lambda) — same
+    # O(L²)-interpreted-lambda fix as source_overlap
+    grams_expr = (
+        f"transform(array({_WORDS.format(c=text_col)}), ws -> "
+        f"transform(sequence(1, size(ws) - {window - 1}), "
+        f"i -> CAST(conv(substring(md5("
+        f"array_join(slice(ws, i, {window}), ' ')"
+        f"), 1, 15), 16, 10) AS BIGINT)))[0]"
+    )
+    n_part = max(2, docs.sparkSession.sparkContext.defaultParallelism // 2)
+    dist = (
+        docs.repartition(n_part, doc_col)
+        .where(F.size(w) >= window)
+        .select(source_col, F.explode(F.expr(grams_expr)).alias("gram"))
+        .distinct()
+    )
+    firsts = dist.groupBy("gram").agg(F.min(source_col).alias(source_col))
+    tot = dist.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    new = firsts.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_new_grams")
+    )
+    ranked = tot.join(new, source_col, "left").withColumn(
+        "n_new_grams", F.coalesce("n_new_grams", F.lit(0).cast("long"))
+    )
+    wrk = Window.orderBy(source_col)
+    wcum = Window.orderBy(source_col).rowsBetween(Window.unboundedPreceding, 0)
+    return ranked.select(
+        source_col,
+        F.row_number().over(wrk).cast("long").alias("source_rank"),
+        "n_grams",
+        "n_new_grams",
+        F.expr("n_new_grams * 1000000 div n_grams").alias("novelty_ppm"),
+        F.sum("n_new_grams").over(wcum).cast("long").alias("cum_grams"),
+    ).orderBy(source_col)
 
 
 def top_word_share_ppm_expr(text_col: str = "text") -> Column:

@@ -2090,6 +2090,7 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q176_zipf_audit",
         "q190_source_overlap_topn",
         "q194_tokenizer_efficiency",
+        "q198_gram_novelty",
     ),
     oracle=f"""
     SELECT 'tfidf' AS kind, lang AS k_str, term AS k_str2,
@@ -2172,6 +2173,12 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_docs AS n1, n_words AS n2, n_tokens AS n3,
            CAST(chars_per_token_ppm AS DOUBLE) AS val
     FROM {_sub('q194_tokenizer_efficiency')}
+    UNION ALL
+    SELECT 'nov' AS kind, source AS k_str,
+           CAST(source_rank AS VARCHAR) AS k_str2,
+           n_grams AS n1, n_new_grams AS n2, cum_grams AS n3,
+           CAST(novelty_ppm AS DOUBLE) AS val
+    FROM {_sub('q198_gram_novelty')}
     ORDER BY kind, n1, k_str, k_str2
     """,
 )
@@ -2202,8 +2209,11 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale lever as its own oracle-matched query; r9), and the
     per-source tokenizer-efficiency datasheet (q194 — word/BPE-token
     totals, ppm saved, chars-per-token; shares ONE training+encode
-    with q114 via the ``_bpe_encoded`` memo; r10), tagged
-    and unioned. The passes an LLM pipeline runs over the corpus
+    with q114 via the ``_bpe_encoded`` memo; r10), and the per-source
+    marginal gram-novelty datasheet (q198 — first-contributed distinct
+    4-word windows in deterministic source order + cumulative
+    coverage, the marginal-diversity complement of q163/q190; r10),
+    tagged and unioned. The passes an LLM pipeline runs over the corpus
     before training, in one driver-verified result."""
     a = _run("q56_tfidf_terms", spark, sf_dir).select(
         F.lit("tfidf").alias("kind"),
@@ -2354,11 +2364,20 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").alias("n3"),
         F.col("chars_per_token_ppm").cast("double").alias("val"),
     )
+    nv = _run("q198_gram_novelty", spark, sf_dir).select(
+        F.lit("nov").alias("kind"),
+        F.col("source").alias("k_str"),
+        F.col("source_rank").cast("string").alias("k_str2"),
+        F.col("n_grams").alias("n1"),
+        F.col("n_new_grams").alias("n2"),
+        F.col("cum_grams").alias("n3"),
+        F.col("novelty_ppm").cast("double").alias("val"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
         .unionByName(g).unionByName(h).unionByName(i)
         .unionByName(j).unionByName(k).unionByName(m).unionByName(o)
-        .unionByName(z).unionByName(jn).unionByName(fe)
+        .unionByName(z).unionByName(jn).unionByName(fe).unionByName(nv)
         .orderBy("kind", "n1", "k_str", "k_str2")
     )
 

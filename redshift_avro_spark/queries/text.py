@@ -2139,3 +2139,62 @@ def _q197_oracle() -> str:
 
 
 _REG["q197_perplexity_buckets"].oracle = _q197_oracle()
+
+
+# --------------------------------------------------------------- q198
+# Marginal gram novelty per source — the "what does adding this
+# corpus actually buy" datasheet column: in deterministic alphabetical
+# source order, how many of each source's distinct 4-word windows are
+# FIRST contributed by that source, plus the cumulative distinct-gram
+# coverage. The marginal-diversity complement of q163/q190's pairwise
+# redundancy audit; shape notes in operators/text.py::gram_novelty.
+
+
+@register(
+    "q198_gram_novelty",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, {_WORDS} AS __w FROM documents
+    ),
+    occ AS (
+      SELECT source,
+             CAST(concat('0x', substring(md5(
+               array_to_string(list_slice(__w, i, i + {_OVL_W - 1}), ' ')
+             ), 1, 15)) AS BIGINT) AS gram
+      FROM w, unnest(generate_series(1, len(__w) - {_OVL_W - 1})) AS t(i)
+    ),
+    dist AS (SELECT DISTINCT source, gram FROM occ),
+    firsts AS (SELECT gram, MIN(source) AS source FROM dist GROUP BY gram),
+    tot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+      FROM dist GROUP BY source
+    ),
+    nw AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new_grams
+      FROM firsts GROUP BY source
+    ),
+    ranked AS (
+      SELECT t.source, t.n_grams,
+             CAST(COALESCE(nw.n_new_grams, 0) AS BIGINT) AS n_new_grams
+      FROM tot t LEFT JOIN nw USING (source)
+    )
+    SELECT source,
+           CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT) AS source_rank,
+           n_grams, n_new_grams,
+           CAST(n_new_grams * 1000000 // n_grams AS BIGINT) AS novelty_ppm,
+           CAST(SUM(n_new_grams) OVER (ORDER BY source
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_grams
+    FROM ranked ORDER BY source
+    """,
+)
+def q198_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source marginal novelty of distinct 4-word windows in
+    alphabetical source order: total distinct grams, first-contributed
+    grams, novelty share in exact integer ppm, and the cumulative
+    distinct-gram coverage. One (source, gram) DISTINCT + one per-gram
+    MIN(source) on the 8-byte md5 lane; windows run over the
+    per-source summary only."""
+    from ..operators.text import gram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gram_novelty(docs, "doc_id", "text", "source", window=_OVL_W)

@@ -531,3 +531,85 @@ class TestPerplexityBuckets:
             for bk in ("head", "middle", "tail"):
                 # each tercile within ±40% of n/3 (ties can skew small fixtures)
                 assert abs(b.get(bk, 0) - tot / 3) <= max(2, 0.4 * tot), (lang, b)
+
+
+class TestGramNovelty:
+    """q198 (round 10): per-source marginal gram novelty in
+    deterministic source order."""
+
+    def test_brute_force_equivalence(self, spark):
+        """n_new_grams must equal the brute-force 'grams not seen in
+        any alphabetically-earlier source' count, and cum_grams the
+        running distinct-coverage union."""
+        from redshift_avro_spark.operators.text import gram_novelty
+
+        rows = [
+            (1, "s_a", "alpha beta gamma delta epsilon"),
+            (2, "s_b", "alpha beta gamma delta zeta"),      # shares a 4-gram prefix window? no: windows differ
+            (3, "s_b", "one two three four five"),
+            (4, "s_c", "one two three four"),                # exact window from s_b
+            (5, "s_c", "totally fresh words appearing here"),
+            (6, "s_a", "short"),                             # below window -> no grams
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = {r["source"]: r for r in gram_novelty(df, window=4).collect()}
+
+        def grams(t):
+            ws = t.lower().strip().split()
+            return {" ".join(ws[i : i + 4]) for i in range(len(ws) - 3)}
+
+        by_src = {}
+        for _, s, t in [(r[0], r[1], r[2]) for r in rows]:
+            by_src.setdefault(s, set()).update(grams(t))
+        seen = set()
+        cum = 0
+        for rank, s in enumerate(sorted(by_src), start=1):
+            g = by_src[s]
+            new = g - seen
+            seen |= g
+            cum += len(new)
+            r = out[s]
+            assert r["source_rank"] == rank
+            assert r["n_grams"] == len(g), s
+            assert r["n_new_grams"] == len(new), s
+            assert r["novelty_ppm"] == len(new) * 1_000_000 // len(g)
+            assert r["cum_grams"] == cum, s
+
+    def test_first_source_gets_full_novelty(self, spark):
+        from redshift_avro_spark.operators.text import gram_novelty
+
+        rows = [(1, "a_first", "w1 w2 w3 w4 w5"), (2, "b_dup", "w1 w2 w3 w4 w5")]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = {r["source"]: r for r in gram_novelty(df, window=4).collect()}
+        assert out["a_first"]["novelty_ppm"] == 1_000_000
+        assert out["b_dup"]["n_new_grams"] == 0
+        assert out["b_dup"]["novelty_ppm"] == 0
+        # coverage never double-counts the duplicated grams
+        assert out["b_dup"]["cum_grams"] == out["a_first"]["n_grams"]
+
+    def test_total_coverage_is_corpus_vocabulary(self, spark):
+        """The last cum_grams equals the corpus-wide distinct gram
+        count — the partition property that makes the column a
+        coverage curve."""
+        from pyspark.sql import functions as F
+        from redshift_avro_spark.queries.relational import load_table
+
+        out = REGISTRY["q198_gram_novelty"].fn(spark, SF_SMOKE).collect()
+        assert len(out) >= 2
+        last = max(out, key=lambda r: r["source_rank"])
+        docs = load_table(spark, SF_SMOKE, "documents")
+        n_all = (
+            docs.select(
+                F.explode(
+                    F.expr(
+                        "transform(array(split(trim(lower(text)), '\\\\s+')), ws -> "
+                        "transform(sequence(1, greatest(size(ws) - 3, 0)), "
+                        "i -> array_join(slice(ws, i, 4), ' ')))[0]"
+                    )
+                ).alias("g")
+            )
+            .agg(F.countDistinct("g"))
+            .collect()[0][0]
+        )
+        assert last["cum_grams"] == n_all
+        assert sum(r["n_new_grams"] for r in out) == n_all

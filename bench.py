@@ -161,6 +161,10 @@ EXTENDED: dict[str, float] = {
     # (source, gram) DISTINCT + per-gram MIN(source) on the md5 lane;
     # best-of-3 0.743 s warm on a sentinel-0.47 (loaded) host
     "q198_gram_novelty": 1.6,
+    # one per-lang token aggregation + the q144 count agg (narrow
+    # pruned scans), loop on <= 5 collected rows; best-of-3 2.318 s
+    # on a sentinel-0.69 (loaded) host
+    "q199_epoch_allocation": 2.6,
 }
 
 _DETAIL_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r10.json")

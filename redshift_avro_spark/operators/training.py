@@ -35,7 +35,68 @@ __all__ = [
     "length_bucket_stats",
     "pow2_bucket_sql",
     "domain_relevance",
+    "epoch_allocation",
 ]
+
+
+def epoch_allocation(
+    shares: Sequence[tuple[str, int, int]],
+    budget: int,
+    epoch_cap: int = 4,
+    max_steps: int = 6,
+) -> tuple[dict[str, dict], int]:
+    """Capped water-filling of an integer token ``budget`` across
+    groups (Muennighoff et al. 2023's data-constrained repeat regime):
+    each ``(key, n_tokens, weight)`` group receives budget
+    proportionally to ``weight``, capped at ``epoch_cap * n_tokens``;
+    a capped group's surplus redistributes to the uncapped rest, one
+    cap wave per step, until a step fires no cap (then the final
+    proportional assignment happens and the loop stops). Pure integer
+    driver-side math over the ALREADY-AGGREGATED per-group rows (the
+    q189 bounded-collect pattern — inputs are |groups| rows, never the
+    corpus): the proportional share uses the overflow-safe split form
+    ``(r // sw) * w + ((r % sw) * w) // sw == r * w // sw`` (the naive
+    product overflows int64 once r reaches ~1e13 tokens — the 100 TB
+    regime). Floor remainders (< |uncapped| tokens per assignment)
+    stay unallocated and are returned as leftover.
+
+    Returns ``({key: {t, w, cap, alloc, capped}}, leftover)``. The
+    q199 oracle replays this loop as ``max_steps`` unrolled relational
+    steps, so ``max_steps`` must be >= |groups| + 1."""
+    rows = {
+        key: {"t": t, "w": w, "cap": epoch_cap * t, "alloc": 0, "capped": False}
+        for key, t, w in shares
+    }
+    r, fin = budget, False
+    for _ in range(max_steps):
+        sw = sum(s["w"] for s in rows.values() if not s["capped"])
+        ps = {
+            key: (
+                (r // sw) * s["w"] + ((r % sw) * s["w"]) // sw
+                if not s["capped"] and not fin and sw > 0 and r > 0
+                else 0
+            )
+            for key, s in rows.items()
+        }
+        wc = {
+            key
+            for key, s in rows.items()
+            if not s["capped"] and not fin and s["alloc"] + ps[key] >= s["cap"]
+        }
+        if fin:
+            continue
+        if wc:
+            r -= sum(rows[key]["cap"] - rows[key]["alloc"] for key in wc)
+            for key in wc:
+                rows[key]["alloc"] = rows[key]["cap"]
+                rows[key]["capped"] = True
+        else:
+            for key, s in rows.items():
+                if not s["capped"]:
+                    s["alloc"] += ps[key]
+            r -= sum(ps.values())
+            fin = True
+    return rows, r
 
 _TWO_32 = float(1 << 32)
 

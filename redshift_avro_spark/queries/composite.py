@@ -1034,6 +1034,7 @@ def q87_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q167_shard_plan",
         "q192_source_datasheet",
         "q196_filter_threshold_sweep",
+        "q199_epoch_allocation",
     ),
     oracle=f"""
     SELECT s.lang, s.n_total, s.n_sampled, s.sampled_tokens,
@@ -1047,7 +1048,9 @@ def q87_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            ds.ds_sources, ds.ds_tokens, ds.ds_dups, ds.ds_contaminated,
            ds.ds_min_quality_ppm, ds.ds_max_quality_ppm,
            sw.sw_bins, sw.sw_docs, sw.sw_tokens,
-           sw.sw_half_token_threshold_ppm, sw.sw_digest
+           sw.sw_half_token_threshold_ppm, sw.sw_digest,
+           ep.ep_tokens, ep.ep_alloc, ep.ep_epochs_ppm, ep.ep_capped,
+           ep.ep_leftover
     FROM {_sub('q60_stratified_sample')} s
     JOIN (
       SELECT lang,
@@ -1105,6 +1108,16 @@ def q87_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(threshold_ppm * n_docs) AS BIGINT) AS sw_digest
       FROM {_sub('q196_filter_threshold_sweep')}
     ) sw
+    JOIN (
+      -- data-constrained epoch plan (q199's per-lang grain joins the
+      -- suite's own lang spine: token mass, water-filled allocation,
+      -- exact epochs ppm, cap flag, global leftover)
+      SELECT lang, n_tokens AS ep_tokens, alloc_tokens AS ep_alloc,
+             epochs_ppm AS ep_epochs_ppm,
+             CASE WHEN is_capped THEN 1 ELSE 0 END AS ep_capped,
+             leftover_tokens AS ep_leftover
+      FROM {_sub('q199_epoch_allocation')}
+    ) ep USING (lang)
     ORDER BY lang
     """,
 )
@@ -1124,7 +1137,10 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max per-source mean quality — round 10) ⋈ the filter-threshold
     sweep rollup (q196, one broadcast row: bin count, total doc/token
     mass, the lowest quality threshold keeping ≤ half the tokens, and
-    a doc-weighted threshold digest — round 10) — all four sampling
+    a doc-weighted threshold digest — round 10) ⋈ the data-constrained
+    epoch allocation (q199 — water-filled token budget under a 4-epoch
+    repeat cap on the suite's own lang spine, exact integer tokens —
+    round 10) — all four sampling
     modes plus both weighting recipes a mixture builder needs, joined
     on the 5-value lang key of already-tiny aggregates."""
     s = _run("q60_stratified_sample", spark, sf_dir)
@@ -1187,6 +1203,14 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mean_quality_ppm").cast("bigint").alias("ds_min_quality_ppm"),
         F.max("mean_quality_ppm").cast("bigint").alias("ds_max_quality_ppm"),
     )
+    ep = _run("q199_epoch_allocation", spark, sf_dir).select(
+        "lang",
+        F.col("n_tokens").alias("ep_tokens"),
+        F.col("alloc_tokens").alias("ep_alloc"),
+        F.col("epochs_ppm").alias("ep_epochs_ppm"),
+        F.when(F.col("is_capped"), 1).otherwise(0).cast("int").alias("ep_capped"),
+        F.col("leftover_tokens").alias("ep_leftover"),
+    )
     sw = _run("q196_filter_threshold_sweep", spark, sf_dir).agg(
         F.count("*").cast("bigint").alias("sw_bins"),
         F.max("cum_docs").cast("bigint").alias("sw_docs"),
@@ -1203,6 +1227,7 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(sh))
         .crossJoin(F.broadcast(ds))
         .crossJoin(F.broadcast(sw))
+        .join(F.broadcast(ep), "lang")
         .orderBy("lang")
     )
 

@@ -707,3 +707,150 @@ def q150_domain_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         top_n=_DR_TOP,
     ).orderBy("rel_rank")
+
+
+# --------------------------------------------------------------- q199
+# Data-constrained epoch allocation (Muennighoff et al. 2023, "Scaling
+# Data-Constrained Language Models"): given a token budget B = 2x the
+# corpus and a repeat cap of 4 epochs per language, water-fill the
+# budget across languages proportionally to the q144 temperature
+# weights, capping any language at 4 epochs and redistributing its
+# surplus to the uncapped rest — the allocation table a mixture
+# builder trains from when the corpus, not compute, is the binding
+# constraint. EXACT integer tokens end to end: the proportional share
+# is computed in the overflow-safe split form
+# (r // sw) * w + ((r % sw) * w) // sw  ==  r * w // sw
+# (the naive product r*w overflows BIGINT once r reaches ~1e13 tokens
+# — the 100 TB regime — while the split form never exceeds ~5e18),
+# and the fixed-point iteration is replayed as 6 unrolled SQL steps
+# (>= langs + 1, enough for every cap to fire plus the final
+# proportional assignment; floor remainders < |uncapped| tokens stay
+# unallocated and are reported as leftover_tokens).
+
+_EPOCH_CAP = 4
+_BUDGET_MULT = 2
+
+
+@register(
+    "q199_epoch_allocation",
+    oracle=None,  # set below — composes the q144 member oracle
+)
+def q199_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token allocation under budget B = 2x corpus tokens
+    and a 4-epoch repeat cap: n_tokens, q144 weight_ppm, cap_tokens,
+    the water-filled alloc_tokens, epochs_ppm (exact integer ppm of
+    one epoch), the cap flag, and the global budget/leftover. The
+    corpus pays one per-lang token aggregation (bounded at |langs|
+    rows); the fixed-point loop runs driver-side over those <= 5 rows
+    — the q189 bounded-collect pattern — and is replayed by the
+    oracle as 6 unrolled relational steps."""
+    from ..operators.training import epoch_allocation
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.groupBy("lang").agg(
+        F.sum(token_count("text")["n_tokens_est"].cast("long"))
+        .cast("long")
+        .alias("t")
+    )
+    tw = q144_temperature_weights(spark, sf_dir).select("lang", "weight_ppm")
+    shares = [
+        (r["lang"], r["t"], r["weight_ppm"])
+        for r in toks.join(tw, "lang").collect()
+    ]
+    budget = _BUDGET_MULT * sum(t for _, t, _w in shares)
+    rows, r = epoch_allocation(shares, budget, epoch_cap=_EPOCH_CAP)
+    out = [
+        (
+            lang,
+            s["t"],
+            s["w"],
+            s["cap"],
+            s["alloc"],
+            (s["alloc"] // s["t"]) * 1_000_000
+            + ((s["alloc"] % s["t"]) * 1_000_000) // s["t"],
+            s["capped"],
+            budget,
+            r,
+        )
+        for lang, s in sorted(rows.items())
+    ]
+    return spark.createDataFrame(
+        out,
+        "lang string, n_tokens long, weight_ppm long, cap_tokens long, "
+        "alloc_tokens long, epochs_ppm long, is_capped boolean, "
+        "budget_tokens long, leftover_tokens long",
+    ).orderBy("lang")
+
+
+def _q199_oracle() -> str:
+    from . import REGISTRY
+
+    q144 = REGISTRY["q144_temperature_weights"].oracle
+    steps = []
+    prev = "s0"
+    for k in range(1, 7):
+        steps.append(f"""
+    x{k} AS (
+      SELECT lang, t, w, cap, alloc, capped, r, fin,
+             CASE WHEN NOT capped AND NOT fin AND sw > 0 AND r > 0
+                  THEN (r // sw) * w + ((r % sw) * w) // sw
+                  ELSE CAST(0 AS BIGINT) END AS p
+      FROM (
+        SELECT *, COALESCE(SUM(CASE WHEN NOT capped THEN w END)
+                 OVER (), 0) AS sw
+        FROM {prev}
+      )
+    ),
+    y{k} AS (
+      SELECT *,
+             (NOT capped AND NOT fin AND alloc + p >= cap) AS wc,
+             MAX(CASE WHEN NOT capped AND NOT fin AND alloc + p >= cap
+                      THEN 1 ELSE 0 END) OVER () AS wc_any,
+             COALESCE(SUM(CASE WHEN NOT capped AND NOT fin AND alloc + p >= cap
+                      THEN cap - alloc END) OVER (), 0) AS cap_assigned,
+             COALESCE(SUM(CASE WHEN NOT fin THEN p END) OVER (), 0) AS p_sum
+      FROM x{k}
+    ),
+    s{k} AS (
+      SELECT lang, t, w, cap,
+             CASE WHEN fin OR capped THEN alloc
+                  WHEN wc_any = 1 THEN alloc
+                  ELSE alloc + p END
+               + CASE WHEN NOT fin AND wc THEN cap - alloc ELSE 0 END AS alloc,
+             capped OR (NOT fin AND wc) AS capped,
+             CASE WHEN fin THEN r
+                  WHEN wc_any = 1 THEN r - cap_assigned
+                  ELSE r - p_sum END AS r,
+             fin OR wc_any = 0 AS fin
+      FROM y{k}
+    )""")
+        prev = f"s{k}"
+    steps_sql = ",".join(steps)
+    return f"""
+    WITH toks AS (
+      SELECT lang, CAST(SUM({_TOKS_DUCK}) AS BIGINT) AS t
+      FROM documents GROUP BY lang
+    ),
+    budget AS (SELECT CAST({_BUDGET_MULT} * SUM(t) AS BIGINT) AS b FROM toks),
+    s0 AS (
+      SELECT tw.lang, tk.t, tw.weight_ppm AS w,
+             CAST({_EPOCH_CAP} * tk.t AS BIGINT) AS cap,
+             CAST(0 AS BIGINT) AS alloc, FALSE AS capped,
+             (SELECT b FROM budget) AS r, FALSE AS fin
+      FROM (SELECT lang, weight_ppm FROM ({q144})) tw
+      JOIN toks tk USING (lang)
+    ),{steps_sql}
+    SELECT lang, t AS n_tokens, w AS weight_ppm, cap AS cap_tokens,
+           CAST(alloc AS BIGINT) AS alloc_tokens,
+           CAST((alloc // t) * 1000000 + ((alloc % t) * 1000000) // t
+             AS BIGINT) AS epochs_ppm,
+           capped AS is_capped,
+           (SELECT b FROM budget) AS budget_tokens,
+           CAST(r AS BIGINT) AS leftover_tokens
+    FROM s6 ORDER BY lang
+    """
+
+
+from . import REGISTRY as _REG199  # noqa: E402
+
+_REG199["q199_epoch_allocation"].oracle = _q199_oracle()

@@ -613,3 +613,112 @@ class TestGramNovelty:
         )
         assert last["cum_grams"] == n_all
         assert sum(r["n_new_grams"] for r in out) == n_all
+
+
+class TestEpochAllocation:
+    """q199 (round 10): data-constrained capped water-filling of a
+    token budget (Muennighoff et al. 2023 repeat regime)."""
+
+    def test_cap_fires_and_surplus_redistributes(self):
+        from redshift_avro_spark.operators.training import epoch_allocation
+
+        # tiny lang with a huge temperature weight -> capped at 4
+        # epochs; its surplus flows to the others
+        shares = [("big", 1_000_000, 300_000), ("tiny", 1_000, 700_000)]
+        budget = 2 * (1_000_000 + 1_000)
+        rows, leftover = epoch_allocation(shares, budget, epoch_cap=4)
+        assert rows["tiny"]["capped"] and rows["tiny"]["alloc"] == 4_000
+        assert not rows["big"]["capped"]
+        # everything not capped got the rest (minus floor remainder)
+        assert rows["big"]["alloc"] + rows["tiny"]["alloc"] + leftover == budget
+        assert 0 <= leftover < 2  # one uncapped group -> remainder < 1
+        assert rows["big"]["alloc"] <= rows["big"]["cap"]
+
+    def test_cascade_of_caps(self):
+        from redshift_avro_spark.operators.training import epoch_allocation
+
+        # two tiny high-weight groups cap in successive waves
+        shares = [
+            ("a", 10_000_000, 100_000),
+            ("b", 1_000, 450_000),
+            ("c", 2_000, 450_000),
+        ]
+        budget = 2 * sum(t for _, t, _ in shares)
+        rows, leftover = epoch_allocation(shares, budget, epoch_cap=4)
+        assert rows["b"]["capped"] and rows["b"]["alloc"] == 4_000
+        assert rows["c"]["capped"] and rows["c"]["alloc"] == 8_000
+        assert not rows["a"]["capped"]
+        total = sum(s["alloc"] for s in rows.values()) + leftover
+        assert total == budget
+
+    def test_budget_below_caps_is_fully_proportional(self):
+        from redshift_avro_spark.operators.training import epoch_allocation
+
+        shares = [("a", 1000, 500_000), ("b", 1000, 500_000)]
+        rows, leftover = epoch_allocation(shares, 1000, epoch_cap=4)
+        assert rows["a"]["alloc"] == rows["b"]["alloc"] == 500
+        assert leftover == 0
+        assert not rows["a"]["capped"] and not rows["b"]["capped"]
+
+    def test_split_form_survives_1e13_tokens(self):
+        """The 100 TB regime: r ~ 5e13 tokens x ppm weights overflows
+        a naive r*w product past int64; the split form must still be
+        exact (Python ints don't overflow, so compare against the
+        naive form directly)."""
+        from redshift_avro_spark.operators.training import epoch_allocation
+
+        t_a, t_b = 3 * 10**13, 2 * 10**13
+        shares = [("a", t_a, 550_000), ("b", t_b, 450_000)]
+        budget = 2 * (t_a + t_b)
+        rows, leftover = epoch_allocation(shares, budget, epoch_cap=4)
+        sw = 1_000_000
+        exp_a = budget * 550_000 // sw  # exact big-int reference
+        assert rows["a"]["alloc"] == exp_a
+        assert rows["a"]["alloc"] + rows["b"]["alloc"] + leftover == budget
+        # and every intermediate the SQL replays stays under int64
+        assert (budget // sw) * 550_000 + ((budget % sw) * 550_000) // sw < 2**63
+
+    def test_gated_query_invariants(self, spark):
+        out = REGISTRY["q199_epoch_allocation"].fn(spark, SF_SMOKE).collect()
+        assert len(out) >= 2
+        budget = out[0]["budget_tokens"]
+        leftover = out[0]["leftover_tokens"]
+        assert sum(r["alloc_tokens"] for r in out) + leftover == budget
+        for r in out:
+            assert r["alloc_tokens"] <= r["cap_tokens"]
+            assert r["epochs_ppm"] <= 4_000_000
+            if r["is_capped"]:
+                assert r["alloc_tokens"] == r["cap_tokens"]
+            assert r["cap_tokens"] == 4 * r["n_tokens"]
+
+    def test_oracle_replays_cap_branch(self, spark, tmp_path):
+        """The unrolled SQL steps must replay the Python loop through
+        an ACTUAL cap wave — the gate fixture never caps (max ~2.6
+        epochs), so this pins the branch on a synthetic corpus where
+        the tiny upweighted lang hits the 4-epoch cap."""
+        import duckdb
+
+        rows = [
+            (i, "en", "the quick brown fox jumps over the lazy dog number %d" % i)
+            for i in range(400)
+        ] + [(1000 + i, "zh", "短 文 档 %d" % i) for i in range(3)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        pq = str(tmp_path / "documents.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(pq)
+        out = REGISTRY["q199_epoch_allocation"].fn(spark, str(tmp_path)).collect()
+        got = {r["lang"]: r for r in out}
+        assert got["zh"]["is_capped"] and got["zh"]["epochs_ppm"] == 4_000_000
+        assert not got["en"]["is_capped"]
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'"
+        )
+        duck = con.sql(REGISTRY["q199_epoch_allocation"].oracle).df()
+        exp = {
+            r["lang"]: r for _, r in duck.iterrows()
+        }
+        for lang, r in got.items():
+            for c in ("n_tokens", "weight_ppm", "cap_tokens", "alloc_tokens",
+                      "epochs_ppm", "budget_tokens", "leftover_tokens"):
+                assert r[c] == exp[lang][c], (lang, c)
+            assert bool(r["is_capped"]) == bool(exp[lang]["is_capped"])

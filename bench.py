@@ -165,6 +165,10 @@ EXTENDED: dict[str, float] = {
     # pruned scans), loop on <= 5 collected rows; best-of-3 2.318 s
     # on a sentinel-0.69 (loaded) host
     "q199_epoch_allocation": 2.6,
+    # classifier scan over the synthesized text + checkpointed
+    # histogram + the U-statistic job; best-of-3 1.959 s on a
+    # sentinel-0.50 (loaded) host
+    "q200_filter_roc_audit": 3.0,
 }
 
 _DETAIL_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r10.json")

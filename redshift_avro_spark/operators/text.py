@@ -27,6 +27,7 @@ __all__ = [
     "c4_line_filter",
     "source_overlap",
     "gram_novelty",
+    "roc_audit",
     "C4_BAD_PHRASES",
     "STOPWORDS",
 ]
@@ -914,6 +915,118 @@ def gram_novelty(
         F.expr("n_new_grams * 1000000 div n_grams").alias("novelty_ppm"),
         F.sum("n_new_grams").over(wcum).cast("long").alias("cum_grams"),
     ).orderBy(source_col)
+
+
+def roc_audit(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    bin_width: int = 50_000_000,
+    shift: int = 1_001_000_000,
+) -> DataFrame:
+    """Exact ROC curve + Mann-Whitney AUC of an integer score against
+    a boolean label — the calibration table a filter gets graded with
+    before its threshold ships. ``label=true`` marks the documents the
+    filter SHOULD drop; the drop rule is "score < cutoff", so
+    tpr/fpr at each cutoff are the shares of bad/good documents a
+    threshold there would remove, and ``auc_ppm`` is the exact
+    probability (integer ppm, floor) that a random bad document
+    scores BELOW a random good one (ties count half) — 1e6 = perfect
+    detector, 5e5 = coin flip.
+
+    The AUC is the EXACT U statistic over per-distinct-score counts,
+    not a binned approximation; only the reported curve ROWS are
+    condensed onto the ``bin_width`` grid. No global row sort at any
+    scale: the per-score histogram is one map-side-combining
+    aggregation; its suffix counts come from a per-BIN window
+    (``partitionBy(bin)`` — each partition holds one grid cell's
+    distinct scores) plus a broadcast bin-prefix computed from the
+    ≤ ~40 collected bin totals — the q170 two-phase distributed-rank
+    shape. Driver-side work is bounded at the bin count (the q189
+    pattern); the 2U product is carried as DECIMAL(38,0) / HUGEINT
+    because pos·neg pair counts pass int64 at ~1e10 docs per class.
+    Shared grid constants with the q196 threshold sweep so the two
+    calibration tables line up threshold-for-threshold."""
+    from .staging import materialize
+
+    hist = materialize(
+        df.select(
+            F.col(score_col).cast("long").alias("s"),
+            F.col(label_col).cast("boolean").alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("pos_at"),
+            F.sum(F.when(~F.col("y"), 1).otherwise(0)).cast("long").alias("neg_at"),
+        )
+        .withColumn("bin", F.expr(f"(s + {shift}) DIV {bin_width}")),
+        label="roc_hist",
+        default="checkpoint",
+    )
+    bins = sorted(
+        (r["bin"], r["np"], r["nn"])
+        for r in hist.groupBy("bin")
+        .agg(
+            F.sum("pos_at").cast("long").alias("np"),
+            F.sum("neg_at").cast("long").alias("nn"),
+        )
+        .collect()
+    )
+    pos_total = sum(b[1] for b in bins)
+    neg_total = sum(b[2] for b in bins)
+    spark = df.sparkSession
+    if pos_total == 0 or neg_total == 0:
+        auc_ppm = None
+    else:
+        pref_rows, acc = [], 0
+        for b, _np, nn in bins:
+            pref_rows.append((b, acc))
+            acc += nn
+        pref = spark.createDataFrame(pref_rows, "bin long, neg_before long")
+        wwin = (
+            Window.partitionBy("bin")
+            .orderBy("s")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        u2 = (
+            hist.join(F.broadcast(pref), "bin")
+            .withColumn(
+                "cum_neg_le", F.col("neg_before") + F.sum("neg_at").over(wwin)
+            )
+            .select(
+                F.expr(
+                    f"CAST(pos_at AS DECIMAL(38,0)) * "
+                    f"CAST(2 * ({neg_total} - cum_neg_le) + neg_at AS DECIMAL(38,0))"
+                ).alias("c")
+            )
+            .agg(F.sum("c").alias("u2"))
+            .collect()[0]["u2"]
+        )
+        auc_ppm = int(u2) * 1_000_000 // (2 * pos_total * neg_total)
+    out, cp, cn = [], 0, 0
+    for b, np_, nn in bins:
+        cp += np_
+        cn += nn
+        out.append(
+            (
+                (b + 1) * bin_width - shift,
+                np_,
+                nn,
+                cp,
+                cn,
+                cp * 1_000_000 // pos_total if pos_total else None,
+                cn * 1_000_000 // neg_total if neg_total else None,
+                auc_ppm,
+                pos_total,
+                neg_total,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "cutoff_ppm long, n_pos long, n_neg long, drop_pos long, "
+        "drop_neg long, tpr_ppm long, fpr_ppm long, auc_ppm long, "
+        "pos_total long, neg_total long",
+    ).orderBy("cutoff_ppm")
 
 
 def top_word_share_ppm_expr(text_col: str = "text") -> Column:

@@ -81,6 +81,7 @@ def _m(name: str) -> str:
         "q188_trigram_lm_score",
         "q189_filter_agreement",
         "q197_perplexity_buckets",
+        "q200_filter_roc_audit",
     ),
     oracle=f"""
     SELECT a.*, b.n_tokens_est, c.fingerprint,
@@ -91,7 +92,7 @@ def _m(name: str) -> str:
            y3.n_trigrams, y3.kn_score_ppm,
            z.top_word_share_ppm, z.top2gram_share_ppm, z.max_word_run,
            c4.n_lines, c4.n_kept_lines, c4.cleaned_n_words, c4.cleaned_digest,
-           ag.*, px.*
+           ag.*, px.*, rc.*
     FROM {_sub('q37_text_quality')} a
     JOIN (SELECT doc_id, n_tokens_est FROM {_sub('q38_token_stats')}) b USING (doc_id)
     JOIN {_sub('q39_doc_fingerprint')} c USING (doc_id)
@@ -129,6 +130,18 @@ def _m(name: str) -> str:
              CAST(SUM(share_ppm * n_docs) AS BIGINT) AS ppx_share_digest
       FROM {_sub('q197_perplexity_buckets')}
     ) px
+    CROSS JOIN (
+      -- filter-ROC rollup (q200's per-cutoff curve stays in the
+      -- standalone member; the profile carries the exact AUC, class
+      -- totals and curve digests)
+      SELECT CAST(MIN(auc_ppm) AS BIGINT) AS roc_auc_ppm,
+             CAST(MIN(pos_total) AS BIGINT) AS roc_pos_total,
+             CAST(MIN(neg_total) AS BIGINT) AS roc_neg_total,
+             CAST(COUNT(*) AS BIGINT) AS roc_bins,
+             CAST(SUM(tpr_ppm) AS BIGINT) AS roc_tpr_digest,
+             CAST(SUM(fpr_ppm) AS BIGINT) AS roc_fpr_digest
+      FROM {_sub('q200_filter_roc_audit')}
+    ) rc
     ORDER BY doc_id
     """,
 )
@@ -146,7 +159,10 @@ def q78_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters, one pivoted broadcast row; r9) ⋈ the CCNet perplexity
     head/middle/tail bucket rollup (q197 — per-bucket doc/token mass
     + share digest, one pivoted broadcast row, sharing the SAME
-    _kn_scores training as q188/q189; r10) ⋈ Gopher
+    _kn_scores training as q188/q189; r10) ⋈ the filter-ROC rollup
+    (q200 — exact Mann-Whitney AUC of the classifier against the
+    injected-boilerplate labels + class totals and curve digests, one
+    pivoted broadcast row; r10) ⋈ Gopher
     repetition rules (q182 — top-word/top-bigram share, longest word
     run; r7) ⋈ the C4 line-filter profile (q186 — per-doc drop counts
     and cleaned-text digest over the synthesized line structure; r8)
@@ -187,6 +203,14 @@ def q78_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in ("po_ppm", "kappa_ppm")
         ]
     )
+    rc = _run("q200_filter_roc_audit", spark, sf_dir).agg(
+        F.min("auc_ppm").cast("bigint").alias("roc_auc_ppm"),
+        F.min("pos_total").cast("bigint").alias("roc_pos_total"),
+        F.min("neg_total").cast("bigint").alias("roc_neg_total"),
+        F.count("*").cast("bigint").alias("roc_bins"),
+        F.sum("tpr_ppm").cast("bigint").alias("roc_tpr_digest"),
+        F.sum("fpr_ppm").cast("bigint").alias("roc_fpr_digest"),
+    )
     px = _run("q197_perplexity_buckets", spark, sf_dir).agg(
         *[
             F.coalesce(
@@ -207,6 +231,7 @@ def q78_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c4, "doc_id")
         .crossJoin(F.broadcast(ag))
         .crossJoin(F.broadcast(px))
+        .crossJoin(F.broadcast(rc))
         .orderBy("doc_id")
     )
 

@@ -2198,3 +2198,112 @@ def q198_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return gram_novelty(docs, "doc_id", "text", "source", window=_OVL_W)
+
+
+# --------------------------------------------------------------- q200
+# Filter ROC audit — before a quality threshold ships, the filter is
+# graded against a corpus with KNOWN contamination: the q186/q195
+# synthesized line structure injects a cookie-policy boilerplate line
+# into every doc_id % 31 == 0 document, which gives the corpus exact
+# weak labels. This query scores the SYNTHESIZED text with the q95
+# hashed-bigram classifier and reports the exact ROC curve (per
+# 50M-ppm grid cell: docs a "score < cutoff" drop rule would remove,
+# tpr/fpr in exact integer ppm) plus the exact Mann-Whitney AUC over
+# per-distinct-score counts — the one-number answer to "does this
+# filter actually separate the injected boilerplate". Grid constants
+# shared with q196 so the sweep and the ROC line up
+# threshold-for-threshold. Shape: operators/text.py::roc_audit.
+
+
+@register(
+    "q200_filter_roc_audit",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id, {_C4_LINE_DUCK} AS t FROM documents
+    ),
+    w AS (
+      SELECT doc_id, doc_id % 31 = 0 AS y,
+             regexp_split_to_array(trim(lower(t)), '\\s+') AS ws
+      FROM synth
+    ),
+    b AS (
+      SELECT doc_id, y,
+             CASE WHEN len(ws) >= 2 THEN list_transform(generate_series(1, len(ws)-1),
+               i -> concat(ws[i], ' ', ws[i+1])) ELSE CAST([] AS VARCHAR[]) END AS bgs,
+             greatest(len(ws)-1, 0) AS nf
+      FROM w
+    ),
+    sc AS (
+      SELECT y,
+             CASE WHEN nf = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(coalesce(list_aggregate(list_transform(bgs,
+               bg -> ((CAST(concat('0x', substring(md5(bg), 1, 8)) AS BIGINT) % 1024)
+                      * 2654435761) % 2003 - 1001), 'sum'), 0) AS BIGINT)
+                       * 1000000 // nf END AS s
+      FROM b
+    ),
+    hist AS (
+      SELECT s,
+             CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos_at,
+             CAST(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS neg_at
+      FROM sc GROUP BY s
+    ),
+    tot AS (
+      SELECT CAST(SUM(pos_at) AS HUGEINT) AS p,
+             CAST(SUM(neg_at) AS HUGEINT) AS n
+      FROM hist
+    ),
+    cum AS (
+      SELECT s, pos_at, neg_at,
+             SUM(neg_at) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum_neg_le
+      FROM hist
+    ),
+    u AS (
+      SELECT CAST(SUM(CAST(pos_at AS HUGEINT) *
+               (2 * ((SELECT n FROM tot) - cum_neg_le) + neg_at)) AS HUGEINT) AS u2
+      FROM cum
+    ),
+    bins AS (
+      SELECT (s + {_SWEEP_SHIFT}) // {_SWEEP_BIN} AS bin,
+             CAST(SUM(pos_at) AS BIGINT) AS n_pos,
+             CAST(SUM(neg_at) AS BIGINT) AS n_neg
+      FROM hist GROUP BY 1
+    ),
+    roc AS (
+      SELECT bin, n_pos, n_neg,
+             CAST(SUM(n_pos) OVER (ORDER BY bin
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS drop_pos,
+             CAST(SUM(n_neg) OVER (ORDER BY bin
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS drop_neg
+      FROM bins
+    )
+    SELECT CAST((bin + 1) * {_SWEEP_BIN} - {_SWEEP_SHIFT} AS BIGINT) AS cutoff_ppm,
+           n_pos, n_neg, drop_pos, drop_neg,
+           CAST(drop_pos * 1000000 // (SELECT p FROM tot) AS BIGINT) AS tpr_ppm,
+           CAST(drop_neg * 1000000 // (SELECT n FROM tot) AS BIGINT) AS fpr_ppm,
+           CAST((SELECT (u2 * 1000000) // (2 * p * n) FROM u, tot)
+             AS BIGINT) AS auc_ppm,
+           CAST((SELECT p FROM tot) AS BIGINT) AS pos_total,
+           CAST((SELECT n FROM tot) AS BIGINT) AS neg_total
+    FROM roc ORDER BY cutoff_ppm
+    """,
+)
+def q200_filter_roc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC + Mann-Whitney AUC (integer ppm) of the q95 hashed-
+    bigram quality classifier against the q186 synth's injected
+    boilerplate labels (doc_id % 31): per occupied 50M-ppm grid cell
+    the docs a score<cutoff rule drops, tpr/fpr, and the exact
+    U-statistic AUC over per-distinct-score counts. One classifier
+    scan, a bounded two-phase histogram — never a global row sort."""
+    from ..operators.text import quality_classifier_score, roc_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        quality_classifier_score(f"({_C4_LINE_SPARK})")
+        .getField("logit_ppm")
+        .alias("score"),
+        F.expr("doc_id % 31 = 0").alias("label"),
+    )
+    return roc_audit(
+        scored, "score", "label", bin_width=_SWEEP_BIN, shift=_SWEEP_SHIFT
+    )

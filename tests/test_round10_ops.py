@@ -722,3 +722,75 @@ class TestEpochAllocation:
                       "epochs_ppm", "budget_tokens", "leftover_tokens"):
                 assert r[c] == exp[lang][c], (lang, c)
             assert bool(r["is_capped"]) == bool(exp[lang]["is_capped"])
+
+
+class TestRocAudit:
+    """q200 (round 10): exact ROC + Mann-Whitney AUC from a two-phase
+    bounded histogram."""
+
+    def _auc(self, spark, pairs):
+        from redshift_avro_spark.operators.text import roc_audit
+
+        df = spark.createDataFrame(pairs, "score long, label boolean")
+        out = roc_audit(df, "score", "label", bin_width=10, shift=1000).collect()
+        return out
+
+    def test_perfect_separation_is_1e6(self, spark):
+        pairs = [(s, True) for s in range(-50, -40)] + [
+            (s, False) for s in range(40, 50)
+        ]
+        out = self._auc(spark, pairs)
+        assert out[0]["auc_ppm"] == 1_000_000
+        # the last cutoff drops everything
+        last = max(out, key=lambda r: r["cutoff_ppm"])
+        assert last["tpr_ppm"] == 1_000_000 and last["fpr_ppm"] == 1_000_000
+        # some cutoff separates perfectly: tpr=1e6 at fpr=0
+        assert any(
+            r["tpr_ppm"] == 1_000_000 and r["fpr_ppm"] == 0 for r in out
+        )
+
+    def test_inverted_classifier_is_0(self, spark):
+        pairs = [(s, False) for s in range(-50, -40)] + [
+            (s, True) for s in range(40, 50)
+        ]
+        out = self._auc(spark, pairs)
+        assert out[0]["auc_ppm"] == 0
+
+    def test_all_ties_is_half(self, spark):
+        pairs = [(7, True)] * 10 + [(7, False)] * 10
+        out = self._auc(spark, pairs)
+        assert out[0]["auc_ppm"] == 500_000
+
+    def test_exact_u_statistic_brute_force(self, spark):
+        import itertools
+
+        # deterministic interleaved scores with ties across classes
+        pairs = [((i * 37) % 23 - 11, i % 3 == 0) for i in range(60)]
+        out = self._auc(spark, pairs)
+        pos = [s for s, y in pairs if y]
+        neg = [s for s, y in pairs if not y]
+        u2 = sum(
+            2 if p < n else (1 if p == n else 0)
+            for p, n in itertools.product(pos, neg)
+        )
+        exp = u2 * 1_000_000 // (2 * len(pos) * len(neg))
+        assert out[0]["auc_ppm"] == exp
+        # curve bookkeeping: per-bin masses sum to totals, cums monotone
+        assert sum(r["n_pos"] for r in out) == len(pos) == out[0]["pos_total"]
+        assert sum(r["n_neg"] for r in out) == len(neg)
+        tprs = [r["tpr_ppm"] for r in sorted(out, key=lambda r: r["cutoff_ppm"])]
+        assert tprs == sorted(tprs)
+
+    def test_gated_query_grades_the_injected_boilerplate(self, spark):
+        out = REGISTRY["q200_filter_roc_audit"].fn(spark, SF_SMOKE).collect()
+        assert len(out) >= 3
+        auc = out[0]["auc_ppm"]
+        assert 0 <= auc <= 1_000_000
+        assert out[0]["pos_total"] > 0 and out[0]["neg_total"] > 0
+        # label definition matches the q186 synth injection rule
+        from redshift_avro_spark.queries.relational import load_table
+
+        n_bad = load_table(spark, SF_SMOKE, "documents").where(
+            "doc_id % 31 = 0"
+        ).count()
+        assert out[0]["pos_total"] == n_bad

@@ -175,6 +175,13 @@ def main() -> None:
     ap.add_argument("--replicas", type=int, default=N_REPLICAS)
     ap.add_argument("--queries", default=None, help="csv subset of the doc sweep")
     ap.add_argument("--emb-queries", default=None, help="csv subset of the ANN sweep")
+    ap.add_argument(
+        "--reuse",
+        action="store_true",
+        help="skip the corpus build when out_dir already holds one "
+        "(same deterministic construction, so a prior build at the "
+        "same --replicas is byte-equivalent)",
+    )
     args = ap.parse_args()
     queries = args.queries.split(",") if args.queries is not None else QUERIES
     emb_queries = (
@@ -192,7 +199,11 @@ def main() -> None:
     registry["q37_text_quality"].fn(spark, SF_DIR).count()
 
     if queries:
-        build_corpus(spark, args.out_dir, args.replicas)
+        if not (
+            args.reuse
+            and os.path.exists(os.path.join(args.out_dir, "documents.parquet"))
+        ):
+            build_corpus(spark, args.out_dir, args.replicas)
         n_small = spark.read.parquet(
             os.path.join(SF_DIR, "documents.parquet")
         ).count()
@@ -209,7 +220,11 @@ def main() -> None:
             print(f"| {name} | {t_small} | {t_big} | {ratio}x |")
 
     if emb_queries:
-        build_embeddings(spark, args.out_dir, args.replicas)
+        if not (
+            args.reuse
+            and os.path.exists(os.path.join(args.out_dir, "embeddings.parquet"))
+        ):
+            build_embeddings(spark, args.out_dir, args.replicas)
         ne_small = spark.read.parquet(
             os.path.join(SF_DIR, "embeddings.parquet")
         ).count()

@@ -82,6 +82,7 @@ def _m(name: str) -> str:
         "q189_filter_agreement",
         "q197_perplexity_buckets",
         "q200_filter_roc_audit",
+        "q201_stream_quality_gate",
     ),
     oracle=f"""
     SELECT a.*, b.n_tokens_est, c.fingerprint,
@@ -92,7 +93,7 @@ def _m(name: str) -> str:
            y3.n_trigrams, y3.kn_score_ppm,
            z.top_word_share_ppm, z.top2gram_share_ppm, z.max_word_run,
            c4.n_lines, c4.n_kept_lines, c4.cleaned_n_words, c4.cleaned_digest,
-           ag.*, px.*, rc.*
+           ag.*, px.*, rc.*, sq.*
     FROM {_sub('q37_text_quality')} a
     JOIN (SELECT doc_id, n_tokens_est FROM {_sub('q38_token_stats')}) b USING (doc_id)
     JOIN {_sub('q39_doc_fingerprint')} c USING (doc_id)
@@ -142,6 +143,19 @@ def _m(name: str) -> str:
              CAST(SUM(fpr_ppm) AS BIGINT) AS roc_fpr_digest
       FROM {_sub('q200_filter_roc_audit')}
     ) rc
+    CROSS JOIN (
+      -- streaming quality-gate rollup (q201's per-lang counters stay
+      -- in the standalone member; the profile carries the corpus line
+      -- — counts must equal the batch gates by the monotonicity proof)
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS sq_docs,
+             CAST(SUM(n_keep_heur) AS BIGINT) AS sq_keep_heur,
+             CAST(SUM(n_keep_clf) AS BIGINT) AS sq_keep_clf,
+             CAST(SUM(n_keep_both) AS BIGINT) AS sq_keep_both,
+             CAST(SUM(kept_tokens) AS BIGINT) AS sq_kept_tokens,
+             CAST(SUM(total_tokens) AS BIGINT) AS sq_total_tokens,
+             CAST(SUM(keep_both_ppm * n_docs) AS BIGINT) AS sq_share_digest
+      FROM {_sub('q201_stream_quality_gate')}
+    ) sq
     ORDER BY doc_id
     """,
 )
@@ -162,7 +176,10 @@ def q78_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     _kn_scores training as q188/q189; r10) ⋈ the filter-ROC rollup
     (q200 — exact Mann-Whitney AUC of the classifier against the
     injected-boilerplate labels + class totals and curve digests, one
-    pivoted broadcast row; r10) ⋈ Gopher
+    pivoted broadcast row; r10) ⋈ the streaming quality-gate rollup
+    (q201 — the live-ingest run of the SAME q37/q95 gate formulas,
+    per-lang stateful counters reduced by the monotonicity proof,
+    one pivoted broadcast row; r10) ⋈ Gopher
     repetition rules (q182 — top-word/top-bigram share, longest word
     run; r7) ⋈ the C4 line-filter profile (q186 — per-doc drop counts
     and cleaned-text digest over the synthesized line structure; r8)
@@ -203,6 +220,17 @@ def q78_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in ("po_ppm", "kappa_ppm")
         ]
     )
+    sq = _run("q201_stream_quality_gate", spark, sf_dir).agg(
+        F.sum("n_docs").cast("bigint").alias("sq_docs"),
+        F.sum("n_keep_heur").cast("bigint").alias("sq_keep_heur"),
+        F.sum("n_keep_clf").cast("bigint").alias("sq_keep_clf"),
+        F.sum("n_keep_both").cast("bigint").alias("sq_keep_both"),
+        F.sum("kept_tokens").cast("bigint").alias("sq_kept_tokens"),
+        F.sum("total_tokens").cast("bigint").alias("sq_total_tokens"),
+        F.sum(F.col("keep_both_ppm") * F.col("n_docs"))
+        .cast("bigint")
+        .alias("sq_share_digest"),
+    )
     rc = _run("q200_filter_roc_audit", spark, sf_dir).agg(
         F.min("auc_ppm").cast("bigint").alias("roc_auc_ppm"),
         F.min("pos_total").cast("bigint").alias("roc_pos_total"),
@@ -232,6 +260,7 @@ def q78_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ag))
         .crossJoin(F.broadcast(px))
         .crossJoin(F.broadcast(rc))
+        .crossJoin(F.broadcast(sq))
         .orderBy("doc_id")
     )
 

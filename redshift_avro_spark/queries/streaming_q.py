@@ -536,3 +536,146 @@ def q151_stream_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------- q201
+# Streaming quality-gate monitor — the live-ingest version of the
+# q49/q187 quality stage: documents arrive as an Avro payload stream
+# (micro-batched), each batch is scored by the SAME registered gate
+# formulas (q37 heuristic >= 0.68, q95 classifier keep), and per-lang
+# keep/drop counters + token mass aggregate statefully across batches
+# — the dashboard a continuous crawl-ingest pipeline watches to catch
+# a drifting source before it pollutes a release. Full value-hash
+# oracle via q51/q69's monotonicity trick: every counter only grows
+# across update-mode emissions, so the per-lang MAX of each counter
+# is the final state, which must equal the batch answer regardless of
+# how the stream micro-batched; the ppm share is derived AFTER the
+# MAX (it is not itself monotone).
+
+_DOCL_SCHEMA = {
+    "type": "record",
+    "name": "DocL",
+    "namespace": "engine.docs",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "lang", "type": "string"},
+        {"name": "text", "type": "string"},
+    ],
+}
+
+
+@register(
+    "q201_stream_quality_gate",
+    oracle=None,  # set below — composes the q37/q95 member oracles
+)
+def q201_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang streaming quality-gate counters: docs in, heuristic
+    keeps, classifier keeps, both-gate keeps, kept/total token mass,
+    and the both-gate share in exact ppm — one stream-side codegen
+    projection per batch, stateful per-lang aggregation (5 keys), the
+    memory sink reduced by MAX per counter (monotonicity ⇒ exactly
+    the batch answer)."""
+    from ..operators.text import quality_classifier_score, quality_features
+
+    run = uuid.uuid4().hex[:8]
+    land_dir = _land_dir(f"stream_q201_{run}_")
+    docs = load_table(spark, sf_dir, "documents")
+    (
+        docs.select(
+            to_avro(F.struct("doc_id", "lang", "text"), _DOCL_SCHEMA).alias(
+                "payload"
+            )
+        )
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(land_dir)
+    )
+    stream = read_binary_file_stream(
+        spark, land_dir, _DOC_PAYLOAD_STRUCT, max_files_per_trigger=3
+    )
+    decoded = decode_avro_stream(stream, "payload", _DOCL_SCHEMA)
+    verdicts = decoded.select(
+        "lang",
+        (quality_features("text")["quality_score"] >= 0.68).alias("kh"),
+        quality_classifier_score("text")["keep"].alias("kc"),
+        F.expr("CAST(size(split(trim(lower(text)), '\\\\s+')) AS BIGINT)").alias(
+            "toks"
+        ),
+    )
+    agg = verdicts.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("kh"), 1).otherwise(0)).cast("long").alias("n_keep_heur"),
+        F.sum(F.when(F.col("kc"), 1).otherwise(0)).cast("long").alias("n_keep_clf"),
+        F.sum(F.when(F.col("kh") & F.col("kc"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_keep_both"),
+        F.sum(F.when(F.col("kh") & F.col("kc"), F.col("toks")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+    )
+    name = f"q201_sink_{run}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_sink(q)
+    final = spark.table(name).groupBy("lang").agg(
+        *[
+            F.max(c).cast("long").alias(c)
+            for c in (
+                "n_docs",
+                "n_keep_heur",
+                "n_keep_clf",
+                "n_keep_both",
+                "kept_tokens",
+                "total_tokens",
+            )
+        ]
+    )
+    return final.select(
+        "lang",
+        "n_docs",
+        "n_keep_heur",
+        "n_keep_clf",
+        "n_keep_both",
+        "kept_tokens",
+        "total_tokens",
+        F.expr("n_keep_both * 1000000 div n_docs").alias("keep_both_ppm"),
+    ).orderBy("lang")
+
+
+def _q201_oracle() -> str:
+    from . import REGISTRY
+    from .text import _N_WORDS
+
+    q37 = REGISTRY["q37_text_quality"].oracle
+    q95 = REGISTRY["q95_quality_classifier"].oracle
+    return f"""
+    WITH h AS (SELECT doc_id, quality_score FROM ({q37})),
+    cf AS (SELECT doc_id, keep FROM ({q95})),
+    d AS (
+      SELECT doc_id, lang, CAST({_N_WORDS} AS BIGINT) AS toks FROM documents
+    ),
+    v AS (
+      SELECT d.lang, h.quality_score >= 0.68 AS kh, cf.keep AS kc, d.toks
+      FROM d JOIN h USING (doc_id) JOIN cf USING (doc_id)
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN kh THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_heur,
+           CAST(SUM(CASE WHEN kc THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_clf,
+           CAST(SUM(CASE WHEN kh AND kc THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_both,
+           CAST(SUM(CASE WHEN kh AND kc THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN kh AND kc THEN 1 ELSE 0 END) * 1000000
+             // COUNT(*) AS BIGINT) AS keep_both_ppm
+    FROM v GROUP BY lang ORDER BY lang
+    """
+
+
+from . import REGISTRY as _REG201  # noqa: E402
+
+_REG201["q201_stream_quality_gate"].oracle = _q201_oracle()

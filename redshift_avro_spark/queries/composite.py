@@ -784,12 +784,14 @@ def q84_event_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q159_ann_recall",
         "q171_matryoshka_audit",
         "q179_ivf_delete",
+        "q202_ivf_nprobe_sweep",
     ),
     oracle=f"""
     {_with_members('q35_cosine_topk', 'q36_ann_lsh_topk', 'q45_ivf_topk',
                    'q116_knn_graph', 'q124_rrf_fusion', 'q147_pq_adc_topk',
                    'q148_hard_negatives', 'q152_ivf_incremental_add',
-                   'q179_ivf_delete', 'q159_ann_recall', 'q171_matryoshka_audit')}
+                   'q179_ivf_delete', 'q159_ann_recall', 'q171_matryoshka_audit',
+                   'q202_ivf_nprobe_sweep')}
     SELECT 'brute' AS method, query_id, rank, neighbor_id, cosine
     FROM {_m('q35_cosine_topk')}
     UNION ALL
@@ -831,6 +833,12 @@ def q84_event_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            neighbor_id,
            CAST(cos64_ppm AS DOUBLE) AS cosine
     FROM {_m('q171_matryoshka_audit')}
+    UNION ALL
+    SELECT 'nprobe' AS method, n_probe AS query_id,
+           CAST(recall_ppm AS INTEGER) AS rank,
+           n_hits AS neighbor_id,
+           CAST(n_exact AS DOUBLE) AS cosine
+    FROM {_m('q202_ivf_nprobe_sweep')}
     ORDER BY method, query_id, rank, neighbor_id
     """,
 )
@@ -914,6 +922,15 @@ def q85_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("loss16_ppm").cast("int").alias("rank"),
             "neighbor_id",
             F.col("cos64_ppm").cast("double").alias("cosine"),
+        )
+    )
+    parts.append(
+        _run("q202_ivf_nprobe_sweep", spark, sf_dir).select(
+            F.lit("nprobe").alias("method"),
+            F.col("n_probe").alias("query_id"),
+            F.col("recall_ppm").cast("int").alias("rank"),
+            F.col("n_hits").alias("neighbor_id"),
+            F.col("n_exact").cast("double").alias("cosine"),
         )
     )
     out = parts[0]

@@ -1807,3 +1807,133 @@ def q191_external_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------- q202
+# IVF recall-vs-nprobe sweep — the ANN tuning curve an index operator
+# reads before fixing n_probe in production: train ONCE (the q45
+# k-means trajectory, shared verbatim), then measure micro-averaged
+# recall@5 against the exact q35 top-5 at n_probe ∈ {1, 2, 4, 8}.
+# One centroid training, one materialized corpus assignment, four
+# broadcast probe joins — the corpus never re-shuffles per setting;
+# the oracle replays the SAME _CENTS_CTE trajectory with the probe
+# rank filter swept.
+
+_SWEEP_PROBES = (1, 2, 4, 8)
+
+
+def _q202_oracle() -> str:
+    exact = "(" + REGISTRY["q35_cosine_topk"].oracle + ")"
+    cos = _COS.replace("qvec", "p.qvec").replace("cvec", "a.cvec")
+    arms = []
+    for np_ in _SWEEP_PROBES:
+        arms.append(f"""
+    scored{np_} AS (
+      SELECT p.query_id, a.neighbor_id, {cos} AS cosine
+      FROM assign a JOIN proberanks p USING (cid)
+      WHERE a.neighbor_id != p.query_id AND p.rn <= {np_}
+    ),
+    top{np_} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored{np_}
+      ) WHERE rank <= 5
+    ),
+    hit{np_} AS (
+      SELECT CAST({np_} AS BIGINT) AS n_probe,
+             CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+             CAST(COUNT(*) AS BIGINT) AS n_exact,
+             CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM exact e LEFT JOIN top{np_} t USING (query_id, neighbor_id)
+    )""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM hit{np_}" for np_ in _SWEEP_PROBES
+    )
+    return f"""
+    WITH {_CENTS_CTE},
+    assign AS (
+      SELECT neighbor_id, cvec, cid FROM (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS cvec, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cent_cos('e.embedding')} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN {_FINAL_CENTS} c
+      ) WHERE rn = 1
+    ),
+    proberanks AS (
+      SELECT query_id, qvec, cid, rn FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS qvec, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cent_cos('e.embedding')} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN {_FINAL_CENTS} c
+        WHERE e.vec_id < 10
+      ) WHERE rn <= {max(_SWEEP_PROBES)}
+    ),
+    exact AS (SELECT query_id, neighbor_id FROM {exact}),{",".join(arms)}
+    SELECT n_probe, n_queries, n_exact, n_hits,
+           CAST(n_hits * 1000000 // n_exact AS BIGINT) AS recall_ppm
+    FROM ({union}) ORDER BY n_probe
+    """
+
+
+@register("q202_ivf_nprobe_sweep", oracle=None)  # set below (needs q35)
+def q202_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-averaged recall@5 vs n_probe for the q45 IVF index:
+    per probe setting the query count, exact-pair count, approx hits
+    and recall in exact integer ppm. ONE k-means training + ONE
+    materialized corpus assignment feed all four probe settings (the
+    assignment is a projection; each setting adds only a broadcast
+    probe join + a per-query top-5)."""
+    from ..operators.similarity import (
+        _assign_nearest,
+        _ivf_query,
+        ivf_train_centers,
+    )
+    from ..operators.staging import materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    centers = ivf_train_centers(emb, "vec_id", "embedding", 8, 2, 64)
+    assign = materialize(
+        _assign_nearest(c, centers), label="ivf_sweep_assign", default="checkpoint"
+    )
+    exact = REGISTRY["q35_cosine_topk"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    per = None
+    for np_ in _SWEEP_PROBES:
+        a = _ivf_query(assign, q, centers, np_, 5).select(
+            F.lit(np_).cast("long").alias("n_probe"),
+            "query_id",
+            "neighbor_id",
+            F.lit(1).alias("hit"),
+        )
+        per = a if per is None else per.unionByName(a)
+    ex4 = exact.withColumn(
+        "n_probe",
+        F.explode(F.array(*[F.lit(v).cast("long") for v in _SWEEP_PROBES])),
+    )
+    return (
+        ex4.join(F.broadcast(per), ["n_probe", "query_id", "neighbor_id"], "left")
+        .groupBy("n_probe")
+        .agg(
+            F.countDistinct("query_id").cast("long").alias("n_queries"),
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "n_probe",
+            "n_queries",
+            "n_exact",
+            "n_hits",
+            F.expr("n_hits * 1000000 div n_exact").alias("recall_ppm"),
+        )
+        .orderBy("n_probe")
+    )
+
+
+REGISTRY["q202_ivf_nprobe_sweep"].oracle = _q202_oracle()

@@ -847,3 +847,36 @@ class TestStreamQualityGate:
         out = REGISTRY["q201_stream_quality_gate"].fn(spark, SF_SMOKE).collect()
         assert len(out) >= 4  # all fixture langs present
         assert sum(r["n_docs"] for r in out) == 500  # sf0.001 doc count
+
+
+class TestIvfNprobeSweep:
+    """q202 (round 10): the IVF recall-vs-n_probe tuning curve — one
+    training, four probe settings."""
+
+    def test_recall_monotone_and_exhaustive_is_exact(self, spark):
+        out = sorted(
+            REGISTRY["q202_ivf_nprobe_sweep"].fn(spark, SF_SMOKE).collect(),
+            key=lambda r: r["n_probe"],
+        )
+        assert [r["n_probe"] for r in out] == [1, 2, 4, 8]
+        recalls = [r["recall_ppm"] for r in out]
+        assert recalls == sorted(recalls)  # more probes never hurt
+        # n_probe == n_centroids probes every cell == brute force
+        assert out[-1]["recall_ppm"] == 1_000_000
+        for r in out:
+            assert r["n_exact"] == out[0]["n_exact"]  # same ground truth
+            assert r["recall_ppm"] == r["n_hits"] * 1_000_000 // r["n_exact"]
+
+    def test_nprobe2_matches_q159_micro_average(self, spark):
+        """The sweep's n_probe=2 point must equal the micro-average of
+        q159's per-query ivf recall (same training, same probe count)."""
+        sweep = {
+            r["n_probe"]: r
+            for r in REGISTRY["q202_ivf_nprobe_sweep"].fn(spark, SF_SMOKE).collect()
+        }
+        per_q = REGISTRY["q159_ann_recall"].fn(spark, SF_SMOKE).collect()
+        hits = sum(r["ivf_hits"] for r in per_q)
+        exact = sum(r["n_exact"] for r in per_q)
+        assert sweep[2]["n_hits"] == hits
+        assert sweep[2]["n_exact"] == exact
+        assert sweep[2]["recall_ppm"] == hits * 1_000_000 // exact

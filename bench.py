@@ -173,6 +173,9 @@ EXTENDED: dict[str, float] = {
     # broadcast probe joins (+ the exact q35 baseline); best-of-3
     # 2.07 s on a sentinel-0.75 (heavily loaded) host
     "q202_ivf_nprobe_sweep": 2.8,
+    # one narrow scan + per-lang agg, driver reshape over <= 5 rows;
+    # best-of-3 0.686 s on a sentinel-0.49 (loaded) host
+    "q203_context_length_sweep": 1.3,
 }
 
 _DETAIL_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r10.json")

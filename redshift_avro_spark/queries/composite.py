@@ -2187,6 +2187,7 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q190_source_overlap_topn",
         "q194_tokenizer_efficiency",
         "q198_gram_novelty",
+        "q203_context_length_sweep",
     ),
     oracle=f"""
     SELECT 'tfidf' AS kind, lang AS k_str, term AS k_str2,
@@ -2275,6 +2276,13 @@ def q103_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_grams AS n1, n_new_grams AS n2, cum_grams AS n3,
            CAST(novelty_ppm AS DOUBLE) AS val
     FROM {_sub('q198_gram_novelty')}
+    UNION ALL
+    SELECT 'ctx' AS kind, CAST(budget AS VARCHAR) AS k_str,
+           concat(CAST(total_tokens AS VARCHAR), ':',
+                  CAST(packed_waste_lb_ppm AS VARCHAR)) AS k_str2,
+           pad_seqs AS n1, packed_seqs_lb AS n2, pad_tokens AS n3,
+           CAST(pad_waste_ppm AS DOUBLE) AS val
+    FROM {_sub('q203_context_length_sweep')}
     ORDER BY kind, n1, k_str, k_str2
     """,
 )
@@ -2309,7 +2317,9 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     marginal gram-novelty datasheet (q198 — first-contributed distinct
     4-word windows in deterministic source order + cumulative
     coverage, the marginal-diversity complement of q163/q190; r10),
-    tagged and unioned. The passes an LLM pipeline runs over the corpus
+    and the context-length sweep (q203 — per candidate budget the
+    pad-to-B cost vs the packed lower bound q59 approaches, exact
+    integer ceil arithmetic; r10), tagged and unioned. The passes an LLM pipeline runs over the corpus
     before training, in one driver-verified result."""
     a = _run("q56_tfidf_terms", spark, sf_dir).select(
         F.lit("tfidf").alias("kind"),
@@ -2469,11 +2479,25 @@ def q106_vocab_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_grams").alias("n3"),
         F.col("novelty_ppm").cast("double").alias("val"),
     )
+    cx = _run("q203_context_length_sweep", spark, sf_dir).select(
+        F.lit("ctx").alias("kind"),
+        F.col("budget").cast("string").alias("k_str"),
+        F.concat(
+            F.col("total_tokens").cast("string"),
+            F.lit(":"),
+            F.col("packed_waste_lb_ppm").cast("string"),
+        ).alias("k_str2"),
+        F.col("pad_seqs").alias("n1"),
+        F.col("packed_seqs_lb").alias("n2"),
+        F.col("pad_tokens").alias("n3"),
+        F.col("pad_waste_ppm").cast("double").alias("val"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
         .unionByName(g).unionByName(h).unionByName(i)
         .unionByName(j).unionByName(k).unionByName(m).unionByName(o)
         .unionByName(z).unionByName(jn).unionByName(fe).unionByName(nv)
+        .unionByName(cx)
         .orderBy("kind", "n1", "k_str", "k_str2")
     )
 

@@ -854,3 +854,104 @@ def _q199_oracle() -> str:
 from . import REGISTRY as _REG199  # noqa: E402
 
 _REG199["q199_epoch_allocation"].oracle = _q199_oracle()
+
+
+# --------------------------------------------------------------- q203
+# Context-length sweep — the table behind the "what context length do
+# we train at" decision: for each candidate budget B, what the corpus
+# costs under the naive pad-to-B policy (every doc chunked to
+# ceil(toks/B) sequences, last chunk padded) versus the packed lower
+# bound (per-lang ceil(total/B) — what q59's packing approaches).
+# Exact integers: ceil is the (t + B - 1) DIV B integer form, never
+# float division. ONE corpus scan feeds a per-lang aggregation
+# (bounded at |langs| rows); the per-budget reshape happens
+# driver-side over those <= 5 rows (the q189/q199 bounded-collect
+# pattern) — the sweep never rescans the corpus per budget.
+
+_CTX_BUDGETS = (512, 1024, 2048, 4096, 8192)
+
+
+@register(
+    "q203_context_length_sweep",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, {_TOKS_DUCK} AS toks FROM documents
+    ),
+    per_lang AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(toks) AS BIGINT) AS total_toks,
+             {", ".join(
+               f"CAST(SUM((toks + {b} - 1) // {b}) AS BIGINT) AS s{b}"
+               for b in _CTX_BUDGETS
+             )}
+      FROM t GROUP BY lang
+    )
+    {" UNION ALL ".join(
+      f'''SELECT CAST({b} AS BIGINT) AS budget,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(total_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(s{b}) AS BIGINT) AS pad_seqs,
+           CAST(SUM(s{b}) * {b} AS BIGINT) AS pad_tokens,
+           CAST((SUM(s{b}) * {b} - SUM(total_toks)) * 1000000
+             // (SUM(s{b}) * {b}) AS BIGINT) AS pad_waste_ppm,
+           CAST(SUM((total_toks + {b} - 1) // {b}) AS BIGINT) AS packed_seqs_lb,
+           CAST(SUM((total_toks + {b} - 1) // {b}) * {b} AS BIGINT)
+             AS packed_tokens_lb,
+           CAST((SUM((total_toks + {b} - 1) // {b}) * {b} - SUM(total_toks))
+             * 1000000 // (SUM((total_toks + {b} - 1) // {b}) * {b}) AS BIGINT)
+             AS packed_waste_lb_ppm
+         FROM per_lang''' for b in _CTX_BUDGETS
+    )}
+    ORDER BY budget
+    """,
+)
+def q203_context_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per candidate context budget: corpus doc/token mass, the
+    pad-to-budget sequence count + padded-token mass + waste ppm, and
+    the per-lang packed lower bound (sequence count, token mass,
+    waste ppm) q59's packing approaches — all exact integer
+    arithmetic, one corpus scan, driver-side reshape over the <= 5
+    per-lang rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = [
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_toks"),
+    ] + [
+        F.sum(F.expr(f"(toks + {b} - 1) DIV {b}")).cast("long").alias(f"s{b}")
+        for b in _CTX_BUDGETS
+    ]
+    per_lang = (
+        docs.select(
+            "lang", token_count("text")["n_tokens_est"].cast("long").alias("toks")
+        )
+        .groupBy("lang")
+        .agg(*aggs)
+        .collect()
+    )
+    out = []
+    for b in _CTX_BUDGETS:
+        n_docs = sum(r["n_docs"] for r in per_lang)
+        total = sum(r["total_toks"] for r in per_lang)
+        pad_seqs = sum(r[f"s{b}"] for r in per_lang)
+        pad_tokens = pad_seqs * b
+        packed_seqs = sum((r["total_toks"] + b - 1) // b for r in per_lang)
+        packed_tokens = packed_seqs * b
+        out.append(
+            (
+                b,
+                n_docs,
+                total,
+                pad_seqs,
+                pad_tokens,
+                (pad_tokens - total) * 1_000_000 // pad_tokens,
+                packed_seqs,
+                packed_tokens,
+                (packed_tokens - total) * 1_000_000 // packed_tokens,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "budget long, n_docs long, total_tokens long, pad_seqs long, "
+        "pad_tokens long, pad_waste_ppm long, packed_seqs_lb long, "
+        "packed_tokens_lb long, packed_waste_lb_ppm long",
+    ).orderBy("budget")

@@ -880,3 +880,50 @@ class TestIvfNprobeSweep:
         assert sweep[2]["n_hits"] == hits
         assert sweep[2]["n_exact"] == exact
         assert sweep[2]["recall_ppm"] == hits * 1_000_000 // exact
+
+
+class TestContextLengthSweep:
+    """q203 (round 10): pad-vs-pack cost per candidate context
+    budget, exact integer ceil arithmetic."""
+
+    def test_brute_force_per_doc_equivalence(self, spark):
+        from pyspark.sql import functions as F
+        from redshift_avro_spark.operators.text import token_count
+        from redshift_avro_spark.queries.relational import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        toks = [
+            (r["lang"], r["t"])
+            for r in docs.select(
+                "lang", token_count("text")["n_tokens_est"].cast("long").alias("t")
+            ).collect()
+        ]
+        out = {
+            r["budget"]: r
+            for r in REGISTRY["q203_context_length_sweep"].fn(spark, SF_SMOKE).collect()
+        }
+        assert set(out) == {512, 1024, 2048, 4096, 8192}
+        total = sum(t for _, t in toks)
+        for b, r in out.items():
+            pad_seqs = sum((t + b - 1) // b for _, t in toks)
+            assert r["n_docs"] == len(toks)
+            assert r["total_tokens"] == total
+            assert r["pad_seqs"] == pad_seqs
+            assert r["pad_tokens"] == pad_seqs * b
+            assert r["pad_waste_ppm"] == (pad_seqs * b - total) * 1_000_000 // (pad_seqs * b)
+            # packed lower bound: per-lang ceil of totals
+            lang_tot = {}
+            for lang, t in toks:
+                lang_tot[lang] = lang_tot.get(lang, 0) + t
+            packed = sum((t + b - 1) // b for t in lang_tot.values())
+            assert r["packed_seqs_lb"] == packed
+
+    def test_packing_always_at_least_as_tight(self, spark):
+        out = REGISTRY["q203_context_length_sweep"].fn(spark, SF_SMOKE).collect()
+        for r in out:
+            assert r["packed_seqs_lb"] <= r["pad_seqs"]
+            assert r["packed_waste_lb_ppm"] <= r["pad_waste_ppm"]
+        # waste grows with the budget under both policies on this corpus
+        by_b = sorted(out, key=lambda r: r["budget"])
+        pad = [r["pad_waste_ppm"] for r in by_b]
+        assert pad == sorted(pad)

@@ -176,6 +176,9 @@ EXTENDED: dict[str, float] = {
     # one narrow scan + per-lang agg, driver reshape over <= 5 rows;
     # best-of-3 0.686 s on a sentinel-0.49 (loaded) host
     "q203_context_length_sweep": 1.3,
+    # one per-source window + one agg with XOR lanes; best-of-3
+    # 0.585 s on a sentinel-0.58 (loaded) host
+    "q204_shard_manifest": 1.3,
 }
 
 _DETAIL_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r10.json")

@@ -1106,6 +1106,7 @@ def q87_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q192_source_datasheet",
         "q196_filter_threshold_sweep",
         "q199_epoch_allocation",
+        "q204_shard_manifest",
     ),
     oracle=f"""
     SELECT s.lang, s.n_total, s.n_sampled, s.sampled_tokens,
@@ -1121,7 +1122,8 @@ def q87_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            sw.sw_bins, sw.sw_docs, sw.sw_tokens,
            sw.sw_half_token_threshold_ppm, sw.sw_digest,
            ep.ep_tokens, ep.ep_alloc, ep.ep_epochs_ppm, ep.ep_capped,
-           ep.ep_leftover
+           ep.ep_leftover,
+           mf.mf_shards, mf.mf_docs, mf.mf_tokens, mf.mf_digest
     FROM {_sub('q60_stratified_sample')} s
     JOIN (
       SELECT lang,
@@ -1189,6 +1191,16 @@ def q87_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              leftover_tokens AS ep_leftover
       FROM {_sub('q199_epoch_allocation')}
     ) ep USING (lang)
+    CROSS JOIN (
+      -- shard-manifest rollup (q204's per-shard grain stays in the
+      -- standalone member; the suite carries the corpus line — shard
+      -- count, doc/token mass and the XOR-of-XORs corpus digest)
+      SELECT CAST(COUNT(*) AS BIGINT) AS mf_shards,
+             CAST(SUM(n_docs) AS BIGINT) AS mf_docs,
+             CAST(SUM(shard_tokens) AS BIGINT) AS mf_tokens,
+             CAST(bit_xor(content_digest) AS BIGINT) AS mf_digest
+      FROM {_sub('q204_shard_manifest')}
+    ) mf
     ORDER BY lang
     """,
 )
@@ -1211,7 +1223,9 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     a doc-weighted threshold digest — round 10) ⋈ the data-constrained
     epoch allocation (q199 — water-filled token budget under a 4-epoch
     repeat cap on the suite's own lang spine, exact integer tokens —
-    round 10) — all four sampling
+    round 10) ⋈ the shard-manifest rollup (q204 — shard count,
+    doc/token mass and the XOR-of-XORs corpus content digest, one
+    broadcast row — round 10) — all four sampling
     modes plus both weighting recipes a mixture builder needs, joined
     on the 5-value lang key of already-tiny aggregates."""
     s = _run("q60_stratified_sample", spark, sf_dir)
@@ -1274,6 +1288,12 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mean_quality_ppm").cast("bigint").alias("ds_min_quality_ppm"),
         F.max("mean_quality_ppm").cast("bigint").alias("ds_max_quality_ppm"),
     )
+    mf = _run("q204_shard_manifest", spark, sf_dir).agg(
+        F.count("*").cast("bigint").alias("mf_shards"),
+        F.sum("n_docs").cast("bigint").alias("mf_docs"),
+        F.sum("shard_tokens").cast("bigint").alias("mf_tokens"),
+        F.expr("bit_xor(content_digest)").cast("bigint").alias("mf_digest"),
+    )
     ep = _run("q199_epoch_allocation", spark, sf_dir).select(
         "lang",
         F.col("n_tokens").alias("ep_tokens"),
@@ -1299,6 +1319,7 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ds))
         .crossJoin(F.broadcast(sw))
         .join(F.broadcast(ep), "lang")
+        .crossJoin(F.broadcast(mf))
         .orderBy("lang")
     )
 

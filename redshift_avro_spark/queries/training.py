@@ -955,3 +955,85 @@ def q203_context_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pad_tokens long, pad_waste_ppm long, packed_seqs_lb long, "
         "packed_tokens_lb long, packed_waste_lb_ppm long",
     ).orderBy("budget")
+
+
+# --------------------------------------------------------------- q204
+# Shard manifest — the release artifact a downstream consumer verifies
+# a downloaded shard against: q167's token-budgeted shard plan grain
+# (same deterministic doc_id-order assignment, same budget) extended
+# with an order-independent per-shard CONTENT digest — BIT_XOR over a
+# 60-bit md5 lane of (doc_id : md5(text) : tok). XOR is the right
+# fold at 100 TB: commutative (no per-shard sort to digest), exact,
+# and overflow-free where a SUM of lanes would blow int64; doc_id
+# uniqueness means elements never pairwise cancel. q204 ≡ q167 on the
+# shared columns (pinned by test) — the manifest IS the plan plus
+# verifiability.
+
+
+@register(
+    "q204_shard_manifest",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source, doc_id, CAST({_N_WORDS} AS BIGINT) AS tok,
+             CAST(concat('0x', substring(md5(concat(
+               CAST(doc_id AS VARCHAR), ':', md5(text), ':',
+               CAST({_N_WORDS} AS VARCHAR))), 1, 15)) AS BIGINT) AS lane
+      FROM documents
+    ),
+    cum AS (
+      SELECT source, doc_id, tok, lane,
+             CAST(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+      FROM per_doc
+    )
+    SELECT source,
+           CAST((cum_tok - tok) // {_SHARD_BUDGET} AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS shard_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc,
+           CAST(bit_xor(lane) AS BIGINT) AS content_digest
+    FROM cum
+    GROUP BY source, shard
+    ORDER BY source, shard
+    """,
+)
+def q204_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, shard): q167's plan columns plus the
+    order-independent BIT_XOR content digest a consumer recomputes to
+    verify a shard download — one window per source partition, one
+    map-side-combining aggregation, digests on the 8-byte md5 lane."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok_e = "size(split(trim(lower(text)), '\\\\s+'))"
+    per_doc = docs.select(
+        "source",
+        "doc_id",
+        F.expr(tok_e).cast("long").alias("tok"),
+        F.expr(
+            f"CAST(conv(substring(md5(concat("
+            f"CAST(doc_id AS STRING), ':', md5(text), ':',"
+            f"CAST({tok_e} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("lane"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_doc.withColumn("cum_tok", F.sum("tok").over(w).cast("long"))
+    return (
+        cum.select(
+            "source",
+            F.expr(f"(cum_tok - tok) div {_SHARD_BUDGET}").alias("shard"),
+            "doc_id",
+            "tok",
+            "lane",
+        )
+        .groupBy("source", "shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tok").cast("long").alias("shard_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+            F.expr("bit_xor(lane)").cast("long").alias("content_digest"),
+        )
+        .orderBy("source", "shard")
+    )

@@ -927,3 +927,49 @@ class TestContextLengthSweep:
         by_b = sorted(out, key=lambda r: r["budget"])
         pad = [r["pad_waste_ppm"] for r in by_b]
         assert pad == sorted(pad)
+
+
+class TestShardManifest:
+    """q204 (round 10): the q167 shard plan extended with an
+    order-independent XOR content digest."""
+
+    def test_manifest_agrees_with_shard_plan(self, spark):
+        plan = {
+            (r["source"], r["shard"]): r
+            for r in REGISTRY["q167_shard_plan"].fn(spark, SF_SMOKE).collect()
+        }
+        man = {
+            (r["source"], r["shard"]): r
+            for r in REGISTRY["q204_shard_manifest"].fn(spark, SF_SMOKE).collect()
+        }
+        assert set(man) == set(plan)  # identical shard assignment
+        for k, r in man.items():
+            for c in ("n_docs", "shard_tokens", "first_doc", "last_doc"):
+                assert r[c] == plan[k][c], (k, c)
+
+    def test_digest_detects_content_change(self, spark, tmp_path):
+        """Flipping ONE document's text must change exactly the
+        digests of the shard holding it — the verification property
+        the manifest exists for."""
+        from redshift_avro_spark.queries.relational import load_table
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        base = str(tmp_path / "a")
+        mut = str(tmp_path / "b")
+        docs.coalesce(1).write.parquet(base + "/documents.parquet")
+        docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") == 7, F.concat(F.col("text"), F.lit(" x")))
+            .otherwise(F.col("text")),
+        ).coalesce(1).write.parquet(mut + "/documents.parquet")
+        a = {
+            (r["source"], r["shard"]): r["content_digest"]
+            for r in REGISTRY["q204_shard_manifest"].fn(spark, base).collect()
+        }
+        b = {
+            (r["source"], r["shard"]): r["content_digest"]
+            for r in REGISTRY["q204_shard_manifest"].fn(spark, mut).collect()
+        }
+        diff = {k for k in a if a[k] != b.get(k)}
+        assert len(diff) == 1  # only the shard holding doc 7 moved

@@ -8,7 +8,7 @@ entries (the driver gate's observed cap) covering every registered
 operator demo — the Avro pipeline q20–q25, the delegated relational
 surface, dedup/similarity/text/multimodal/curation/streaming/
 compaction/training/scrubbing/time-series/sketch operators — where 21
-composite suites (``queries/composite.py``) carry the 148 folded
+composite suites (``queries/composite.py``) carry the 149 folded
 member demos by reusing their fns and oracles verbatim. Every
 declared entry has a full DuckDB value-hash oracle; the folded members
 stay registered and value-checked by tests/test_queries_oracle.py.
@@ -37,8 +37,8 @@ _REGISTRY = load_all()
 
 # The driver's correctness gate verifies at most 50 declared entries
 # (CORRECTNESS_r01/r02 each hold exactly the first 50 sorted names), so
-# the declared surface is the GATED set: all 198 registered queries
-# minus the 148 members folded into the 21 composite suites
+# the declared surface is the GATED set: all 199 registered queries
+# minus the 149 members folded into the 21 composite suites
 # (queries/composite.py) = exactly 50 entries, every operator family
 # included. The folded members stay registered and value-checked by the
 # local oracle replica (tests/test_queries_oracle.py).

@@ -179,6 +179,9 @@ EXTENDED: dict[str, float] = {
     # one per-source window + one agg with XOR lanes; best-of-3
     # 0.585 s on a sentinel-0.58 (loaded) host
     "q204_shard_manifest": 1.3,
+    # one k-means training + bucket/cell population joins; best-of-3
+    # 1.41 s on a sentinel-0.54 (loaded) host
+    "q205_ann_cost_audit": 2.4,
 }
 
 _DETAIL_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r10.json")

@@ -785,13 +785,14 @@ def q84_event_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q171_matryoshka_audit",
         "q179_ivf_delete",
         "q202_ivf_nprobe_sweep",
+        "q205_ann_cost_audit",
     ),
     oracle=f"""
     {_with_members('q35_cosine_topk', 'q36_ann_lsh_topk', 'q45_ivf_topk',
                    'q116_knn_graph', 'q124_rrf_fusion', 'q147_pq_adc_topk',
                    'q148_hard_negatives', 'q152_ivf_incremental_add',
                    'q179_ivf_delete', 'q159_ann_recall', 'q171_matryoshka_audit',
-                   'q202_ivf_nprobe_sweep')}
+                   'q202_ivf_nprobe_sweep', 'q205_ann_cost_audit')}
     SELECT 'brute' AS method, query_id, rank, neighbor_id, cosine
     FROM {_m('q35_cosine_topk')}
     UNION ALL
@@ -839,6 +840,12 @@ def q84_event_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_hits AS neighbor_id,
            CAST(n_exact AS DOUBLE) AS cosine
     FROM {_m('q202_ivf_nprobe_sweep')}
+    UNION ALL
+    SELECT concat('cost:', method) AS method, total_candidates AS query_id,
+           CAST(work_vs_brute_ppm AS INTEGER) AS rank,
+           max_candidates AS neighbor_id,
+           CAST(min_candidates AS DOUBLE) AS cosine
+    FROM {_m('q205_ann_cost_audit')}
     ORDER BY method, query_id, rank, neighbor_id
     """,
 )
@@ -931,6 +938,15 @@ def q85_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("recall_ppm").cast("int").alias("rank"),
             F.col("n_hits").alias("neighbor_id"),
             F.col("n_exact").cast("double").alias("cosine"),
+        )
+    )
+    parts.append(
+        _run("q205_ann_cost_audit", spark, sf_dir).select(
+            F.concat(F.lit("cost:"), F.col("method")).alias("method"),
+            F.col("total_candidates").alias("query_id"),
+            F.col("work_vs_brute_ppm").cast("int").alias("rank"),
+            F.col("max_candidates").alias("neighbor_id"),
+            F.col("min_candidates").cast("double").alias("cosine"),
         )
     )
     out = parts[0]

@@ -1937,3 +1937,186 @@ def q202_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["q202_ivf_nprobe_sweep"].oracle = _q202_oracle()
+
+
+# --------------------------------------------------------------- q205
+# ANN cost audit — the other half of q202's tuning picture: recall
+# curves without COST curves don't pick an operating point. Per
+# method (brute force, the q36 LSH bucket, the q45 IVF index at
+# n_probe ∈ {1,2,4,8}) this reports the exact number of candidate
+# vectors a query examines (self excluded) — brute pays N−1, LSH pays
+# its bucket's population, IVF pays the probed cells' populations.
+# All counts come from the SAME registered index structures (the
+# shared _bucket_duck planes, the shared _CENTS_CTE k-means
+# trajectory), so cost and recall are measured on identical indexes.
+
+_COST_PROBES = (1, 2, 4, 8)
+
+
+def _q205_oracle() -> str:
+    probe_arms = " UNION ALL ".join(
+        f"""SELECT concat('ivf@', CAST({p} AS VARCHAR)) AS method, query_id,
+           CAST(SUM(CASE WHEN rn <= {p} THEN cell_n ELSE 0 END) - 1 AS BIGINT)
+             AS candidates
+         FROM probed GROUP BY query_id"""
+        for p in _COST_PROBES
+    )
+    return f"""
+    WITH {_CENTS_CTE},
+    assign AS (
+      SELECT neighbor_id, cid FROM (
+        SELECT e.vec_id AS neighbor_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cent_cos('e.embedding')} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN {_FINAL_CENTS} c
+      ) WHERE rn = 1
+    ),
+    cellsz AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS cell_n FROM assign GROUP BY cid
+    ),
+    proberanks AS (
+      SELECT query_id, cid, rn FROM (
+        SELECT e.vec_id AS query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cent_cos('e.embedding')} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN {_FINAL_CENTS} c
+        WHERE e.vec_id < 10
+      ) WHERE rn <= {max(_COST_PROBES)}
+    ),
+    probed AS (
+      SELECT p.query_id, p.rn, s.cell_n
+      FROM proberanks p JOIN cellsz s USING (cid)
+    ),
+    n_corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    lsh AS (
+      SELECT q.vec_id AS query_id,
+             CAST(b.bn - 1 AS BIGINT) AS candidates
+      FROM (SELECT vec_id, {_bucket_duck('embedding')} AS bucket
+            FROM embeddings WHERE vec_id < 10) q
+      JOIN (SELECT {_bucket_duck('embedding')} AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS bn
+            FROM embeddings GROUP BY 1) b USING (bucket)
+    ),
+    per_query AS (
+      SELECT 'brute' AS method, e.vec_id AS query_id,
+             CAST((SELECT n FROM n_corpus) - 1 AS BIGINT) AS candidates
+      FROM embeddings e WHERE e.vec_id < 10
+      UNION ALL
+      SELECT 'lsh' AS method, query_id, candidates FROM lsh
+      UNION ALL
+      {probe_arms}
+    )
+    SELECT method,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(candidates) AS BIGINT) AS total_candidates,
+           CAST(MIN(candidates) AS BIGINT) AS min_candidates,
+           CAST(MAX(candidates) AS BIGINT) AS max_candidates,
+           CAST(SUM(candidates) * 1000000
+             // (SELECT ((SELECT n FROM n_corpus) - 1) * COUNT(*)
+                 FROM embeddings WHERE vec_id < 10) AS BIGINT) AS work_vs_brute_ppm
+    FROM per_query GROUP BY method ORDER BY method
+    """
+
+
+@register("q205_ann_cost_audit", oracle=None)  # set below
+def q205_ann_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact candidates-examined counts per ANN method (self
+    excluded): brute = N−1 per query; LSH = the query's bucket
+    population; IVF@p = the p probed cells' populations, on the same
+    trained index q202 measures recall on. One row per method with
+    query count, total/min/max candidates and total work as a ppm
+    share of brute force."""
+    from ..operators.similarity import (
+        _assign_nearest,
+        _nearest_cells_udf,
+        ivf_train_centers,
+        lsh_bucket_key,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    queries = emb.where(F.col("vec_id") < 10)
+    n_queries = queries.count()
+    brute_total = n_corpus - 1
+
+    key = lsh_bucket_key("embedding", 4, 64)
+    bsz = (
+        emb.select(key.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("bn"))
+    )
+    lsh = (
+        queries.select(F.col("vec_id").alias("query_id"), key.alias("bucket"))
+        .join(F.broadcast(bsz), "bucket")
+        .select(
+            F.lit("lsh").alias("method"),
+            "query_id",
+            (F.col("bn") - 1).cast("long").alias("candidates"),
+        )
+    )
+    brute = queries.select(
+        F.lit("brute").alias("method"),
+        F.col("vec_id").alias("query_id"),
+        F.lit(brute_total).cast("long").alias("candidates"),
+    )
+    centers = ivf_train_centers(emb, "vec_id", "embedding", 8, 2, 64)
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    cellsz = (
+        _assign_nearest(c, centers)
+        .groupBy("cid")
+        .agg(F.count("*").cast("long").alias("cell_n"))
+    )
+    probed = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(
+                _nearest_cells_udf(centers, max(_COST_PROBES))(F.col("embedding"))
+            ).alias("idx", "cid"),
+        )
+        .join(F.broadcast(cellsz), "cid")
+        .select("query_id", (F.col("idx") + 1).alias("rn"), "cell_n")
+    )
+    parts = [brute, lsh]
+    for p in _COST_PROBES:
+        parts.append(
+            probed.groupBy("query_id")
+            .agg(
+                (
+                    F.sum(F.when(F.col("rn") <= p, F.col("cell_n")).otherwise(0)) - 1
+                )
+                .cast("long")
+                .alias("candidates")
+            )
+            .select(
+                F.lit(f"ivf@{p}").alias("method"), "query_id", "candidates"
+            )
+        )
+    per_query = parts[0]
+    for x in parts[1:]:
+        per_query = per_query.unionByName(x)
+    return (
+        per_query.groupBy("method")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.sum("candidates").cast("long").alias("total_candidates"),
+            F.min("candidates").cast("long").alias("min_candidates"),
+            F.max("candidates").cast("long").alias("max_candidates"),
+        )
+        .select(
+            "method",
+            "n_queries",
+            "total_candidates",
+            "min_candidates",
+            "max_candidates",
+            F.expr(
+                f"CAST(total_candidates * 1000000 DIV "
+                f"{brute_total * n_queries} AS BIGINT)"
+            ).alias("work_vs_brute_ppm"),
+        )
+        .orderBy("method")
+    )
+
+
+REGISTRY["q205_ann_cost_audit"].oracle = _q205_oracle()

@@ -973,3 +973,54 @@ class TestShardManifest:
         }
         diff = {k for k in a if a[k] != b.get(k)}
         assert len(diff) == 1  # only the shard holding doc 7 moved
+
+
+class TestAnnCostAudit:
+    """q205 (round 10): exact candidates-examined counts per ANN
+    method on the same indexes q202 grades recall on."""
+
+    def test_cost_hierarchy_and_exact_brute(self, spark):
+        out = {
+            r["method"]: r
+            for r in REGISTRY["q205_ann_cost_audit"].fn(spark, SF_SMOKE).collect()
+        }
+        from redshift_avro_spark.queries.relational import load_table
+
+        n = load_table(spark, SF_SMOKE, "embeddings").count()
+        assert out["brute"]["min_candidates"] == n - 1
+        assert out["brute"]["max_candidates"] == n - 1
+        assert out["brute"]["work_vs_brute_ppm"] == 1_000_000
+        # more probes examine more candidates, never fewer
+        ivf = [out[f"ivf@{p}"]["total_candidates"] for p in (1, 2, 4, 8)]
+        assert ivf == sorted(ivf)
+        # ivf@8 probes all 8 cells == the whole corpus minus self
+        assert out["ivf@8"]["total_candidates"] == out["brute"]["total_candidates"]
+        # approximate methods cost less than brute below exhaustion
+        assert out["ivf@1"]["total_candidates"] < out["brute"]["total_candidates"]
+        assert out["lsh"]["total_candidates"] < out["brute"]["total_candidates"]
+
+    def test_cost_matches_index_populations(self, spark):
+        """LSH cost must equal the query-bucket populations computed
+        independently from the operator's own bucket key."""
+        from pyspark.sql import functions as F
+        from redshift_avro_spark.operators.similarity import lsh_bucket_key
+        from redshift_avro_spark.queries.relational import load_table
+
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        key = lsh_bucket_key("embedding", 4, 64)
+        sizes = {
+            r["bucket"]: r["n"]
+            for r in emb.select(key.alias("bucket")).groupBy("bucket").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        qb = [
+            sizes[r["bucket"]] - 1
+            for r in emb.where("vec_id < 10").select(key.alias("bucket")).collect()
+        ]
+        out = {
+            r["method"]: r
+            for r in REGISTRY["q205_ann_cost_audit"].fn(spark, SF_SMOKE).collect()
+        }
+        assert out["lsh"]["total_candidates"] == sum(qb)
+        assert out["lsh"]["min_candidates"] == min(qb)
+        assert out["lsh"]["max_candidates"] == max(qb)

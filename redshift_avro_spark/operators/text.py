@@ -888,12 +888,20 @@ def gram_novelty(
         f"array_join(slice(ws, i, {window}), ' ')"
         f"), 1, 15), 16, 10) AS BIGINT)))[0]"
     )
+    from .staging import materialize
+
     n_part = max(2, docs.sparkSession.sparkContext.defaultParallelism // 2)
-    dist = (
+    # materialized: the gram explode + DISTINCT (the expensive stage)
+    # feeds BOTH the per-source totals and the per-gram MIN — without
+    # the boundary the whole fan-out is planned twice (the
+    # source_overlap gsets rule)
+    dist = materialize(
         docs.repartition(n_part, doc_col)
         .where(F.size(w) >= window)
         .select(source_col, F.explode(F.expr(grams_expr)).alias("gram"))
-        .distinct()
+        .distinct(),
+        label="gram_novelty_dist",
+        default="checkpoint",
     )
     firsts = dist.groupBy("gram").agg(F.min(source_col).alias(source_col))
     tot = dist.groupBy(source_col).agg(
@@ -946,11 +954,16 @@ def roc_audit(
     pattern); the 2U product is carried as DECIMAL(38,0) / HUGEINT
     because pos·neg pair counts pass int64 at ~1e10 docs per class.
     Shared grid constants with the q196 threshold sweep so the two
-    calibration tables line up threshold-for-threshold."""
+    calibration tables line up threshold-for-threshold.
+
+    NULL scores are excluded from both the curve and the AUC (the
+    standard ROC contract: an unscoreable item cannot be ranked) —
+    the per-class totals count SCORED documents only."""
     from .staging import materialize
 
     hist = materialize(
-        df.select(
+        df.where(F.col(score_col).isNotNull())
+        .select(
             F.col(score_col).cast("long").alias("s"),
             F.col(label_col).cast("boolean").alias("y"),
         )

@@ -63,6 +63,15 @@ def epoch_allocation(
     Returns ``({key: {t, w, cap, alloc, capped}}, leftover)``. The
     q199 oracle replays this loop as ``max_steps`` unrolled relational
     steps, so ``max_steps`` must be >= |groups| + 1."""
+    if len(shares) + 1 > max_steps:
+        # each step resolves at most one cap wave; fewer steps than
+        # groups + 1 can strand budget as phantom "leftover" — and the
+        # q199 oracle unrolls exactly max_steps, so a silent shortfall
+        # would agree across engines while being WRONG
+        raise ValueError(
+            f"epoch_allocation needs max_steps >= len(shares) + 1 "
+            f"({len(shares) + 1}), got {max_steps}"
+        )
     rows = {
         key: {"t": t, "w": w, "cap": epoch_cap * t, "alloc": 0, "capped": False}
         for key, t, w in shares

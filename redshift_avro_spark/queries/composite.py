@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import REGISTRY, register
+from .text import _SWEEP_BIN, _SWEEP_SHIFT
 
 
 def _run(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1187,14 +1188,17 @@ def q87_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- filter-threshold-sweep rollup (q196's per-bin curve stays in
       -- the standalone member; the mix suite carries the corpus line:
       -- bin count, total mass, the lowest threshold keeping <= half
-      -- the tokens, and a doc-weighted threshold digest)
+      -- the tokens, and a BIN-INDEX-weighted digest — the raw
+      -- threshold_ppm (±1e9) times 100 TB-scale doc counts passes
+      -- int64, the ±~40 bin index never does)
       SELECT CAST(COUNT(*) AS BIGINT) AS sw_bins,
              CAST(MAX(cum_docs) AS BIGINT) AS sw_docs,
              CAST(MAX(cum_tokens) AS BIGINT) AS sw_tokens,
              CAST(MIN(CASE WHEN kept_token_ppm <= 500000
                            THEN threshold_ppm END) AS BIGINT)
                AS sw_half_token_threshold_ppm,
-             CAST(SUM(threshold_ppm * n_docs) AS BIGINT) AS sw_digest
+             CAST(SUM(((threshold_ppm + {_SWEEP_SHIFT}) // {_SWEEP_BIN})
+               * n_docs) AS BIGINT) AS sw_digest
       FROM {_sub('q196_filter_threshold_sweep')}
     ) sw
     JOIN (
@@ -1325,8 +1329,10 @@ def q88_training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(
             F.when(F.col("kept_token_ppm") <= 500_000, F.col("threshold_ppm"))
         ).cast("bigint").alias("sw_half_token_threshold_ppm"),
-        F.sum(F.col("threshold_ppm") * F.col("n_docs"))
-        .cast("bigint").alias("sw_digest"),
+        F.sum(
+            F.expr(f"((threshold_ppm + {_SWEEP_SHIFT}) DIV {_SWEEP_BIN})")
+            * F.col("n_docs")
+        ).cast("bigint").alias("sw_digest"),
     )
     return (
         s.join(sp, "lang").join(m, "lang").join(q, "lang").join(pp, "lang").join(tw, "lang")

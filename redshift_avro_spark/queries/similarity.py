@@ -1883,24 +1883,16 @@ def q202_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Micro-averaged recall@5 vs n_probe for the q45 IVF index:
     per probe setting the query count, exact-pair count, approx hits
     and recall in exact integer ppm. ONE k-means training + ONE
-    materialized corpus assignment feed all four probe settings (the
-    assignment is a projection; each setting adds only a broadcast
-    probe join + a per-query top-5)."""
-    from ..operators.similarity import (
-        _assign_nearest,
-        _ivf_query,
-        ivf_train_centers,
-    )
-    from ..operators.staging import materialize
+    materialized corpus assignment — the ``_ivf_eval_index`` memo
+    SHARED with the q205 cost audit — feed all four probe settings
+    (the assignment is a projection; each setting adds only a
+    broadcast probe join + a per-query top-5)."""
+    from ..operators.similarity import _ivf_query
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
     q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
-    centers = ivf_train_centers(emb, "vec_id", "embedding", 8, 2, 64)
-    assign = materialize(
-        _assign_nearest(c, centers), label="ivf_sweep_assign", default="checkpoint"
-    )
+    centers, assign = _ivf_eval_index(spark, sf_dir)
     exact = REGISTRY["q35_cosine_topk"].fn(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
@@ -1946,11 +1938,46 @@ REGISTRY["q202_ivf_nprobe_sweep"].oracle = _q202_oracle()
 # n_probe ∈ {1,2,4,8}) this reports the exact number of candidate
 # vectors a query examines (self excluded) — brute pays N−1, LSH pays
 # its bucket's population, IVF pays the probed cells' populations.
-# All counts come from the SAME registered index structures (the
+# All counts come from the SAME registered index structures: the
 # shared _bucket_duck planes, the shared _CENTS_CTE k-means
-# trajectory), so cost and recall are measured on identical indexes.
+# trajectory — and q202/q205 share ONE trained centers + assignment
+# via the _ivf_eval_index memo (the _sd_cells pattern), so "cost and
+# recall measured on identical indexes" holds by construction, not by
+# coincidentally identical arguments.
 
-_COST_PROBES = (1, 2, 4, 8)
+_COST_PROBES = _SWEEP_PROBES  # one probe ladder for recall AND cost
+
+_IVF_EVAL_MEMO: dict = {}
+
+
+def _ivf_eval_index(spark: SparkSession, sf_dir: str) -> tuple:
+    """ONE (centers, materialized assignment) per (app, corpus) for
+    the q202 recall sweep and the q205 cost audit — the q45 training
+    arguments (8 centroids, 2 Lloyd iterations, dim 64, oversample
+    seed), trained once and reused by every probe setting of both
+    consumers."""
+    import os
+
+    from ..operators.similarity import _assign_nearest, ivf_train_centers
+    from ..operators.staging import materialize
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if key not in _IVF_EVAL_MEMO:
+        emb = load_table(spark, sf_dir, "embeddings")
+        centers = ivf_train_centers(emb, "vec_id", "embedding", 8, 2, 64)
+        c = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cvec"),
+        )
+        assign = materialize(
+            _assign_nearest(c, centers),
+            label="ivf_eval_assign",
+            default="checkpoint",
+        )
+        _IVF_EVAL_MEMO[key] = (centers, assign)
+        while len(_IVF_EVAL_MEMO) > 4:
+            _IVF_EVAL_MEMO.pop(next(iter(_IVF_EVAL_MEMO)))
+    return _IVF_EVAL_MEMO[key]
 
 
 def _q205_oracle() -> str:
@@ -2026,12 +2053,7 @@ def q205_ann_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained index q202 measures recall on. One row per method with
     query count, total/min/max candidates and total work as a ppm
     share of brute force."""
-    from ..operators.similarity import (
-        _assign_nearest,
-        _nearest_cells_udf,
-        ivf_train_centers,
-        lsh_bucket_key,
-    )
+    from ..operators.similarity import _nearest_cells_udf, lsh_bucket_key
 
     emb = load_table(spark, sf_dir, "embeddings")
     n_corpus = emb.count()
@@ -2059,14 +2081,9 @@ def q205_ann_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.lit(brute_total).cast("long").alias("candidates"),
     )
-    centers = ivf_train_centers(emb, "vec_id", "embedding", 8, 2, 64)
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
-    )
-    cellsz = (
-        _assign_nearest(c, centers)
-        .groupBy("cid")
-        .agg(F.count("*").cast("long").alias("cell_n"))
+    centers, assign = _ivf_eval_index(spark, sf_dir)
+    cellsz = assign.groupBy("cid").agg(
+        F.count("*").cast("long").alias("cell_n")
     )
     probed = (
         queries.select(

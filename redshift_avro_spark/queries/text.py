@@ -1930,7 +1930,14 @@ _SWEEP_SHIFT = 1_001_000_000  # |logit_ppm| <= 1001e6 by the weight table
     SELECT CAST(bin * {_SWEEP_BIN} - {_SWEEP_SHIFT} AS BIGINT) AS threshold_ppm,
            n_docs, n_tokens, cum_docs, cum_tokens,
            CAST(cum_docs * 1000000 // tot_docs AS BIGINT) AS kept_doc_ppm,
-           CAST(cum_tokens * 1000000 // tot_tokens AS BIGINT) AS kept_token_ppm
+           -- multiplier-split form: cum_tokens * 1e6 passes int64 at
+           -- ~9e12 corpus tokens (the 100 TB regime). Splitting 1e6
+           -- into 1000 * 1000 keeps every intermediate <= 1000 * d:
+           -- q*1e6//d == ((q*1000)//d)*1000 + (((q*1000)%d)*1000)//d,
+           -- exact for d up to ~9e15 tokens
+           CAST(((cum_tokens * 1000) // tot_tokens) * 1000
+             + (((cum_tokens * 1000) % tot_tokens) * 1000) // tot_tokens
+             AS BIGINT) AS kept_token_ppm
     FROM cu ORDER BY threshold_ppm
     """,
 )
@@ -1987,9 +1994,13 @@ def q196_filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(cum_docs * 1000000 DIV __td AS BIGINT)").alias(
                 "kept_doc_ppm"
             ),
-            F.expr("CAST(cum_tokens * 1000000 DIV __tt AS BIGINT)").alias(
-                "kept_token_ppm"
-            ),
+            # multiplier-split form — cum_tokens * 1e6 overflows int64
+            # at the 100 TB token scale; splitting 1e6 into 1000 * 1000
+            # bounds every intermediate at 1000 * tot (exact to ~9e15)
+            F.expr(
+                "CAST(((cum_tokens * 1000) DIV __tt) * 1000"
+                " + (((cum_tokens * 1000) % __tt) * 1000) DIV __tt AS BIGINT)"
+            ).alias("kept_token_ppm"),
         )
         .orderBy("threshold_ppm")
     )

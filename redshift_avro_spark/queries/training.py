@@ -863,7 +863,9 @@ _REG199["q199_epoch_allocation"].oracle = _q199_oracle()
 # ceil(toks/B) sequences, last chunk padded) versus the packed lower
 # bound (per-lang ceil(total/B) — what q59's packing approaches).
 # Exact integers: ceil is the (t + B - 1) DIV B integer form, never
-# float division. ONE corpus scan feeds a per-lang aggregation
+# float division; the waste ratios ride HUGEINT in the oracle (the
+# waste x 1e6 product passes int64 at ~9e12 corpus tokens) and
+# exact Python ints driver-side. ONE corpus scan feeds a per-lang aggregation
 # (bounded at |langs| rows); the per-budget reshape happens
 # driver-side over those <= 5 rows (the q189/q199 bounded-collect
 # pattern) — the sweep never rescans the corpus per budget.
@@ -892,14 +894,15 @@ _CTX_BUDGETS = (512, 1024, 2048, 4096, 8192)
            CAST(SUM(total_toks) AS BIGINT) AS total_tokens,
            CAST(SUM(s{b}) AS BIGINT) AS pad_seqs,
            CAST(SUM(s{b}) * {b} AS BIGINT) AS pad_tokens,
-           CAST((SUM(s{b}) * {b} - SUM(total_toks)) * 1000000
-             // (SUM(s{b}) * {b}) AS BIGINT) AS pad_waste_ppm,
+           CAST(CAST(SUM(s{b}) * {b} - SUM(total_toks) AS HUGEINT) * 1000000
+             // CAST(SUM(s{b}) * {b} AS HUGEINT) AS BIGINT) AS pad_waste_ppm,
            CAST(SUM((total_toks + {b} - 1) // {b}) AS BIGINT) AS packed_seqs_lb,
            CAST(SUM((total_toks + {b} - 1) // {b}) * {b} AS BIGINT)
              AS packed_tokens_lb,
-           CAST((SUM((total_toks + {b} - 1) // {b}) * {b} - SUM(total_toks))
-             * 1000000 // (SUM((total_toks + {b} - 1) // {b}) * {b}) AS BIGINT)
-             AS packed_waste_lb_ppm
+           CAST(CAST(SUM((total_toks + {b} - 1) // {b}) * {b}
+                 - SUM(total_toks) AS HUGEINT) * 1000000
+             // CAST(SUM((total_toks + {b} - 1) // {b}) * {b} AS HUGEINT)
+             AS BIGINT) AS packed_waste_lb_ppm
          FROM per_lang''' for b in _CTX_BUDGETS
     )}
     ORDER BY budget

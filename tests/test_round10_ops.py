@@ -971,8 +971,15 @@ class TestShardManifest:
             (r["source"], r["shard"]): r["content_digest"]
             for r in REGISTRY["q204_shard_manifest"].fn(spark, mut).collect()
         }
-        diff = {k for k in a if a[k] != b.get(k)}
-        assert len(diff) == 1  # only the shard holding doc 7 moved
+        diff = {k for k in set(a) | set(b) if a.get(k) != b.get(k)}
+        # the mutated doc's source MUST show a changed digest; every
+        # OTHER source must be untouched. (Within the mutated source,
+        # the +1-token shift may legally move later docs across shard
+        # boundaries, so the exact changed-shard count is not pinned.)
+        src7 = docs.where("doc_id = 7").select("source").collect()[0][0]
+        assert diff, "content change must change at least one digest"
+        assert all(k[0] == src7 for k in diff), diff
+        assert any(k[0] == src7 for k in diff)
 
 
 class TestAnnCostAudit:
@@ -1024,3 +1031,44 @@ class TestAnnCostAudit:
         assert out["lsh"]["total_candidates"] == sum(qb)
         assert out["lsh"]["min_candidates"] == min(qb)
         assert out["lsh"]["max_candidates"] == max(qb)
+
+
+class TestReviewGuards:
+    """Round-10 review fixes: NULL-score ROC contract, epoch-step
+    guard, and the 100 TB-safe kept_token_ppm form."""
+
+    def test_roc_audit_excludes_null_scores(self, spark):
+        from redshift_avro_spark.operators.text import roc_audit
+
+        pairs = [(10, True), (20, False), (None, True), (None, False)]
+        df = spark.createDataFrame(pairs, "score long, label boolean")
+        out = roc_audit(df, "score", "label", bin_width=10, shift=100).collect()
+        # NULL-scored rows are excluded from totals AND the AUC
+        assert out[0]["pos_total"] == 1 and out[0]["neg_total"] == 1
+        assert out[0]["auc_ppm"] == 1_000_000  # 10 < 20, clean separation
+
+    def test_epoch_allocation_rejects_too_few_steps(self):
+        import pytest
+        from redshift_avro_spark.operators.training import epoch_allocation
+
+        shares = [(str(i), 100, 100_000) for i in range(7)]
+        with pytest.raises(ValueError, match="max_steps"):
+            epoch_allocation(shares, 1000, max_steps=6)
+        # and the documented bound is sufficient
+        rows, leftover = epoch_allocation(shares, 1000, max_steps=8)
+        assert sum(s["alloc"] for s in rows.values()) + leftover == 1000
+
+    def test_kept_token_ppm_multiplier_split_is_exact(self):
+        """The q196 form ((q*1000)//d)*1000 + ((q*1000)%d)*1000//d must
+        equal q*1e6//d for token scales past int64 * 1e6."""
+        for q, d in [
+            (0, 1), (1, 3), (2, 3),
+            (9_200_000_000_000, 9_200_000_000_001),  # ~int64/1e6 edge
+            (2_500_000_000_000, 25_000_000_000_000),  # 100 TB regime
+            (24_999_999_999_999, 25_000_000_000_000),
+        ]:
+            exact = q * 1_000_000 // d
+            split = ((q * 1000) // d) * 1000 + (((q * 1000) % d) * 1000) // d
+            assert split == exact, (q, d)
+            # every intermediate fits int64
+            assert q * 1000 < 2**63 and ((q * 1000) % d) * 1000 < 2**63

@@ -207,6 +207,18 @@ def main() -> None:
         n_small = spark.read.parquet(
             os.path.join(SF_DIR, "documents.parquet")
         ).count()
+        if args.reuse:
+            # a stale corpus from a different --replicas would silently
+            # mislabel every ratio — the row count pins it
+            n_have = spark.read.parquet(
+                os.path.join(args.out_dir, "documents.parquet")
+            ).count()
+            if n_have != n_small * args.replicas:
+                raise SystemExit(
+                    f"--reuse: {args.out_dir} holds {n_have} docs, expected "
+                    f"{n_small * args.replicas} for --replicas {args.replicas}; "
+                    f"rebuild without --reuse"
+                )
         n_big = spark.read.parquet(
             os.path.join(args.out_dir, "documents.parquet")
         ).count()

@@ -233,7 +233,15 @@ def q157_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel IS q49's attrition, not a reimplementation that can drift.
     The stage frames are narrow filters over one scan; only the dedup
     stages shuffle, on the same uniform md5/band keys as q49."""
-    docs = load_table(spark, sf_dir, "documents")
+    # same partitioning guard as q49: a single-file fixture otherwise
+    # pins the regex-heavy feature projection (and the merged stage-
+    # count aggregation over it) to one task; real multi-split input
+    # keeps its partitioning and pays no shuffle
+    docs = spread_codec_input(
+        load_table(spark, sf_dir, "documents"),
+        spark,
+        _parquet_file_count(sf_dir, "documents"),
+    )
     feat = docs.select(
         "doc_id",
         "text",
@@ -267,10 +275,24 @@ def q157_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = ngram_jaccard_pairs(
         survivors, "doc_id", "text", n=3, threshold=0.5, candidates=cands
     )
-    n_total = feat.count()
-    n_lang = s_lang.count()
-    n_quality = s_quality.count()
-    n_words_ok = s_words.count()
+    # the first four stage counts are nested filters of ONE feature
+    # scan (lang → quality → min-words), so they collapse into one
+    # conditional aggregation: the language_id + quality_features
+    # codegen projection runs ONCE instead of once per count action
+    # (guide §1.2 — at 100 TB each separate count was a full corpus
+    # feature pass; measured at sf0.1 this took the query's count
+    # phase from 4 jobs to 1 with hash-identical output)
+    lang_ok = F.col("lang_pred") == "en"
+    q_ok = lang_ok & (F.col("quality_score") >= _MIN_SCORE)
+    w_ok = q_ok & (F.col("n_words") >= _MIN_WORDS)
+    c = feat.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(lang_ok, 1).otherwise(0)).cast("long").alias("n_lang"),
+        F.sum(F.when(q_ok, 1).otherwise(0)).cast("long").alias("n_quality"),
+        F.sum(F.when(w_ok, 1).otherwise(0)).cast("long").alias("n_words_ok"),
+    ).collect()[0]
+    n_total, n_lang = c["n_total"], c["n_lang"]
+    n_quality, n_words_ok = c["n_quality"], c["n_words_ok"]
     n_exact = survivors.count()
     n_dropped_near = verified.select("id_b").distinct().count()
     rows = [
@@ -679,23 +701,47 @@ def q187_full_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     n0 = fr["docs"].count()
     n1, t1 = _ct(fr["url_dedup"])
     n2, t2 = _ct(fr["line_clean"])
-    n3, t3 = _ct(fr["language"])
-    n4, t4 = _ct(fr["quality"])
+    # the quality frame is a pure quality_score filter of the language
+    # frame, so both stages' (count, token-mass) pairs come from ONE
+    # conditional aggregation over the language frame — the
+    # language_id + quality_features codegen scan over the staged
+    # s_c4 parquet runs once instead of twice (guide §1.2: fewer
+    # passes; hash-identical output)
+    q_ok = F.col("quality_score") >= _MIN_SCORE
+    c34 = fr["language"].agg(
+        F.count("*").cast("long").alias("n3"),
+        F.coalesce(F.sum("tok"), F.lit(0)).cast("long").alias("t3"),
+        F.sum(F.when(q_ok, 1).otherwise(0)).cast("long").alias("n4"),
+        F.coalesce(F.sum(F.when(q_ok, F.col("tok"))), F.lit(0))
+        .cast("long")
+        .alias("t4"),
+    ).collect()[0]
+    n3, t3, n4, t4 = c34["n3"], c34["t3"], c34["n4"], c34["t4"]
     n5, t5 = _ct(fr["exact_dedup"])
     n6, t6 = _ct(fr["near_dup"])
-    n7, t7 = _ct(fr["decontam"])
+    # the decontam stage's (count, token-mass) and the shard count come
+    # from ONE aggregation over the final frame — countDistinct(source,
+    # shard) is the former .distinct().count(), and n/t ride the same
+    # job — so the survivors-parquet → anti-join → anti-join chain is
+    # computed once for the two final stages instead of three times
+    # (guide §1.2; an Observation-based variant was rejected: AQE's
+    # empty-relation propagation drops CollectMetrics when a stage
+    # empties the corpus, which the sf0.1 fixture actually does)
     w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    nsh = (
+    c7 = (
         fr["decontam"]
         .withColumn("cum_tok", F.sum("tok").over(w).cast("long"))
-        .select(
-            "source", F.expr(f"(cum_tok - tok) div {_SHARD_BUDGET}").alias("shard")
+        .withColumn("shard", F.expr(f"(cum_tok - tok) div {_SHARD_BUDGET}"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.coalesce(F.sum("tok"), F.lit(0)).cast("long").alias("t"),
+            F.countDistinct("source", "shard").cast("long").alias("nsh"),
         )
-        .distinct()
-        .count()
+        .collect()[0]
     )
+    n7, t7, nsh = c7["n"], c7["t"], c7["nsh"]
     rows = [
         (1, "url_dedup", n0, n1, t1, None),
         (2, "line_clean", n1, n2, t2, None),

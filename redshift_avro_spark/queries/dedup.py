@@ -798,16 +798,20 @@ def q177_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     m = comp.join(feat, "doc_id")
+    # keeper = the (qs6 DESC, doc_id) argmax per component. first_value
+    # over the full ordered frame computes it in the SAME window pass
+    # as the cluster size — the former rn=1 filter + broadcast
+    # self-join re-evaluated the whole feature-join-window subplan for
+    # each join side (guide §2.4: two operations keyed the same way
+    # share one exchange; value-identical, pinned by the oracle)
     w_rank = Window.partitionBy("component_id").orderBy(F.desc("qs6"), F.asc("doc_id"))
+    w_full = w_rank.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     w_size = Window.partitionBy("component_id")
-    ranked = m.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+    ranked = m.withColumn(
         "cluster_size", F.count("*").over(w_size).cast("long")
-    )
-    keepers = ranked.where(F.col("rn") == 1).select(
-        "component_id", F.col("doc_id").alias("keeper_id")
-    )
+    ).withColumn("keeper_id", F.first("doc_id").over(w_full))
     return (
-        ranked.join(F.broadcast(keepers), "component_id")
+        ranked
         .select(
             "doc_id",
             "component_id",

@@ -705,30 +705,32 @@ def q193_benchmark_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bench_id", "doc_id", "source")
         .distinct()
     )
-    reach = pairs.groupBy("bench_id").agg(
-        F.countDistinct("doc_id").cast("long").alias("n_corpus_hits"),
-        F.countDistinct("source").cast("long").alias("n_sources"),
-    )
-    from pyspark.sql import Window
-
+    # ONE consumer of the corpus-gram fan-out (before round 10 both
+    # reach and per_src aggregated the pair set independently, so the
+    # fan-out + broadcast join — the only corpus-scale work here —
+    # evaluated once per consumer). Each document has exactly one
+    # source, so the per-bench distinct-doc count is the SUM of its
+    # per-source counts, and the top source is the min_by argmax over
+    # the same per-source rows: reach + top collapse into per_src →
+    # one bench-keyed aggregation — one corpus pass, one join, nothing
+    # staged (guide §1.2: fewer passes; §2.3: shuffle the summary, not
+    # the rows). pairs is distinct on (bench, doc, source), so
+    # count(*) per (bench, source) IS the distinct-doc count, and
+    # min_by over (-c, source) IS the ROW_NUMBER (c DESC, source)
+    # argmax (the key is unique per group — no tie ambiguity).
     per_src = pairs.groupBy("bench_id", "source").agg(
-        F.countDistinct("doc_id").cast("long").alias("c")
+        F.count("*").cast("long").alias("c")
     )
-    rn = Window.partitionBy("bench_id").orderBy(F.desc("c"), F.asc("source"))
-    top = (
-        per_src.withColumn("rn", F.row_number().over(rn))
-        .where(F.col("rn") == 1)
-        .select(
-            "bench_id",
-            F.col("source").alias("top_source"),
-            F.col("c").alias("top_source_hits"),
-        )
+    reach = per_src.groupBy("bench_id").agg(
+        F.sum("c").cast("long").alias("n_corpus_hits"),
+        F.count("*").cast("long").alias("n_sources"),
+        F.expr("min_by(source, struct(-c, source))").alias("top_source"),
+        F.expr("min_by(c, struct(-c, source))").cast("long").alias("top_source_hits"),
     )
     return (
         docs.where(F.col("doc_id") % _BENCH_MOD == 0)
         .select(F.col("doc_id").alias("bench_id"))
         .join(reach, "bench_id", "left")
-        .join(top, "bench_id", "left")
         .select(
             "bench_id",
             F.coalesce("n_corpus_hits", F.lit(0).cast("long")).alias("n_corpus_hits"),

@@ -1887,7 +1887,8 @@ def q202_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     SHARED with the q205 cost audit — feed all four probe settings
     (the assignment is a projection; each setting adds only a
     broadcast probe join + a per-query top-5)."""
-    from ..operators.similarity import _ivf_query
+    from ..operators.similarity import _nearest_cells_udf, cosine_expr
+    from ..operators.staging import materialize
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
@@ -1896,13 +1897,50 @@ def q202_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = REGISTRY["q35_cosine_topk"].fn(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
+    # score ONCE at the ladder's widest probe setting with the probe
+    # rank attached (the probe list is ranked, so setting p's candidate
+    # set is exactly pr <= p), then each setting pays only a filter +
+    # its own top-5 window over the staged scored sliver — the former
+    # per-setting _ivf_query loop re-ran the probe UDF, the broadcast
+    # join and the Arrow cosine kernel over (1+2+4+8)/8 ≈ 1.9× the
+    # widest candidate set (guide §1.2: fewer passes; value-identical,
+    # pinned by the oracle). |Q|·probed-cells rows, 4 narrow columns →
+    # checkpoint per the sliver staging rule.
+    dim = len(centers[0][1])
+    probes8 = q.select(
+        "query_id",
+        "qvec",
+        F.posexplode(
+            _nearest_cells_udf(centers, max(_SWEEP_PROBES))(F.col("qvec"))
+        ).alias("pr0", "cid"),
+    )
+    scored = materialize(
+        assign.join(F.broadcast(probes8), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            (F.col("pr0") + 1).alias("pr"),
+            "neighbor_id",
+            cosine_expr("qvec", "cvec", dim).alias("cosine"),
+        ),
+        label="q202_scored",
+        default="checkpoint",
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
     per = None
     for np_ in _SWEEP_PROBES:
-        a = _ivf_query(assign, q, centers, np_, 5).select(
-            F.lit(np_).cast("long").alias("n_probe"),
-            "query_id",
-            "neighbor_id",
-            F.lit(1).alias("hit"),
+        a = (
+            scored.where(F.col("pr") <= np_)
+            .withColumn("rank", F.row_number().over(w_rank))
+            .where(F.col("rank") <= 5)
+            .select(
+                F.lit(np_).cast("long").alias("n_probe"),
+                "query_id",
+                "neighbor_id",
+                F.lit(1).alias("hit"),
+            )
         )
         per = a if per is None else per.unionByName(a)
     ex4 = exact.withColumn(
@@ -2095,24 +2133,28 @@ def q205_ann_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cellsz), "cid")
         .select("query_id", (F.col("idx") + 1).alias("rn"), "cell_n")
     )
-    parts = [brute, lsh]
-    for p in _COST_PROBES:
-        parts.append(
-            probed.groupBy("query_id")
-            .agg(
-                (
-                    F.sum(F.when(F.col("rn") <= p, F.col("cell_n")).otherwise(0)) - 1
-                )
-                .cast("long")
-                .alias("candidates")
-            )
-            .select(
-                F.lit(f"ivf@{p}").alias("method"), "query_id", "candidates"
-            )
-        )
-    per_query = parts[0]
-    for x in parts[1:]:
-        per_query = per_query.unionByName(x)
+    # ONE aggregation computes every probe setting's candidate count
+    # (conditional sums over the probe rank), then stack() unpivots to
+    # the per-method rows — the former per-setting loop re-evaluated
+    # the probed-cells subplan, and with it the corpus-scale cell-size
+    # aggregation, once per ladder entry (guide §1.2: 4 corpus passes
+    # → 1; value-identical, pinned by the oracle)
+    pq = probed.groupBy("query_id").agg(
+        *[
+            (F.sum(F.when(F.col("rn") <= p, F.col("cell_n")).otherwise(0)) - 1)
+            .cast("long")
+            .alias(f"c{p}")
+            for p in _COST_PROBES
+        ]
+    )
+    stack_args = ", ".join(f"'ivf@{p}', c{p}" for p in _COST_PROBES)
+    ivf = pq.select(
+        F.expr(
+            f"stack({len(_COST_PROBES)}, {stack_args}) AS (method, candidates)"
+        ),
+        "query_id",
+    ).select("method", "query_id", "candidates")
+    per_query = brute.unionByName(lsh).unionByName(ivf)
     return (
         per_query.groupBy("method")
         .agg(

@@ -1072,3 +1072,82 @@ class TestReviewGuards:
             assert split == exact, (q, d)
             # every intermediate fits int64
             assert q * 1000 < 2**63 and ((q * 1000) % d) * 1000 < 2**63
+
+
+class TestR10OptimizationEquivalence:
+    """Round-10 optimization-round rewrites must equal the forms they
+    replaced on the cases the gate fixtures may not exercise."""
+
+    def test_q193_minby_argmax_equals_window_rn1_on_ties(self, spark):
+        # q193's top-source now comes from min_by(source, struct(-c,
+        # source)) in the same aggregation as reach; pin that it equals
+        # the former ROW_NUMBER (c DESC, source) rn=1 election when
+        # sources TIE on the hit count (the fixture corpus has no tie).
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        per_src = spark.createDataFrame(
+            [
+                (1, "web", 5), (1, "books", 5), (1, "code", 2),  # tie on 5
+                (2, "zzz", 7), (2, "aaa", 1),
+                (3, "only", 4),
+            ],
+            "bench_id long, source string, c long",
+        )
+        got = {
+            r["bench_id"]: (r["top_source"], r["top_source_hits"])
+            for r in per_src.groupBy("bench_id")
+            .agg(
+                F.expr("min_by(source, struct(-c, source))").alias("top_source"),
+                F.expr("min_by(c, struct(-c, source))")
+                .cast("long")
+                .alias("top_source_hits"),
+            )
+            .collect()
+        }
+        rn = Window.partitionBy("bench_id").orderBy(F.desc("c"), F.asc("source"))
+        want = {
+            r["bench_id"]: (r["source"], r["c"])
+            for r in per_src.withColumn("rn", F.row_number().over(rn))
+            .where(F.col("rn") == 1)
+            .collect()
+        }
+        assert got == want
+        assert got[1] == ("books", 5)  # the tie resolves lexicographically
+
+    def test_q177_first_value_keeper_equals_rn1(self, spark):
+        # q177's keeper_id now comes from first_value over the full
+        # (qs6 DESC, doc_id) frame instead of an rn=1 self-join; pin the
+        # argmax equivalence including a quality tie inside a cluster.
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        m = spark.createDataFrame(
+            [
+                (10, 1, 900), (11, 1, 900), (12, 1, 100),  # tie → min doc_id
+                (20, 2, 500), (21, 2, 700),
+            ],
+            "doc_id long, component_id long, qs6 long",
+        )
+        w_rank = Window.partitionBy("component_id").orderBy(
+            F.desc("qs6"), F.asc("doc_id")
+        )
+        w_full = w_rank.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        got = {
+            r["doc_id"]: r["keeper_id"]
+            for r in m.withColumn(
+                "keeper_id", F.first("doc_id").over(w_full)
+            ).collect()
+        }
+        keepers = {
+            r["component_id"]: r["doc_id"]
+            for r in m.withColumn("rn", F.row_number().over(w_rank))
+            .where(F.col("rn") == 1)
+            .collect()
+        }
+        want = {
+            r["doc_id"]: keepers[r["component_id"]] for r in m.collect()
+        }
+        assert got == want and got[10] == 10 and got[11] == 10 and got[20] == 21

@@ -61,13 +61,22 @@ def pagerank(
         raise ValueError(f"pagerank: edge columns {missing} not in edges")
 
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    nodes = e.select(F.col("src").alias("node")).union(
-        e.select(F.col("dst").alias("node"))
-    ).distinct()
+    # explode instead of a two-branch union (one evaluation of the
+    # caller's edge subplan, same node multiset)
+    nodes = (
+        e.select(F.explode(F.array("src", "dst")).alias("node")).distinct()
+    )
     outdeg = e.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
     # edge list annotated with the source's out-degree, computed once
     # and reused every round
     ew = e.join(outdeg, "src")
+    if checkpoint:
+        ew = ew.localCheckpoint()
+        # nodes is loop-INVARIANT but was never cut: every round's
+        # left join AND the per-round broadcast of n_nodes replayed
+        # the edge-scan + distinct subplan (cut BEFORE n_df/ranks so
+        # both consume the materialized frame)
+        nodes = nodes.localCheckpoint()
     n_df = F.broadcast(nodes.agg(F.count("*").cast("long").alias("n_nodes")))
 
     base = F.expr(f"({15 * TOTAL_MASS} div (100 * n_nodes))")
@@ -75,7 +84,6 @@ def pagerank(
         "node", F.expr(f"({TOTAL_MASS} div n_nodes)").cast("long").alias("rank_fp")
     )
     if checkpoint:
-        ew = ew.localCheckpoint()
         ranks = ranks.localCheckpoint()
     for _ in range(iterations):
         inc = (
@@ -129,9 +137,11 @@ def triangle_count(
     shuffles on the oriented source; closure is one equi-join on the
     (b, c) pair. All keys uniform post-orientation."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # explode instead of a two-branch union: one evaluation of the
+    # caller's edge subplan (q119's is a distinct over a self-join)
+    # instead of one per branch, same (node) multiset
     deg = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
+        e.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("deg"))
     )
@@ -161,10 +171,10 @@ def triangle_count(
     )
     closing = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
     tri = wedges.join(closing, ["b", "c"])
+    # explode instead of a three-branch union: the union form evaluated
+    # the wedge join — the operator's dominant cost — once per branch
     per_node = (
-        tri.select(F.col("a").alias("node"))
-        .union(tri.select(F.col("b").alias("node")))
-        .union(tri.select(F.col("c").alias("node")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )

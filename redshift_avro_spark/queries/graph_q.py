@@ -87,8 +87,24 @@ def q102_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    # symmetrize via explode (one evaluation of the join+distinct pair
+    # subplan instead of one per union branch), and cut the O(E) edge
+    # frame once: pagerank consumes it from three frames (nodes,
+    # outdeg, weighted edges), each of which would otherwise replay
+    # the trade-graph join
+    from ..operators.staging import materialize
+
+    edges = materialize(
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                    F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst"),
+        label="q102_edges",
+        default="checkpoint",
     )
     pr = pagerank(edges, iterations=_ITERS)
     return pr.select(

@@ -122,11 +122,25 @@ def topk_neighbors(
     vec_col: str = "embedding",
     k: int = 5,
     dim: int | None = None,
+    salt_parts: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Queries are broadcast; ranking ties break on neighbor id so results
-    are deterministic."""
+    are deterministic.
+
+    ``salt_parts`` is the 100 TB lever for the final rank: the default
+    single window per query funnels ALL of a query's scored corpus rows
+    into one task's sort. With ``salt_parts=S`` the rank runs in two
+    phases (the bm25_topk shape): top-k inside (query, xxhash64(
+    neighbor) % S) — S-way parallel, deterministic under retries
+    because the salt derives from the data, not the partitioning —
+    then the exact window over the ≤ S·k survivors per query. The
+    survivor set provably contains the global top-k (any global top-k
+    row is in its salt-slice's top-k), and the final (cosine DESC,
+    neighbor_id) order is a unique key, so the result is IDENTICAL for
+    every S (pinned by test). Default None keeps the one-window plan —
+    at bench scale the extra exchange costs more than the sort."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -136,6 +150,18 @@ def topk_neighbors(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cosine_expr("qvec", "cvec", dim).alias("cosine"))
     )
+    if salt_parts is not None and salt_parts > 1:
+        w1 = Window.partitionBy("query_id", "__salt").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        scored = (
+            scored.withColumn(
+                "__salt", F.pmod(F.xxhash64("neighbor_id"), F.lit(salt_parts))
+            )
+            .withColumn("__srk", F.row_number().over(w1))
+            .where(F.col("__srk") <= k)
+            .drop("__salt", "__srk")
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

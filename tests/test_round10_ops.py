@@ -1151,3 +1151,27 @@ class TestR10OptimizationEquivalence:
             r["doc_id"]: keepers[r["component_id"]] for r in m.collect()
         }
         assert got == want and got[10] == 10 and got[11] == 10 and got[20] == 21
+
+    def test_topk_neighbors_salted_rank_equals_single_window(self, spark):
+        # the salt_parts two-phase rank (the 100 TB lever) must return
+        # the IDENTICAL frame for every S, including S larger than the
+        # corpus — the survivor set always contains the global top-k
+        # and the final order key (cosine DESC, neighbor_id) is unique.
+        from redshift_avro_spark.operators.similarity import topk_neighbors
+        from redshift_avro_spark.queries import load_table
+
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        qs = emb.where("vec_id < 5")
+        base = sorted(
+            tuple(r)
+            for r in topk_neighbors(emb, qs, "vec_id", "embedding", k=5, dim=64)
+            .collect()
+        )
+        for s in (2, 7, 1000):
+            salted = sorted(
+                tuple(r)
+                for r in topk_neighbors(
+                    emb, qs, "vec_id", "embedding", k=5, dim=64, salt_parts=s
+                ).collect()
+            )
+            assert salted == base, f"salt_parts={s} diverged"

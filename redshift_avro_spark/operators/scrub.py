@@ -49,18 +49,24 @@ def word_ngrams(text_col: str, n: int, distinct: bool = True) -> Column:
 
     The split is bound once via the single-element-array lambda (round
     10): interpreted HOF lambdas get no CSE, so the former inline form
-    re-ran the O(L) split per n-gram — O(L²)/doc."""
+    re-ran the O(L) split per n-gram — O(L²)/doc. Round 11 moves the
+    short-document guard INSIDE the binding: the outer when() evaluated
+    its own split for the size check, so every row still paid the split
+    twice. CASE on size(__ws) inside the lambda is value-identical (a
+    NULL split array makes the CASE condition NULL → the empty-array
+    ELSE, exactly what the otherwise() produced)."""
     words = _WORDS.format(c=text_col)
     grams = (
-        f"transform(array({words}), __ws -> "
         f"transform(sequence(1, size(__ws) - {n - 1}), "
-        f"i -> array_join(slice(__ws, i, {n}), ' ')))[0]"
+        f"i -> array_join(slice(__ws, i, {n}), ' '))"
     )
     if distinct:
         grams = f"array_distinct({grams})"
-    return F.when(
-        F.expr(f"size({words})") >= n, F.expr(grams)
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    return F.expr(
+        f"transform(array({words}), __ws -> "
+        f"CASE WHEN size(__ws) >= {n} THEN {grams} "
+        f"ELSE CAST(array() AS array<string>) END)[0]"
+    )
 
 
 def decontaminate_candidates(

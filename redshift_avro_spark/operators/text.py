@@ -46,65 +46,92 @@ _WORDS = "split(trim(lower({c})), '\\\\s+')"
 def token_count(text_col: str) -> Column:
     """Whitespace token count + a BPE-ish estimate: a common subword
     tokenizer averages ~4 chars/token on English-like text, so the
-    estimate is ceil(length/4) floored at the word count."""
+    estimate is ceil(length/4) floored at the word count.
+
+    The split array is BOUND once via a single-element transform scope
+    (round 11, the minhash r10 fix's pattern): higher-order functions
+    are codegen-fallback, so each textual repetition of the split
+    subtree re-evaluated the O(L) split per row. Value-identical
+    (pinned by test + the full-corpus A/B)."""
     words = _WORDS.format(c=text_col)
     return F.expr(
-        f"named_struct("
-        f"'n_words', size({words}), "
-        f"'n_tokens_est', greatest(size({words}), CAST(ceil(length({text_col}) / 4.0) AS INT)))"
+        f"transform(array({words}), __ws -> named_struct("
+        f"'n_words', size(__ws), "
+        f"'n_tokens_est', greatest(size(__ws), CAST(ceil(length({text_col}) / 4.0) AS INT))))[0]"
     )
 
 
 def quality_features(text_col: str) -> Column:
     """Quality features: n_chars, n_words, mean word length, stopword
     ratio (en lexicon), punctuation ratio, distinct-word ratio, and a
-    composite quality score in [0,1]."""
+    composite quality score in [0,1].
+
+    Evaluation shape (round 11): the former flat form repeated the
+    split / filter / aggregate subtrees once per referencing field
+    (~13 split evaluations per row — HOFs fall back from codegen, so
+    common-subexpression elimination does not cover them); the split
+    array and each derived scalar are now bound ONCE via nested
+    single-element transform scopes. The arithmetic trees and their
+    IEEE evaluation order are unchanged, so every output bit is
+    identical (full-corpus <=> A/B at sf0.1: 0 mismatches; the kept
+    feature scan measured 1.31-1.44 -> 0.86-1.06 s best-of-5)."""
     words = _WORDS.format(c=text_col)
     sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
-    n_words = f"size({words})"
-    stop_ratio = f"(size(filter({words}, w -> w IN ({sw}))) / CAST({n_words} AS DOUBLE))"
-    punct_ratio = (
-        f"(length(regexp_replace({text_col}, '[^!-/:-@\\\\[-`]', '')) / CAST(length({text_col}) AS DOUBLE))"
+    feats = (
+        f"named_struct("
+        f"'nw', size(__ws), "
+        f"'mwl', (aggregate(__ws, CAST(0 AS DOUBLE), (acc, w) -> acc + length(w)) / CAST(size(__ws) AS DOUBLE)), "
+        f"'sr', (size(filter(__ws, w -> w IN ({sw}))) / CAST(size(__ws) AS DOUBLE)), "
+        f"'pr', (length(regexp_replace({text_col}, '[^!-/:-@\\\\[-`]', '')) / CAST(length({text_col}) AS DOUBLE)), "
+        f"'dr', (size(array_distinct(__ws)) / CAST(size(__ws) AS DOUBLE)))"
     )
-    distinct_ratio = f"(size(array_distinct({words})) / CAST({n_words} AS DOUBLE))"
-    mean_wlen = f"(aggregate({words}, CAST(0 AS DOUBLE), (acc, w) -> acc + length(w)) / CAST({n_words} AS DOUBLE))"
     score = (
-        f"round(least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE), "
-        f"0.25 * least(CAST(1 AS DOUBLE), {n_words} / CAST(50 AS DOUBLE)) + "
-        f"0.25 * (1 - {punct_ratio}) + "
-        f"0.25 * {distinct_ratio} + "
-        f"0.25 * least(CAST(1 AS DOUBLE), {mean_wlen} / CAST(8 AS DOUBLE)))), 6)"
+        "round(least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE), "
+        "0.25 * least(CAST(1 AS DOUBLE), __f.nw / CAST(50 AS DOUBLE)) + "
+        "0.25 * (1 - __f.pr) + "
+        "0.25 * __f.dr + "
+        "0.25 * least(CAST(1 AS DOUBLE), __f.mwl / CAST(8 AS DOUBLE)))), 6)"
     )
     return F.expr(
-        f"named_struct("
+        f"transform(array({words}), __ws -> "
+        f"transform(array({feats}), __f -> named_struct("
         f"'n_chars', length({text_col}), "
-        f"'n_words', {n_words}, "
-        f"'mean_word_len', round({mean_wlen}, 6), "
-        f"'stopword_ratio', round({stop_ratio}, 6), "
-        f"'punct_ratio', round({punct_ratio}, 6), "
-        f"'distinct_ratio', round({distinct_ratio}, 6), "
-        f"'quality_score', {score})"
+        f"'n_words', __f.nw, "
+        f"'mean_word_len', round(__f.mwl, 6), "
+        f"'stopword_ratio', round(__f.sr, 6), "
+        f"'punct_ratio', round(__f.pr, 6), "
+        f"'distinct_ratio', round(__f.dr, 6), "
+        f"'quality_score', {score}))[0])[0]"
     )
 
 
 def language_id(text_col: str) -> Column:
     """Heuristic language ID: CJK charset check first, else the language
     whose stopword lexicon hits the most tokens ('und' when nothing
-    hits). Deterministic ties: priority order en > es > de > fr."""
+    hits). Deterministic ties: priority order en > es > de > fr.
+
+    The split array and the four per-language hit counts are bound once
+    (round 11): the flat CASE referenced each hit count up to three
+    times and every reference re-ran its filter-over-split — ~10 O(L)
+    split evaluations per row. Values identical (same comparisons,
+    same order)."""
     words = _WORDS.format(c=text_col)
-    hits = {
-        lang: f"size(filter({words}, w -> w IN ({', '.join(repr(w) for w in ws)})))"
+    hit = {
+        lang: f"size(filter(__ws, w -> w IN ({', '.join(repr(w) for w in ws)})))"
         for lang, ws in STOPWORDS.items()
     }
+    hits_arr = f"array({hit['en']}, {hit['es']}, {hit['de']}, {hit['fr']})"
     best = (
-        f"CASE WHEN {hits['en']} >= {hits['es']} AND {hits['en']} >= {hits['de']} AND {hits['en']} >= {hits['fr']} AND {hits['en']} > 0 THEN 'en' "
-        f"WHEN {hits['es']} >= {hits['de']} AND {hits['es']} >= {hits['fr']} AND {hits['es']} > 0 THEN 'es' "
-        f"WHEN {hits['de']} >= {hits['fr']} AND {hits['de']} > 0 THEN 'de' "
-        f"WHEN {hits['fr']} > 0 THEN 'fr' "
-        f"ELSE 'und' END"
+        "CASE WHEN __h[0] >= __h[1] AND __h[0] >= __h[2] AND __h[0] >= __h[3] AND __h[0] > 0 THEN 'en' "
+        "WHEN __h[1] >= __h[2] AND __h[1] >= __h[3] AND __h[1] > 0 THEN 'es' "
+        "WHEN __h[2] >= __h[3] AND __h[2] > 0 THEN 'de' "
+        "WHEN __h[3] > 0 THEN 'fr' "
+        "ELSE 'und' END"
     )
     return F.expr(
-        f"CASE WHEN {text_col} RLIKE '[\\\\x{{4E00}}-\\\\x{{9FFF}}]' THEN 'zh' ELSE ({best}) END"
+        f"CASE WHEN {text_col} RLIKE '[\\\\x{{4E00}}-\\\\x{{9FFF}}]' THEN 'zh' ELSE "
+        f"(transform(array({words}), __ws -> "
+        f"transform(array({hits_arr}), __h -> {best})[0])[0]) END"
     )
 
 
@@ -612,7 +639,7 @@ def c4_line_filter(
     # verdict per line: 0 kept, 1 short, 2 punct, 3 phrase (first rule
     # wins); trailing-empty lines from a final '\n' count as short
     verdict = (
-        f"transform({lines}, ln -> CASE "
+        f"transform(__lns, ln -> CASE "
         f"WHEN size(split(trim(ln), '\\\\s+')) < {min_words_per_line} "
         f" OR trim(ln) = '' THEN 1 "
         f"WHEN NOT ({punct_ok}) THEN 2 "
@@ -622,21 +649,41 @@ def c4_line_filter(
     # identical string (null-element skipping inside array_join /
     # array_to_string is engine lore we refuse to depend on)
     kept = (
-        f"filter(zip_with({lines}, {verdict}, "
-        f"(ln, v) -> CASE WHEN v = 0 THEN ln END), x -> x IS NOT NULL)"
+        "filter(zip_with(__lns, __v, "
+        "(ln, v) -> CASE WHEN v = 0 THEN ln END), x -> x IS NOT NULL)"
+    )
+    # the line / verdict / kept arrays are bound ONCE via nested
+    # single-element transform scopes and the outputs unpacked from a
+    # single struct column in a second Project (round 11): the former
+    # flat form repeated the arrays once per referencing output column
+    # — up to ~12 O(lines·words) re-evaluations per row, HOFs being
+    # codegen-fallback with no CSE. CollapseProject keeps the struct
+    # single-evaluation (verified: the optimized two-step plan carries
+    # one struct build + field extractions). Values are identical.
+    struct = (
+        f"transform(array({lines}), __lns -> "
+        f"transform(array({verdict}), __v -> "
+        f"transform(array({kept}), __k -> named_struct("
+        f"'n_lines', size(__lns), "
+        f"'n_kept_lines', size(__k), "
+        f"'n_dropped_short', size(filter(__v, v -> v = 1)), "
+        f"'n_dropped_punct', size(filter(__v, v -> v = 2)), "
+        f"'n_dropped_phrase', size(filter(__v, v -> v = 3)), "
+        f"'cleaned_n_words', CASE WHEN size(__k) = 0 THEN 0 ELSE "
+        f"size(split(trim(array_join(__k, '\\n')), '\\\\s+')) END, "
+        f"'cleaned_digest', md5(array_join(__k, '\\n'))))[0])[0])[0]"
     )
     return df.select(
-        F.col(id_col).alias(id_col),
-        F.expr(f"size({lines})").cast("long").alias("n_lines"),
-        F.expr(f"size({kept})").cast("long").alias("n_kept_lines"),
-        F.expr(f"size(filter({verdict}, v -> v = 1))").cast("long").alias("n_dropped_short"),
-        F.expr(f"size(filter({verdict}, v -> v = 2))").cast("long").alias("n_dropped_punct"),
-        F.expr(f"size(filter({verdict}, v -> v = 3))").cast("long").alias("n_dropped_phrase"),
-        F.expr(
-            f"CASE WHEN size({kept}) = 0 THEN 0 ELSE "
-            f"size(split(trim(array_join({kept}, '\\n')), '\\\\s+')) END"
-        ).cast("long").alias("cleaned_n_words"),
-        F.expr(f"md5(array_join({kept}, '\\n'))").alias("cleaned_digest"),
+        F.col(id_col).alias(id_col), F.expr(struct).alias("__c4")
+    ).select(
+        id_col,
+        F.col("__c4.n_lines").cast("long").alias("n_lines"),
+        F.col("__c4.n_kept_lines").cast("long").alias("n_kept_lines"),
+        F.col("__c4.n_dropped_short").cast("long").alias("n_dropped_short"),
+        F.col("__c4.n_dropped_punct").cast("long").alias("n_dropped_punct"),
+        F.col("__c4.n_dropped_phrase").cast("long").alias("n_dropped_phrase"),
+        F.col("__c4.cleaned_n_words").cast("long").alias("cleaned_n_words"),
+        F.col("__c4.cleaned_digest").alias("cleaned_digest"),
     )
 
 
@@ -925,6 +972,59 @@ def gram_novelty(
     ).orderBy(source_col)
 
 
+def _roc_hist(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bin_width: int,
+    shift: int,
+) -> DataFrame:
+    """Per-distinct-score (pos_at, neg_at, bin) histogram — the single
+    corpus-scale pass behind :func:`roc_audit`, split out so plan dumps
+    can show the unstaged shape."""
+    return (
+        df.where(F.col(score_col).isNotNull())
+        .select(
+            F.col(score_col).cast("long").alias("s"),
+            F.col(label_col).cast("boolean").alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("pos_at"),
+            F.sum(F.when(~F.col("y"), 1).otherwise(0)).cast("long").alias("neg_at"),
+        )
+        .withColumn("bin", F.expr(f"(s + {shift}) DIV {bin_width}"))
+    )
+
+
+def _roc_bin_stats(hist: DataFrame) -> DataFrame:
+    """Per-bin (np, nn, a_term) over the score histogram in ONE pass:
+    totals plus the within-bin U-statistic partial
+    A_b = Σ pos_at·(2·cum_nn_b − neg_at), where cum_nn_b is the
+    within-bin running negative count in score order. The window is
+    partitioned by bin (one grid cell's distinct scores — bounded), so
+    no global sort at any scale."""
+    wwin = (
+        Window.partitionBy("bin")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        hist.withColumn("cum_nn_b", F.sum("neg_at").over(wwin))
+        .groupBy("bin")
+        .agg(
+            F.sum("pos_at").cast("long").alias("np"),
+            F.sum("neg_at").cast("long").alias("nn"),
+            F.sum(
+                F.expr(
+                    "CAST(pos_at AS DECIMAL(38,0)) * "
+                    "CAST(2 * cum_nn_b - neg_at AS DECIMAL(38,0))"
+                )
+            ).alias("a_term"),
+        )
+    )
+
+
 def roc_audit(
     df: DataFrame,
     score_col: str = "score",
@@ -948,11 +1048,13 @@ def roc_audit(
     scale: the per-score histogram is one map-side-combining
     aggregation; its suffix counts come from a per-BIN window
     (``partitionBy(bin)`` — each partition holds one grid cell's
-    distinct scores) plus a broadcast bin-prefix computed from the
-    ≤ ~40 collected bin totals — the q170 two-phase distributed-rank
-    shape. Driver-side work is bounded at the bin count (the q189
-    pattern); the 2U product is carried as DECIMAL(38,0) / HUGEINT
-    because pos·neg pair counts pass int64 at ~1e10 docs per class.
+    distinct scores) whose partial sums ride the SAME job as the bin
+    totals (round 11: one collect instead of totals + a second
+    prefix-join pass), with the cross-bin prefix folded in driver-side
+    over the ≤ ~40 bins — the q170 two-phase distributed-rank shape.
+    Driver-side work is bounded at the bin count (the q189 pattern);
+    the 2U product is carried as DECIMAL(38,0) / HUGEINT because
+    pos·neg pair counts pass int64 at ~1e10 docs per class.
     Shared grid constants with the q196 threshold sweep so the two
     calibration tables line up threshold-for-threshold.
 
@@ -962,60 +1064,41 @@ def roc_audit(
     from .staging import materialize
 
     hist = materialize(
-        df.where(F.col(score_col).isNotNull())
-        .select(
-            F.col(score_col).cast("long").alias("s"),
-            F.col(label_col).cast("boolean").alias("y"),
-        )
-        .groupBy("s")
-        .agg(
-            F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("pos_at"),
-            F.sum(F.when(~F.col("y"), 1).otherwise(0)).cast("long").alias("neg_at"),
-        )
-        .withColumn("bin", F.expr(f"(s + {shift}) DIV {bin_width}")),
+        _roc_hist(df, score_col, label_col, bin_width, shift),
         label="roc_hist",
         default="checkpoint",
     )
-    bins = sorted(
-        (r["bin"], r["np"], r["nn"])
-        for r in hist.groupBy("bin")
-        .agg(
-            F.sum("pos_at").cast("long").alias("np"),
-            F.sum("neg_at").cast("long").alias("nn"),
-        )
-        .collect()
+    # ONE job over the staged histogram (round 11; was two — a per-bin
+    # totals collect, then a second pass joining a driver-built prefix
+    # frame for the U statistic). The per-bin window and the totals ride
+    # the same pass: for s in bin b with within-bin running negative
+    # count cum_nn_b(s),
+    #   Σ_{s∈b} pos_at·(2·(N − cum_neg_le(s)) + neg_at)
+    #     = 2·(N − neg_before_b)·np_b − Σ_{s∈b} pos_at·(2·cum_nn_b − neg_at)
+    # so each bin ships (np_b, nn_b, A_b = that inner sum) and the
+    # driver assembles u2 with exact Python ints while walking bins in
+    # ascending order (neg_before_b is the running nn sum). Same
+    # two-phase scale shape — the window stays partitioned by bin,
+    # bounded at one grid cell's distinct scores — minus one job, one
+    # driver-built broadcast frame and one cross-bin join. The per-row
+    # product is DECIMAL(38,0) for the same reason as before: pos·neg
+    # pair counts pass int64 at ~1e10 docs per class.
+    per_bin = sorted(
+        (r["bin"], r["np"], r["nn"], int(r["a_term"] or 0))
+        for r in _roc_bin_stats(hist).collect()
     )
+    bins = [(b, np_, nn) for b, np_, nn, _a in per_bin]
     pos_total = sum(b[1] for b in bins)
     neg_total = sum(b[2] for b in bins)
     spark = df.sparkSession
     if pos_total == 0 or neg_total == 0:
         auc_ppm = None
     else:
-        pref_rows, acc = [], 0
-        for b, _np, nn in bins:
-            pref_rows.append((b, acc))
-            acc += nn
-        pref = spark.createDataFrame(pref_rows, "bin long, neg_before long")
-        wwin = (
-            Window.partitionBy("bin")
-            .orderBy("s")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        u2 = (
-            hist.join(F.broadcast(pref), "bin")
-            .withColumn(
-                "cum_neg_le", F.col("neg_before") + F.sum("neg_at").over(wwin)
-            )
-            .select(
-                F.expr(
-                    f"CAST(pos_at AS DECIMAL(38,0)) * "
-                    f"CAST(2 * ({neg_total} - cum_neg_le) + neg_at AS DECIMAL(38,0))"
-                ).alias("c")
-            )
-            .agg(F.sum("c").alias("u2"))
-            .collect()[0]["u2"]
-        )
-        auc_ppm = int(u2) * 1_000_000 // (2 * pos_total * neg_total)
+        u2, neg_before = 0, 0
+        for b, np_, nn, a_term in per_bin:
+            u2 += 2 * np_ * (neg_total - neg_before) - a_term
+            neg_before += nn
+        auc_ppm = u2 * 1_000_000 // (2 * pos_total * neg_total)
     out, cp, cn = [], 0, 0
     for b, np_, nn in bins:
         cp += np_
@@ -1064,9 +1147,13 @@ def top_word_share_ppm_expr(text_col: str = "text") -> Column:
         "CASE WHEN acc.prev <=> x THEN acc.cur + 1 ELSE CAST(1 AS BIGINT) END))"
     )
     top_n = (
-        f"aggregate(array_sort({w}), "
-        f"named_struct('prev', CAST(NULL AS STRING), "
-        f"'cur', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)), "
+        "aggregate(array_sort(__ws), "
+        "named_struct('prev', CAST(NULL AS STRING), "
+        "'cur', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)), "
         f"(acc, x) -> {step}, acc -> acc.best)"
     )
-    return F.expr(f"{top_n} * 1000000 div size({w})")
+    # split bound once (round 11): the flat form ran the O(L) split
+    # twice per row (sort input + the size divisor)
+    return F.expr(
+        f"transform(array({w}), __ws -> {top_n} * 1000000 div size(__ws))[0]"
+    )

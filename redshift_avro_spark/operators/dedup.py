@@ -284,7 +284,19 @@ def ngram_jaccard_pairs(
     Gram arrays are only materialized for documents that appear in a
     candidate pair (semi-join first): at corpus scale the candidate set
     is a sliver of the corpus, so gramming every document — twice, once
-    per join side — would dominate the verify stage's cost."""
+    per join side — would dominate the verify stage's cost.
+
+    The gram sliver itself is STAGED on the candidates path (round 11):
+    the pair join consumes ``g`` once per side, and with the candidate
+    list broadcast the g side never shuffles — so exchange reuse cannot
+    cover it and the corpus scan + member semi-join + O(L) gram
+    transform evaluated once per side (verified in plans/r10's q49
+    plan: two identical gram subtrees). The checkpoint default follows
+    the candidate-sliver staging rule — g is bounded by the candidate
+    member set, and its recompute-from-source on executor loss is one
+    scan + transform."""
+    from .staging import materialize
+
     src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
     if candidates is not None:
         member_ids = (
@@ -299,6 +311,7 @@ def ngram_jaccard_pairs(
     )
     g = src.select("__id", grams.alias("grams")).where(F.expr("length(__text)") >= n)
     if candidates is not None:
+        g = materialize(g, label="jaccard_grams", default="checkpoint")
         pairs = (
             candidates.join(g.withColumnRenamed("__id", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
             .join(g.withColumnRenamed("__id", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")

@@ -1550,10 +1550,25 @@ def knn_graph(
     # replaces the per-band join union: the hyperplane dot products
     # evaluate once per side instead of once per band per side, and
     # the uniform compound key keeps bucket-bounded quadratic work.
+    # The (id, band, bucket) projection is STAGED (round 11, VERDICT
+    # r10 #4): the self-join consumed it from both sides via exchange
+    # reuse — correct, but dependent on the two subplans staying
+    # byte-identical through optimizer changes; the explicit cut makes
+    # the hyperplane pass single-evaluation by construction. Three
+    # narrow ints per corpus row → candidate-sliver staging rule,
+    # checkpoint default.
+    from .staging import materialize
+
     keys = F.array(
         *[lsh_bucket_key_band(vec_col, band, n_planes, dim) for band in range(n_bands)]
     )
-    side = df.select(F.col(id_col).alias("id"), F.posexplode(keys).alias("band", "bucket"))
+    side = materialize(
+        df.select(
+            F.col(id_col).alias("id"), F.posexplode(keys).alias("band", "bucket")
+        ),
+        label="knn_lsh_keys",
+        default="checkpoint",
+    )
     a = side.select(F.col("id").alias("query_id"), "band", "bucket")
     b = side.select(F.col("id").alias("neighbor_id"), "band", "bucket")
     cand = (

@@ -170,6 +170,88 @@ def q49_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # can never drift apart silently.
 
 
+def _q157_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """The q157 stage frames, keyed by name — consumed by the query fn
+    and exposed to tools/dump_plans.py (VERDICT r10 #7: the job-count
+    claims of the bounded-collect queries must be plan-file-checkable).
+
+    Round 11 restructure (guide §1.2 / §8 "decide with small rows"):
+    the regex feature projection previously ran TWICE per invocation —
+    once inside the survivors staging job and again under the merged
+    stage-count aggregation (feat was unstaged). The feature frame
+    (doc_id, text, lang_pred, n_words, quality_score) is now itself
+    the staged corpus-scale boundary: ONE feature pass writes it, the
+    stage counters aggregate the narrow flag columns off the staged
+    parquet (column pruning — the text bytes are never re-read for
+    counting), and the survivors window reads it back. Values are
+    bit-identical (same fragments, same filters); the second full
+    feature pass is gone at every scale."""
+    # same partitioning guard as q49: a single-file fixture otherwise
+    # pins the regex-heavy feature projection to one task; real
+    # multi-split input keeps its partitioning and pays no shuffle
+    docs = spread_codec_input(
+        load_table(spark, sf_dir, "documents"),
+        spark,
+        _parquet_file_count(sf_dir, "documents"),
+    )
+    feat = materialize(
+        docs.select(
+            "doc_id",
+            "text",
+            language_id("text").alias("lang_pred"),
+            quality_features("text").alias("q"),
+        ).select(
+            "doc_id",
+            "text",
+            "lang_pred",
+            F.col("q.n_words").alias("n_words"),
+            F.col("q.quality_score").alias("quality_score"),
+        ),
+        label="q157_features",
+        default="parquet",  # corpus-ROW-scale staging rule
+    )
+    # the first four stage counts are nested filters of ONE feature
+    # frame (lang → quality → min-words), so they collapse into one
+    # conditional aggregation over the staged flags (guide §1.2 — at
+    # 100 TB each separate count was a full corpus feature pass; since
+    # round 11 even the single remaining pass reads only the narrow
+    # flag columns)
+    lang_ok = F.col("lang_pred") == "en"
+    q_ok = lang_ok & (F.col("quality_score") >= _MIN_SCORE)
+    w_ok = q_ok & (F.col("n_words") >= _MIN_WORDS)
+    stage_counts = feat.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(lang_ok, 1).otherwise(0)).cast("long").alias("n_lang"),
+        F.sum(F.when(q_ok, 1).otherwise(0)).cast("long").alias("n_quality"),
+        F.sum(F.when(w_ok, 1).otherwise(0)).cast("long").alias("n_words_ok"),
+    )
+    s_words = feat.where(w_ok)
+    survivors = materialize(
+        s_words.withColumn(
+            "keeper",
+            F.min("doc_id").over(Window.partitionBy(F.md5(F.expr(_NORM_SPARK)))),
+        )
+        .where(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "text"),
+        label="q157_survivors",
+        default="parquet",  # corpus-scale, same trade as q49_survivors
+    )
+    cands = materialize(
+        minhash_candidate_pairs(survivors, "doc_id", "text", 12, 3, 3),
+        label="q157_candidates",
+        default="checkpoint",  # same double-evaluation cut as q49
+    )
+    verified = ngram_jaccard_pairs(
+        survivors, "doc_id", "text", n=3, threshold=0.5, candidates=cands
+    )
+    return {
+        "features": feat,
+        "stage_counts": stage_counts,
+        "survivors": survivors,
+        "near_dup_pairs": verified,
+    }
+
+
 @register(
     "q157_curation_funnel",
     oracle=f"""
@@ -231,70 +313,15 @@ def q157_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers; every stage reuses q49's fragments verbatim (same
     predicates, same md5 window, same LSH + Jaccard chain), so this
     funnel IS q49's attrition, not a reimplementation that can drift.
-    The stage frames are narrow filters over one scan; only the dedup
-    stages shuffle, on the same uniform md5/band keys as q49."""
-    # same partitioning guard as q49: a single-file fixture otherwise
-    # pins the regex-heavy feature projection (and the merged stage-
-    # count aggregation over it) to one task; real multi-split input
-    # keeps its partitioning and pays no shuffle
-    docs = spread_codec_input(
-        load_table(spark, sf_dir, "documents"),
-        spark,
-        _parquet_file_count(sf_dir, "documents"),
-    )
-    feat = docs.select(
-        "doc_id",
-        "text",
-        language_id("text").alias("lang_pred"),
-        quality_features("text").alias("q"),
-    ).select(
-        "doc_id",
-        "text",
-        "lang_pred",
-        F.col("q.n_words").alias("n_words"),
-        F.col("q.quality_score").alias("quality_score"),
-    )
-    s_lang = feat.where(F.col("lang_pred") == "en")
-    s_quality = s_lang.where(F.col("quality_score") >= _MIN_SCORE)
-    s_words = s_quality.where(F.col("n_words") >= _MIN_WORDS)
-    survivors = materialize(
-        s_words.withColumn(
-            "keeper",
-            F.min("doc_id").over(Window.partitionBy(F.md5(F.expr(_NORM_SPARK)))),
-        )
-        .where(F.col("doc_id") == F.col("keeper"))
-        .select("doc_id", "text"),
-        label="q157_survivors",
-        default="parquet",  # corpus-scale, same trade as q49_survivors
-    )
-    cands = materialize(
-        minhash_candidate_pairs(survivors, "doc_id", "text", 12, 3, 3),
-        label="q157_candidates",
-        default="checkpoint",  # same double-evaluation cut as q49
-    )
-    verified = ngram_jaccard_pairs(
-        survivors, "doc_id", "text", n=3, threshold=0.5, candidates=cands
-    )
-    # the first four stage counts are nested filters of ONE feature
-    # scan (lang → quality → min-words), so they collapse into one
-    # conditional aggregation: the language_id + quality_features
-    # codegen projection runs ONCE instead of once per count action
-    # (guide §1.2 — at 100 TB each separate count was a full corpus
-    # feature pass; measured at sf0.1 this took the query's count
-    # phase from 4 jobs to 1 with hash-identical output)
-    lang_ok = F.col("lang_pred") == "en"
-    q_ok = lang_ok & (F.col("quality_score") >= _MIN_SCORE)
-    w_ok = q_ok & (F.col("n_words") >= _MIN_WORDS)
-    c = feat.agg(
-        F.count("*").cast("long").alias("n_total"),
-        F.sum(F.when(lang_ok, 1).otherwise(0)).cast("long").alias("n_lang"),
-        F.sum(F.when(q_ok, 1).otherwise(0)).cast("long").alias("n_quality"),
-        F.sum(F.when(w_ok, 1).otherwise(0)).cast("long").alias("n_words_ok"),
-    ).collect()[0]
+    The stage frames are narrow filters over one staged feature scan;
+    only the dedup stages shuffle, on the same uniform md5/band keys
+    as q49."""
+    fr = _q157_frames(spark, sf_dir)
+    c = fr["stage_counts"].collect()[0]
     n_total, n_lang = c["n_total"], c["n_lang"]
     n_quality, n_words_ok = c["n_quality"], c["n_words_ok"]
-    n_exact = survivors.count()
-    n_dropped_near = verified.select("id_b").distinct().count()
+    n_exact = fr["survivors"].count()
+    n_dropped_near = fr["near_dup_pairs"].select("id_b").distinct().count()
     rows = [
         ("language", n_total, n_lang),
         ("quality", n_lang, n_quality),
@@ -494,23 +521,29 @@ def _funnel_frames(spark: SparkSession, sf_dir: str) -> dict:
     c4v = c4_line_filter(
         s_url.select("doc_id", F.expr(_C4_LINE_SPARK).alias("t")), "doc_id", "t"
     )
+    # the language/quality features ride the s_c4 staging write (round
+    # 11, guide §1.2/§8): they were previously a separate projection
+    # over the staged parquet, and BOTH the survivors staging job and
+    # the stage-count aggregation evaluated it — two full regex passes
+    # over the cleaned corpus. Computing them once INSIDE the staging
+    # job adds two narrow columns to the parquet and deletes every
+    # downstream feature evaluation; the stage gates become plain
+    # column filters.
     s_c4 = materialize(
         s_url.join(
             c4v.where(F.col("cleaned_n_words") >= _MIN_WORDS).select("doc_id"),
             "doc_id",
             "semi",
+        )
+        .withColumn("lang_pred", language_id("text"))
+        .withColumn(
+            "quality_score",
+            quality_features("text").getField("quality_score"),
         ),
         label="q187_clean",
         default="parquet",
     )
-    feat = s_c4.select(
-        "doc_id",
-        "text",
-        "source",
-        "tok",
-        language_id("text").alias("lang_pred"),
-        quality_features("text").getField("quality_score").alias("quality_score"),
-    )
+    feat = s_c4
     s_lang = feat.where(F.col("lang_pred") == "en")
     s_quality = s_lang.where(F.col("quality_score") >= _MIN_SCORE)
     survivors = materialize(
@@ -560,7 +593,96 @@ def _funnel_frames(spark: SparkSession, sf_dir: str) -> dict:
         "exact_dedup": survivors,
         "near_dup": s_nd,
         "decontam": s_final,
+        # non-stage extras (round 11): the drop-list slivers and the
+        # two merged counting aggregations the fn collects — in the
+        # dict so plan dumps show the real counting jobs' shapes
+        "nd_drop": nd_drop,
+        "decon_hits": hits,
+        "mid_counts": _q187_mid_counts(
+            s_c4,
+            F.col("lang_pred") == "en",
+            (F.col("lang_pred") == "en") & (F.col("quality_score") >= _MIN_SCORE),
+        ),
+        "final_counts": _q187_final_counts(survivors, nd_drop, hits),
     }
+
+
+def _q187_mid_counts(s_c4: DataFrame, lang_ok, q_ok) -> DataFrame:
+    """One conditional aggregation for the line_clean / language /
+    quality stage masses over the staged s_c4 frame (whose parquet
+    carries lang_pred and quality_score since round 11)."""
+    return s_c4.agg(
+        F.count("*").cast("long").alias("n2"),
+        F.coalesce(F.sum("tok"), F.lit(0)).cast("long").alias("t2"),
+        F.sum(F.when(lang_ok, 1).otherwise(0)).cast("long").alias("n3"),
+        F.coalesce(F.sum(F.when(lang_ok, F.col("tok"))), F.lit(0))
+        .cast("long")
+        .alias("t3"),
+        F.sum(F.when(q_ok, 1).otherwise(0)).cast("long").alias("n4"),
+        F.coalesce(F.sum(F.when(q_ok, F.col("tok"))), F.lit(0))
+        .cast("long")
+        .alias("t4"),
+    )
+
+
+def _q187_final_counts(
+    survivors: DataFrame, nd_drop: DataFrame, hits: DataFrame
+) -> DataFrame:
+    """One pass over the survivors frame for the exact_dedup / near_dup
+    / decontam stage masses and the packing shard count: drop-list
+    membership attaches as left-join flags (both slivers are distinct
+    on doc_id — nd_drop by an explicit ``.distinct()``, hits by its
+    groupBy — so the joins cannot duplicate rows), and the packing
+    cum-token window runs conditionally over final rows only. See the
+    call site for the equivalence argument."""
+    m = (
+        survivors.join(
+            F.broadcast(nd_drop.withColumn("__nd", F.lit(True))), "doc_id", "left"
+        )
+        .join(
+            F.broadcast(hits.withColumn("__hit", F.lit(True))), "doc_id", "left"
+        )
+        .withColumn("__keep6", F.col("__nd").isNull())
+        .withColumn(
+            "__keep7",
+            F.col("__nd").isNull()
+            & (F.col("doc_id") % _BENCH_MOD != 0)
+            & F.col("__hit").isNull(),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        m.withColumn(
+            "cum_tok",
+            F.sum(F.when(F.col("__keep7"), F.col("tok")).otherwise(F.lit(0)))
+            .over(w)
+            .cast("long"),
+        )
+        .withColumn("shard", F.expr(f"(cum_tok - tok) div {_SHARD_BUDGET}"))
+        .agg(
+            F.count("*").cast("long").alias("n5"),
+            F.coalesce(F.sum("tok"), F.lit(0)).cast("long").alias("t5"),
+            F.sum(F.when(F.col("__keep6"), 1).otherwise(0))
+            .cast("long")
+            .alias("n6"),
+            F.coalesce(F.sum(F.when(F.col("__keep6"), F.col("tok"))), F.lit(0))
+            .cast("long")
+            .alias("t6"),
+            F.sum(F.when(F.col("__keep7"), 1).otherwise(0))
+            .cast("long")
+            .alias("n7"),
+            F.coalesce(F.sum(F.when(F.col("__keep7"), F.col("tok"))), F.lit(0))
+            .cast("long")
+            .alias("t7"),
+            F.countDistinct(
+                F.when(F.col("__keep7"), F.struct("source", "shard"))
+            )
+            .cast("long")
+            .alias("nsh"),
+        )
+    )
 
 
 @register(
@@ -700,48 +822,35 @@ def q187_full_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n0 = fr["docs"].count()
     n1, t1 = _ct(fr["url_dedup"])
-    n2, t2 = _ct(fr["line_clean"])
-    # the quality frame is a pure quality_score filter of the language
-    # frame, so both stages' (count, token-mass) pairs come from ONE
-    # conditional aggregation over the language frame — the
-    # language_id + quality_features codegen scan over the staged
-    # s_c4 parquet runs once instead of twice (guide §1.2: fewer
-    # passes; hash-identical output)
-    q_ok = F.col("quality_score") >= _MIN_SCORE
-    c34 = fr["language"].agg(
-        F.count("*").cast("long").alias("n3"),
-        F.coalesce(F.sum("tok"), F.lit(0)).cast("long").alias("t3"),
-        F.sum(F.when(q_ok, 1).otherwise(0)).cast("long").alias("n4"),
-        F.coalesce(F.sum(F.when(q_ok, F.col("tok"))), F.lit(0))
-        .cast("long")
-        .alias("t4"),
-    ).collect()[0]
-    n3, t3, n4, t4 = c34["n3"], c34["t3"], c34["n4"], c34["t4"]
-    n5, t5 = _ct(fr["exact_dedup"])
-    n6, t6 = _ct(fr["near_dup"])
-    # the decontam stage's (count, token-mass) and the shard count come
-    # from ONE aggregation over the final frame — countDistinct(source,
-    # shard) is the former .distinct().count(), and n/t ride the same
-    # job — so the survivors-parquet → anti-join → anti-join chain is
-    # computed once for the two final stages instead of three times
-    # (guide §1.2; an Observation-based variant was rejected: AQE's
-    # empty-relation propagation drops CollectMetrics when a stage
-    # empties the corpus, which the sf0.1 fixture actually does)
-    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    c7 = (
-        fr["decontam"]
-        .withColumn("cum_tok", F.sum("tok").over(w).cast("long"))
-        .withColumn("shard", F.expr(f"(cum_tok - tok) div {_SHARD_BUDGET}"))
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.coalesce(F.sum("tok"), F.lit(0)).cast("long").alias("t"),
-            F.countDistinct("source", "shard").cast("long").alias("nsh"),
-        )
-        .collect()[0]
-    )
-    n7, t7, nsh = c7["n"], c7["t"], c7["nsh"]
+    # the line-clean, language and quality stages are nested column
+    # filters of the ONE staged s_c4 parquet (the features ride the
+    # staging write since round 11), so all three stages' (count,
+    # token-mass) pairs come from ONE conditional aggregation — no
+    # regex re-evaluation, narrow-column parquet read (guide §1.2;
+    # was two jobs, one of which re-ran the feature projection)
+    c234 = fr["mid_counts"].collect()[0]
+    n2, t2 = c234["n2"], c234["t2"]
+    n3, t3, n4, t4 = c234["n3"], c234["t3"], c234["n4"], c234["t4"]
+    # the exact-dedup, near-dup and decontam stage masses plus the
+    # shard count ride ONE pass over the survivors parquet (round 11;
+    # was three jobs, each replaying the anti-join chain): the
+    # checkpointed drop-list slivers attach as left-join flags
+    # (both are distinct on doc_id by construction), the stage
+    # memberships become conditional aggregates, and the packing
+    # window sums token mass ONLY over final rows — non-final rows
+    # contribute 0, so per final row the running sum equals the
+    # window over the filtered frame the oracle computes. The shard
+    # count aggregates distinct (source, shard) STRUCTS so a NULL
+    # source still counts its group, exactly like the oracle's
+    # SELECT DISTINCT (ADVICE r10 #1 — countDistinct over bare
+    # columns silently dropped NULL-source tuples). An
+    # Observation-based variant stays rejected: AQE's empty-relation
+    # propagation drops CollectMetrics when a stage empties the
+    # corpus, which the sf0.1 fixture actually does.
+    c567 = fr["final_counts"].collect()[0]
+    n5, t5 = c567["n5"], c567["t5"]
+    n6, t6 = c567["n6"], c567["t6"]
+    n7, t7, nsh = c567["n7"], c567["t7"], c567["nsh"]
     rows = [
         (1, "url_dedup", n0, n1, t1, None),
         (2, "line_clean", n1, n2, t2, None),

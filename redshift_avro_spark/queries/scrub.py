@@ -718,6 +718,18 @@ def q193_benchmark_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count(*) per (bench, source) IS the distinct-doc count, and
     # min_by over (-c, source) IS the ROW_NUMBER (c DESC, source)
     # argmax (the key is unique per group — no tie ambiguity).
+    # Load-bearing data invariants (ADVICE r10 #2), both guaranteed by
+    # the fixture generator and by any upstream that treats source as
+    # a required document attribute: (a) doc_id → source is FUNCTIONAL
+    # (one source per document), otherwise n_corpus_hits = Σ per-source
+    # counts would overcount multi-source docs vs the former per-bench
+    # distinct-doc count; and (b) source is NON-NULL — a NULL source
+    # would form its own per-source group here (n_sources = count(*)
+    # over groups counts it) where the former countDistinct("source")
+    # silently excluded it. The DuckDB oracle computes the same
+    # grouped form, so the hash gate pins today's behavior either way;
+    # this comment records which data properties the equivalence
+    # argument leans on.
     per_src = pairs.groupBy("bench_id", "source").agg(
         F.count("*").cast("long").alias("c")
     )

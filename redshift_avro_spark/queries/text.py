@@ -1530,23 +1530,18 @@ def _kn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB's flooring `//` only ever divide non-negative integers.
 
 
-@register(
-    "q189_filter_agreement",
-    oracle=None,  # set below — needs the member oracles
-)
-def q189_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise keep/drop agreement + Cohen's kappa (integer ppm) for
-    the four quality filters. One narrow per-doc verdict projection
-    (members' own plans), a bounded histogram median for the LM
-    threshold, ONE single-row aggregation for all counts; po/pe/kappa
-    assembled driver-side from the exact counts with the same integer
-    formulas the oracle replays."""
+_Q189_NAMES = ["clf", "heur", "lm", "rep"]
+
+
+def _q189_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """The q189 stage frames (verdict projection, LM-median sliver, the
+    single counting aggregation) — consumed by the query fn and exposed
+    to tools/dump_plans.py (VERDICT r10 #7)."""
     from ..operators.text import (
         quality_classifier_score,
         top_word_share_ppm_expr,
     )
 
-    S = 1_000_000
     docs = load_table(spark, sf_dir, "documents")
     # the members' OPERATORS, not their registered fns — the fns end in
     # a per-member global orderBy the joins would immediately re-shuffle
@@ -1593,7 +1588,7 @@ def q189_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep_rep",
         )
     )
-    names = ["clf", "heur", "lm", "rep"]
+    names = _Q189_NAMES
     pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1 :]]
     aggs = [F.count("*").cast("long").alias("n")]
     aggs += [
@@ -1606,7 +1601,28 @@ def q189_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias(f"agree_{a}_{b}")
         for a, b in pairs
     ]
-    r = base.agg(*aggs).collect()[0]
+    return {
+        "verdicts": base,
+        "lm_median": med,
+        "counts_agg": base.agg(*aggs),
+    }
+
+
+@register(
+    "q189_filter_agreement",
+    oracle=None,  # set below — needs the member oracles
+)
+def q189_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise keep/drop agreement + Cohen's kappa (integer ppm) for
+    the four quality filters. One narrow per-doc verdict projection
+    (members' own plans), a bounded histogram median for the LM
+    threshold, ONE single-row aggregation for all counts; po/pe/kappa
+    assembled driver-side from the exact counts with the same integer
+    formulas the oracle replays."""
+    S = 1_000_000
+    names = _Q189_NAMES
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1 :]]
+    r = _q189_frames(spark, sf_dir)["counts_agg"].collect()[0]
     rows = []
     for a, b in pairs:
         n, ka, kb = r["n"], r[f"k_{a}"], r[f"k_{b}"]
@@ -2318,3 +2334,26 @@ def q200_filter_roc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roc_audit(
         scored, "score", "label", bin_width=_SWEEP_BIN, shift=_SWEEP_SHIFT
     )
+
+
+def _q200_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """The q200 stage frames, UNSTAGED (the checkpoint boundary inside
+    roc_audit would otherwise hide the classifier scan behind a
+    LogicalRDD scan): the per-distinct-score histogram pass and the
+    single per-bin stats job over it — exposed to tools/dump_plans.py
+    (VERDICT r10 #7)."""
+    from ..operators.text import (
+        _roc_bin_stats,
+        _roc_hist,
+        quality_classifier_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        quality_classifier_score(f"({_C4_LINE_SPARK})")
+        .getField("logit_ppm")
+        .alias("score"),
+        F.expr("doc_id % 31 = 0").alias("label"),
+    )
+    hist = _roc_hist(scored, "score", "label", _SWEEP_BIN, _SWEEP_SHIFT)
+    return {"score_hist": hist, "per_bin_stats": _roc_bin_stats(hist)}

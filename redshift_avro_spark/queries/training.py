@@ -731,6 +731,20 @@ _EPOCH_CAP = 4
 _BUDGET_MULT = 2
 
 
+def _q199_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """The q199 stage frame (the one corpus-scale per-lang token
+    aggregation joined to the q144 weights) — exposed to
+    tools/dump_plans.py (VERDICT r10 #7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.groupBy("lang").agg(
+        F.sum(token_count("text")["n_tokens_est"].cast("long"))
+        .cast("long")
+        .alias("t")
+    )
+    tw = q144_temperature_weights(spark, sf_dir).select("lang", "weight_ppm")
+    return {"per_lang_tokens": toks.join(tw, "lang")}
+
+
 @register(
     "q199_epoch_allocation",
     oracle=None,  # set below — composes the q144 member oracle
@@ -746,16 +760,9 @@ def q199_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as 6 unrolled relational steps."""
     from ..operators.training import epoch_allocation
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.groupBy("lang").agg(
-        F.sum(token_count("text")["n_tokens_est"].cast("long"))
-        .cast("long")
-        .alias("t")
-    )
-    tw = q144_temperature_weights(spark, sf_dir).select("lang", "weight_ppm")
     shares = [
         (r["lang"], r["t"], r["weight_ppm"])
-        for r in toks.join(tw, "lang").collect()
+        for r in _q199_frames(spark, sf_dir)["per_lang_tokens"].collect()
     ]
     budget = _BUDGET_MULT * sum(t for _, t, _w in shares)
     rows, r = epoch_allocation(shares, budget, epoch_cap=_EPOCH_CAP)
@@ -873,6 +880,27 @@ _REG199["q199_epoch_allocation"].oracle = _q199_oracle()
 _CTX_BUDGETS = (512, 1024, 2048, 4096, 8192)
 
 
+def _q203_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """The q203 stage frame (one corpus scan → per-lang conditional
+    aggregation over every context budget) — exposed to
+    tools/dump_plans.py (VERDICT r10 #7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = [
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_toks"),
+    ] + [
+        F.sum(F.expr(f"(toks + {b} - 1) DIV {b}")).cast("long").alias(f"s{b}")
+        for b in _CTX_BUDGETS
+    ]
+    return {
+        "per_lang_budget_agg": docs.select(
+            "lang", token_count("text")["n_tokens_est"].cast("long").alias("toks")
+        )
+        .groupBy("lang")
+        .agg(*aggs)
+    }
+
+
 @register(
     "q203_context_length_sweep",
     oracle=f"""
@@ -915,22 +943,7 @@ def q203_context_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     waste ppm) q59's packing approaches — all exact integer
     arithmetic, one corpus scan, driver-side reshape over the <= 5
     per-lang rows."""
-    docs = load_table(spark, sf_dir, "documents")
-    aggs = [
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("toks").cast("long").alias("total_toks"),
-    ] + [
-        F.sum(F.expr(f"(toks + {b} - 1) DIV {b}")).cast("long").alias(f"s{b}")
-        for b in _CTX_BUDGETS
-    ]
-    per_lang = (
-        docs.select(
-            "lang", token_count("text")["n_tokens_est"].cast("long").alias("toks")
-        )
-        .groupBy("lang")
-        .agg(*aggs)
-        .collect()
-    )
+    per_lang = _q203_frames(spark, sf_dir)["per_lang_budget_agg"].collect()
     out = []
     for b in _CTX_BUDGETS:
         n_docs = sum(r["n_docs"] for r in per_lang)

@@ -96,6 +96,23 @@ EMB_QUERIES = [
 ]
 EMB_ID_STRIDE = 10**7
 
+# Graph families measured against an N× TRADE GRAPH (round 11, VERDICT
+# r10 task #2 — q102/q119 previously had plan-diff evidence only): the
+# graph queries read lineitem+orders, so the builder replicates those
+# two tables with every key offset by r·10⁹ per replica. Each replica
+# is a DISJOINT copy of the same trade graph — N× nodes, N× edges, N×
+# wedges/triangles, identical per-component structure — so an operator
+# argued linear-in-E must measure ≈linear here (no cross-replica edges
+# can form: the key spaces never collide). Only the columns the graph
+# queries project are written (l_orderkey/l_suppkey/l_partkey,
+# o_orderkey/o_custkey/o_orderpriority) — column pruning makes the
+# full-width replica pure dead weight at 100×.
+GRAPH_QUERIES = [
+    "q102_pagerank",
+    "q119_triangle_count",
+]
+GRAPH_KEY_STRIDE = 10**9
+
 
 def build_corpus(spark, out_dir: str, n_replicas: int = N_REPLICAS) -> None:
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
@@ -158,6 +175,43 @@ def build_embeddings(spark, out_dir: str, n_replicas: int = N_REPLICAS) -> None:
     )
 
 
+def build_trade_graph(spark, out_dir: str, n_replicas: int = N_REPLICAS) -> None:
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).select(
+        "l_orderkey", "l_suppkey", "l_partkey"
+    )
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    li_parts, o_parts = [], []
+    for r in range(n_replicas):
+        off = r * GRAPH_KEY_STRIDE
+        li_parts.append(
+            li.select(
+                (F.col("l_orderkey") + off).alias("l_orderkey"),
+                (F.col("l_suppkey") + off).alias("l_suppkey"),
+                (F.col("l_partkey") + off).alias("l_partkey"),
+            )
+        )
+        o_parts.append(
+            orders.select(
+                (F.col("o_orderkey") + off).alias("o_orderkey"),
+                (F.col("o_custkey") + off).alias("o_custkey"),
+                "o_orderpriority",
+            )
+        )
+    big_li, big_o = li_parts[0], o_parts[0]
+    for p in li_parts[1:]:
+        big_li = big_li.unionByName(p)
+    for p in o_parts[1:]:
+        big_o = big_o.unionByName(p)
+    big_li.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lineitem.parquet")
+    )
+    big_o.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "orders.parquet")
+    )
+
+
 def _best_of_2(fn) -> float:
     runs = []
     for _ in range(2):
@@ -176,6 +230,12 @@ def main() -> None:
     ap.add_argument("--queries", default=None, help="csv subset of the doc sweep")
     ap.add_argument("--emb-queries", default=None, help="csv subset of the ANN sweep")
     ap.add_argument(
+        "--graph-queries",
+        default="",
+        help="csv subset of the trade-graph sweep (off by default: the "
+        "graph tables are only built when asked for)",
+    )
+    ap.add_argument(
         "--reuse",
         action="store_true",
         help="skip the corpus build when out_dir already holds one "
@@ -187,8 +247,10 @@ def main() -> None:
     emb_queries = (
         args.emb_queries.split(",") if args.emb_queries is not None else EMB_QUERIES
     )
+    graph_queries = args.graph_queries.split(",")
     queries = [q for q in queries if q]
     emb_queries = [q for q in emb_queries if q]
+    graph_queries = [q for q in graph_queries if q]
 
     registry = load_all()
     spark = get_spark(app_name="scale-curve")
@@ -247,6 +309,27 @@ def main() -> None:
         print(f"| query | sf0.1 best (s) | {label} best (s) | time ratio |")
         print("|---|---|---|---|")
         for name in emb_queries:
+            t_small = _best_of_2(lambda: registry[name].fn(spark, SF_DIR).count())
+            t_big = _best_of_2(lambda: registry[name].fn(spark, args.out_dir).count())
+            ratio = round(t_big / t_small, 2) if t_small else float("inf")
+            print(f"| {name} | {t_small} | {t_big} | {ratio}x |")
+
+    if graph_queries:
+        if not (
+            args.reuse
+            and os.path.exists(os.path.join(args.out_dir, "lineitem.parquet"))
+        ):
+            build_trade_graph(spark, args.out_dir, args.replicas)
+        nl_small = spark.read.parquet(
+            os.path.join(SF_DIR, "lineitem.parquet")
+        ).count()
+        nl_big = spark.read.parquet(
+            os.path.join(args.out_dir, "lineitem.parquet")
+        ).count()
+        print(f"lineitem: {nl_small} -> {nl_big} ({nl_big / nl_small:.1f}x)")
+        print(f"| query | sf0.1 best (s) | {label} best (s) | time ratio |")
+        print("|---|---|---|---|")
+        for name in graph_queries:
             t_small = _best_of_2(lambda: registry[name].fn(spark, SF_DIR).count())
             t_big = _best_of_2(lambda: registry[name].fn(spark, args.out_dir).count())
             ratio = round(t_big / t_small, 2) if t_small else float("inf")

@@ -19,8 +19,10 @@ unrolled CTEs (q102) and hash-match.
 100 TB story: each iteration is one equi-join of the edge list with
 the current rank vector (shuffle on the uniform node key) plus one
 aggregation on dst — O(E) per round, no driver-side state beyond the
-loop counter. Lineage is cut per round with ``localCheckpoint`` (the
-q63 pattern) so the plan stays flat at any iteration count. A
+loop counter. Lineage is cut per round through
+:func:`..operators.staging.materialize` (checkpoint default — the q63
+pattern; env-flippable to parquet where O(E) staging must live on
+disk) so the plan stays flat at any iteration count. A
 power-law hub is ordinary key skew: AQE skew-join handles the join
 side, and the dst aggregation map-side combines.
 """
@@ -60,6 +62,8 @@ def pagerank(
     if missing:
         raise ValueError(f"pagerank: edge columns {missing} not in edges")
 
+    from .staging import materialize
+
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # explode instead of a two-branch union (one evaluation of the
     # caller's edge subplan, same node multiset)
@@ -68,15 +72,22 @@ def pagerank(
     )
     outdeg = e.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
     # edge list annotated with the source's out-degree, computed once
-    # and reused every round
+    # and reused every round. Cuts route through materialize (round
+    # 11): the former hard-coded localCheckpoint pinned the O(E)
+    # frames to executor-storage blocks (deserialized JVM objects,
+    # ~5-10x the on-disk bytes) with no way to flip the mode — the
+    # 100x trade-graph sweep OOMed a 32g single-JVM session on
+    # exactly this. Defaults stay "checkpoint" (local numbers and
+    # fault story unchanged); SPARK_GRAFT_MATERIALIZE[_<LABEL>]
+    # selects parquet where O(E) staging must live on disk.
     ew = e.join(outdeg, "src")
     if checkpoint:
-        ew = ew.localCheckpoint()
+        ew = materialize(ew, label="pagerank_ew", default="checkpoint")
         # nodes is loop-INVARIANT but was never cut: every round's
         # left join AND the per-round broadcast of n_nodes replayed
         # the edge-scan + distinct subplan (cut BEFORE n_df/ranks so
         # both consume the materialized frame)
-        nodes = nodes.localCheckpoint()
+        nodes = materialize(nodes, label="pagerank_nodes", default="checkpoint")
     n_df = F.broadcast(nodes.agg(F.count("*").cast("long").alias("n_nodes")))
 
     base = F.expr(f"({15 * TOTAL_MASS} div (100 * n_nodes))")
@@ -84,7 +95,7 @@ def pagerank(
         "node", F.expr(f"({TOTAL_MASS} div n_nodes)").cast("long").alias("rank_fp")
     )
     if checkpoint:
-        ranks = ranks.localCheckpoint()
+        ranks = materialize(ranks, label="pagerank_ranks", default="checkpoint")
     for _ in range(iterations):
         inc = (
             ew.join(ranks, ew.src == ranks.node)
@@ -102,7 +113,7 @@ def pagerank(
             )
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint()
+            ranks = materialize(ranks, label="pagerank_ranks", default="checkpoint")
     return (
         ranks.join(outdeg, ranks.node == outdeg.src, "left")
         .select("node", F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"), "rank_fp")
@@ -159,8 +170,13 @@ def triangle_count(
         )
         # consumed three times (both wedge sides + closure probe):
         # materialize once, O(E) rows, instead of replaying the
-        # edge⋈degree chain per consumer
-        .localCheckpoint()
+        # edge⋈degree chain per consumer (routed through materialize
+        # since round 11 — see pagerank's comment; default unchanged)
+    )
+    from .staging import materialize
+
+    oriented = materialize(
+        oriented, label="triangle_oriented", default="checkpoint"
     )
     e1 = oriented.select(F.col("s"), F.col("t").alias("b"), F.col("t_ord").alias("b_ord"))
     e2 = oriented.select(F.col("s"), F.col("t").alias("c"), F.col("t_ord").alias("c_ord"))
@@ -209,21 +225,32 @@ def bfs_distances(
         raise ValueError(f"bfs_distances: max_hops must be >= 0, got {max_hops}")
     if "node" not in seeds.columns:
         raise ValueError("bfs_distances: seeds must have a 'node' column")
+    from .staging import materialize
+
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    und = und.localCheckpoint()
+    # cuts routed through materialize since round 11 (see pagerank's
+    # comment; defaults unchanged — und is the O(E) frame)
+    und = materialize(und, label="bfs_und", default="checkpoint")
 
-    visited = seeds.select("node", F.lit(0).alias("dist")).distinct().localCheckpoint()
+    visited = materialize(
+        seeds.select("node", F.lit(0).alias("dist")).distinct(),
+        label="bfs_visited",
+        default="checkpoint",
+    )
     frontier = visited.select("node")
     for hop in range(1, max_hops + 1):
-        nxt = (
+        nxt = materialize(
             und.join(frontier.withColumnRenamed("node", "a"), "a")
             .select(F.col("b").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
-            .select("node", F.lit(hop).alias("dist"))
-            .localCheckpoint()
+            .select("node", F.lit(hop).alias("dist")),
+            label="bfs_frontier",
+            default="checkpoint",
         )
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = materialize(
+            visited.unionByName(nxt), label="bfs_visited", default="checkpoint"
+        )
         frontier = nxt.select("node")
     return visited

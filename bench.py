@@ -184,7 +184,7 @@ EXTENDED: dict[str, float] = {
     "q205_ann_cost_audit": 2.4,
 }
 
-_DETAIL_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r10.json")
+_DETAIL_FILE = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r11.json")
 
 # Sentinel-normalized budget check (VERDICT r8 task #6): the sentinel
 # records host noise, but raw seconds were still compared against the

@@ -280,18 +280,22 @@ def chunk_documents(
         raise ValueError("chunk_documents: overlap must be < window")
     stride = window - overlap
     words = f"split(trim(lower({text_col})), '\\\\s+')"
-    n = f"size({words})"
     # split bound once via the single-element-array lambda (round 10):
-    # the inline form re-ran the O(L) split per chunk — O(L²/stride)/doc
+    # the inline form re-ran the O(L) split per chunk — O(L²/stride)/doc.
+    # Round 11 moves the empty-document guard INSIDE the binding too
+    # (the outer CASE's size() check evaluated its own split — 2
+    # splits/row → 1); a NULL split array makes the CASE condition
+    # NULL → the empty-array ELSE, exactly what the outer guard
+    # produced.
     chunks = (
-        f"CASE WHEN {n} > 0 AND trim({text_col}) != '' THEN "
         f"transform(array({words}), __ws -> "
+        f"CASE WHEN size(__ws) > 0 AND trim({text_col}) != '' THEN "
         f"transform(sequence(0, CAST(ceil(size(__ws) / {stride}.0) AS INT) - 1), "
         f"k -> named_struct("
         f"'start_word', k * {stride}, "
         f"'n_words', least({window}, size(__ws) - k * {stride}), "
-        f"'chunk_text', array_join(slice(__ws, k * {stride} + 1, {window}), ' '))))[0] "
-        f"ELSE CAST(array() AS ARRAY<STRUCT<start_word INT, n_words INT, chunk_text STRING>>) END"
+        f"'chunk_text', array_join(slice(__ws, k * {stride} + 1, {window}), ' '))) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<start_word INT, n_words INT, chunk_text STRING>>) END)[0]"
     )
     return df.select(
         F.col(id_col),

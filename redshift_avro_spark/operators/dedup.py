@@ -152,9 +152,24 @@ def minhash_signatures_df(
     path's microseconds (q175's round-6 budget regression traced to
     exactly that). cores/2 measured best at sf0.1 (cores×2's ~80-doc
     tasks under-amortize task overhead: 0.42 s vs 0.36 s for the
-    signature stage); with real multi-split input the exchange is
-    absorbed by whatever shuffle follows."""
+    signature stage).
+
+    The repartition is CONDITIONAL on the input's split count (round
+    11, guide §2.4 — "a repartition(n) someone added for parallelism"
+    is the canonical accidental shuffle): it exists to spread the md5
+    workload when the input arrives as one or two small file splits
+    (every local fixture), but for real multi-split input it shuffled
+    the full TEXT column — the heaviest bytes in the frame — for no
+    benefit, since Spark's own scan sizing already yields right-sized
+    tasks and the band aggregation downstream shuffles only 8-byte
+    lanes. ``inputFiles()`` is a ~10 ms driver-side probe; frames
+    whose lineage is not file-rooted (checkpoint-backed) report zero
+    files and keep the spread, i.e. exactly the previous behavior."""
     n_part = max(2, df.sparkSession.sparkContext.defaultParallelism // 2)
+    try:
+        n_input = len(df.inputFiles())
+    except Exception:  # non-file-rooted lineage → unknown → spread
+        n_input = 0
     words = _words("__text")
     shingles = (
         f"transform(sequence(1, size(__w) - {shingle_k - 1}), "
@@ -164,10 +179,11 @@ def minhash_signatures_df(
         f"array_min(zip_with(__h1, __h2, (x, y) -> ({a} * x + {b} * y) % {_MH_P}))"
         for a, b in _MH_COEFFS[:n_hashes]
     )
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    if n_input < n_part:
+        src = src.repartition(n_part, "__id")
     return (
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
-        .repartition(n_part, "__id")
-        .select("__id", F.expr(words).alias("__w"))
+        src.select("__id", F.expr(words).alias("__w"))
         .where(F.size("__w") >= shingle_k)
         .select("__id", F.expr(shingles).alias("__sh"))
         .select("__id", F.expr("transform(__sh, s -> md5(s))").alias("__hx"))
